@@ -1,0 +1,152 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Column builders (JVM-side, codegen-friendly) — the hot path of a
+100 TB document sweep must not drop into Python. These extend the reference
+surface per BASELINE.json's north star (the reference itself has no text ops
+beyond cleanup; scripts/clean_ticket_sales.py:38-41).
+
+Operators built on these live in ``operators.dedup`` and
+``plans``-level queries: language ID, quality scoring, token counting,
+fingerprinting, shingling for MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .scalars import ColumnOrName, _col
+
+# Tiny per-language stopword marker sets for the n-gram language heuristic.
+# Deliberately small and deterministic (no external models in-container).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+
+def tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    trimmed = F.trim(_col(c).cast("string"))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(c: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_ish_token_count(c: ColumnOrName) -> Column:
+    """BPE-ish token estimate: count word-piece-like regex matches
+    (letter runs, digit runs, single punctuation). Approximates subword
+    tokenizer counts without shipping a vocab."""
+    return F.size(
+        F.regexp_extract_all(
+            _col(c).cast("string"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+
+
+def stopword_hits(c: ColumnOrName, lang: str = "en") -> Column:
+    """Number of tokens that are stopword markers for ``lang``."""
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(tokens(F.lower(_col(c))), markers)).cast("long")
+
+
+def lang_score(c: ColumnOrName, lang: str) -> Column:
+    """Marker-hit count used by the language-ID heuristic (distinct markers
+    present; cheap, set-based, JVM-side)."""
+    return stopword_hits(c, lang)
+
+
+def lang_id(c: ColumnOrName) -> Column:
+    """Heuristic language ID: the language whose marker set overlaps the
+    token set most; 'und' when nothing matches.
+
+    Built as a single JVM expression: score each candidate language, take the
+    argmax via a sorted struct array (score desc, lang asc for determinism).
+    """
+    scored = F.array(
+        *[
+            F.struct(lang_score(c, lang).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .when(a["lang"] < b["lang"], F.lit(-1))
+        .when(a["lang"] > b["lang"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(c: ColumnOrName) -> dict[str, Column]:
+    """Document quality signals: length, mean word length, punctuation ratio,
+    digit ratio, stopword ratio, uppercase ratio. Compose into scores or
+    filters downstream."""
+    col = _col(c).cast("string")
+    n_chars = F.length(col).cast("double")
+    n_tokens = token_count(col).cast("double")
+    non_alnum = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.try_divide(n_chars - (n_tokens - 1), n_tokens),
+        "punct_ratio": F.try_divide(non_alnum.cast("double"), n_chars),
+        "digit_ratio": F.try_divide(digits.cast("double"), n_chars),
+        "upper_ratio": F.try_divide(uppers.cast("double"), n_chars),
+        "stopword_ratio": F.try_divide(stopword_hits(col).cast("double"), n_tokens),
+    }
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Scalar [0,1] quality score from heuristic signals — higher is
+    better-formed prose. Deterministic linear blend; tune weights per-corpus."""
+    q = quality_features(c)
+    score = (
+        F.lit(0.25) * F.least(q["n_tokens"].cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.25) * F.least(F.coalesce(q["stopword_ratio"], F.lit(0.0)) * 4, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.coalesce(q["punct_ratio"], F.lit(1.0)) * 4, F.lit(1.0)))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.coalesce(q["digit_ratio"], F.lit(1.0)) * 4, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
+    """k-character shingle set (distinct) → array<string>. Feed MinHash.
+
+    Expressed with ``sequence`` + ``transform`` + ``substring`` so shingling
+    stays JVM-side even for multi-GB partitions.
+    """
+    col = F.lower(F.regexp_replace(_col(c).cast("string"), r"\s+", " "))
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, k)))
+
+
+def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
+    """Word n-gram set → array<string> (distinct), for Jaccard similarity."""
+    toks = tokens(F.lower(_col(c)))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def fingerprint(c: ColumnOrName) -> Column:
+    """Document fingerprint: xxhash64 of the whitespace/case-normalized text.
+    A content-defined rolling-hash analogue that is exact-normalized-dup
+    stable; near-dup detection belongs to MinHash/SimHash operators."""
+    normed = F.lower(F.regexp_replace(F.trim(_col(c).cast("string")), r"\s+", " "))
+    return F.xxhash64(normed)

@@ -1,0 +1,93 @@
+"""Dense-vector expressions over ``array<float>`` columns — pure JVM-side
+higher-order functions (``zip_with`` / ``aggregate``), no UDFs.
+
+Used by ``operators.similarity`` (brute-force and LSH-bucketed ANN) and
+``operators.dedup`` (embedding-cosine near-dup). At 100 TB the dot products
+run inside whole-stage codegen over Parquet-backed float arrays; Python never
+sees a vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .scalars import ColumnOrName, _col
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product of two equal-length float arrays."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: ColumnOrName) -> Column:
+    """L2 norm."""
+    return F.sqrt(
+        F.aggregate(
+            _col(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Euclidean distance."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _col(a),
+                _col(b),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def normalize(a: ColumnOrName) -> Column:
+    """Unit-normalize a vector (NULL-safe: zero vector stays as-is)."""
+    n = norm(a)
+    return F.when(
+        n > 0, F.transform(_col(a), lambda v: (v.cast("double") / n))
+    ).otherwise(F.transform(_col(a), lambda v: v.cast("double")))
+
+
+def random_hyperplane_signs(a: ColumnOrName, n_planes: int, seed: int = 42) -> Column:
+    """SimHash/LSH bit signature: sign of the projection onto ``n_planes``
+    pseudo-random hyperplanes, packed as a bigint.
+
+    The "hyperplanes" are deterministic hash-derived ±1 component weights
+    (hash(seed, plane, dim_index) parity) so the signature is reproducible
+    across runs and engines without materializing a weight matrix — a
+    standard trick for cheap LSH at scale.
+    """
+    vec = _col(a)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, i: v.cast("double")
+                * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")

@@ -1,0 +1,4 @@
+"""Composable relational + large-scale operators (SURVEY.md §2.2-2.7 and the
+north-star dedup/similarity/text/multimodal extensions)."""
+
+from . import aggregates, dedup, multimodal, relational, similarity, windows  # noqa: F401

@@ -1,0 +1,284 @@
+"""Deduplication operators for training-data pipelines (north-star surface,
+BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+Scale design notes (the whole point of these implementations):
+
+- Exact dedup hashes the normalized text (xxhash64) and keeps the min doc_id
+  per hash: ONE shuffle on an 8-byte key instead of shuffling full document
+  bodies. At 100 TB the shuffle payload is keys + ids, not text.
+- MinHash signatures are computed JVM-side (higher-order array functions, no
+  UDF), then LSH banding turns all-pairs comparison into an equi-join on
+  (band, band_hash) buckets — candidate pairs only, never n².
+- SimHash packs 64 bits into a bigint; near-dup candidates join on rotated
+  band keys; Hamming distance is ``bit_count(xor)``, a single JVM intrinsic.
+- Verification joins (true Jaccard / cosine on candidates) are joins on the
+  candidate-pair table, so cost tracks the number of *candidates*, not rows².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, fingerprint, word_ngrams
+from ..functions.vectors import cosine, random_hyperplane_signs
+
+# -- exact ------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact (normalized) dedup: keep the smallest id per content
+    fingerprint. Deterministic, one shuffle on a compact hash key."""
+    h = fingerprint(text_col).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), h)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # Keys are unique post-agg; join back to recover full rows.
+    return df.join(keep, id_col, "inner")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 32, shingle_k: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint>: for each of ``num_hashes`` hash
+    functions, the min over the shingle set of xxhash64(seed_i, shingle).
+
+    Pure JVM expression — transform over shingles, aggregate for min —
+    so signatures stream through codegen at scan speed.
+    """
+    sh = char_shingles(text_col, shingle_k)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band (contiguous signature slice) → array of
+    (band_id, band_hash) structs. Explode to get bucket keys."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        sig_col[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(num_bands)
+    ]
+    return F.array(*bands)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH → (id_a, id_b) with id_a <
+    id_b. Self-join happens on (band, band_hash) buckets only.
+
+    Skew note: a degenerate bucket (e.g. empty documents) would explode the
+    self-join; AQE skew-join splitting plus the distinct() on pairs keeps it
+    bounded. Callers should pre-filter trivial documents.
+    """
+    rows = num_hashes // num_bands
+    sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
+    buckets = (
+        df.select(F.col(id_col), F.explode(minhash_bands(sig, num_bands, rows)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """MinHash near-dedup: drop the higher id of every candidate pair whose
+    *true* shingle-Jaccard ≥ threshold (verification join — candidates only).
+
+    One-pass greedy suppression (drop any doc that duplicates a lower id):
+    deterministic and union-find-free; adequate for near-dup clusters where
+    similarity is roughly transitive. A connected-components pass can replace
+    it when cluster-exact semantics are needed.
+    """
+    pairs = minhash_candidate_pairs(df, text_col, id_col, **kw)
+    sh = df.select(F.col(id_col), char_shingles(text_col).alias("sh"))
+    verified = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    to_drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash(text_col: str, n_bits: int = 64, seed: int = 42) -> Column:
+    """SimHash: per-token xxhash64 bit votes → packed bigint signature.
+
+    For each bit position, sum +1/-1 votes across tokens (vote = bit of the
+    token hash); sign of the sum is the signature bit. All JVM higher-order
+    functions.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
+    bits = []
+    for i in range(n_bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**i).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature into ``n_bands`` chunks
+    (pigeonhole: ≤ max_hamming bit flips leave ≥1 band intact when
+    n_bands > max_hamming), join on any equal band, verify with
+    bit_count(xor) ≤ max_hamming."""
+    band_bits = n_bits // n_bands
+    sig = df.select(F.col(id_col), simhash(text_col, n_bits).alias("sig"))
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted index: explode n-grams, self-join
+    on the n-gram (candidates = pairs sharing ≥1 n-gram), count shared grams,
+    compute |A∩B| / (|A| + |B| - |A∩B|). Never materializes row-pairs that
+    share nothing — the classic sparse-similarity join."""
+    grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
+    sizes = grams.select(id_col, F.size("g").alias("sz"))
+    inv = grams.select(id_col, F.explode("g").alias("gram"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.try_divide(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    pairs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dedup over a candidate-pair table (produced by
+    LSH bucketing — see operators.similarity.lsh_buckets — or any blocking
+    scheme). Verifies cosine ≥ threshold, drops the higher id."""
+    v = df.select(F.col(id_col), F.col(vec_col))
+    j = (
+        pairs.join(v.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"), "id_a")
+        .join(v.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"), "id_b")
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+    )
+    to_drop = j.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")

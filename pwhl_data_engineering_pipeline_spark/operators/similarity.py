@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (north-star surface).
+
+- Brute-force cosine top-k: the exact baseline. Query set × corpus as a
+  broadcast nested-loop of the *small* query side against the distributed
+  corpus, cosine via JVM array expressions, per-query top-k via window.
+  Cost: O(|Q| · N) — correct tool when |Q| is small (evaluation, probing).
+- IVF (inverted-file) ANN: corpus is bucketed by nearest centroid; queries
+  probe ``n_probe`` nearest centroid buckets only — the scale path. Centroids
+  come from a deterministic sample (no MLlib dependency), assignment and
+  search are joins + windows, all shuffle-bounded by bucket size.
+- Random-hyperplane LSH bucketing for near-dup blocking (cosine flavor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, random_hyperplane_signs
+from .windows import top_k_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. Returns (query_id, vec_id, cos_sim, rank).
+
+    The query side is broadcast (small by contract); the corpus never
+    shuffles until the final per-query top-k, which moves only k rows per
+    query per partition (window over partial top-k would be the next
+    refinement; row_number on (query, -cos) is already partial-agg friendly).
+    Ties broken by corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(q)
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cos_sim"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH bucket key per row: (id, bucket).
+    Rows sharing a bucket are near-dup/ANN candidates; use as the blocking
+    stage for dedup_embedding_cosine or a bucketed ANN probe."""
+    return df.select(
+        F.col(id_col),
+        random_hyperplane_signs(vec_col, n_planes, seed).alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs sharing an LSH bucket."""
+    b = lsh_buckets(df, vec_col, id_col, n_planes, seed)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assigned corpus).
+
+    Centroids are a deterministic hash-sample of corpus vectors (k-means-free
+    by design: one pass, reproducible, no iterative driver loop; quality is
+    adequate for probe-style ANN and the structure matches a real IVF).
+    Assignment: argmax cosine over broadcast centroids → one narrow pass.
+    At 100 TB the assigned corpus would be *written bucketed by centroid_id*
+    so probes do partition-pruned scans.
+    """
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), 1_000_000))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "*", F.round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
+    )
+    assigned = (
+        top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
+        .drop("rn", "__cs", "centroid_vec")
+    )
+    return cent, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe-style ANN: route each query to its ``n_probe`` nearest centroids,
+    scan only those buckets, take per-query top-k. Approximate (recall < 1
+    when the true neighbor lives outside probed buckets) but the scan cost
+    drops by ~n_centroids/n_probe versus brute force."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "__qvec", "centroid_id", F.round(cosine("__qvec", "centroid_vec"), 9).alias("__cs"))
+    )
+    probes = top_k_per_group(
+        routed, [query_id_col], [F.desc("__cs"), F.asc("centroid_id")], n_probe
+    ).select(query_id_col, "__qvec", "centroid_id")
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rank"
+    )

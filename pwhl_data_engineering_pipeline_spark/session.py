@@ -1,0 +1,69 @@
+"""SparkSession factory with engine defaults tuned for both local testing and
+large-cluster execution.
+
+The reference has no engine at all (eager pandas, ``run_pipeline.py:58``); all
+physical decisions here are ours. The configs below are chosen so the same
+logical plans scale from local[32] test runs to a 1000-executor cluster:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  broadcast conversion) — the single most important 100 TB knob.
+- Non-ANSI mode: failed casts and x/0 yield NULL, matching the reference's
+  ``errors="coerce"`` (scripts/integrate_weather_sales.py:33-40) and BigQuery
+  ``SAFE_DIVIDE`` (sql/02_create_dims_and_facts.sql:106-108).
+- Arrow enabled for any pandas-UDF path (similarity / multimodal operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine-level defaults. Values that depend on cluster size (shuffle
+# partitions, broadcast threshold) are intentionally modest here and expected
+# to be overridden per-deployment; AQE coalescing makes the shuffle-partition
+# number a ceiling rather than a hard choice.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Files: pack small files, split big ones, to keep task sizes even at scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # groupByOrdinal must stay on: reference SQL uses GROUP BY 1,2,3
+    # (sql/02_create_dims_and_facts.sql:110).
+    "spark.sql.groupByOrdinal": "true",
+}
+
+
+def get_spark(
+    app_name: str = "pwhl_data_engineering_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+    no cluster master is configured — on a real cluster pass ``None`` with
+    ``spark.master`` already set, or an explicit value.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,173 @@
+"""Readers — SURVEY.md §2.1 S1-S7.
+
+Every reader takes an explicit schema (never ``inferSchema`` in production:
+SURVEY.md §1.3). Drivers for small config-side inputs (YAML, REST) build the
+rows driver-side and ``createDataFrame`` them — they are dimension-sized by
+construction (8 markets, config/markets.yml). Large inputs go through Spark's
+distributed file sources so scans parallelize and push filters down.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# -- S3/S4/S5: CSV scans ----------------------------------------------------
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema (S3/S4). ``path`` may contain a glob —
+    multi-file union (S5, integrate_weather_sales.py:61-67) is just a glob
+    path; Spark lists and splits files in parallel."""
+    return (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parquet scan — schema comes from the file footer; vectorized reader,
+    predicate pushdown and column pruning apply (S9 read-side)."""
+    if isinstance(path, list):
+        return spark.read.parquet(*path)
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# -- S6/S7: config sources --------------------------------------------------
+
+def dataframe_from_config(
+    spark: SparkSession,
+    rows: Sequence[dict[str, Any]],
+    schema: T.StructType,
+) -> DataFrame:
+    """Materialize driver-side config (YAML/JSON list-of-dicts) as a small
+    dimension DataFrame (S6; transform_weather.py:28-42,
+    materialize_dim_market.py:10-14). Nested dicts are flattened with dotted
+    keys (S7 json_normalize parity)."""
+
+    def _flatten(d: dict[str, Any], prefix: str = "") -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for k, v in d.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out.update(_flatten(v, f"{key}."))
+            else:
+                out[key] = v
+        return out
+
+    flat = [_flatten(r) for r in rows]
+    data = [tuple(r.get(f.name) for f in schema.fields) for r in flat]
+    return spark.createDataFrame(data, schema)
+
+
+def read_markets_yaml(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """YAML market config → dimension DataFrame (S6,
+    materialize_dim_market.py:10-26). Gated import: yaml may be absent."""
+    try:
+        import yaml  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pyyaml not available; pass rows directly") from e
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    rows = cfg.get("markets", cfg) if isinstance(cfg, dict) else cfg
+    return dataframe_from_config(spark, rows, schema)
+
+
+# -- S2: JSON struct-of-arrays → rows ---------------------------------------
+
+def columns_from_struct_of_arrays(
+    spark: SparkSession,
+    payload: dict[str, list[Any]],
+    schema: T.StructType,
+) -> DataFrame:
+    """Rectangularize a ``{"col": [v0, v1, ...]}`` JSON payload into rows
+    (S2; ingest_weather.py:47-48 does ``pd.DataFrame(j["hourly"])``)."""
+    names = [f.name for f in schema.fields]
+    cols = [payload[n] for n in names]
+    return spark.createDataFrame(list(zip(*cols)), schema)
+
+
+def explode_struct_of_arrays(df: DataFrame, array_cols: Sequence[str]) -> DataFrame:
+    """Distributed variant of S2 for payloads already in a DataFrame: zip the
+    array columns positionally and explode — one shuffle-free narrow op."""
+    zipped = F.arrays_zip(*[F.col(c) for c in array_cols])
+    exploded = df.withColumn("__z", F.explode(zipped))
+    out = df.columns
+    return exploded.select(
+        *[c for c in out if c not in array_cols],
+        *[F.col(f"__z.{c}").alias(c) for c in array_cols],
+    )
+
+
+# -- S1: REST API source ----------------------------------------------------
+
+def rest_source(
+    spark: SparkSession,
+    requests_list: Sequence[dict[str, Any]],
+    fetch: Callable[[dict[str, Any]], dict[str, list[Any]]],
+    schema: T.StructType,
+    stamp_cols: Sequence[str] = (),
+) -> DataFrame:
+    """REST ingestion (S1; ingest_weather.py:26-48,92-93,103).
+
+    ``fetch`` maps one request descriptor to a struct-of-arrays payload;
+    per-request frames are stamped with request attributes (market/venue) and
+    unioned. The reference fetches 8 markets serially driver-side; at scale
+    the same ``fetch`` runs *distributed* via :func:`rest_source_distributed`.
+    """
+    frames = []
+    for req in requests_list:
+        payload = fetch(req)
+        df = columns_from_struct_of_arrays(spark, payload, schema)
+        for c in stamp_cols:
+            df = df.withColumn(c, F.lit(req[c]))
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def rest_source_distributed(
+    spark: SparkSession,
+    requests_list: Sequence[dict[str, Any]],
+    fetch_json: Callable[[dict[str, Any]], str],
+    out_schema: T.StructType,
+) -> DataFrame:
+    """Scale path for S1: distribute request descriptors as a DataFrame and
+    fetch inside ``mapInPandas`` so thousands of endpoints are pulled in
+    parallel by executors (Spark-4 PySpark DataSource spirit without the
+    registration ceremony). ``fetch_json`` returns a JSON string per request
+    shaped ``{"col": [values...]}``.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    req_df = spark.createDataFrame(
+        [(json.dumps(r),) for r in requests_list], "request_json string"
+    ).repartition(max(1, len(requests_list)))
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            for raw in pdf["request_json"]:
+                payload = json.loads(fetch_json(json.loads(raw)))
+                yield pd.DataFrame({n: payload[n] for n in names})
+
+    return req_df.mapInPandas(run, out_schema)
