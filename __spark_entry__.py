@@ -1,38 +1,960 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 — key
+names carry the §2 operator IDs) as (spark, sf_dir) callables built on
+``pwhl_data_engineering_pipeline_spark``; ``oracle_sql()`` carries the
+DuckDB-ANSI equivalent for every SQL-expressible entry. Non-SQL-expressible
+operators (hash-seeded MinHash/SimHash/LSH, mapInPandas multimodal) are
+rows-only by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.functions import scalars, text, vectors
+from pwhl_data_engineering_pipeline_spark.functions.scalars import portable_round as pr
+from pwhl_data_engineering_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    windows,
+)
+
+def msum(c, scale: float = 100.0):
+    """Exact money sum: per-row integer scaling (floor(x*scale+0.5) → long)
+    makes the sum an exact integer in every engine regardless of accumulation
+    order; divide back to get a bit-identical double. Differential-testing
+    insurance for money aggregates (see scalars.portable_round)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.floor(col * F.lit(scale) + F.lit(0.5))) / F.lit(scale)
+
+
+def isum(c):
+    """Exact integer sum of an integer-valued double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.floor(col + F.lit(0.5)))
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    return read_testdata(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): revenue per order priority — A2/A3/A5/A6 + J6 + O2
+# ---------------------------------------------------------------------------
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("order_count"),
+            pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias(
+                "gross_revenue"
+            ),
+            pr(
+                F.try_divide(msum("l_extendedprice"), F.nullif(isum("l_quantity"), F.lit(0))),
+                2,
+            ).alias("avg_item_price"),
+        )
+        .orderBy(F.desc("gross_revenue"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship(spark, SF0001)
 
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators
+# ---------------------------------------------------------------------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4/P5/P7: predicate filter + derived arithmetic projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45) & F.col("l_shipdate").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pr(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10: CASE/BETWEEN banding (sql/10_eda_queries.sql:51-59 analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    banded = li.withColumn(
+        "qty_band",
+        scalars.band(
+            "l_quantity",
+            [
+                (None, 10.0, "Tiny (<=10)"),
+                (10.0, 20.0, "Small (10-20)"),
+                (20.0, 35.0, "Medium (20-35)"),
+                (35.0, 45.0, "Large (35-45)"),
+                (None, None, "Huge (>45)"),
+            ],
+        ),
+    )
+    return banded.groupBy("qty_band").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        pr(msum("l_extendedprice") / F.count(F.lit(1)), 2).alias("avg_price"),
+    )
+
+
+def q_numeric_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: ROUND(x/w)*w binning (sql/10_eda_queries.sql:155 analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("price_bin", pr(F.col("o_totalprice") / 50000.0, 0) * 50000.0)
+        .groupBy("price_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pr(msum("o_totalprice") / F.count(F.lit(1)), 2).alias("avg_price"),
+        )
+    )
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast dimension-chain enrichment (market-dim join analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    enriched = relational.join_enrich(
+        relational.join_enrich(
+            relational.join_enrich(li, sup, li.l_suppkey == sup.s_suppkey, "inner"),
+            nat,
+            F.col("s_nationkey") == nat.n_nationkey,
+            "inner",
+        ),
+        reg,
+        F.col("n_regionkey") == reg.r_regionkey,
+        "inner",
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("parts_shipped"),
+        F.sum("l_quantity").alias("total_qty"),
+        pr(msum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q_left_join_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4: m:1 left enrichment join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = relational.join_enrich(
+        orders, cust, orders.o_custkey == cust.c_custkey, "left"
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pr(msum("o_totalprice"), 2).alias("total_price"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: replicate-per-market cross join (clean_section_capacity.py:105-108)."""
+    reg = _t(spark, sf_dir, "region")
+    nat = _t(spark, sf_dir, "nation")
+    return relational.cross_join(reg.select("r_name"), nat.select("n_name"))
+
+
+def q_compound_on_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: left join with compound ON (sql/03_create_views.sql:41-43)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_discount > 0.05),
+        "left",
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("matched_lines"),
+        pr(msum(F.col("l_extendedprice") * F.col("l_discount"), 10000.0), 2).alias("disc_revenue"),
+    )
+
+
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: mint the surrogate key the reference declares but never builds
+    (weather_id repair, SURVEY.md §7.4 item 4)."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.withColumn(
+        "prio_day_id",
+        scalars.surrogate_key("o_orderpriority", F.col("o_orderdate").cast("date")),
+    )
+    return keyed.groupBy("prio_day_id").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: calendar daily rollup with flag sums (transform_weather.py:117-142)."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.daily_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": pr(msum("value"), 2),
+            "avg_value": pr(msum("value") / F.count(F.lit(1)), 2),
+            "min_value": pr(F.min("value"), 2),
+            "max_value": pr(F.max("value"), 2),
+            "n_users": F.count_distinct("user_id"),
+            "high_value_events": aggregates.count_if(F.col("value") >= 100.0),
+        },
+    )
+
+
+def q_weighted_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: SUM/SAFE_DIVIDE/ANY_VALUE re-aggregation
+    (sql/02_create_dims_and_facts.sql:100-110)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.grain_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "total_qty": F.sum("l_quantity"),
+            "revenue": pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2),
+            "avg_unit_price": pr(F.try_divide(msum("l_extendedprice"), F.nullif(isum("l_quantity"), F.lit(0))), 2),
+            "flag_upper": F.any_value(F.upper(F.col("l_returnflag"))),
+        },
+    )
+
+
+def q_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SELECT DISTINCT dim extraction (sql/02:21-37)."""
+    part = _t(spark, sf_dir, "part")
+    return aggregates.distinct_dim(part, ["p_brand", "p_type"], not_null="p_brand")
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: COUNT(DISTINCT ...) per group (sql/10_eda_queries.sql:19)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        pr(msum("c_acctbal") / F.count(F.lit(1)), 2).alias("avg_acctbal"),
+    )
+
+
+def q_countif_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: COUNTIF + ratio (sql/10_eda_queries.sql:128-136)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = aggregates.count_if(F.col("l_discount") >= 0.05)
+    return li.groupBy("l_returnflag").agg(
+        disc.alias("disc_lines"),
+        F.count(F.lit(1)).alias("lines"),
+        pr(disc / F.count(F.lit(1)), 4).alias("disc_ratio"),
+    )
+
+
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9: Pearson correlation, per-group (sql/10_eda_queries.sql:78-83)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+    )
+
+
+def q_dup_key_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/V2: duplicate-key detection (clean_ticket_sales.py:116-119)."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.duplicate_keys(orders, ["o_custkey"])
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: ORDER BY ... LIMIT top-k → TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.top_k(
+        orders.select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("order_day")),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        20,
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: HAVING post-aggregation filter (sql/10_eda_queries.sql:100)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = relational.join_enrich(cust, nat, cust.c_nationkey == nat.n_nationkey, "inner")
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-all of per-source frames (ingest_weather.py:103)."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") == "N"),
+    ]
+    return relational.union_all(parts).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("lines"),
+        pr(msum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8: trim/lower/regexp/concat/slugify string kit
+    (transform_weather.py:21-26 slugify, no UDF)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+    return joined.select(
+        "n_name",
+        "r_name",
+        scalars.slugify("r_name", "n_name").alias("slug"),
+        F.length("n_name").alias("name_len"),
+        F.upper(F.trim("n_name")).alias("name_upper"),
+    )
+
+
+def q_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12-F14: EXTRACT / weekday name / ISO week
+    (sql/02_create_dims_and_facts.sql:61-64)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            d.alias("order_day"),
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day_of_month"),
+            scalars.weekday_name(d).alias("weekday"),
+            scalars.iso_week(d).alias("iso_week"),
+        )
+        .distinct()
+    )
+
+
+def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: GENERATE_DATE_ARRAY + UNNEST (sql/02:65) — dim_date build."""
+    return (
+        spark.range(1)
+        .select(F.explode(scalars.date_sequence("1995-01-01", "1995-03-31")).alias("day"))
+        .select(
+            "day",
+            scalars.weekday_name("day").alias("weekday"),
+            scalars.iso_week("day").alias("iso_week"),
+        )
+    )
+
+
+def q_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17: SAFE_DIVIDE + NULLIF incl. the divide-by-zero → NULL path
+    (sql/02:106-108)."""
+    orders = _t(spark, sf_dir, "orders")
+    n_f = aggregates.count_if(F.col("o_orderstatus") == "F")
+    n_x = aggregates.count_if(F.col("o_orderstatus") == "X")  # always 0 → NULL ratio
+    return orders.groupBy("o_orderpriority").agg(
+        pr(
+            F.try_divide(msum("o_totalprice"), F.nullif(n_f, F.lit(0))), 2
+        ).alias("avg_per_f_order"),
+        F.try_divide(msum("o_totalprice"), F.nullif(n_x, F.lit(0))).alias("null_ratio"),
+    )
+
+
+def q_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: dual-format date parsing with coerce-to-null
+    (clean_ticket_sales.py:91; SURVEY.md §7.4 item 3)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ds = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format(d, "M/d/yyyy")
+    ).otherwise(F.date_format(d, "yyyy-MM-dd"))
+    parsed = orders.select(scalars.to_date_multi(ds).alias("parsed"))
+    return parsed.groupBy(F.year("parsed").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("parsed").isNull()).alias("unparsed"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-adjacent: JSON payload field extraction (ingest_weather.py:47-48)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window layer: per-group top-k (north-star ranking primitive)."""
+    orders = _t(spark, sf_dir, "orders")
+    return windows.top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window layer: deterministic keep-latest dedup ranking."""
+    orders = _t(spark, sf_dir, "orders")
+    return windows.dedup_rank(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per normalized-content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select("doc_id")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token counting per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        pr(F.avg(text.token_count("text")), 2).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: marker-based language-ID heuristic vs labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", text.lang_id("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-source quality signal averages."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_features("text")
+    per_doc = docs.select(
+        "source",
+        pr(q["punct_ratio"], 6).alias("punct_ratio"),
+        pr(q["digit_ratio"], 6).alias("digit_ratio"),
+        q["n_tokens"].alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        pr(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        pr(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
+        pr(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: blended [0,1] quality score per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("lang", text.quality_score("text").alias("q")).groupBy("lang").agg(
+        pr(F.avg("q"), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: content fingerprinting — distinct normalized contents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count_distinct(text.fingerprint("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: word-3-gram Jaccard pairs via inverted-index join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: MinHash+LSH candidate pairs (hash-seeded — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact brute-force cosine top-10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10, rank_col="knn_rank")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: IVF-probe ANN (approximate — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(assigned, cent, queries, k=10, n_probe=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: exact all-pairs cosine threshold on a bounded block."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", pr(vectors.cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column → Arrow-batched feature extraction
+    (deterministic fake decoder — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    media = multimodal.attach_meta(media, media_type="text", fmt="utf8")
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select("media_id", pr(F.element_at("features", 1), 4).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# Contract exports
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_priority_revenue": q_flagship,
+        "p1_p5_filter_project": q_filter_project,
+        "p9_p10_case_banding": q_case_banding,
+        "p11_numeric_binning": q_numeric_binning,
+        "j1_broadcast_enrich": q_broadcast_enrich,
+        "j2_left_join_m1": q_left_join_m1,
+        "j3_cross_join": q_cross_join,
+        "j7_compound_on_join": q_compound_on_join,
+        "j8_surrogate_key_mint": q_surrogate_key,
+        "a1_daily_rollup": q_daily_rollup,
+        "a3_weighted_reagg": q_weighted_reagg,
+        "a4_distinct_dims": q_distinct_dims,
+        "a5_count_distinct": q_count_distinct,
+        "a7_countif_ratio": q_countif_ratio,
+        "a8_corr": q_corr,
+        "a10_dup_key_detect": q_dup_key_detect,
+        "o3_topk": q_topk,
+        "o4_having": q_having,
+        "u1_union_all": q_union_all,
+        "f_string_kit": q_string_kit,
+        "f_date_kit": q_date_kit,
+        "f15_date_sequence": q_date_sequence,
+        "f16_safe_divide": q_safe_divide,
+        "f9_multi_format_dates": q_multi_format_dates,
+        "s2_json_extract": q_json_extract,
+        "w_topk_per_group": q_window_topk,
+        "w_dedup_rank": q_window_dedup_rank,
+        "ns_dedup_exact": q_dedup_exact,
+        "ns_token_counts": q_token_counts,
+        "ns_lang_id": q_lang_id,
+        "ns_quality_signals": q_quality_signals,
+        "ns_quality_score": q_quality_score,
+        "ns_fingerprint": q_fingerprint,
+        "ns_ngram_jaccard": q_ngram_jaccard,
+        "ns_minhash_pairs": q_minhash_pairs,
+        "ns_simhash_pairs": q_simhash_pairs,
+        "ns_ann_bruteforce": q_ann_bruteforce,
+        "ns_ann_ivf": q_ann_ivf,
+        "ns_embedding_neardup": q_embedding_neardup,
+        "ns_multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Language markers must stay in sync with functions/text.py::_LANG_MARKERS.
+_MARKER_SQL = {
+    "de": "['der','die','und','das','ist','ein']",
+    "en": "['the','and','of','to','is','with']",
+    "es": "['el','la','de','que','los','una']",
+    "fr": "['le','la','les','des','est','une']",
+    "zh": "['的','是','了','在','我','有']",
+}
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_distinct(list_intersect(string_split_regex(lower(text), '\\s+'), {arr}))) AS s_{lang}"
+    for lang, arr in _MARKER_SQL.items()
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_priority_revenue": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_orderkey) AS order_count,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS gross_revenue,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 / nullif(sum(floor(l_quantity + 0.5)), 0)) * 1e2 + 0.5) / 1e2 AS avg_item_price
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "p1_p5_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   floor((l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2 AS net_price,
+                   l_returnflag
+            FROM lineitem
+            WHERE l_quantity >= 45 AND l_shipdate IS NOT NULL
+        """,
+        "p9_p10_case_banding": """
+            SELECT CASE WHEN l_quantity IS NULL THEN 'Unknown'
+                        WHEN l_quantity <= 10 THEN 'Tiny (<=10)'
+                        WHEN l_quantity BETWEEN 10 AND 20 THEN 'Small (10-20)'
+                        WHEN l_quantity BETWEEN 20 AND 35 THEN 'Medium (20-35)'
+                        WHEN l_quantity BETWEEN 35 AND 45 THEN 'Large (35-45)'
+                        ELSE 'Huge (>45)' END AS qty_band,
+                   count(*) AS line_count,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_price
+            FROM lineitem GROUP BY qty_band
+        """,
+        "p11_numeric_binning": """
+            SELECT floor((o_totalprice / 50000.0) * 1e0 + 0.5) / 1e0 * 50000.0 AS price_bin,
+                   count(*) AS n_orders,
+                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_price
+            FROM orders GROUP BY price_bin
+        """,
+        "j1_broadcast_enrich": """
+            SELECT r_name, n_name, count(*) AS parts_shipped,
+                   sum(l_quantity) AS total_qty,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "j2_left_join_m1": """
+            SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+                   count(*) AS n_orders,
+                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS total_price,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY segment
+        """,
+        "j3_cross_join": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "j7_compound_on_join": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   count(l_orderkey) AS matched_lines,
+                   floor((sum(floor(l_extendedprice * l_discount * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS disc_revenue
+            FROM orders LEFT JOIN lineitem
+              ON o_orderkey = l_orderkey AND l_discount > 0.05
+            GROUP BY o_orderstatus
+        """,
+        "j8_surrogate_key_mint": """
+            SELECT concat_ws('|', o_orderpriority, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS prio_day_id,
+                   count(*) AS n_orders
+            FROM orders GROUP BY prio_day_id
+        """,
+        "a1_daily_rollup": """
+            SELECT CAST(ts AS DATE) AS event_date, event_type,
+                   count(*) AS n_events,
+                   floor((sum(floor(value * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS total_value,
+                   floor((sum(floor(value * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_value,
+                   floor((min(value)) * 1e2 + 0.5) / 1e2 AS min_value,
+                   floor((max(value)) * 1e2 + 0.5) / 1e2 AS max_value,
+                   count(DISTINCT user_id) AS n_users,
+                   count_if(value >= 100.0) AS high_value_events
+            FROM events GROUP BY event_date, event_type
+        """,
+        "a3_weighted_reagg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS total_qty,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 / nullif(sum(floor(l_quantity + 0.5)), 0)) * 1e2 + 0.5) / 1e2 AS avg_unit_price,
+                   any_value(upper(l_returnflag)) AS flag_upper
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "a4_distinct_dims": """
+            SELECT DISTINCT p_brand, p_type FROM part WHERE p_brand IS NOT NULL
+        """,
+        "a5_count_distinct": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   count(DISTINCT c_nationkey) AS n_nations,
+                   floor((sum(floor(c_acctbal * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_acctbal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "a7_countif_ratio": """
+            SELECT l_returnflag,
+                   count_if(l_discount >= 0.05) AS disc_lines,
+                   count(*) AS lines,
+                   floor((count_if(l_discount >= 0.05) / count(*)) * 1e4 + 0.5) / 1e4 AS disc_ratio
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a8_corr": """
+            SELECT l_returnflag,
+                   floor((corr(l_extendedprice, l_quantity)) * 1e6 + 0.5) / 1e6 AS corr_price_qty,
+                   floor((corr(l_extendedprice, l_discount)) * 1e6 + 0.5) / 1e6 AS corr_price_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a10_dup_key_detect": """
+            SELECT o_custkey, count(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "o3_topk": """
+            SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_day
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "o4_having": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name HAVING count(*) >= 5
+        """,
+        "u1_union_all": """
+            SELECT l_returnflag, count(*) AS lines,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM (
+              SELECT * FROM lineitem WHERE l_returnflag = 'R'
+              UNION ALL
+              SELECT * FROM lineitem WHERE l_returnflag = 'N'
+            ) GROUP BY l_returnflag
+        """,
+        "f_string_kit": """
+            SELECT n_name, r_name,
+                   regexp_replace(
+                     regexp_replace(lower(concat_ws('_', r_name, n_name)), '[^a-z0-9]+', '_', 'g'),
+                     '^_+|_+$', '', 'g') AS slug,
+                   length(n_name) AS name_len,
+                   upper(trim(n_name)) AS name_upper
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "f_date_kit": """
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_day,
+                   year(CAST(o_orderdate AS DATE)) AS year,
+                   month(CAST(o_orderdate AS DATE)) AS month,
+                   day(CAST(o_orderdate AS DATE)) AS day_of_month,
+                   strftime(CAST(o_orderdate AS DATE), '%A') AS weekday,
+                   CAST(date_part('week', CAST(o_orderdate AS DATE)) AS INT) AS iso_week
+            FROM orders
+        """,
+        "f15_date_sequence": """
+            SELECT d::DATE AS day, strftime(d::DATE, '%A') AS weekday,
+                   CAST(date_part('week', d::DATE) AS INT) AS iso_week
+            FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS d)
+        """,
+        "f16_safe_divide": """
+            SELECT o_orderpriority,
+                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / nullif(count_if(o_orderstatus = 'F'), 0)) * 1e2 + 0.5) / 1e2 AS avg_per_f_order,
+                   sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / nullif(count_if(o_orderstatus = 'X'), 0) AS null_ratio
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "f9_multi_format_dates": """
+            WITH src AS (
+              SELECT CASE WHEN o_orderkey % 2 = 0
+                          THEN strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y')
+                          ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS ds
+              FROM orders
+            ), parsed AS (
+              SELECT CAST(coalesce(try_strptime(ds, '%-m/%-d/%Y'), try_strptime(ds, '%Y-%m-%d')) AS DATE) AS parsed
+              FROM src
+            )
+            SELECT year(parsed) AS order_year, count(*) AS n_orders,
+                   count_if(parsed IS NULL) AS unparsed
+            FROM parsed GROUP BY order_year
+        """,
+        "s2_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "w_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "w_dedup_rank": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "ns_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+        """,
+        "ns_token_counts": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+                   floor((avg(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END)) * 1e2 + 0.5) / 1e2 AS avg_tokens,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "ns_lang_id": f"""
+            WITH scored AS (
+              SELECT lang, {_LANG_SCORES_SQL}
+              FROM documents
+            ), pred AS (
+              SELECT lang,
+                     greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                          WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                          ELSE 'zh' END AS pred_lang
+              FROM scored
+            )
+            SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY lang, pred_lang
+        """,
+        "ns_quality_signals": """
+            WITH per_doc AS (
+              SELECT source,
+                     floor((len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+                     floor((len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            )
+            SELECT source,
+                   floor((avg(punct_ratio)) * 1e4 + 0.5) / 1e4 AS avg_punct_ratio,
+                   floor((avg(digit_ratio)) * 1e4 + 0.5) / 1e4 AS avg_digit_ratio,
+                   floor((avg(n_tokens)) * 1e2 + 0.5) / 1e2 AS avg_tokens
+            FROM per_doc GROUP BY source
+        """,
+        "ns_quality_score": """
+            WITH feats AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     len(list_distinct(list_intersect(
+                       string_split_regex(lower(text), '\\s+'),
+                       ['the','and','of','to','is','with']))) AS stop_hits
+              FROM documents
+            ), scored AS (
+              SELECT lang,
+                     floor((0.25 * least(n_tokens / 64.0, 1.0)
+                     + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                     + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))
+                     + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))) * 1e6 + 0.5) / 1e6 AS q
+              FROM feats
+            )
+            SELECT lang, floor((avg(q)) * 1e4 + 0.5) / 1e4 AS avg_quality, count(*) AS n_docs
+            FROM scored GROUP BY lang
+        """,
+        "ns_fingerprint": """
+            SELECT count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_unique,
+                   count(*) AS n_docs
+            FROM documents
+        """,
+        "ns_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE doc_id < 500
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS sz FROM grams
+            ), inv AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   floor((inter * 1.0 / (sa.sz + sb.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+        """,
+        # Cosine oracles mirror the engine's double-precision sequential
+        # dot/norm exactly: DuckDB's builtin list_cosine_similarity computes
+        # on float32 lists in single precision, so vectors are element-cast
+        # to DOUBLE first (then list_dot_product matches the engine's
+        # zip_with/aggregate bit-for-bit).
+        "ns_ann_bruteforce": """
+            WITH ed AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+            ), scored AS (
+              SELECT query_id, vec_id,
+                     floor((list_dot_product(v, qv)
+                            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                           * 1e6 + 0.5) / 1e6 AS cos_sim
+              FROM ed CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id) AS knn_rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 10
+        """,
+        "ns_embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 400
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     floor((list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                           * 1e6 + 0.5) / 1e6 AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        # ns_minhash_pairs / ns_simhash_pairs / ns_ann_ivf /
+        # ns_multimodal_features: hash-seeded or Python-batch operators —
+        # intentionally no SQL oracle (driver rows-only check).
+    }

@@ -94,6 +94,20 @@ def round2(c: ColumnOrName) -> Column:
     return F.round(_col(c), 2)
 
 
+def portable_round(c: ColumnOrName, n: int = 2) -> Column:
+    """Cross-engine-deterministic rounding: ``floor(x·10ⁿ + 0.5)/10ⁿ``.
+
+    ``ROUND`` on doubles is engine-defined at representation boundaries —
+    Spark rounds the shortest decimal repr (BigDecimal.valueOf) while e.g.
+    DuckDB rounds the true binary value, so 8285.42499…→ .43 vs .42. This
+    formula uses only IEEE multiply/add/floor, which every engine computes
+    bit-identically, making differential testing (DuckDB oracle) exact.
+    Half-way values round toward +∞ (identically everywhere).
+    """
+    s = float(10**n)
+    return F.floor(_col(c) * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def safe_divide(num: ColumnOrName, den: ColumnOrName) -> Column:
     """BigQuery SAFE_DIVIDE: NULL on 0/NULL denominator
     (sql/02_create_dims_and_facts.sql:106-108)."""

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .scalars import ColumnOrName, _col
+from .scalars import ColumnOrName, _col, portable_round
 
 # Tiny per-language stopword marker sets for the n-gram language heuristic.
 # Deliberately small and deterministic (no external models in-container).
@@ -119,7 +119,7 @@ def quality_score(c: ColumnOrName) -> Column:
         + F.lit(0.25) * (F.lit(1.0) - F.least(F.coalesce(q["punct_ratio"], F.lit(1.0)) * 4, F.lit(1.0)))
         + F.lit(0.25) * (F.lit(1.0) - F.least(F.coalesce(q["digit_ratio"], F.lit(1.0)) * 4, F.lit(1.0)))
     )
-    return F.round(score, 6)
+    return portable_round(score, 6)
 
 
 def char_shingles(c: ColumnOrName, k: int = 5) -> Column:

@@ -52,11 +52,14 @@ def minhash_signature(
     so signatures stream through codegen at scan speed.
     """
     sh = char_shingles(text_col, shingle_k)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+    def _minhash_i(i: int) -> Column:
+        # Closure factory: a 2-param lambda in F.transform would receive the
+        # array index as its second argument, silently varying the seed per
+        # element position — the factory pins the per-function seed.
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed + i), s)))
+
+    return F.array(*[_minhash_i(i) for i in range(num_hashes)])
 
 
 def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -160,18 +163,23 @@ def simhash(text_col: str, n_bits: int = 64, seed: int = 42) -> Column:
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
-    bits = []
-    for i in range(n_bits):
-        vote = F.aggregate(
+
+    def _vote(i: int) -> Column:
+        # Closure factory (see minhash_signature): keeps the aggregate merge
+        # lambda strictly 2-arg while pinning the bit position.
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, i=i: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2**i).cast("long"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.when(_vote(i) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        # shiftleft wraps into the sign bit for i=63 — correct 64-bit packing
+        # (a 2**63 long literal would overflow the Py4J long boundary).
+        out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
 
 

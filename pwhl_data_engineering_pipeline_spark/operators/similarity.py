@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import portable_round
 from ..functions.vectors import cosine, random_hyperplane_signs
 from .windows import top_k_per_group
 
@@ -27,6 +28,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors. Returns (query_id, vec_id, cos_sim, rank).
@@ -45,14 +47,14 @@ def brute_force_topk(
     ).select(
         query_id_col,
         id_col,
-        F.round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
+        portable_round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
     )
     return top_k_per_group(
         scored,
         [query_id_col],
         [F.desc("cos_sim"), F.asc(id_col)],
         k,
-        rank_col="rank",
+        rank_col=rank_col,
     )
 
 
@@ -120,7 +122,7 @@ def ivf_index(
         )
     )
     scored = corpus.crossJoin(F.broadcast(cent)).select(
-        "*", F.round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
+        "*", portable_round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
     )
     assigned = (
         top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
@@ -146,7 +148,7 @@ def ivf_topk(
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     routed = (
         q.crossJoin(F.broadcast(centroids))
-        .select(query_id_col, "__qvec", "centroid_id", F.round(cosine("__qvec", "centroid_vec"), 9).alias("__cs"))
+        .select(query_id_col, "__qvec", "centroid_id", portable_round(cosine("__qvec", "centroid_vec"), 9).alias("__cs"))
     )
     probes = top_k_per_group(
         routed, [query_id_col], [F.desc("__cs"), F.asc("centroid_id")], n_probe
@@ -154,7 +156,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,
-        F.round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
+        portable_round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rank"

@@ -37,6 +37,10 @@ ENGINE_CONF: dict[str, str] = {
     # groupByOrdinal must stay on: reference SQL uses GROUP BY 1,2,3
     # (sql/02_create_dims_and_facts.sql:110).
     "spark.sql.groupByOrdinal": "true",
+    # Testdata events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+    # timestamp type — read as long and convert at the source boundary
+    # (sources.readers.read_testdata).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -46,8 +46,20 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
+    as long under ``spark.sql.legacy.parquet.nanosAsLong`` — convert to a
+    microsecond timestamp here so downstream plans see TimestampType.
+    """
+    if table == "events":
+        # Defensive: the caller's session may not carry the engine conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 # -- S6/S7: config sources --------------------------------------------------
