@@ -500,7 +500,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: MinHash+LSH candidate pairs (hash-seeded — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+    # 8 rows/band → collision prob ≈ J⁸: only genuinely similar docs collide,
+    # keeping the bucket self-join bounded on highly-overlapping corpora.
+    return dedup.minhash_candidate_pairs(docs, num_hashes=64, num_bands=8)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 from ..functions.text import char_shingles, fingerprint, word_ngrams
 from ..functions.vectors import cosine, random_hyperplane_signs
 
+
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and expose it to ``fn`` as a
+    lambda variable.
+
+    Higher-order functions re-evaluate their *argument expressions* on every
+    invocation, so an expensive subtree (shingle set, signature array)
+    referenced inside a transform-over-N loop is recomputed N times — a 64×
+    blowup for MinHash. Lambda variables, by contrast, are materialized
+    values; wrapping the subtree in a single-element array and transforming
+    over it binds the value once. Pure expression-level: no caching,
+    checkpoint, or shuffle barrier needed, so it scales to any cluster.
+    """
+    return F.transform(F.array(expr), fn)[0]
+
+
 # -- exact ------------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,39 +64,43 @@ def minhash_signature(
     """MinHash signature as array<bigint>: for each of ``num_hashes`` hash
     functions, the min over the shingle set of xxhash64(seed_i, shingle).
 
-    Pure JVM expression — transform over shingles, aggregate for min —
-    so signatures stream through codegen at scan speed.
+    Pure JVM expression. The shingle set is bound once (``bind_once``) so the
+    O(|text|²) distinct-shingle computation runs once per row, not once per
+    hash function; total work is the intended O(num_hashes · |shingles|).
     """
-    sh = char_shingles(text_col, shingle_k)
-
-    def _minhash_i(i: int) -> Column:
-        # Closure factory: a 2-param lambda in F.transform would receive the
-        # array index as its second argument, silently varying the seed per
-        # element position — the factory pins the per-function seed.
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed + i), s)))
-
-    return F.array(*[_minhash_i(i) for i in range(num_hashes)])
+    return bind_once(
+        char_shingles(text_col, shingle_k),
+        lambda sh: F.transform(
+            F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
+            lambda s: F.array_min(F.transform(sh, lambda e: F.xxhash64(s, e))),
+        ),
+    )
 
 
 def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
     """LSH banding: hash each band (contiguous signature slice) → array of
-    (band_id, band_hash) structs. Explode to get bucket keys."""
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        sig_col[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(num_bands)
-    ]
-    return F.array(*bands)
+    (band_id, band_hash) structs. Explode to get bucket keys.
+
+    The signature is bound once so banding re-reads the array instead of
+    recomputing the signature expression per band."""
+    return bind_once(
+        sig_col,
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.sequence(b * rows_per_band + 1, (b + 1) * F.lit(rows_per_band)),
+                            lambda i: F.element_at(sig, i.cast("int")).cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            ),
+        ),
+    )
 
 
 def minhash_candidate_pairs(
@@ -158,29 +178,40 @@ def simhash(text_col: str, n_bits: int = 64, seed: int = 42) -> Column:
     """SimHash: per-token xxhash64 bit votes → packed bigint signature.
 
     For each bit position, sum +1/-1 votes across tokens (vote = bit of the
-    token hash); sign of the sum is the signature bit. All JVM higher-order
-    functions.
+    token hash); sign of the sum is the signature bit. Token hashes are bound
+    once (``bind_once``) so tokenize+hash runs once per row, not per bit.
+    Bit i's weight is 2^i (bit 63 = most-negative long — the sign bit; a
+    2**63 literal would overflow the Py4J long boundary, so it's spelled as
+    -(2**63) and combined by exact long addition over disjoint bits).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
+    weights = F.array(
+        *[F.lit(2**i if i < 63 else -(2**63)).cast("long") for i in range(n_bits)]
+    )
 
-    def _vote(i: int) -> Column:
-        # Closure factory (see minhash_signature): keeps the aggregate merge
-        # lambda strictly 2-arg while pinning the bit position.
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for i in range(n_bits):
-        bit = F.when(_vote(i) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        # shiftleft wraps into the sign bit for i=63 — correct 64-bit packing
-        # (a 2**63 long literal would overflow the Py4J long boundary).
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+    return bind_once(
+        hashes,
+        lambda hs: F.aggregate(
+            F.transform(
+                weights,
+                # m doubles as bit mask and weight: vote on bit (h & m != 0),
+                # emit m when the vote is positive.
+                lambda m: F.when(
+                    F.aggregate(
+                        hs,
+                        F.lit(0),
+                        lambda acc, h: acc
+                        + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+                    )
+                    > 0,
+                    m,
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
 
 
 def simhash_near_pairs(
