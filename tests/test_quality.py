@@ -1,0 +1,67 @@
+"""Contract API (SURVEY.md §2.9 V1-V7) behavior in strict/warn/off modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.quality import Contract, ContractViolation
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (2, "c", 30.0)],
+        "id long, name string, val double",
+    )
+
+
+def test_require_columns_strict(df):
+    c = Contract(mode="strict")
+    assert c.require_columns(df, ["id", "name"]) is df
+    with pytest.raises(ContractViolation, match="missing"):
+        c.require_columns(df, ["id", "nope"])
+
+
+def test_require_columns_warn_passes(df):
+    Contract(mode="warn").require_columns(df, ["nope"])  # logs, no raise
+
+
+def test_unique_key(df):
+    c = Contract(mode="strict")
+    c.require_unique_key(df, ["id", "name"])  # unique → ok
+    with pytest.raises(ContractViolation, match="duplicate"):
+        c.require_unique_key(df, ["id"])  # id=2 twice
+
+
+def test_m1_validation(spark, df):
+    dim = spark.createDataFrame([(1, "x"), (1, "y")], "id long, attr string")
+    with pytest.raises(ContractViolation):
+        Contract(mode="strict").require_m1(dim, ["id"])
+
+
+def test_integrity_counts(df):
+    c = Contract(mode="warn")
+    c.check_integrity(df, F.col("val") > 0, name="val_pos")
+    # val=None row fails the predicate (coalesce false)
+    assert c.counters["val_pos"] == 1
+
+
+def test_null_rate(df):
+    c = Contract(mode="warn")
+    rates = c.check_null_rate(df, ["val", "name"])
+    assert rates == {"val": 1, "name": 0}
+
+
+def test_off_mode_is_noop(df):
+    c = Contract(mode="off")
+    c.require_unique_key(df, ["id"])  # would fail in strict; no action in off
+    assert c.check_null_rate(df, ["val"]) == {}
+    c.reconcile_counts("x", df)
+    assert "x" not in c.counters
+
+
+def test_reconcile_counts(df):
+    c = Contract(mode="warn")
+    c.reconcile_counts("stage1", df)
+    assert c.counters["stage1"] == 3

@@ -1,0 +1,44 @@
+"""Structured Streaming daily rollup: availableNow incremental run must match
+the batch rollup on finalized days."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.streaming import daily_rollup as sdr
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    for day in ["2025-01-01", "2025-01-02", "2025-01-03"]:
+        for h in range(24):
+            rows.append(
+                (f"{day} {h:02d}:00:00", "Boston", "BOS_01", "Arena",
+                 -1.0 + h * 0.25, 70.0, 9.0 if h < 4 else 2.0, 0.5 if h == 0 else 0.0)
+            )
+    batch_df = spark.createDataFrame(
+        rows,
+        "time string, market string, venue_id string, venue string, "
+        "temp_c double, rh_pct double, wind_mps double, precip_mm double",
+    ).withColumn("time", F.to_timestamp("time"))
+    batch_df.write.mode("overwrite").parquet(landing)
+
+    stream = sdr.read_hourly_stream(spark, landing)
+    q = sdr.start_rollup_query(sdr.streaming_daily_rollup(stream, watermark="1 day"), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # append mode + 1-day watermark: days closed by the watermark are emitted
+    # (the max-event-time day stays open in state)
+    finalized = {r["event_date"].isoformat(): r for r in got.collect()}
+    assert "2025-01-01" in finalized
+    r = finalized["2025-01-01"]
+    assert r["hours_observed"] == 24
+    assert r["windy_hours"] == 4
+    assert r["rainy_hours"] == 1
+    assert r["min_temp_c"] == -1.0
+    assert r["avg_temp_c"] == round(sum(-1.0 + h * 0.25 for h in range(24)) / 24, 2)
