@@ -499,7 +499,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: MinHash+LSH candidate pairs (hash-seeded — rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    # Repartition first: the testdata table is a single parquet file → one
+    # scan task; signature hashing should use every core. At cluster scale
+    # the input is many files and this is a no-op choice.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
     # 8 rows/band → collision prob ≈ J⁸: only genuinely similar docs collide,
     # keeping the bucket self-join bounded on highly-overlapping corpora.
     return dedup.minhash_candidate_pairs(docs, num_hashes=64, num_bands=8)

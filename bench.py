@@ -49,9 +49,10 @@ def main() -> None:
         "ns_ann_bruteforce",
     ]
 
-    # Warm the JVM/code paths once with a trivial action so JIT/classloading
-    # doesn't land in the first timed query.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the JVM/code paths (parquet reader, codegen, Arrow, broadcast)
+    # at the smallest SF so JIT/classloading doesn't land in the first timed
+    # query.
+    queries["flagship_priority_revenue"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -81,18 +81,12 @@ def lsh_candidate_pairs(
     n_planes: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs sharing an LSH bucket."""
+    """Candidate (id_a, id_b) pairs sharing an LSH bucket (single-pass
+    expansion — see dedup.pairs_from_buckets)."""
+    from .dedup import pairs_from_buckets
+
     b = lsh_buckets(df, vec_col, id_col, n_planes, seed)
-    a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return pairs_from_buckets(b, ["bucket"], id_col)
 
 
 def ivf_index(
