@@ -424,6 +424,89 @@ def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey")
 
 
+def q_sql_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: the Spark SQL entry point — view registration + GROUP BY
+    ordinals + HAVING + CASE in one statement (sql/02:110 uses ordinals;
+    SURVEY.md §7.4 item 9: spark.sql.groupByOrdinal must stay on)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CASE WHEN l_linestatus = 'F' THEN 'final' ELSE 'open' END AS status,
+               count(*) AS lines,
+               floor(sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 * 1e2 + 0.5) / 1e2 AS revenue
+        FROM v_lineitem
+        GROUP BY 1, 2
+        HAVING count(*) > 10
+        """
+    )
+
+
+def q_initcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: title-casing (pandas .str.title() parity on the observed
+    whitespace-separated vocabulary — clean_ticket_sales.py:41)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.initcap(F.lower(F.col("p_name"))).alias("p_name_title"))
+        .groupBy("p_name_title")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: corpus-wide token frequency top-k (explode → hash-agg
+    → TakeOrderedAndProject; the classic vocabulary-building pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (§2.10 extension): availableNow file-source run
+    of a watermarked 1-day tumbling rollup over events; append mode emits
+    exactly the days closed by the watermark (window.end <= max event time).
+
+    Oracle-checkable because the emitted-day rule is deterministic for a
+    bounded input.
+    """
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    ev.write.mode("overwrite").parquet(f"{tmp}/landing")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{tmp}/landing")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pr(msum("value") / F.count(F.lit(1)), 2).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("event_date"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_daily_rollup")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("stream_daily_rollup")
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -593,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_json_extract": q_json_extract,
         "w_topk_per_group": q_window_topk,
         "w_dedup_rank": q_window_dedup_rank,
+        "s12_sql_layer": q_sql_layer,
+        "f5_initcap": q_initcap,
+        "ns_top_tokens": q_top_tokens,
+        "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
         "ns_token_counts": q_token_counts,
         "ns_lang_id": q_lang_id,
@@ -820,6 +907,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders
             ) WHERE rn = 1
+        """,
+        "s12_sql_layer": """
+            SELECT l_returnflag,
+                   CASE WHEN l_linestatus = 'F' THEN 'final' ELSE 'open' END AS status,
+                   count(*) AS lines,
+                   floor(sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 * 1e2 + 0.5) / 1e2 AS revenue
+            FROM lineitem
+            GROUP BY 1, 2
+            HAVING count(*) > 10
+        """,
+        "f5_initcap": """
+            SELECT array_to_string(
+                     list_transform(string_split(lower(p_name), ' '),
+                                    s -> upper(s[1]) || s[2:]),
+                     ' ') AS p_name_title,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_name_title
+        """,
+        "ns_top_tokens": """
+            SELECT token, count(*) AS freq FROM (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ) GROUP BY token ORDER BY freq DESC, token LIMIT 20
+        """,
+        "st_streaming_daily": """
+            SELECT CAST(ts AS DATE) AS event_date, event_type,
+                   count(*) AS n_events,
+                   floor((sum(floor(value * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_value
+            FROM events
+            GROUP BY event_date, event_type
+            HAVING CAST(event_date AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
         """,
         "ns_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
