@@ -22,6 +22,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sessions,
     similarity,
     windows,
 )
@@ -507,6 +508,30 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_daily_rollup")
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the event stream, as pure
+    window functions — session-level feature table per (user, session)."""
+    ev = _t(spark, sf_dir, "events")
+    return sessions.session_stats(
+        ev, "ts", ["user_id"], gap_seconds=1800, order_tiebreak=["event_id"]
+    ).select(
+        "user_id", "session_id", "n_events", "duration_sec",
+        F.col("session_start").cast("date").alias("session_day"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — the engine's
+    quantile surface; approx variants (approx_percentile/HLL) exist for the
+    100 TB path but are sketch-based and not oracle-hashable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pr(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        pr(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -678,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_dedup_rank": q_window_dedup_rank,
         "s12_sql_layer": q_sql_layer,
         "f5_initcap": q_initcap,
+        "w_sessionization": q_sessionization,
+        "a_percentiles": q_percentiles,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -907,6 +934,36 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders
             ) WHERE rn = 1
+        """,
+        "w_sessionization": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ordered
+            ), numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   date_diff('second', min(ts), max(ts)) AS duration_sec,
+                   CAST(min(ts) AS DATE) AS session_day
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "a_percentiles": """
+            SELECT l_returnflag,
+                   floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_price,
+                   floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price,
+                   count(*) AS lines
+            FROM lineitem GROUP BY l_returnflag
         """,
         "s12_sql_layer": """
             SELECT l_returnflag,

@@ -1,4 +1,13 @@
 """Composable relational + large-scale operators (SURVEY.md §2.2-2.7 and the
 north-star dedup/similarity/text/multimodal extensions)."""
 
-from . import aggregates, dedup, multimodal, relational, similarity, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    multimodal,
+    relational,
+    sessions,
+    similarity,
+    skew,
+    windows,
+)
