@@ -19,6 +19,7 @@ from pwhl_data_engineering_pipeline_spark.functions import scalars, text, vector
 from pwhl_data_engineering_pipeline_spark.functions.scalars import portable_round as pr
 from pwhl_data_engineering_pipeline_spark.operators import (
     aggregates,
+    asof,
     dedup,
     multimodal,
     relational,
@@ -520,6 +521,25 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward-inclusive): for every event, the user's most
+    recent purchase value at or before the event time — one shuffle, no
+    range-condition blowup (operators.asof)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_value"],
+    )
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group — the engine's
     quantile surface; approx variants (approx_percentile/HLL) exist for the
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_initcap": q_initcap,
         "w_sessionization": q_sessionization,
         "a_percentiles": q_percentiles,
+        "j_asof_join": q_asof_join,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -957,6 +978,14 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    CAST(min(ts) AS DATE) AS session_day
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "j_asof_join": """
+            SELECT e.event_id, e.user_id, p.purchase_value
+            FROM events e
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "a_percentiles": """
             SELECT l_returnflag,

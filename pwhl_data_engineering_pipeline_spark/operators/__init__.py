@@ -3,6 +3,7 @@ north-star dedup/similarity/text/multimodal extensions)."""
 
 from . import (  # noqa: F401
     aggregates,
+    asof,
     dedup,
     multimodal,
     relational,
