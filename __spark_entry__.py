@@ -521,6 +521,39 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: running revenue total + previous-order gap per
+    customer (frame-based sum, lag) — the OVER-clause surface beyond
+    ranking."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pr(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).over(running) / 100.0, 2).alias(
+            "running_total"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality-filter → exact-dedup → per-lang
+    stats. The canonical small training-data pipeline, fully expressible in
+    SQL (hence oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", text.quality_score("text"))
+    kept = dedup.dedup_exact(scored.filter(F.col("q") >= 0.5))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pr(msum("q", 1000000.0) / F.count(F.lit(1)), 4).alias("avg_quality"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward-inclusive): for every event, the user's most
     recent purchase value at or before the event time — one shuffle, no
@@ -726,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_sessionization": q_sessionization,
         "a_percentiles": q_percentiles,
         "j_asof_join": q_asof_join,
+        "w_running_total": q_window_running,
+        "ns_corpus_clean": q_corpus_clean,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -978,6 +1013,52 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    CAST(min(ts) AS DATE) AS session_day
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "w_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   floor((sum(floor(o_totalprice * 100 + 0.5))
+                            OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) / 100.0) * 1e2 + 0.5) / 1e2
+                     AS running_total,
+                   date_diff('day',
+                             lag(CAST(o_orderdate AS DATE))
+                               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                             CAST(o_orderdate AS DATE)) AS days_since_prev
+            FROM orders
+        """,
+        "ns_corpus_clean": """
+            WITH feats AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     len(list_distinct(list_intersect(
+                       string_split_regex(lower(text), '\\s+'),
+                       ['the','and','of','to','is','with']))) AS stop_hits
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, lang, text,
+                     floor((
+                       0.25 * least(n_tokens / 64.0, 1.0)
+                     + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                     + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))
+                     + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))
+                     ) * 1e6 + 0.5) / 1e6 AS q
+              FROM feats
+            ), filtered AS (
+              SELECT * FROM scored WHERE q >= 0.5
+            ), kept AS (
+              SELECT min(doc_id) AS doc_id FROM filtered
+              GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+            )
+            SELECT lang, count(*) AS n_docs,
+                   floor((sum(floor(q * 1000000.0 + 0.5)) / 1000000.0 / count(*)) * 1e4 + 0.5) / 1e4
+                     AS avg_quality
+            FROM filtered JOIN kept USING (doc_id)
+            GROUP BY lang
         """,
         "j_asof_join": """
             SELECT e.event_id, e.user_id, p.purchase_value

@@ -1,0 +1,58 @@
+"""applyInPandasWithState: per-user counters accumulate across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.streaming import stateful
+
+
+def test_running_counters_accumulate_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+
+    batch1 = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", 10.0), (1, "2025-01-01 10:01:00", 5.0),
+         (2, "2025-01-01 10:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch1.coalesce(1).write.mode("overwrite").parquet(landing)
+    batch2 = spark.createDataFrame(
+        [(1, "2025-01-01 11:00:00", 1.0), (3, "2025-01-01 11:00:00", 2.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+
+    # maxFilesPerTrigger=1 → each file is its own micro-batch, so state must
+    # carry across batches within this single availableNow run.
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stateful.running_user_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_counters")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_counters").collect()
+
+    # update mode emits one row per (user, batch); the final state per user is
+    # the row with the max event count (totals commute across file order).
+    final: dict[int, tuple[int, float]] = {}
+    emissions: dict[int, int] = {}
+    for r in rows:
+        emissions[r["user_id"]] = emissions.get(r["user_id"], 0) + 1
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 16.0)
+    assert final[2] == (1, 7.0)
+    assert final[3] == (1, 2.0)
+    # user 1 appears in both files → two emissions proves per-batch state
+    # transitions actually happened across micro-batches
+    assert emissions[1] == 2
