@@ -554,6 +554,21 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB-path approximate aggregates: HLL distinct counts and t-digest
+    percentiles — sketch-based (single pass, bounded memory, mergeable
+    partials), hence rows-only: sketch internals are engine-specific and not
+    oracle-hashable. Exact counterparts: a5_count_distinct, a_percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").alias(
+            "approx_price_quantiles"
+        ),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward-inclusive): for every event, the user's most
     recent purchase value at or before the event time — one shuffle, no
@@ -761,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": q_asof_join,
         "w_running_total": q_window_running,
         "ns_corpus_clean": q_corpus_clean,
+        "a_approx_aggs": q_approx_aggs,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,

@@ -39,14 +39,18 @@ def main() -> None:
         "flagship_priority_revenue",
         "p1_p5_filter_project",
         "j1_broadcast_enrich",
+        "j_asof_join",
         "a1_daily_rollup",
         "a8_corr",
+        "a_percentiles",
         "o3_topk",
         "w_topk_per_group",
+        "w_sessionization",
         "ns_dedup_exact",
         "ns_token_counts",
         "ns_minhash_pairs",
         "ns_ann_bruteforce",
+        "ns_corpus_clean",
     ]
 
     # Warm the JVM/code paths (parquet reader, codegen, Arrow, broadcast)

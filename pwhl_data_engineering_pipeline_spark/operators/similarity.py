@@ -125,6 +125,61 @@ def ivf_index(
     return cent, assigned
 
 
+def ivf_write(
+    assigned: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    centroids_path: str | None = None,
+) -> None:
+    """Persist an IVF index with its physical layout: the assigned corpus
+    written **partitioned by centroid_id**, so a probe that filters on the
+    routed centroid ids scans only those directories (partition pruning —
+    the on-disk analogue of an inverted file). At 100 TB this is the
+    difference between touching n_probe/n_centroids of the data and all of
+    it."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    if centroids_path:
+        centroids.write.mode("overwrite").parquet(centroids_path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: route queries → centroid ids, then scan
+    ONLY the matching partitions (the probe-id join key is a partition
+    column, so Catalyst turns it into PartitionFilters via dynamic partition
+    pruning / an IN-filter on the routed ids)."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    routed = q.crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        portable_round(cosine("__qvec", "centroid_vec"), 9).alias("__cs"),
+    )
+    probes = top_k_per_group(
+        routed, [query_id_col], [F.desc("__cs"), F.asc("centroid_id")], n_probe
+    ).select(query_id_col, "__qvec", "centroid_id")
+
+    probe_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
+    scored = index.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        portable_round(cosine(vec_col, "__qvec"), 6).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rank"
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

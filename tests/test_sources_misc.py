@@ -1,0 +1,95 @@
+"""Coverage for the remaining source/sink/vector/multimodal utilities
+(SURVEY.md §2.1 S1/S8/S11, vectors, config contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pwhl_data_engineering_pipeline_spark.functions import vectors
+from pwhl_data_engineering_pipeline_spark.operators import multimodal, relational
+from pwhl_data_engineering_pipeline_spark.quality import Contract, ContractViolation
+from pwhl_data_engineering_pipeline_spark.sources import readers, writers
+
+
+def test_csv_single_file_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    out = str(tmp_path / "csv_out")
+    writers.write_csv_single(df, out)
+    import glob
+
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1  # single-file parity with df.to_csv
+    schema = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    back = readers.read_csv(spark, out, schema)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_create_database_and_view(spark):
+    writers.create_database(spark, "eng_test_db")
+    assert spark.catalog.databaseExists("eng_test_db")
+    df = spark.createDataFrame([(1,)], "x long")
+    writers.create_view(df, "v_misc_test")
+    assert spark.sql("SELECT sum(x) AS s FROM v_misc_test").collect()[0]["s"] == 1
+
+
+def test_rest_source_distributed(spark):
+    import json
+
+    schema = T.StructType(
+        [T.StructField("t", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def fetch_json(req):
+        return json.dumps({"t": [f"{req['m']}-0", f"{req['m']}-1"], "v": [1.0, 2.0]})
+
+    df = readers.rest_source_distributed(
+        spark, [{"m": "A"}, {"m": "B"}, {"m": "C"}], fetch_json, schema
+    )
+    rows = {(r["t"], r["v"]) for r in df.collect()}
+    assert len(rows) == 6 and ("B-1", 2.0) in rows
+
+
+def test_stamp_literals(spark):
+    df = relational.stamp_literals(spark.range(2), market="Boston", sf=1.5)
+    r = df.collect()[0]
+    assert r["market"] == "Boston" and r["sf"] == 1.5
+
+
+def test_config_count_contract():
+    c = Contract(mode="strict")
+    c.require_config_count([1, 2, 3], 3)
+    with pytest.raises(ContractViolation):
+        c.require_config_count([1, 2], 3)
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>")
+    r = df.select(
+        vectors.dot("a", "b").alias("dot"),
+        vectors.norm("a").alias("na"),
+        vectors.l2_distance("a", "b").alias("d"),
+        vectors.normalize("a").alias("unit"),
+        vectors.cosine("a", "a").alias("self_cos"),
+    ).collect()[0]
+    assert r["dot"] == 24.0
+    assert r["na"] == 5.0
+    assert r["d"] == pytest.approx(2**0.5)
+    assert r["unit"] == pytest.approx([0.6, 0.8])
+    assert r["self_cos"] == pytest.approx(1.0)
+    # zero-norm → NULL cosine, not a crash
+    z = spark.createDataFrame([([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>")
+    assert z.select(vectors.cosine("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"xx"))], "media_id long, content binary"
+    )
+    media = multimodal.attach_meta(media, media_type="video", fmt="mp4").withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(2500).cast("bigint"))
+    )
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    ts = sorted(r["frame_ts_ms"] for r in frames.collect())
+    assert ts == [0, 1000, 2000]
