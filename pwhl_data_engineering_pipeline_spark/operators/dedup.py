@@ -44,16 +44,20 @@ def bind_once(expr: Column, fn) -> Column:
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact (normalized) dedup: keep the smallest id per content
-    fingerprint. Deterministic, one shuffle on a compact hash key."""
-    h = fingerprint(text_col).alias("__fp")
-    keep = (
-        df.select(F.col(id_col), h)
-        .groupBy("__fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    fingerprint. Deterministic.
+
+    Shape: row_number over (fingerprint, id) — ONE shuffle of the rows on
+    the 8-byte hash key and ONE scan of the input. The agg+join-back
+    alternative scans the input twice and shuffles twice (ids for the agg,
+    full rows for the join); at 100 TB the single-pass window wins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    # Keys are unique post-agg; join back to recover full rows.
-    return df.join(keep, id_col, "inner")
 
 
 # -- MinHash + LSH ----------------------------------------------------------

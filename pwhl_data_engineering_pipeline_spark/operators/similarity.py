@@ -58,6 +58,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact cosine top-k with Arrow pre-reduction — the 100 TB shape.
+
+    The expression-based :func:`brute_force_topk` shuffles |corpus|×|Q|
+    scored rows into the final per-query window. Here each Arrow batch
+    computes the full cosine block in numpy (BLAS matmul) and emits only its
+    LOCAL top-k per query, so the shuffle carries ≤ partitions × |Q| × k
+    rows — independent of corpus size. A final tiny window merges.
+
+    ``query_vectors`` is a driver-side list (queries are small by contract);
+    it ships to executors via closure capture, the moral equivalent of a
+    broadcast variable.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids = [int(q) for q, _ in query_vectors]
+    qmat = np.array([v for _, v in query_vectors], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            denom = np.outer(qnorm, norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (qmat @ mat.T) / denom  # (Q, batch)
+            kk = min(k, mat.shape[0])
+            # argpartition per query row, then exact sort of the k candidates
+            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(len(qids)):
+                # local candidates need no exact order — the final window sorts
+                for ci in part[qi]:
+                    rows.append((qids[qi], int(ids[ci]), float(np.floor(cos[qi, ci] * 1e6 + 0.5) / 1e6)))
+            yield pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(local_topk, out_schema)
+    return top_k_per_group(
+        scored, ["query_id"], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col=rank_col
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

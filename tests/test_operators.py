@@ -99,6 +99,21 @@ def test_brute_force_topk_vs_numpy(spark):
         assert c == pytest.approx(cos[i], abs=2e-6)
 
 
+def test_brute_force_arrow_matches_expression(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(120)], schemas.EMBEDDINGS
+    ).repartition(4)
+    qv = [(i, [float(x) for x in vecs[i]]) for i in range(3)]
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r["query_id"], r["vec_id"]) for r in similarity.brute_force_topk_arrow(emb, qv, k=7).collect()}
+    b = {(r["query_id"], r["vec_id"]) for r in similarity.brute_force_topk(emb, q, k=7).collect()}
+    assert a == b and len(a) == 21
+
+
 def test_ivf_topk_recall(spark):
     import numpy as np
 
