@@ -51,6 +51,35 @@ def test_rest_source_distributed(spark):
     assert len(rows) == 6 and ("B-1", 2.0) in rows
 
 
+def test_markets_yaml_source(spark, tmp_path):
+    yaml_mod = pytest.importorskip("yaml")
+    from pwhl_data_engineering_pipeline_spark import schemas
+
+    cfg = {
+        "markets": [
+            {"venue_id": "BOS_01", "market": "Boston", "venue": "Arena", "country": "US",
+             "lat": 42.36, "lon": -71.06, "timezone": "America/New_York"},
+            {"venue_id": "MTL_01", "market": "Montreal", "venue": "Arena B", "country": "CA",
+             "lat": 45.5, "lon": -73.57, "timezone": "America/Toronto"},
+        ]
+    }
+    p = tmp_path / "markets.yml"
+    p.write_text(yaml_mod.safe_dump(cfg))
+    df = readers.read_markets_yaml(spark, str(p), schemas.MARKETS)
+    rows = {r["venue_id"]: r["market"] for r in df.collect()}
+    assert rows == {"BOS_01": "Boston", "MTL_01": "Montreal"}
+
+
+def test_csv_glob_multifile_union(spark, tmp_path):
+    schema = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    for i, rows in enumerate([[("a", 1)], [("b", 2)]]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(str(tmp_path / f"sales_clean_{i}"))
+    df = readers.read_csv(spark, str(tmp_path / "sales_clean_*"), schema)
+    assert {(r["k"], r["v"]) for r in df.collect()} == {("a", 1), ("b", 2)}
+
+
 def test_stamp_literals(spark):
     df = relational.stamp_literals(spark.range(2), market="Boston", sf=1.5)
     r = df.collect()[0]
