@@ -2,6 +2,14 @@
 BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
 near-dup.
 
+Algorithms follow the standard published constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents", 1997)
+with banded LSH (Indyk & Motwani 1998; banding analysis as in Leskovec/
+Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3), and SimHash random
+projections (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002) as applied to near-duplicate web documents
+(Manku/Jain/Sarma, WWW 2007).
+
 Scale design notes (the whole point of these implementations):
 
 - Exact dedup hashes the normalized text (xxhash64) and keeps the min doc_id

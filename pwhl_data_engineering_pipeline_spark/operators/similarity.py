@@ -9,6 +9,11 @@
   come from a deterministic sample (no MLlib dependency), assignment and
   search are joins + windows, all shuffle-bounded by bucket size.
 - Random-hyperplane LSH bucketing for near-dup blocking (cosine flavor).
+
+The IVF structure follows the inverted-file design of Jégou/Douze/Schmid
+("Product quantization for nearest neighbor search", TPAMI 2011 — IVF
+without the PQ compression stage); random-hyperplane signatures follow
+Charikar (STOC 2002).
 """
 
 from __future__ import annotations
