@@ -481,6 +481,11 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     tmp = tempfile.mkdtemp(prefix="stream_src_")
     ev.write.mode("overwrite").parquet(f"{tmp}/landing")
+    # Streaming stateful aggregation has no AQE coalescing: a vanilla-session
+    # default of 200 shuffle partitions means 200 state-store tasks per
+    # micro-batch. Pin a sane count for this bounded run, then restore.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     stream = (
         spark.readStream.schema(ev.schema)
         .parquet(f"{tmp}/landing")
@@ -497,15 +502,18 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_daily_rollup")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_daily_rollup")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("stream_daily_rollup")
 
 
@@ -551,6 +559,21 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         pr(msum("q", 1000000.0) / F.count(F.lit(1)), 4).alias("avg_quality"),
+    )
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    subtotals + grand total in one pass (Catalyst expands to grouping sets;
+    beyond the reference surface, standard OLAP completeness)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            pr(msum("l_extendedprice"), 2).alias("revenue"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
     )
 
 
@@ -777,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_total": q_window_running,
         "ns_corpus_clean": q_corpus_clean,
         "a_approx_aggs": q_approx_aggs,
+        "a_rollup_cube": q_rollup_cube,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -1029,6 +1053,14 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    CAST(min(ts) AS DATE) AS session_day
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "a_rollup_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS lines,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "w_running_total": """
             SELECT o_custkey, o_orderkey,
