@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, fingerprint, word_ngrams
-from ..functions.vectors import cosine, random_hyperplane_signs
+from ..functions.vectors import cosine
 
 
 def bind_once(expr: Column, fn) -> Column:

@@ -14,9 +14,6 @@ so EDA queries 9-11 actually run.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from ..functions.scalars import surrogate_key
 
 
 def register_star(spark: SparkSession, fact_base: DataFrame, markets: DataFrame) -> None:
