@@ -562,6 +562,33 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-extensions: INTERSECT / EXCEPT on dimension projections (§2.7 notes
+    the reference never needs them; the engine ships them for completeness)."""
+    part = _t(spark, sf_dir, "part")
+    economy = part.filter(F.col("p_type") == "ECONOMY").select("p_brand")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_brand")
+    both = economy.intersect(promo).withColumn("which", F.lit("both"))
+    only_econ = (
+        economy.distinct()
+        .subtract(promo.distinct())
+        .withColumn("which", F.lit("economy_only"))
+    )
+    return both.unionByName(only_econ)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus → columns with explicit value list (deterministic
+    schema); oracle expresses the same as conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(msum("l_quantity", 1.0), 1))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
 def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
     subtotals + grand total in one pass (Catalyst expands to grouping sets;
@@ -801,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_corpus_clean": q_corpus_clean,
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
+        "u2_set_ops": q_set_ops,
+        "a_pivot": q_pivot,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -1053,6 +1082,24 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    CAST(min(ts) AS DATE) AS session_day
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "u2_set_ops": """
+            WITH economy AS (SELECT p_brand FROM part WHERE p_type = 'ECONOMY'),
+                 promo   AS (SELECT p_brand FROM part WHERE p_type = 'PROMO')
+            SELECT p_brand, 'both' AS which FROM (
+              SELECT p_brand FROM economy INTERSECT SELECT p_brand FROM promo)
+            UNION ALL
+            SELECT p_brand, 'economy_only' AS which FROM (
+              SELECT DISTINCT p_brand FROM economy
+              EXCEPT SELECT DISTINCT p_brand FROM promo)
+        """,
+        "a_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F'
+                                  THEN floor(l_quantity * 1.0 + 0.5) END) / 1.0, 1) AS qty_f,
+                   round(sum(CASE WHEN l_linestatus = 'O'
+                                  THEN floor(l_quantity * 1.0 + 0.5) END) / 1.0, 1) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
         """,
         "a_rollup_cube": """
             SELECT l_returnflag, l_linestatus,
