@@ -651,6 +651,92 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style suite (classic analytics shapes on the testdata schema)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical scan+filter+wide-agg.
+    Money sums via exact integer scaling (see msum) for oracle determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            isum("l_quantity").alias("sum_qty"),
+            pr(msum("l_extendedprice"), 2).alias("sum_base_price"),
+            pr(msum(disc_price, 10000.0), 2).alias("sum_disc_price"),
+            pr(msum(charge, 1000000.0), 2).alias("sum_charge"),
+            pr(isum("l_quantity") / n, 2).alias("avg_qty"),
+            pr(msum("l_extendedprice") / n, 2).alias("avg_price"),
+            pr(msum("l_discount") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join, date-window filters, top-10
+    by revenue with deterministic tiebreak."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    agg = joined.groupBy(
+        "l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate")
+    ).agg(
+        pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias(
+            "revenue"
+        )
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join where customer and
+    supplier share a nation, revenue per nation in one region."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter+sum — the
+    pushdown/codegen showcase (PushedFilters asserted in plan tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.04, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        pr(msum(F.col("l_extendedprice") * F.col("l_discount"), 10000.0), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # North-star: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
 
@@ -830,6 +916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup_cube": q_rollup_cube,
         "u2_set_ops": q_set_ops,
         "a_pivot": q_pivot,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "ns_top_tokens": q_top_tokens,
         "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
@@ -1082,6 +1172,54 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_sec,
                    CAST(min(ts) AS DATE) AS session_day
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(floor(l_quantity + 0.5)) AS sum_qty,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5)) / 1000000.0) * 1e2 + 0.5) / 1e2 AS sum_charge,
+                   floor((sum(floor(l_quantity + 0.5)) / count(*)) * 1e2 + 0.5) / 1e2 AS avg_qty,
+                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_price,
+                   floor((sum(floor(l_discount * 100.0 + 0.5)) / 100.0 / count(*)) * 1e4 + 0.5) / 1e4 AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT floor((sum(floor(l_extendedprice * l_discount * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
         """,
         "u2_set_ops": """
             WITH economy AS (SELECT p_brand FROM part WHERE p_type = 'ECONOMY'),

@@ -36,6 +36,9 @@ def main() -> None:
     # (ns_ann_bruteforce), near-dup (ns_minhash_pairs), filter/project scan
     # (p1), topk (o3).
     headline = [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q6",
         "flagship_priority_revenue",
         "p1_p5_filter_project",
         "j1_broadcast_enrich",
