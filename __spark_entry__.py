@@ -859,6 +859,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 128-char windows (stride 96) per
+    document — one row per chunk, all JVM-side (explode of a sequence
+    expression, no Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(text.chunk_text("text", 128, 32)).alias("c")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.length("c.chunk_text").alias("chunk_len"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column → Arrow-batched feature extraction
     (deterministic fake decoder — rows-only check)."""
@@ -912,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_join": q_asof_join,
         "w_running_total": q_window_running,
         "ns_corpus_clean": q_corpus_clean,
+        "ns_chunking": q_chunking,
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
         "u2_set_ops": q_set_ops,
@@ -1477,6 +1493,18 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "ns_chunking": """
+            WITH c AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+            ), idx AS (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(greatest(ceil((n - 32) / 96.0), 1) AS INT))) AS chunk_idx
+              FROM c
+            )
+            SELECT doc_id, chunk_idx,
+                   length(substr(text, chunk_idx * 96 + 1, 128)) AS chunk_len
+            FROM idx
         """,
         # ns_minhash_pairs / ns_simhash_pairs / ns_ann_ivf /
         # ns_multimodal_features: hash-seeded or Python-batch operators —

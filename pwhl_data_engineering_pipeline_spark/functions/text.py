@@ -144,6 +144,33 @@ def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
     )
 
 
+def chunk_text(
+    c: ColumnOrName, chunk_chars: int = 512, overlap: int = 64
+) -> Column:
+    """Overlapping fixed-width character chunks → array<struct<chunk_idx,
+    chunk_text>> — context-window preparation for training pipelines.
+
+    Pure JVM expression (sequence + substring), so chunking a 100 TB corpus
+    is a narrow map with no Python in the loop; explode the result to get
+    one row per chunk. Stride = chunk_chars - overlap; the final partial
+    chunk is kept (standard tokenizer-window behavior).
+    """
+    col = _col(c).cast("string")
+    stride = chunk_chars - overlap
+    n = F.length(col)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(col, i * stride + 1, chunk_chars).alias("chunk_text"),
+        ),
+    )
+
+
 def fingerprint(c: ColumnOrName) -> Column:
     """Document fingerprint: xxhash64 of the whitespace/case-normalized text.
     A content-defined rolling-hash analogue that is exact-normalized-dup

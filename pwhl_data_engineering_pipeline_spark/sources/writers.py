@@ -76,6 +76,47 @@ def save_as_table(
     writer.saveAsTable(name)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+) -> int:
+    """Compact a parquet dataset's small files: read, coalesce to
+    ``ceil(total_bytes / target_file_bytes)`` files, rewrite atomically via a
+    staging directory.
+
+    Small files are the classic slow killer of a 100 TB lake (per-file open
+    cost, tiny row groups defeat min/max pruning, driver file-listing blowup)
+    — streaming/incremental sinks produce them continuously, so compaction is
+    a first-class maintenance operator. Returns the output file count.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    df = spark.read.parquet(path)
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm.Path(path)).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    staging = path.rstrip("/") + "__compact_staging"
+    out = df.repartition(n_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    fs.delete(jvm.Path(path), True)
+    fs.rename(jvm.Path(staging), jvm.Path(path))
+    return n_files
+
+
 def create_database(spark: SparkSession, name: str) -> None:
     """S11: ``CREATE SCHEMA IF NOT EXISTS`` (sql/01_create_dataset.sql:7-11)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
