@@ -275,6 +275,8 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
         pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        pr(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        pr(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
     )
 
 
@@ -859,6 +861,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: synthesize contact strings onto the corpus (testdata
+    has none), redact, and report per-source hit counts — the standard
+    pre-training scrub, all regexp_replace chains JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 123 4567"),
+    )
+    red = docs.select("source", text.redact_pii(src).alias("redacted"))
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        aggregates.count_if(F.col("redacted").contains("<EMAIL>")).alias("emails_redacted"),
+        aggregates.count_if(F.col("redacted").contains("<PHONE>")).alias("phones_redacted"),
+    )
+
+
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: overlapping 128-char windows (stride 96) per
     document — one row per chunk, all JVM-side (explode of a sequence
@@ -928,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_total": q_window_running,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
+        "ns_redact_pii": q_redact_pii,
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
         "u2_set_ops": q_set_ops,
@@ -954,13 +976,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Language markers must stay in sync with functions/text.py::_LANG_MARKERS.
+# Language marker arrays generated from the engine's own table so the oracle
+# can never drift out of sync with functions/text.py::_LANG_MARKERS.
 _MARKER_SQL = {
-    "de": "['der','die','und','das','ist','ein']",
-    "en": "['the','and','of','to','is','with']",
-    "es": "['el','la','de','que','los','una']",
-    "fr": "['le','la','les','des','est','une']",
-    "zh": "['的','是','了','在','我','有']",
+    lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+    for lang, words in sorted(text._LANG_MARKERS.items())
 }
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -1075,7 +1095,9 @@ def oracle_sql() -> dict[str, str]:
         "a8_corr": """
             SELECT l_returnflag,
                    floor((corr(l_extendedprice, l_quantity)) * 1e6 + 0.5) / 1e6 AS corr_price_qty,
-                   floor((corr(l_extendedprice, l_discount)) * 1e6 + 0.5) / 1e6 AS corr_price_disc
+                   floor((corr(l_extendedprice, l_discount)) * 1e6 + 0.5) / 1e6 AS corr_price_disc,
+                   floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS stddev_price,
+                   floor((covar_samp(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4 AS covar_price_qty
             FROM lineitem GROUP BY l_returnflag
         """,
         "a10_dup_key_detect": """
@@ -1493,6 +1515,27 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "ns_redact_pii": """
+            WITH src AS (
+              SELECT source,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or call +1 555 123 4567' AS s
+              FROM documents
+            ), red AS (
+              SELECT source,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(s,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g'),
+                       '\\b\\d{6,}\\b', '<NUM>', 'g') AS redacted
+              FROM src
+            )
+            SELECT source, count(*) AS n_docs,
+                   count_if(contains(redacted, '<EMAIL>')) AS emails_redacted,
+                   count_if(contains(redacted, '<PHONE>')) AS phones_redacted
+            FROM red GROUP BY source
         """,
         "ns_chunking": """
             WITH c AS (

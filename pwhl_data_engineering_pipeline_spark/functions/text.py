@@ -144,6 +144,26 @@ def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
     )
 
 
+REDACTION_PATTERNS = {
+    # order matters: emails before bare numbers so the local-part digits
+    # don't get partially rewritten first
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    "number_long": (r"\b\d{6,}\b", "<NUM>"),
+}
+
+
+def redact_pii(c: ColumnOrName) -> Column:
+    """Pattern-based PII redaction (emails, phone-like numbers, long digit
+    runs) — the standard pre-training scrub pass, pure regexp_replace chain
+    so it runs JVM-side at scan speed. Pattern list is deliberately
+    conservative and extensible via REDACTION_PATTERNS."""
+    col = _col(c).cast("string")
+    for pattern, token in REDACTION_PATTERNS.values():
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
 def chunk_text(
     c: ColumnOrName, chunk_chars: int = 512, overlap: int = 64
 ) -> Column:

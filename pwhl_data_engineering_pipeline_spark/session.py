@@ -32,6 +32,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime row-level Bloom-filter pruning: a filtered dim side injects a
+    # Bloom filter into the fact scan — complements partition-level DPP for
+    # non-partition join keys at 100 TB.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Files: pack small files, split big ones, to keep task sizes even at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # groupByOrdinal must stay on: reference SQL uses GROUP BY 1,2,3
