@@ -606,6 +606,17 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: sorted distinct list per group (collect_set is
+    unordered → sort_array for deterministic output), plus array membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_contains(F.sort_array(F.collect_set("l_linestatus")), "F").alias("has_final"),
+        F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
+    )
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB-path approximate aggregates: HLL distinct counts and t-digest
     percentiles — sketch-based (single pass, bounded memory, mergeable
@@ -951,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
         "a_approx_aggs": q_approx_aggs,
+        "a_array_agg": q_array_agg,
         "a_rollup_cube": q_rollup_cube,
         "u2_set_ops": q_set_ops,
         "a_pivot": q_pivot,
@@ -1275,6 +1287,13 @@ def oracle_sql() -> dict[str, str]:
                                   THEN floor(l_quantity * 1.0 + 0.5) END) / 1.0, 1) AS qty_f,
                    round(sum(CASE WHEN l_linestatus = 'O'
                                   THEN floor(l_quantity * 1.0 + 0.5) END) / 1.0, 1) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a_array_agg": """
+            SELECT l_returnflag,
+                   list_sort(list_distinct(list(l_linestatus))) AS statuses,
+                   list_contains(list_sort(list_distinct(list(l_linestatus))), 'F') AS has_final,
+                   len(list_distinct(list(l_suppkey))) AS n_suppliers
             FROM lineitem GROUP BY l_returnflag
         """,
         "a_rollup_cube": """
