@@ -10,7 +10,15 @@ rows-only by design.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may import this module with a cwd outside the repo; make the
+# package resolvable from the entry file's own directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -8,6 +8,39 @@ from pyspark.sql import functions as F
 from pwhl_data_engineering_pipeline_spark.streaming import daily_rollup as sdr
 
 
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch is enriched against a static
+    dimension (the streaming analogue of the reference's market-dim join)."""
+    landing = str(tmp_path / "ss_landing")
+    batch = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", 5.0), (2, "2025-01-01 10:01:00", 7.0),
+         (3, "2025-01-01 10:02:00", 9.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.write.mode("overwrite").parquet(landing)
+    segments = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+
+    stream = spark.readStream.schema(batch.schema).parquet(landing)
+    enriched = (
+        stream.join(F.broadcast(segments), "user_id", "left")
+        .groupBy(F.coalesce("segment", F.lit("unknown")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_ss_join")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["segment"]: (r["n"], r["total"]) for r in spark.table("t_ss_join").collect()}
+    assert got == {"gold": (1, 5.0), "silver": (1, 7.0), "unknown": (1, 9.0)}
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "out")
