@@ -664,10 +664,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile surface; approx variants (approx_percentile/HLL) exist for the
     100 TB path but are sketch-based and not oracle-hashable."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        pr(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        pr(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
-        F.count(F.lit(1)).alias("lines"),
+    # one array-form percentile agg → single sort per group (two scalar
+    # percentile calls would sort the group state twice)
+    qtiles = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qtiles.alias("__q"), F.count(F.lit(1)).alias("lines"))
+        .select(
+            "l_returnflag",
+            pr(F.element_at("__q", 1), 4).alias("p50_price"),
+            pr(F.element_at("__q", 2), 4).alias("p95_price"),
+            "lines",
+        )
     )
 
 

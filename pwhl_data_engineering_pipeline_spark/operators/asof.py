@@ -39,6 +39,12 @@ def asof_join(
     """Backward-inclusive as-of join: for every left row, attach the right
     payload with the greatest ``right_ts`` <= ``left_ts`` within the key.
     Unmatched left rows keep NULL payload (left-join semantics)."""
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_payload columns collide with left columns: {sorted(clash)}; "
+            "rename the payload columns before the as-of join"
+        )
     lcols = left.columns
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     for c in right_payload:
