@@ -94,6 +94,18 @@ def round2(c: ColumnOrName) -> Column:
     return F.round(_col(c), 2)
 
 
+def round2_half_even(c: ColumnOrName) -> Column:
+    """pandas/numpy ``.round(2)`` parity: numpy computes ``rint(x*100)/100``
+    — half-even on the *double product*, where e.g. −13.825000000000001×100
+    collapses to exactly −1382.5 and rounds to the even −1382. Neither
+    Spark's ``round`` (half-up on shortest repr) nor plain ``bround(x, 2)``
+    (half-even on shortest repr of x) reproduces that; ``bround(x*100, 0)``
+    does, because the scaled product's shortest repr decides exactly like
+    rint. Required for bit-parity with the reference's pandas-built goldens
+    (verified against data/cleaned/weather_daily_by_venue.csv)."""
+    return F.bround(_col(c) * F.lit(100.0), 0) / F.lit(100.0)
+
+
 def portable_round(c: ColumnOrName, n: int = 2) -> Column:
     """Cross-engine-deterministic rounding: ``floor(x·10ⁿ + 0.5)/10ⁿ``.
 

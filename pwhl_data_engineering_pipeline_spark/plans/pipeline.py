@@ -59,6 +59,7 @@ def run_reference_pipeline(
     capacity_raw: DataFrame,
     markets: DataFrame,
     contract: Contract | None = None,
+    weather_parity: str = "native",
 ) -> DataFrame:
     """The full reference pipeline (EP1: 5 transform stages + star layer) as
     one lazy plan; returns the 20-column fact. Callers write it with
@@ -73,7 +74,8 @@ def run_reference_pipeline(
         lambda: weather_stage.tidy_hourly(hourly_weather_raw, markets, contract),
     )
     daily = orch.run_stage(
-        "transform_weather.daily", lambda: weather_stage.daily_rollup(tidy)
+        "transform_weather.daily",
+        lambda: weather_stage.daily_rollup(tidy, parity=weather_parity),
     )
     cleaned_sales = orch.run_stage(
         "clean_ticket_sales",

@@ -1,0 +1,100 @@
+"""Ultimate parity check: run the engine pipeline on the REFERENCE'S OWN raw
+data (read at runtime from /root/reference — never copied) and reproduce its
+committed golden outputs row for row.
+
+Golden files (reference's own committed intermediates/outputs):
+- data/cleaned/fact_ticket_sales_with_weather.csv (600 rows, 20 cols)
+- data/cleaned/weather_daily_by_venue.csv (472 rows)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pwhl_data_engineering_pipeline_spark import schemas
+from pwhl_data_engineering_pipeline_spark.plans.pipeline import run_reference_pipeline
+from pwhl_data_engineering_pipeline_spark.quality import Contract
+from pwhl_data_engineering_pipeline_spark.sources import readers
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{REF}/data/raw"), reason="reference checkout not available"
+)
+
+FACT_KEY = ["event_date", "market", "venue_id", "venue", "section"]
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    hourly = readers.read_csv(
+        spark, f"{REF}/data/raw/weather/weather_hourly_2025-01_2025-02.csv",
+        schemas.WEATHER_HOURLY_RAW,
+    )
+    sales = readers.read_csv(
+        spark, f"{REF}/data/raw/pwhl_ticket_sales.csv", schemas.TICKET_SALES_RAW
+    )
+    capacity = readers.read_csv(
+        spark, f"{REF}/data/raw/game_section_capacity.csv", schemas.SECTION_CAPACITY_RAW
+    )
+    markets = readers.read_markets_yaml(spark, f"{REF}/config/markets.yml", schemas.MARKETS)
+    return run_reference_pipeline(
+        spark, hourly, sales, capacity, markets, Contract(mode="strict"),
+        weather_parity="pandas",
+    )
+
+
+def test_fact_matches_reference_golden(spark, fact):
+    got = fact.toPandas()
+    got["event_date"] = got["event_date"].astype(str)
+    got = got.sort_values(FACT_KEY).reset_index(drop=True)
+
+    exp = pd.read_csv(f"{REF}/data/cleaned/fact_ticket_sales_with_weather.csv")
+    exp = exp.sort_values(FACT_KEY).reset_index(drop=True)
+
+    assert len(got) == len(exp) == 600
+    assert list(got.columns) == list(exp.columns)
+
+    for c in FACT_KEY:
+        assert (got[c].astype(str) == exp[c].astype(str)).all(), f"key col {c} differs"
+    int_cols = ["tickets_sold", "section_capacity", "windy_hours", "rainy_hours",
+                "freezing_hours", "hours_observed"]
+    for c in int_cols:
+        assert (got[c].astype("int64") == exp[c].astype("int64")).all(), f"{c} differs"
+    # weather columns are 2-dp rounded with pandas parity → byte-exact
+    for c in ["avg_temp_c", "min_temp_c", "max_temp_c", "avg_rh_pct",
+              "avg_wind_mps", "total_precip_mm"]:
+        assert (got[c].astype(float) == exp[c].astype(float)).all(), f"{c} differs"
+    # unrounded money/ratio columns: relative tolerance covers the legitimate
+    # fp accumulation-order delta between Spark partial sums and pandas sums
+    for c in ["revenue", "avg_price", "utilization"]:
+        g, e = got[c].astype(float), exp[c].astype(float)
+        rel = ((g - e).abs() / (1.0 + e.abs())).max()
+        assert rel < 1e-12, f"{c} max rel diff {rel}"
+
+
+def test_weather_daily_matches_reference_golden(spark):
+    from pwhl_data_engineering_pipeline_spark.plans import weather as weather_stage
+
+    hourly = readers.read_csv(
+        spark, f"{REF}/data/raw/weather/weather_hourly_2025-01_2025-02.csv",
+        schemas.WEATHER_HOURLY_RAW,
+    )
+    markets = readers.read_markets_yaml(spark, f"{REF}/config/markets.yml", schemas.MARKETS)
+    tidy = weather_stage.tidy_hourly(hourly, markets, Contract(mode="strict"))
+    daily = weather_stage.daily_rollup(tidy, parity="pandas").toPandas()
+    daily["event_date"] = daily["event_date"].astype(str)
+    key = ["event_date", "market", "venue_id"]
+    daily = daily.sort_values(key).reset_index(drop=True)
+
+    exp = pd.read_csv(f"{REF}/data/cleaned/weather_daily_by_venue.csv")
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(daily) == len(exp) == 472
+    for c in ["avg_temp_c", "min_temp_c", "max_temp_c", "avg_rh_pct", "avg_wind_mps",
+              "total_precip_mm"]:
+        assert (daily[c].astype(float) == exp[c].astype(float)).all(), f"{c} differs"
+    for c in ["windy_hours", "rainy_hours", "freezing_hours", "hours_observed"]:
+        assert (daily[c].astype("int64") == exp[c].astype("int64")).all(), f"{c} differs"
