@@ -76,6 +76,51 @@ def test_fact_matches_reference_golden(spark, fact):
         assert rel < 1e-12, f"{c} max rel diff {rel}"
 
 
+def test_known_good_aggregates(spark, fact):
+    """BASELINE.md's published known-good aggregates (reference README.md:
+    287,311-330) must come out of the engine's star layer on the real data:
+    per-section revenue/avg-price table and the ≈0.597 avg utilization."""
+    from pyspark.sql import functions as F
+
+    by_section = {
+        r["section"]: r
+        for r in fact.groupBy("section")
+        .agg(
+            F.sum("revenue").alias("total_revenue"),
+            F.avg("avg_price").alias("mean_avg_price"),
+        )
+        .collect()
+    }
+    expected_revenue = {
+        # README.md:311 prints 15,346,680 but the reference's OWN committed
+        # fact sums to 15,364,680 (digit transposition in their docs; the
+        # engine — byte-identical to their data — agrees with the data).
+        "Upper Bowl": 15_364_680.0,
+        "Lower Bowl": 14_890_120.0,
+        "Club": 6_350_640.0,
+        "Suite": 4_476_240.0,
+        "Standing Room": 2_098_720.0,
+    }
+    for section, rev in expected_revenue.items():
+        assert by_section[section]["total_revenue"] == pytest.approx(rev, rel=1e-9), section
+    # README.md:311-315 avg price per section
+    assert by_section["Upper Bowl"]["mean_avg_price"] == pytest.approx(75.47, abs=0.01)
+    assert by_section["Standing Room"]["mean_avg_price"] == pytest.approx(76.77, abs=0.01)
+
+    avg_util = fact.agg(F.avg("utilization").alias("u")).collect()[0]["u"]
+    assert avg_util == pytest.approx(0.597, abs=0.001)  # README.md:287
+
+    # per-market temp↔utilization correlations (README.md:323-330 extremes)
+    corr = {
+        r["market"]: r["c"]
+        for r in fact.groupBy("market")
+        .agg(F.corr("utilization", "avg_temp_c").alias("c"))
+        .collect()
+    }
+    assert corr["Boston"] == pytest.approx(0.368, abs=0.01)
+    assert corr["Minneapolis"] == pytest.approx(-0.067, abs=0.01)
+
+
 def test_weather_daily_matches_reference_golden(spark):
     from pwhl_data_engineering_pipeline_spark.plans import weather as weather_stage
 
