@@ -856,6 +856,49 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
 
 
+def q_dedup_minhash_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash near-dedup: candidates → true-Jaccard verification
+    → greedy suppression; returns surviving doc ids (hash-seeded candidates
+    → rows-only)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    return dedup.dedup_minhash(
+        docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8
+    ).select("doc_id")
+
+
+def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    lifetime counters over the event stream, availableNow run. Counts and
+    max-ts are order-independent → oracle-checkable."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.streaming import stateful
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stateful_src_")
+    ev.write.mode("overwrite").parquet(f"{tmp}/landing")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+        q = (
+            stateful.running_user_counters(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stateful_counters")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # single availableNow batch → exactly one emission per user; project the
+    # order-independent columns (float sums are accumulation-order sensitive)
+    return spark.table("stateful_counters").select("user_id", "n_events", "max_ts")
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: exact brute-force cosine top-10."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -996,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_fingerprint": q_fingerprint,
         "ns_ngram_jaccard": q_ngram_jaccard,
         "ns_minhash_pairs": q_minhash_pairs,
+        "ns_dedup_minhash_kept": q_dedup_minhash_kept,
+        "st_stateful_counters": q_stateful_counters,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
@@ -1403,6 +1448,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
               FROM documents WHERE trim(text) <> ''
             ) GROUP BY token ORDER BY freq DESC, token LIMIT 20
+        """,
+        "st_stateful_counters": """
+            SELECT user_id, count(*) AS n_events, max(ts) AS max_ts
+            FROM events GROUP BY user_id
         """,
         "st_streaming_daily": """
             SELECT CAST(ts AS DATE) AS event_date, event_type,

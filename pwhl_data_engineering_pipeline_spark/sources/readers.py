@@ -58,7 +58,10 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer `div`, NOT `/1000` + cast: double division rounds to
+            # the nearest representable (ulp 0.25 at µs-epoch magnitude) and
+            # can round UP, while nanos→µs must truncate.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
