@@ -512,11 +512,12 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+    qname = "stream_daily_rollup_" + os.path.basename(tmp).rsplit("_", 1)[-1]
     try:
         q = (
             stream.writeStream.outputMode("append")
             .format("memory")
-            .queryName("stream_daily_rollup")
+            .queryName(qname)
             .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -524,7 +525,7 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table("stream_daily_rollup")
+    return spark.table(qname)
 
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,13 +881,14 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").parquet(f"{tmp}/landing")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    qname = "stateful_counters_" + os.path.basename(tmp).rsplit("_", 1)[-1]
     try:
         stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
         q = (
             stateful.running_user_counters(stream)
             .writeStream.outputMode("update")
             .format("memory")
-            .queryName("stateful_counters")
+            .queryName(qname)
             .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
@@ -896,7 +898,7 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # single availableNow batch → exactly one emission per user; project the
     # order-independent columns (float sums are accumulation-order sensitive)
-    return spark.table("stateful_counters").select("user_id", "n_events", "max_ts")
+    return spark.table(qname).select("user_id", "n_events", "max_ts")
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,7 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(floor(l_quantity + 0.5)) AS sum_qty,
+                   CAST(sum(floor(l_quantity + 0.5)) AS BIGINT) AS sum_qty,
                    floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS sum_base_price,
                    floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
                    floor((sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5)) / 1000000.0) * 1e2 + 0.5) / 1e2 AS sum_charge,

@@ -27,10 +27,11 @@ def _norm_value(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # deliberately NOT collapsing whole floats to ints: a long on one
+        # side vs a whole double on the other is a type misalignment the
+        # driver's comparison may not forgive — surface it here instead
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return f"{round(v, 6):.6f}"
     if isinstance(v, datetime):
         return v.date().isoformat() if v.time() == datetime.min.time() else v.isoformat()
