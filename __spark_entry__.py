@@ -641,6 +641,39 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 4-order trailing moving average of order value
+    per customer (rowsBetween −3..0)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pr(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).over(w)
+            / (F.count(F.lit(1)).over(w) * 100.0),
+            2,
+        ).alias("trailing_avg_price"),
+    )
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc-based hourly rollup over the event stream (finer-grain
+    sibling of A1's daily rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward-inclusive): for every event, the user's most
     recent purchase value at or before the event time — one shuffle, no
@@ -1019,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_percentiles": q_percentiles,
         "j_asof_join": q_asof_join,
         "w_running_total": q_window_running,
+        "w_moving_avg": q_moving_avg,
+        "a1_hourly_rollup": q_hourly_rollup,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1366,6 +1401,24 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "w_moving_avg": """
+            SELECT o_custkey, o_orderkey,
+                   floor((sum(floor(o_totalprice * 100 + 0.5))
+                            OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                          / (count(*) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0))
+                         * 1e2 + 0.5) / 1e2 AS trailing_avg_price
+            FROM orders
+        """,
+        "a1_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY hour
         """,
         "w_running_total": """
             SELECT o_custkey, o_orderkey,
