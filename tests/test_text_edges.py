@@ -1,0 +1,64 @@
+"""Edge cases for the text kit: empty/short inputs, redaction patterns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.functions import text
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_chunk_text_edges(spark):
+    # shorter than one chunk → exactly one chunk, full text
+    chunks = _one(spark, text.chunk_text(F.lit("short"), 128, 32))
+    assert len(chunks) == 1 and chunks[0]["chunk_text"] == "short"
+    # empty text → one empty chunk (never zero rows downstream of explode)
+    chunks = _one(spark, text.chunk_text(F.lit(""), 128, 32))
+    assert len(chunks) == 1 and chunks[0]["chunk_text"] == ""
+    # exact multi-chunk math: 300 chars, chunk 128 stride 96 → ceil(268/96)=3
+    s = "x" * 300
+    chunks = _one(spark, text.chunk_text(F.lit(s), 128, 32))
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2]
+    assert len(chunks[0]["chunk_text"]) == 128
+    assert len(chunks[2]["chunk_text"]) == 300 - 2 * 96  # final partial window
+    # overlap property: consecutive chunks share `overlap` chars
+    assert chunks[0]["chunk_text"][-32:] == chunks[1]["chunk_text"][:32]
+
+
+def test_redact_pii(spark):
+    red = _one(
+        spark,
+        text.redact_pii(
+            F.lit("mail a.b+c@test.org or call +1 (555) 123-4567, id 1234567 end")
+        ),
+    )
+    assert "<EMAIL>" in red and "@" not in red
+    assert "<PHONE>" in red and "555" not in red
+    assert "<NUM>" in red and "1234567" not in red
+    # clean text passes through untouched
+    clean = _one(spark, text.redact_pii(F.lit("just words and a year 2025")))
+    assert clean == "just words and a year 2025"
+
+
+def test_token_count_edges(spark):
+    assert _one(spark, text.token_count(F.lit(""))) == 0
+    assert _one(spark, text.token_count(F.lit("   "))) == 0
+    assert _one(spark, text.token_count(F.lit("a  b\tc"))) == 3
+    # "hello" "," "world" "42" — letter runs, digit runs, single punctuation
+    assert _one(spark, text.bpe_ish_token_count(F.lit("hello, world 42"))) == 4
+
+
+def test_lang_id_unknown(spark):
+    assert _one(spark, text.lang_id(F.lit("zzz qqq xxx"))) == "und"
+    assert _one(spark, text.lang_id(F.lit("the cat and the dog"))) == "en"
+    assert _one(spark, text.lang_id(F.lit(""))) == "und"
+
+
+def test_shingles_and_ngrams_short_input(spark):
+    sh = _one(spark, text.char_shingles(F.lit("ab"), 5))
+    assert sh == ["ab"]  # shorter than k → whole string
+    ng = _one(spark, text.word_ngrams(F.lit("one two"), 3))
+    assert ng == ["one two"]  # fewer than n words → single partial gram
