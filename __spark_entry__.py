@@ -641,6 +641,46 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS): orders that do vs don't have a
+    high-discount line — the existence-test join family the reference never
+    needed but a complete engine must ship (left_semi avoids materializing
+    the probe side; left_anti is the standard orphan check)."""
+    orders = _t(spark, sf_dir, "orders")
+    hot = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    with_hot = orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+    without_hot = orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_anti")
+    return (
+        with_hot.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket", F.lit("has_hot_discount"))
+        .unionByName(
+            without_hot.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("bucket", F.lit("no_hot_discount"))
+        )
+    )
+
+
+def q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles + percent_rank per priority —
+    the ranking family beyond row_number."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    quartiled = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        pr(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+    return quartiled.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pr(F.max("pct_rank"), 6).alias("max_pct_rank"),
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window: 4-order trailing moving average of order value
     per customer (rowsBetween −3..0)."""
@@ -1054,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_total": q_window_running,
         "w_moving_avg": q_moving_avg,
         "a1_hourly_rollup": q_hourly_rollup,
+        "j_semi_anti": q_semi_anti_join,
+        "w_ntile_rank": q_ntile_rank,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1401,6 +1443,33 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "j_semi_anti": """
+            SELECT o_orderstatus, count(*) AS n_orders, 'has_hot_discount' AS bucket
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, count(*) AS n_orders, 'no_hot_discount' AS bucket
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+            GROUP BY o_orderstatus
+        """,
+        "w_ntile_rank": """
+            WITH q AS (
+              SELECT o_orderpriority, o_orderkey,
+                     ntile(4) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS quartile,
+                     floor((percent_rank() OVER (PARTITION BY o_orderpriority
+                                                 ORDER BY o_totalprice, o_orderkey))
+                           * 1e6 + 0.5) / 1e6 AS pct_rank
+              FROM orders
+            )
+            SELECT o_orderpriority, quartile, count(*) AS n_orders,
+                   floor((max(pct_rank)) * 1e6 + 0.5) / 1e6 AS max_pct_rank
+            FROM q GROUP BY o_orderpriority, quartile
         """,
         "w_moving_avg": """
             SELECT o_custkey, o_orderkey,
