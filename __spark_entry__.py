@@ -641,6 +641,22 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: parse JSON props into map<string,bigint>, explode
+    to key/value rows, aggregate per key (the semi-structured → relational
+    bridge for event payloads)."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (EXISTS / NOT EXISTS): orders that do vs don't have a
     high-discount line — the existence-test join family the reference never
@@ -1096,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_hourly_rollup": q_hourly_rollup,
         "j_semi_anti": q_semi_anti_join,
         "w_ntile_rank": q_ntile_rank,
+        "s2_map_explode": q_map_explode,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1443,6 +1460,16 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "s2_map_explode": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props)) AS key,
+                     CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS value
+              FROM events
+            )
+            SELECT key, count(*) AS n, sum(value) AS total,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM kv GROUP BY key
         """,
         "j_semi_anti": """
             SELECT o_orderstatus, count(*) AS n_orders, 'has_hot_discount' AS bucket
