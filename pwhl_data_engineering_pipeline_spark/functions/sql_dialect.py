@@ -15,6 +15,16 @@ same files on the engine unchanged — the dialect deltas are mechanical:
 - CTAS ``PARTITION BY / CLUSTER BY`` headers → ``USING parquet PARTITIONED
   BY`` (table mode) or stripped (temp-view mode, the default for tests)
 
+SCOPE: the translator is regex-based and scoped to the dialect constructs
+the reference's three SQL files actually use — it is not a general BigQuery
+parser. Known sharp edges for SQL beyond that scope: ``FORMAT_DATE`` with a
+nested-paren date expression (``FORMAT_DATE('%A', DATE(x))``) breaks the
+``[^)]+`` argument match, and ``split_statements`` splits on every ``;``
+including one inside a string literal. Feeding arbitrary BigQuery scripts
+through ``run_bigquery_script`` requires hardening these (balanced-paren and
+quote-aware parsing); the translated output is always plain Spark SQL, so
+misses surface as Spark analysis errors, not silent wrong results.
+
 One *documented deviation* (SURVEY.md §7.4 item 4): the reference's viz
 queries join ``USING (weather_id)`` but no script ever materializes that
 column — they cannot run against the reference's own tables. With

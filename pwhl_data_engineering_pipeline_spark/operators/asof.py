@@ -5,10 +5,12 @@ pipelines: "latest dimension value as of the fact timestamp").
 
 Algorithm (the shuffle-optimal composition):
   1. Tag left rows side=1, right rows side=0; union on (keys, ts, payload).
-  2. One window per key ordered by (ts, side): ``last(right payload, ignore
-     nulls)`` over unbounded-preceding..current carries the most recent
-     right value forward. Right sorts before left at equal ts → backward
-     join is inclusive (right.ts <= left.ts).
+  2. One window per key ordered by (ts, side): ``last(payload STRUCT,
+     ignorenulls)`` over unbounded-preceding..current carries the most
+     recent right ROW forward — the struct keeps all payload columns from
+     the same matched row, and a matched row's NULL values stay NULL
+     instead of reaching back to an older non-null row. Right sorts before
+     left at equal ts → backward join is inclusive (right.ts <= left.ts).
   3. Keep left rows.
 
 Exactly ONE shuffle on the join keys — same cost as a co-partitioned merge
@@ -46,24 +48,33 @@ def asof_join(
             "rename the payload columns before the as-of join"
         )
     lcols = left.columns
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in right_payload:
-        l = l.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    # The whole payload travels as ONE struct so the carry picks the payload
+    # of a single right row atomically. Carrying each column separately with
+    # last(col, ignorenulls) would (a) reach past a matched row whose value
+    # is NULL back to an older non-null row, and (b) let different payload
+    # columns come from different right rows — both deviations from
+    # DuckDB/kdb ASOF JOIN semantics. A right row with NULL values is still
+    # a non-null struct, so it correctly overrides older values with NULL.
+    rtypes = dict(right.dtypes)
+    struct_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_payload) + ">"
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(struct_ddl))
+    )
 
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
     )
     for c in lcols:
         if c not in keys:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes).get(c, "string")))
 
-    unioned = l.select(
-        *lcols, "__ts", "__side", *[f"__r_{c}" for c in right_payload]
-    ).unionByName(
-        r.select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_payload])
+    unioned = l.select(*lcols, "__ts", "__side", "__r").unionByName(
+        r.select(*lcols, "__ts", "__side", "__r")
     )
 
     w = (
@@ -72,10 +83,8 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_payload
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__m")
     )
-    return carried.filter(F.col("__side") == 1).select(*lcols, *right_payload)
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col("__m")[c].alias(c) for c in right_payload]
+    )

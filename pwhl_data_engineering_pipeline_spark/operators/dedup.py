@@ -208,7 +208,7 @@ def minhash_candidate_pairs(
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, bucket_keys: list[str], id_col: str
+    buckets: DataFrame, bucket_keys: list[str], id_col: str, max_bucket: int = 64
 ) -> DataFrame:
     """(id, bucket) rows → distinct candidate (id_a, id_b) pairs, id_a < id_b.
 
@@ -216,9 +216,26 @@ def pairs_from_buckets(
     self-join: the self-join evaluates the bucket subplan twice (fatal when
     the signature stage is expensive) and shuffles it twice; this shape
     computes buckets once, shuffles (bucket → id list) once, and expands
-    C(c,2) pairs inside each bucket with array expressions. Per-bucket cost
-    is inherently O(c²) either way — pre-filter degenerate buckets upstream.
-    """
+    C(c,2) pairs inside each bucket with array expressions.
+
+    Skew guard: buckets larger than ``max_bucket`` are DROPPED, and the cap
+    is enforced *before* the ``collect_set`` — a window count over the same
+    partitioning (no extra shuffle, bounded state) discards rows of
+    degenerate buckets (empty docs, boilerplate) so one hot bucket can
+    neither OOM the list aggregation nor go quadratic in the expansion. A
+    bucket that large is sharing boilerplate, not near-duplicate content;
+    callers needing visibility use :func:`bucket_skew_stats` to count what a
+    given cap would drop. Pass ``max_bucket=None`` to disable (not advised
+    at scale)."""
+    from pyspark.sql import Window
+
+    if max_bucket is not None:
+        w = Window.partitionBy(*bucket_keys)
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     grouped = (
         buckets.groupBy(*bucket_keys)
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
@@ -324,11 +341,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bits: int = 64,
     n_bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into ``n_bands`` chunks
     (pigeonhole: ≤ max_hamming bit flips leave ≥1 band intact when
     n_bands > max_hamming), join on any equal band, verify with
-    bit_count(xor) ≤ max_hamming."""
+    bit_count(xor) ≤ max_hamming.
+
+    Skew guard: band buckets larger than ``max_bucket`` are dropped before
+    the list aggregation (window count over the same partitioning — see
+    pairs_from_buckets), so a degenerate chunk value (e.g. thousands of
+    near-empty docs hashing to chunk 0) cannot OOM an executor or expand
+    quadratically."""
     band_bits = n_bits // n_bands
     sig = df.select(F.col(id_col), simhash(text_col, n_bits).alias("sig"))
     mask = (1 << band_bits) - 1
@@ -351,6 +375,15 @@ def simhash_near_pairs(
     # Single-pass pair expansion (see pairs_from_buckets): signatures travel
     # inside the bucket structs so Hamming verification needs no join back —
     # the expensive simhash stage is evaluated exactly once.
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "chunk")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     grouped = (
         banded.groupBy("band", "chunk")
         .agg(F.sort_array(F.collect_set("rec")).alias("recs"))
@@ -384,14 +417,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_gram_df: int = 1000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index: explode n-grams, self-join
     on the n-gram (candidates = pairs sharing ≥1 n-gram), count shared grams,
     compute |A∩B| / (|A| + |B| - |A∩B|). Never materializes row-pairs that
-    share nothing — the classic sparse-similarity join."""
+    share nothing — the classic sparse-similarity join.
+
+    Stop-gram guard (prefix-filter move): grams whose document frequency
+    exceeds ``max_gram_df`` are dropped from the inverted index BEFORE the
+    self-join — the join is quadratic in the hottest posting list, and a
+    stock phrase appearing in 1% of a 100 TB corpus would otherwise dominate
+    the whole job. Gram-set *sizes* (the Jaccard denominator) stay uncapped,
+    so the effect is only that pairs sharing nothing but stop-grams are
+    never candidates: reported Jaccard values are exact, a pair is missed
+    only if ALL of its shared grams are stop-grams. Pass ``max_gram_df=None``
+    to disable (exact, but quadratic under hot grams)."""
     grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
     sizes = grams.select(id_col, F.size("g").alias("sz"))
     inv = grams.select(id_col, F.explode("g").alias("gram"))
+    if max_gram_df is not None:
+        from pyspark.sql import Window
+
+        wg = Window.partitionBy("gram")
+        inv = (
+            inv.withColumn("__df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__df") <= max_gram_df)
+            .drop("__df")
+        )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -409,6 +462,20 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def bucket_skew_stats(
+    buckets: DataFrame, bucket_keys: list[str], max_bucket: int = 64
+) -> DataFrame:
+    """Observability companion to the skew guards: per-bucket sizes plus a
+    ``dropped`` flag for the given cap. One aggregated row per bucket — run
+    it (e.g. ``.filter("dropped").count()``) to log how many buckets/rows a
+    cap discards before trusting a dedup pass at a new scale."""
+    return (
+        buckets.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("dropped", F.col("bucket_size") > max_bucket)
     )
 
 

@@ -109,14 +109,18 @@ def brute_force_topk_arrow(
             denom = np.outer(qnorm, norms)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (qmat @ mat.T) / denom  # (Q, batch)
+            # Round BEFORE local selection so the local order is the exact
+            # total order the final merge window uses (cos_sim desc, id asc).
+            # Selecting on unrounded scores could locally evict a row that
+            # ties at 1e-6 precision but wins the global id tie-break —
+            # top-k-of-union == union-of-local-top-k only under one order.
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
             kk = min(k, mat.shape[0])
-            # argpartition per query row, then exact sort of the k candidates
-            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
             rows = []
             for qi in range(len(qids)):
-                # local candidates need no exact order — the final window sorts
-                for ci in part[qi]:
-                    rows.append((qids[qi], int(ids[ci]), float(np.floor(cos[qi, ci] * 1e6 + 0.5) / 1e6)))
+                order = np.lexsort((ids, -cos[qi]))[:kk]
+                for ci in order:
+                    rows.append((qids[qi], int(ids[ci]), float(cos[qi, ci])))
             yield pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
 
     scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(local_topk, out_schema)

@@ -31,12 +31,29 @@ _FINAL = {
 }
 
 
+def _content_salt(
+    df: DataFrame, salt_cols: Sequence[str] | None, salt_buckets: int, seed: int
+) -> Column:
+    """Deterministic salt from row CONTENT, not from a nondeterministic
+    expression. ``monotonically_increasing_id()``/``rand()`` feeding a
+    shuffle is the classic partial-stage-retry hazard: a recomputed task
+    re-salts its rows differently and the retried shuffle map output no
+    longer matches what reducers already fetched — rows silently lost or
+    duplicated. Hashing the row's own columns is retry-stable. Exact
+    duplicate rows share a salt (they collapse into the same partial
+    aggregate), so spreading degrades only for corpora dominated by
+    byte-identical rows — pass higher-cardinality ``salt_cols`` there."""
+    cols = list(salt_cols) if salt_cols else list(df.columns)
+    return F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in cols]), F.lit(salt_buckets))
+
+
 def salted_rollup(
     df: DataFrame,
     keys: Sequence[str],
     aggs: AggSpec,
     salt_buckets: int = 16,
     seed: int = 42,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation over a salted key: stage 1 aggregates on
     (keys, salt) spreading a hot key over ``salt_buckets`` reducers; stage 2
@@ -46,11 +63,15 @@ def salted_rollup(
     Equivalent to ``df.groupBy(keys).agg(...)`` for these aggregates; the
     win is when one key dominates: stage 1 shuffle spreads it evenly and
     stage 2 only moves ``salt_buckets`` pre-aggregated rows per key.
+
+    The salt is a content hash (see ``_content_salt``) — deterministic under
+    task retry. ``salt_cols`` defaults to all columns; pass a unique-ish
+    subset (e.g. an id column) when rows duplicate heavily.
     """
     for name, (_, kind) in aggs.items():
         if kind not in _PARTIAL:
             raise ValueError(f"{name}: non-algebraic agg {kind!r} cannot be salted")
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed)), salt_buckets)
+    salt = _content_salt(df, salt_cols, salt_buckets, seed)
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -68,20 +89,19 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = 8,
     seed: int = 42,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join for a non-broadcastable dimension: the fact side
-    gets a random salt, the dim side is replicated ``salt_buckets``× with an
-    exploded salt column, and the join runs on (keys, salt) — a hot key's
-    rows land on ``salt_buckets`` reducers instead of one.
+    gets a content-derived salt (retry-stable — see ``_content_salt``), the
+    dim side is replicated ``salt_buckets``× with an exploded salt column,
+    and the join runs on (keys, salt) — a hot key's rows land on
+    ``salt_buckets`` reducers instead of one.
 
     Cost: dim shuffle volume × salt_buckets. Use only when the dim is too
     big to broadcast AND a key is hot enough that AQE's skew splitting
     (which handles the sort-merge case automatically) isn't available.
     """
-    salted_fact = fact.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed)), salt_buckets),
-    )
+    salted_fact = fact.withColumn("__salt", _content_salt(fact, salt_cols, salt_buckets, seed))
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast(salted_fact.schema["__salt"].dataType))

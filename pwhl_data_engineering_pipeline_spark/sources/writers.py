@@ -84,13 +84,20 @@ def compact_parquet(
     cluster_by: Sequence[str] = (),
 ) -> int:
     """Compact a parquet dataset's small files: read, coalesce to
-    ``ceil(total_bytes / target_file_bytes)`` files, rewrite atomically via a
-    staging directory.
+    ``ceil(total_bytes / target_file_bytes)`` files, rewrite via a staging
+    directory with a rename-aside swap.
 
     Small files are the classic slow killer of a 100 TB lake (per-file open
     cost, tiny row groups defeat min/max pruning, driver file-listing blowup)
     — streaming/incremental sinks produce them continuously, so compaction is
     a first-class maintenance operator. Returns the output file count.
+
+    Swap order is crash-safe for the data (path → path__old, staging → path,
+    drop __old): at no point is there *no* complete copy on disk, and a crash
+    mid-swap is recoverable by renaming ``__old`` back. It is NOT atomic for
+    concurrent readers — a reader can list the directory during the rename
+    window and see a missing path; true reader isolation needs a
+    transactional table format (Delta/Iceberg) or a catalog pointer swap.
     """
     import math
 
@@ -112,8 +119,11 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    fs.delete(jvm.Path(path), True)
+    old = path.rstrip("/") + "__compact_old"
+    fs.delete(jvm.Path(old), True)  # leftover from a previous crashed swap
+    fs.rename(jvm.Path(path), jvm.Path(old))
     fs.rename(jvm.Path(staging), jvm.Path(path))
+    fs.delete(jvm.Path(old), True)
     return n_files
 
 

@@ -46,3 +46,43 @@ def test_incremental_day_load(spark, tmp_path):
     # read-modify-write in the upsert fn or a Delta-style sink)
     assert after["2025-01-02"] == (1, 5.0)
     assert after["2025-01-01"] == (1, 10.0)
+
+
+def test_incremental_day_load_with_merge(spark, tmp_path):
+    """merge mode: a day whose files span batches ACCUMULATES instead of
+    being replaced by the last batch's partial aggregate."""
+    landing = str(tmp_path / "landing_m")
+    out = str(tmp_path / "warehouse_m")
+    ckpt = str(tmp_path / "ckpt_m")
+
+    def _merge(existing, new):
+        return (
+            existing.unionByName(new)
+            .groupBy("event_date")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+
+    day1 = spark.createDataFrame(
+        [("2025-01-01 10:00:00", 1.0), ("2025-01-01 11:00:00", 2.0)], "ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day1.coalesce(1).write.mode("overwrite").parquet(landing)
+    q = incremental.incremental_daily_load(
+        spark, landing, out, ckpt, day1.schema, _agg, merge=_merge
+    )
+    q.awaitTermination(120)
+
+    more = spark.createDataFrame(
+        [("2025-01-01 12:00:00", 10.0), ("2025-01-02 09:00:00", 5.0)], "ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    more.coalesce(1).write.mode("append").parquet(landing)
+    q2 = incremental.incremental_daily_load(
+        spark, landing, out, ckpt, day1.schema, _agg, merge=_merge
+    )
+    q2.awaitTermination(120)
+
+    after = {
+        r["event_date"].isoformat(): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after["2025-01-01"] == (3, 13.0)  # merged, not replaced
+    assert after["2025-01-02"] == (1, 5.0)

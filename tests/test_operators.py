@@ -255,3 +255,95 @@ def test_partitioned_writer_roundtrip(spark, tmp_path):
     writers.write_parquet_partitioned(day2, out, ("event_date",), ("market",))
     after = {(r["event_date"].isoformat(), r["market"]) for r in spark.read.parquet(out).collect()}
     assert after == {("2025-01-01", "A"), ("2025-01-02", "C")}
+
+
+def test_asof_null_payload_from_matched_row(spark):
+    """ASOF parity edge: a matched right row carrying NULL payload must yield
+    NULL (not reach back to an older non-null row), and multiple payload
+    columns must come from the SAME matched right row."""
+    from pwhl_data_engineering_pipeline_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 15, "e2"), (1, 25, "e3")],
+        "user_id long, ts long, event string",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 100.0, "a"), (1, 10, None, "b"), (1, 20, 300.0, None)],
+        "user_id long, ts long, px double, tag string",
+    )
+    out = {
+        r["event"]: (r["px"], r["tag"])
+        for r in asof.asof_join(
+            left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["px", "tag"],
+        ).collect()
+    }
+    assert out["e1"] == (100.0, "a")
+    # matched row (ts=10) has NULL px: must NOT carry 100.0 from ts=1
+    assert out["e2"] == (None, "b")
+    # matched row (ts=20): px from it AND tag (NULL) from it, not "b" from ts=10
+    assert out["e3"] == (300.0, None)
+
+
+def test_pairs_from_buckets_hot_bucket_capped(spark):
+    """A degenerate bucket above the cap contributes NO pairs and the cap is
+    enforced before the list aggregation (no unbounded collect state)."""
+    rows = [(i, "hot") for i in range(500)] + [(1000, "cold"), (1001, "cold")]
+    buckets = spark.createDataFrame(rows, "doc_id long, bucket string")
+    pairs = dedup.pairs_from_buckets(buckets, ["bucket"], "doc_id", max_bucket=64).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1000, 1001)}
+    stats = {r["bucket"]: (r["bucket_size"], r["dropped"])
+             for r in dedup.bucket_skew_stats(buckets, ["bucket"], max_bucket=64).collect()}
+    assert stats["hot"] == (500, True) and stats["cold"] == (2, False)
+
+
+def test_minhash_identical_text_bucket_capped(spark):
+    """Thousands of byte-identical docs (the boilerplate pathology): every
+    band bucket holds all of them; with the cap the candidate stage completes
+    without quadratic pair expansion."""
+    n = 3000
+    rows = [(i, BASE) for i in range(n)] + [(n, "something else entirely here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_candidate_pairs(docs, num_hashes=32, num_bands=8)
+    # all identical-doc buckets exceed the cap → dropped; nothing pairs with
+    # the singleton → empty result, and it returns promptly (not C(3000,2))
+    assert pairs.count() == 0
+
+
+def test_simhash_hot_bucket_capped(spark):
+    n = 2000
+    rows = [(i, BASE) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.simhash_near_pairs(docs, max_hamming=3).count() == 0
+    # raising the cap beyond the bucket size restores the pairs
+    some = dedup.simhash_near_pairs(
+        docs.filter(F.col("doc_id") < 5), max_hamming=3, max_bucket=64
+    )
+    assert some.count() == 10  # C(5,2) identical docs
+
+
+def test_ngram_stop_gram_cutoff(spark):
+    """Grams above the df cutoff are excluded from the inverted index: a pair
+    sharing ONLY stop-grams is never a candidate, while true near-dups keep
+    their exact Jaccard (denominators stay uncapped)."""
+    stock = "all rights reserved contact us for terms"
+    rows = (
+        [(i, f"unique document number {i} about topic {i * 7} . " + stock) for i in range(40)]
+        + [(100, BASE), (101, BASE + " extra")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cutoff below the boilerplate df (40) but above the near-dup grams' df (2)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_gram_df=10).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), "boilerplate-only pairs must be pruned"
+    # the surviving pair's jaccard is the exact uncapped value
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs.filter(F.col("doc_id") >= 100), n=3, threshold=0.1, max_gram_df=None
+        ).collect()
+    }
+    assert pairs[(100, 101)] == pytest.approx(exact[(100, 101)])
