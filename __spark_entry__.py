@@ -106,8 +106,11 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9/P10: CASE/BETWEEN banding (sql/10_eda_queries.sql:51-59 analogue)."""
+def q_band_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10/P11: CASE/BETWEEN labeled banding (lineitem quantities,
+    sql/10_eda_queries.sql:51-59 analogue) unioned with ROUND(x/w)*w numeric
+    binning (order prices, sql/10:155 analogue) under one (kind, band)
+    schema."""
     li = _t(spark, sf_dir, "lineitem")
     banded = li.withColumn(
         "qty_band",
@@ -122,23 +125,28 @@ def q_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
     )
-    return banded.groupBy("qty_band").agg(
-        F.count(F.lit(1)).alias("line_count"),
+    qty_leg = banded.groupBy("qty_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
         pr(msum("l_extendedprice") / F.count(F.lit(1)), 2).alias("avg_price"),
+    ).select(
+        F.lit("qty_band").alias("kind"), F.col("qty_band").alias("band"),
+        "n_rows", "avg_price",
     )
-
-
-def q_numeric_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11: ROUND(x/w)*w binning (sql/10_eda_queries.sql:155 analogue)."""
     orders = _t(spark, sf_dir, "orders")
-    return (
+    bin_leg = (
         orders.withColumn("price_bin", pr(F.col("o_totalprice") / 50000.0, 0) * 50000.0)
         .groupBy("price_bin")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
             pr(msum("o_totalprice") / F.count(F.lit(1)), 2).alias("avg_price"),
         )
+        .select(
+            F.lit("price_bin").alias("kind"),
+            F.col("price_bin").cast("long").cast("string").alias("band"),
+            "n_rows", "avg_price",
+        )
     )
+    return qty_leg.unionByName(bin_leg)
 
 
 def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,22 +173,6 @@ def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_left_join_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/J4: m:1 left enrichment join."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    joined = relational.join_enrich(
-        orders, cust, orders.o_custkey == cust.c_custkey, "left"
-    )
-    return joined.groupBy(
-        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        pr(msum("o_totalprice"), 2).alias("total_price"),
-        F.count_distinct("o_custkey").alias("n_customers"),
-    )
-
-
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: replicate-per-market cross join (clean_section_capacity.py:105-108)."""
     reg = _t(spark, sf_dir, "region")
@@ -188,19 +180,27 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.cross_join(reg.select("r_name"), nat.select("n_name"))
 
 
-def q_compound_on_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: left join with compound ON (sql/03_create_views.sql:41-43)."""
+def q_left_join_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4/J7: m:1 left enrichment (customer, broadcastable dim, with
+    coalesce fallback for unmatched keys) + left join with compound ON
+    (sql/03_create_views.sql:41-43) in one plan."""
     orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
-    joined = orders.join(
+    joined = relational.join_enrich(
+        orders, cust, orders.o_custkey == cust.c_custkey, "left"
+    ).join(
         li,
         (orders.o_orderkey == li.l_orderkey) & (li.l_discount > 0.05),
         "left",
     )
-    return joined.groupBy("o_orderstatus").agg(
+    return joined.groupBy(
+        "o_orderstatus", F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_orderkey").alias("matched_lines"),
         pr(msum(F.col("l_extendedprice") * F.col("l_discount"), 10000.0), 2).alias("disc_revenue"),
+        F.count_distinct("o_custkey").alias("n_customers"),
     )
 
 
@@ -212,7 +212,18 @@ def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio_day_id",
         scalars.surrogate_key("o_orderpriority", F.col("o_orderdate").cast("date")),
     )
-    return keyed.groupBy("prio_day_id").agg(F.count(F.lit(1)).alias("n_orders"))
+    # F16/F17 fold-in: SAFE_DIVIDE + NULLIF with a genuinely-NULL path —
+    # groups with no 'F' orders divide by NULL, and no 'X' status exists at
+    # all so null_ratio is the all-NULL column (sql/02:106-108)
+    n_f = aggregates.count_if(F.col("o_orderstatus") == "F")
+    n_x = aggregates.count_if(F.col("o_orderstatus") == "X")
+    return keyed.groupBy("prio_day_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pr(F.try_divide(msum("o_totalprice"), F.nullif(n_f, F.lit(0))), 2).alias(
+            "avg_per_f_order"
+        ),
+        F.try_divide(msum("o_totalprice"), F.nullif(n_x, F.lit(0))).alias("null_ratio"),
+    )
 
 
 def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +241,9 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value": pr(F.max("value"), 2),
             "n_users": F.count_distinct("user_id"),
             "high_value_events": aggregates.count_if(F.col("value") >= 100.0),
+            # hourly-grain fold-in: date_trunc('hour') distinct count covers
+            # the finer-truncation operator inside the same rollup
+            "n_hours": F.count_distinct(F.date_trunc("hour", F.col("ts"))),
         },
     )
 
@@ -251,40 +265,46 @@ def q_weighted_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: SELECT DISTINCT dim extraction (sql/02:21-37)."""
+    """A4/A5: SELECT DISTINCT dim extraction (sql/02:21-37) enriched with a
+    per-brand COUNT(DISTINCT) (sql/10_eda_queries.sql:19) — the small count
+    side broadcasts onto the distinct pairs."""
     part = _t(spark, sf_dir, "part")
-    return aggregates.distinct_dim(part, ["p_brand", "p_type"], not_null="p_brand")
-
-
-def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: COUNT(DISTINCT ...) per group (sql/10_eda_queries.sql:19)."""
-    cust = _t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.count_distinct("c_nationkey").alias("n_nations"),
-        pr(msum("c_acctbal") / F.count(F.lit(1)), 2).alias("avg_acctbal"),
+    pairs = aggregates.distinct_dim(part, ["p_brand", "p_type"], not_null="p_brand")
+    counts = (
+        part.filter(F.col("p_brand").isNotNull())
+        .groupBy("p_brand")
+        .agg(F.count_distinct("p_type").alias("n_types"))
     )
+    return pairs.join(counts, "p_brand")
 
 
-def q_countif_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: COUNTIF + ratio (sql/10_eda_queries.sql:128-136)."""
+def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8/A9 + exact percentiles, one single-shuffle groupBy: COUNTIF +
+    ratio (sql/10_eda_queries.sql:128-136), Pearson corr / stddev / covar
+    (sql/10:78-83), and linear-interpolation percentiles. One array-form
+    percentile agg → single sort of the group state (two scalar percentile
+    calls would sort twice)."""
     li = _t(spark, sf_dir, "lineitem")
     disc = aggregates.count_if(F.col("l_discount") >= 0.05)
-    return li.groupBy("l_returnflag").agg(
-        disc.alias("disc_lines"),
-        F.count(F.lit(1)).alias("lines"),
-        pr(disc / F.count(F.lit(1)), 4).alias("disc_ratio"),
-    )
-
-
-def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/A9: Pearson correlation, per-group (sql/10_eda_queries.sql:78-83)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
-        pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
-        pr(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
-        pr(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+    qtiles = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            disc.alias("disc_lines"),
+            F.count(F.lit(1)).alias("lines"),
+            pr(disc / F.count(F.lit(1)), 4).alias("disc_ratio"),
+            pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+            pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+            pr(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            pr(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+            qtiles.alias("__q"),
+        )
+        .select(
+            "l_returnflag", "disc_lines", "lines", "disc_ratio",
+            "corr_price_qty", "corr_price_disc", "stddev_price", "covar_price_qty",
+            pr(F.element_at("__q", 1), 4).alias("p50_price"),
+            pr(F.element_at("__q", 2), 4).alias("p95_price"),
+        )
     )
 
 
@@ -304,88 +324,49 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4: HAVING post-aggregation filter (sql/10_eda_queries.sql:100)."""
-    cust = _t(spark, sf_dir, "customer")
+def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8 string kit (trim/lower/regexp/concat/slugify,
+    transform_weather.py:21-26, no UDF) + F5 title-casing
+    (clean_ticket_sales.py:41) + J6 inner equi-join chain + O4 HAVING
+    post-aggregation filter (sql/10_eda_queries.sql:100) — customer counts
+    per nation with the string kit applied to the surviving groups."""
     nat = _t(spark, sf_dir, "nation")
-    joined = relational.join_enrich(cust, nat, cust.c_nationkey == nat.n_nationkey, "inner")
-    return (
-        joined.groupBy("n_name")
+    reg = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    joined = nat.join(reg, nat.n_regionkey == reg.r_regionkey).join(
+        cust, F.col("c_nationkey") == nat.n_nationkey
+    )
+    grouped = (
+        joined.groupBy("n_name", "r_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .filter(F.col("n_customers") >= 5)
     )
-
-
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1: union-all of per-source frames (ingest_weather.py:103)."""
-    li = _t(spark, sf_dir, "lineitem")
-    parts = [
-        li.filter(F.col("l_returnflag") == "R"),
-        li.filter(F.col("l_returnflag") == "N"),
-    ]
-    return relational.union_all(parts).groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("lines"),
-        pr(msum("l_extendedprice"), 2).alias("revenue"),
-    )
-
-
-def q_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F8: trim/lower/regexp/concat/slugify string kit
-    (transform_weather.py:21-26 slugify, no UDF)."""
-    nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region")
-    joined = nat.join(reg, nat.n_regionkey == reg.r_regionkey)
-    return joined.select(
+    return grouped.select(
         "n_name",
         "r_name",
         scalars.slugify("r_name", "n_name").alias("slug"),
         F.length("n_name").alias("name_len"),
         F.upper(F.trim("n_name")).alias("name_upper"),
+        F.initcap(F.lower("n_name")).alias("name_title"),
+        "n_customers",
     )
 
 
 def q_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12-F14: EXTRACT / weekday name / ISO week
-    (sql/02_create_dims_and_facts.sql:61-64)."""
-    orders = _t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return (
-        orders.select(
-            d.alias("order_day"),
-            F.year(d).alias("year"),
-            F.month(d).alias("month"),
-            F.dayofmonth(d).alias("day_of_month"),
-            scalars.weekday_name(d).alias("weekday"),
-            scalars.iso_week(d).alias("iso_week"),
-        )
-        .distinct()
-    )
-
-
-def q_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15: GENERATE_DATE_ARRAY + UNNEST (sql/02:65) — dim_date build."""
+    """F12-F15: GENERATE_DATE_ARRAY + UNNEST dim_date build (sql/02:65) with
+    the full extract kit (EXTRACT / weekday name / ISO week,
+    sql/02_create_dims_and_facts.sql:61-64) over the generated days."""
     return (
         spark.range(1)
         .select(F.explode(scalars.date_sequence("1995-01-01", "1995-03-31")).alias("day"))
         .select(
             "day",
+            F.year("day").alias("year"),
+            F.month("day").alias("month"),
+            F.dayofmonth("day").alias("day_of_month"),
             scalars.weekday_name("day").alias("weekday"),
             scalars.iso_week("day").alias("iso_week"),
         )
-    )
-
-
-def q_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F16/F17: SAFE_DIVIDE + NULLIF incl. the divide-by-zero → NULL path
-    (sql/02:106-108)."""
-    orders = _t(spark, sf_dir, "orders")
-    n_f = aggregates.count_if(F.col("o_orderstatus") == "F")
-    n_x = aggregates.count_if(F.col("o_orderstatus") == "X")  # always 0 → NULL ratio
-    return orders.groupBy("o_orderpriority").agg(
-        pr(
-            F.try_divide(msum("o_totalprice"), F.nullif(n_f, F.lit(0))), 2
-        ).alias("avg_per_f_order"),
-        F.try_divide(msum("o_totalprice"), F.nullif(n_x, F.lit(0))).alias("null_ratio"),
     )
 
 
@@ -404,36 +385,51 @@ def q_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2-adjacent: JSON payload field extraction (ingest_weather.py:47-48)."""
+def q_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: semi-structured event payloads → relational
+    (ingest_weather.py:47-48 analogue): parse JSON props into
+    map<string,bigint>, explode to key/value rows, aggregate per
+    (event_type, key) — field extraction and map-explode in one pass."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.max(k).alias("max_k"),
-        F.count(k).alias("n_with_k"),
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value"),
+    )
+    return kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
     )
 
 
-def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window layer: per-group top-k (north-star ranking primitive)."""
+def q_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking kit: per-group top-k (north-star ranking primitive)
+    unioned with deterministic keep-latest dedup ranking — both row_number
+    patterns under one (kind, grp, o_orderkey, rn) schema."""
     orders = _t(spark, sf_dir, "orders")
-    return windows.top_k_per_group(
+    topk = windows.top_k_per_group(
         orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
         ["o_orderpriority"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         3,
+    ).select(
+        F.lit("topk_per_priority").alias("kind"),
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.col("rn"),
     )
-
-
-def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window layer: deterministic keep-latest dedup ranking."""
-    orders = _t(spark, sf_dir, "orders")
-    return windows.dedup_rank(
+    latest = windows.dedup_rank(
         orders.select("o_custkey", "o_orderkey", "o_orderdate"),
         ["o_custkey"],
         [F.desc("o_orderdate"), F.desc("o_orderkey")],
-    ).select("o_custkey", "o_orderkey")
+    ).select(
+        F.lit("latest_per_customer").alias("kind"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        "o_orderkey",
+        F.lit(1).alias("rn"),
+    )
+    return topk.unionByName(latest)
 
 
 def q_sql_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,17 +447,6 @@ def q_sql_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         HAVING count(*) > 10
         """
-    )
-
-
-def q_initcap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: title-casing (pandas .str.title() parity on the observed
-    whitespace-separated vocabulary — clean_ticket_sales.py:41)."""
-    part = _t(spark, sf_dir, "part")
-    return (
-        part.select(F.initcap(F.lower(F.col("p_name"))).alias("p_name_title"))
-        .groupBy("p_name_title")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
 
 
@@ -541,12 +526,14 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window analytics: running revenue total + previous-order gap per
-    customer (frame-based sum, lag) — the OVER-clause surface beyond
-    ranking."""
+    """Window analytics: running revenue total + previous-order gap +
+    4-order trailing moving average per customer (unbounded frame, lag, and
+    sliding frame) — the OVER-clause surface beyond ranking. All three share
+    one partition/order → ONE shuffle."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = w.rowsBetween(-3, 0)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -557,6 +544,11 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"),
             F.lag(F.col("o_orderdate").cast("date")).over(w),
         ).alias("days_since_prev"),
+        pr(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).over(trailing)
+            / (F.count(F.lit(1)).over(trailing) * 100.0),
+            2,
+        ).alias("trailing_avg_price"),
     )
 
 
@@ -619,8 +611,11 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: sorted distinct list per group (collect_set is
     unordered → sort_array for deterministic output), plus array membership."""
     li = _t(spark, sf_dir, "lineitem")
+    # list outputs are serialized to a joined string: the driver harness
+    # canonicalizes via pandas sort_values, which cannot sort list cells
+    # (unhashable) — and a delimited string hashes identically across engines
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.array_contains(F.sort_array(F.collect_set("l_linestatus")), "F").alias("has_final"),
         F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
     )
@@ -632,28 +627,18 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), hence rows-only: sketch internals are engine-specific and not
     oracle-hashable. Exact counterparts: a5_count_distinct, a_percentiles."""
     li = _t(spark, sf_dir, "lineitem")
+    # the quantile array is stringified: list cells crash the driver's
+    # pandas canonicalization (unhashable in sort_values)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").alias(
-            "approx_price_quantiles"
-        ),
-    )
-
-
-def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed columns: parse JSON props into map<string,bigint>, explode
-    to key/value rows, aggregate per key (the semi-structured → relational
-    bridge for event payloads)."""
-    ev = _t(spark, sf_dir, "events")
-    kv = ev.select(
-        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value")
-    )
-    return kv.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("total"),
-        F.min("value").alias("min_v"),
-        F.max("value").alias("max_v"),
+        F.array_join(
+            F.transform(
+                F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("approx_price_quantiles"),
     )
 
 
@@ -697,39 +682,6 @@ def q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-frame window: 4-order trailing moving average of order value
-    per customer (rowsBetween −3..0)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(-3, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        pr(
-            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).over(w)
-            / (F.count(F.lit(1)).over(w) * 100.0),
-            2,
-        ).alias("trailing_avg_price"),
-    )
-
-
-def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date_trunc-based hourly rollup over the event stream (finer-grain
-    sibling of A1's daily rollup)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("event_type").alias("n_types"),
-        )
-    )
-
-
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward-inclusive): for every event, the user's most
     recent purchase value at or before the event time — one shuffle, no
@@ -747,26 +699,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["purchase_value"],
     )
     return joined.select("event_id", "user_id", "purchase_value")
-
-
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group — the engine's
-    quantile surface; approx variants (approx_percentile/HLL) exist for the
-    100 TB path but are sketch-based and not oracle-hashable."""
-    li = _t(spark, sf_dir, "lineitem")
-    # one array-form percentile agg → single sort per group (two scalar
-    # percentile calls would sort the group state twice)
-    qtiles = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(qtiles.alias("__q"), F.count(F.lit(1)).alias("lines"))
-        .select(
-            "l_returnflag",
-            pr(F.element_at("__q", 1), 4).alias("p50_price"),
-            pr(F.element_at("__q", 2), 4).alias("p95_price"),
-            "lines",
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -860,19 +792,18 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: keep min doc_id per normalized-content fingerprint."""
+    """Exact dedup + fingerprinting in one pass: group on the xxhash64
+    content fingerprint (functions.text.fingerprint — ONE shuffle of
+    (8-byte hash, id), never document bodies), keep min doc_id per group and
+    report the duplicate count. Row count == number of distinct
+    fingerprints, so the fingerprint operator is driver-checked too; the
+    window-shaped variant keeping full rows is operators.dedup.dedup_exact
+    (exercised by ns_corpus_clean)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_exact(docs).select("doc_id")
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: whitespace token counting per language."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.token_count("text")).alias("total_tokens"),
-        pr(F.avg(text.token_count("text")), 2).alias("avg_tokens"),
-        F.sum("n_chars").alias("total_chars"),
+    return (
+        docs.groupBy(text.fingerprint("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count")
     )
 
 
@@ -886,75 +817,61 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: per-source quality signal averages."""
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis kit, one scan + one shuffle per source: token counting
+    (total/avg/chars), quality signal ratios, and the blended [0,1] quality
+    score. Averages use exact integer-scaled sums (msum over the 1e-6-rounded
+    per-doc values) so partial-agg accumulation order can't move the result
+    (see scalars.portable_round)."""
     docs = _t(spark, sf_dir, "documents")
     q = text.quality_features("text")
     per_doc = docs.select(
         "source",
+        F.col("n_chars"),
         pr(q["punct_ratio"], 6).alias("punct_ratio"),
         pr(q["digit_ratio"], 6).alias("digit_ratio"),
         q["n_tokens"].alias("n_tokens"),
+        text.quality_score("text").alias("q"),
     )
+    n = F.count(F.lit(1))
     return per_doc.groupBy("source").agg(
-        pr(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
-        pr(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
-        pr(F.avg("n_tokens"), 2).alias("avg_tokens"),
-    )
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: blended [0,1] quality score per language."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("lang", text.quality_score("text").alias("q")).groupBy("lang").agg(
-        pr(F.avg("q"), 4).alias("avg_quality"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: content fingerprinting — distinct normalized contents."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.agg(
-        F.count_distinct(text.fingerprint("text")).alias("n_unique"),
-        F.count(F.lit(1)).alias("n_docs"),
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        pr(F.sum("n_tokens") / n, 2).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        pr(msum("punct_ratio", 1000000.0) / n, 4).alias("avg_punct_ratio"),
+        pr(msum("digit_ratio", 1000000.0) / n, 4).alias("avg_digit_ratio"),
+        pr(msum("q", 1000000.0) / n, 4).alias("avg_quality"),
     )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: word-3-gram Jaccard pairs via inverted-index join."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: MinHash+LSH candidate pairs (hash-seeded — rows-only check)."""
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash near-dedup: LSH candidate pairs → true-Jaccard
+    verification → greedy suppression; returns surviving doc ids
+    (hash-seeded candidates → rows-only check)."""
     # Repartition first: the testdata table is a single parquet file → one
     # scan task; signature hashing should use every core. At cluster scale
     # the input is many files and this is a no-op choice.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
     # 8 rows/band → collision prob ≈ J⁸: only genuinely similar docs collide,
-    # keeping the bucket self-join bounded on highly-overlapping corpora.
-    return dedup.minhash_candidate_pairs(docs, num_hashes=64, num_bands=8)
+    # keeping the bucket expansion bounded on highly-overlapping corpora.
+    return dedup.dedup_minhash(
+        docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8
+    ).select("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
-
-
-def q_dedup_minhash_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end MinHash near-dedup: candidates → true-Jaccard verification
-    → greedy suppression; returns surviving doc ids (hash-seeded candidates
-    → rows-only)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
-    return dedup.dedup_minhash(
-        docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8
-    ).select("doc_id")
 
 
 def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,12 +908,21 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search: exact brute-force cosine top-10."""
+    """Similarity search: exact brute-force cosine top-10 via the Arrow
+    pre-reduced path (similarity.brute_force_topk_arrow) — each batch emits
+    only its LOCAL top-k per query, so the shuffle carries
+    ≤ partitions × |Q| × k rows regardless of corpus size. The |Q|×N
+    expression variant (brute_force_topk) remains for tiny corpora and as
+    the differential-test twin."""
+    # No repartition: the local-top-k map runs on the scan's own partitioning
+    # (a real corpus has many input splits; forcing a shuffle of the whole
+    # corpus before a narrow map would be pure overhead at any scale)
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return similarity.brute_force_topk(emb, queries, k=10, rank_col="knn_rank")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )  # 8 query vectors — driver-side by contract (ships via closure)
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    return similarity.brute_force_topk_arrow(emb, qvecs, k=10, rank_col="knn_rank")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,74 +1000,67 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 entries — deliberately ≤ 50: the driver correctness-checks only the
+    first 50, so every operator (including the full north-star ns_*/st_*
+    suite) sits inside the checked window. Round-1 singleton entries were
+    consolidated into kit queries (COVERAGE.md maps every SURVEY §2 row to
+    its carrying entry): p9_p10+p11→p_band_bin, j2+j7→j2_j7_left_join_kit,
+    f16→j8, a1_hourly→a1_daily (n_hours), a5→a4, a7+a8+a9+percentiles→
+    a_stats_kit, o4+f5→f_string_kit, f15→f_date_kit, s2 extract+map-explode→
+    s2_json_kit, w_topk+w_dedup_rank→w_rank_kit, w_moving_avg→
+    w_running_total, u1→u2 (its assembly IS a union-all), token_counts+
+    quality_signals+quality_score→ns_text_signals, fingerprint→
+    ns_dedup_exact, minhash pairs+kept→ns_minhash_dedup."""
     return {
         "flagship_priority_revenue": q_flagship,
         "p1_p5_filter_project": q_filter_project,
-        "p9_p10_case_banding": q_case_banding,
-        "p11_numeric_binning": q_numeric_binning,
+        "p_band_bin": q_band_bin,
         "j1_broadcast_enrich": q_broadcast_enrich,
-        "j2_left_join_m1": q_left_join_m1,
+        "j2_j7_left_join_kit": q_left_join_kit,
         "j3_cross_join": q_cross_join,
-        "j7_compound_on_join": q_compound_on_join,
         "j8_surrogate_key_mint": q_surrogate_key,
         "a1_daily_rollup": q_daily_rollup,
         "a3_weighted_reagg": q_weighted_reagg,
-        "a4_distinct_dims": q_distinct_dims,
-        "a5_count_distinct": q_count_distinct,
-        "a7_countif_ratio": q_countif_ratio,
-        "a8_corr": q_corr,
+        "a4_a5_distinct_dims": q_distinct_dims,
+        "a_stats_kit": q_stats_kit,
         "a10_dup_key_detect": q_dup_key_detect,
         "o3_topk": q_topk,
-        "o4_having": q_having,
-        "u1_union_all": q_union_all,
         "f_string_kit": q_string_kit,
         "f_date_kit": q_date_kit,
-        "f15_date_sequence": q_date_sequence,
-        "f16_safe_divide": q_safe_divide,
         "f9_multi_format_dates": q_multi_format_dates,
-        "s2_json_extract": q_json_extract,
-        "w_topk_per_group": q_window_topk,
-        "w_dedup_rank": q_window_dedup_rank,
+        "s2_json_kit": q_json_kit,
         "s12_sql_layer": q_sql_layer,
-        "f5_initcap": q_initcap,
+        "w_rank_kit": q_rank_kit,
         "w_sessionization": q_sessionization,
-        "a_percentiles": q_percentiles,
-        "j_asof_join": q_asof_join,
         "w_running_total": q_window_running,
-        "w_moving_avg": q_moving_avg,
-        "a1_hourly_rollup": q_hourly_rollup,
-        "j_semi_anti": q_semi_anti_join,
         "w_ntile_rank": q_ntile_rank,
-        "s2_map_explode": q_map_explode,
-        "ns_corpus_clean": q_corpus_clean,
-        "ns_chunking": q_chunking,
-        "ns_redact_pii": q_redact_pii,
-        "a_approx_aggs": q_approx_aggs,
-        "a_array_agg": q_array_agg,
-        "a_rollup_cube": q_rollup_cube,
+        "j_asof_join": q_asof_join,
+        "j_semi_anti": q_semi_anti_join,
         "u2_set_ops": q_set_ops,
+        "a_array_agg": q_array_agg,
+        "a_approx_aggs": q_approx_aggs,
+        "a_rollup_cube": q_rollup_cube,
         "a_pivot": q_pivot,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "ns_corpus_clean": q_corpus_clean,
+        "ns_chunking": q_chunking,
+        "ns_redact_pii": q_redact_pii,
         "ns_top_tokens": q_top_tokens,
-        "st_streaming_daily": q_streaming_daily,
         "ns_dedup_exact": q_dedup_exact,
-        "ns_token_counts": q_token_counts,
+        "ns_text_signals": q_text_signals,
         "ns_lang_id": q_lang_id,
-        "ns_quality_signals": q_quality_signals,
-        "ns_quality_score": q_quality_score,
-        "ns_fingerprint": q_fingerprint,
         "ns_ngram_jaccard": q_ngram_jaccard,
-        "ns_minhash_pairs": q_minhash_pairs,
-        "ns_dedup_minhash_kept": q_dedup_minhash_kept,
-        "st_stateful_counters": q_stateful_counters,
+        "ns_minhash_dedup": q_minhash_dedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_multimodal_features": q_multimodal_features,
+        "st_streaming_daily": q_streaming_daily,
+        "st_stateful_counters": q_stateful_counters,
     }
 
 
@@ -1175,22 +1094,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity >= 45 AND l_shipdate IS NOT NULL
         """,
-        "p9_p10_case_banding": """
-            SELECT CASE WHEN l_quantity IS NULL THEN 'Unknown'
+        "p_band_bin": """
+            SELECT 'qty_band' AS kind,
+                   CASE WHEN l_quantity IS NULL THEN 'Unknown'
                         WHEN l_quantity <= 10 THEN 'Tiny (<=10)'
                         WHEN l_quantity BETWEEN 10 AND 20 THEN 'Small (10-20)'
                         WHEN l_quantity BETWEEN 20 AND 35 THEN 'Medium (20-35)'
                         WHEN l_quantity BETWEEN 35 AND 45 THEN 'Large (35-45)'
-                        ELSE 'Huge (>45)' END AS qty_band,
-                   count(*) AS line_count,
+                        ELSE 'Huge (>45)' END AS band,
+                   count(*) AS n_rows,
                    floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_price
-            FROM lineitem GROUP BY qty_band
-        """,
-        "p11_numeric_binning": """
-            SELECT floor((o_totalprice / 50000.0) * 1e0 + 0.5) / 1e0 * 50000.0 AS price_bin,
-                   count(*) AS n_orders,
+            FROM lineitem GROUP BY band
+            UNION ALL
+            SELECT 'price_bin' AS kind,
+                   CAST(CAST(floor((o_totalprice / 50000.0) * 1e0 + 0.5) / 1e0 * 50000.0 AS BIGINT) AS VARCHAR) AS band,
+                   count(*) AS n_rows,
                    floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_price
-            FROM orders GROUP BY price_bin
+            FROM orders GROUP BY band
         """,
         "j1_broadcast_enrich": """
             SELECT r_name, n_name, count(*) AS parts_shipped,
@@ -1202,28 +1122,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
         """,
-        "j2_left_join_m1": """
-            SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
-                   count(*) AS n_orders,
-                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS total_price,
-                   count(DISTINCT o_custkey) AS n_customers
-            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-            GROUP BY segment
-        """,
         "j3_cross_join": """
             SELECT r_name, n_name FROM region CROSS JOIN nation
         """,
-        "j7_compound_on_join": """
-            SELECT o_orderstatus, count(*) AS n_rows,
+        "j2_j7_left_join_kit": """
+            SELECT o_orderstatus,
+                   coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+                   count(*) AS n_rows,
                    count(l_orderkey) AS matched_lines,
-                   floor((sum(floor(l_extendedprice * l_discount * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS disc_revenue
-            FROM orders LEFT JOIN lineitem
-              ON o_orderkey = l_orderkey AND l_discount > 0.05
-            GROUP BY o_orderstatus
+                   floor((sum(floor(l_extendedprice * l_discount * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS disc_revenue,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_discount > 0.05
+            GROUP BY o_orderstatus, segment
         """,
         "j8_surrogate_key_mint": """
             SELECT concat_ws('|', o_orderpriority, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS prio_day_id,
-                   count(*) AS n_orders
+                   count(*) AS n_orders,
+                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0
+                          / nullif(CAST(count_if(o_orderstatus = 'F') AS BIGINT), 0)) * 1e2 + 0.5) / 1e2 AS avg_per_f_order,
+                   sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0
+                     / nullif(CAST(count_if(o_orderstatus = 'X') AS BIGINT), 0) AS null_ratio
             FROM orders GROUP BY prio_day_id
         """,
         "a1_daily_rollup": """
@@ -1234,7 +1154,8 @@ def oracle_sql() -> dict[str, str]:
                    floor((min(value)) * 1e2 + 0.5) / 1e2 AS min_value,
                    floor((max(value)) * 1e2 + 0.5) / 1e2 AS max_value,
                    count(DISTINCT user_id) AS n_users,
-                   count_if(value >= 100.0) AS high_value_events
+                   CAST(count_if(value >= 100.0) AS BIGINT) AS high_value_events,
+                   count(DISTINCT date_trunc('hour', ts)) AS n_hours
             FROM events GROUP BY event_date, event_type
         """,
         "a3_weighted_reagg": """
@@ -1245,28 +1166,24 @@ def oracle_sql() -> dict[str, str]:
                    any_value(upper(l_returnflag)) AS flag_upper
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        "a4_distinct_dims": """
-            SELECT DISTINCT p_brand, p_type FROM part WHERE p_brand IS NOT NULL
+        "a4_a5_distinct_dims": """
+            SELECT p_brand, p_type, n_types
+            FROM (SELECT DISTINCT p_brand, p_type FROM part WHERE p_brand IS NOT NULL)
+            JOIN (SELECT p_brand, count(DISTINCT p_type) AS n_types
+                  FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand)
+            USING (p_brand)
         """,
-        "a5_count_distinct": """
-            SELECT c_mktsegment, count(*) AS n_customers,
-                   count(DISTINCT c_nationkey) AS n_nations,
-                   floor((sum(floor(c_acctbal * 100.0 + 0.5)) / 100.0 / count(*)) * 1e2 + 0.5) / 1e2 AS avg_acctbal
-            FROM customer GROUP BY c_mktsegment
-        """,
-        "a7_countif_ratio": """
+        "a_stats_kit": """
             SELECT l_returnflag,
-                   count_if(l_discount >= 0.05) AS disc_lines,
+                   CAST(count_if(l_discount >= 0.05) AS BIGINT) AS disc_lines,
                    count(*) AS lines,
-                   floor((count_if(l_discount >= 0.05) / count(*)) * 1e4 + 0.5) / 1e4 AS disc_ratio
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "a8_corr": """
-            SELECT l_returnflag,
+                   floor((count_if(l_discount >= 0.05) / count(*)) * 1e4 + 0.5) / 1e4 AS disc_ratio,
                    floor((corr(l_extendedprice, l_quantity)) * 1e6 + 0.5) / 1e6 AS corr_price_qty,
                    floor((corr(l_extendedprice, l_discount)) * 1e6 + 0.5) / 1e6 AS corr_price_disc,
                    floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS stddev_price,
-                   floor((covar_samp(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4 AS covar_price_qty
+                   floor((covar_samp(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4 AS covar_price_qty,
+                   floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_price,
+                   floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price
             FROM lineitem GROUP BY l_returnflag
         """,
         "a10_dup_key_detect": """
@@ -1277,48 +1194,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_day
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
-        "o4_having": """
-            SELECT n_name, count(*) AS n_customers
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name HAVING count(*) >= 5
-        """,
-        "u1_union_all": """
-            SELECT l_returnflag, count(*) AS lines,
-                   floor((sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue
-            FROM (
-              SELECT * FROM lineitem WHERE l_returnflag = 'R'
-              UNION ALL
-              SELECT * FROM lineitem WHERE l_returnflag = 'N'
-            ) GROUP BY l_returnflag
-        """,
         "f_string_kit": """
+            WITH grouped AS (
+              SELECT n_name, r_name, count(*) AS n_customers
+              FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              JOIN customer ON c_nationkey = n_nationkey
+              GROUP BY n_name, r_name HAVING count(*) >= 5
+            )
             SELECT n_name, r_name,
                    regexp_replace(
                      regexp_replace(lower(concat_ws('_', r_name, n_name)), '[^a-z0-9]+', '_', 'g'),
                      '^_+|_+$', '', 'g') AS slug,
                    length(n_name) AS name_len,
-                   upper(trim(n_name)) AS name_upper
-            FROM nation JOIN region ON n_regionkey = r_regionkey
+                   upper(trim(n_name)) AS name_upper,
+                   array_to_string(
+                     list_transform(string_split(lower(n_name), ' '),
+                                    s -> upper(s[1]) || s[2:]),
+                     ' ') AS name_title,
+                   n_customers
+            FROM grouped
         """,
         "f_date_kit": """
-            SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_day,
-                   year(CAST(o_orderdate AS DATE)) AS year,
-                   month(CAST(o_orderdate AS DATE)) AS month,
-                   day(CAST(o_orderdate AS DATE)) AS day_of_month,
-                   strftime(CAST(o_orderdate AS DATE), '%A') AS weekday,
-                   CAST(date_part('week', CAST(o_orderdate AS DATE)) AS INT) AS iso_week
-            FROM orders
-        """,
-        "f15_date_sequence": """
-            SELECT d::DATE AS day, strftime(d::DATE, '%A') AS weekday,
+            SELECT d::DATE AS day,
+                   year(d::DATE) AS year,
+                   month(d::DATE) AS month,
+                   day(d::DATE) AS day_of_month,
+                   strftime(d::DATE, '%A') AS weekday,
                    CAST(date_part('week', d::DATE) AS INT) AS iso_week
             FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS d)
-        """,
-        "f16_safe_divide": """
-            SELECT o_orderpriority,
-                   floor((sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / nullif(count_if(o_orderstatus = 'F'), 0)) * 1e2 + 0.5) / 1e2 AS avg_per_f_order,
-                   sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / nullif(count_if(o_orderstatus = 'X'), 0) AS null_ratio
-            FROM orders GROUP BY o_orderpriority
         """,
         "f9_multi_format_dates": """
             WITH src AS (
@@ -1331,26 +1235,30 @@ def oracle_sql() -> dict[str, str]:
               FROM src
             )
             SELECT year(parsed) AS order_year, count(*) AS n_orders,
-                   count_if(parsed IS NULL) AS unparsed
+                   CAST(count_if(parsed IS NULL) AS BIGINT) AS unparsed
             FROM parsed GROUP BY order_year
         """,
-        "s2_json_extract": """
-            SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-                   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
-            FROM events GROUP BY event_type
+        "s2_json_kit": """
+            WITH kv AS (
+              SELECT event_type,
+                     unnest(json_keys(props)) AS key,
+                     CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS value
+              FROM events
+            )
+            SELECT event_type, key, count(*) AS n,
+                   CAST(sum(value) AS BIGINT) AS total,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM kv GROUP BY event_type, key
         """,
-        "w_topk_per_group": """
-            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
-              SELECT o_orderpriority, o_orderkey, o_totalprice,
+        "w_rank_kit": """
+            SELECT 'topk_per_priority' AS kind, o_orderpriority AS grp, o_orderkey, rn FROM (
+              SELECT o_orderpriority, o_orderkey,
                      row_number() OVER (PARTITION BY o_orderpriority
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 3
-        """,
-        "w_dedup_rank": """
-            SELECT o_custkey, o_orderkey FROM (
+            UNION ALL
+            SELECT 'latest_per_customer' AS kind, CAST(o_custkey AS VARCHAR) AS grp, o_orderkey, 1 AS rn FROM (
               SELECT o_custkey, o_orderkey,
                      row_number() OVER (PARTITION BY o_custkey
                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
@@ -1370,8 +1278,8 @@ def oracle_sql() -> dict[str, str]:
               FROM ordered
             ), numbered AS (
               SELECT user_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id,
@@ -1448,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a_array_agg": """
             SELECT l_returnflag,
-                   list_sort(list_distinct(list(l_linestatus))) AS statuses,
+                   array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
                    list_contains(list_sort(list_distinct(list(l_linestatus))), 'F') AS has_final,
                    len(list_distinct(list(l_suppkey))) AS n_suppliers
             FROM lineitem GROUP BY l_returnflag
@@ -1460,16 +1368,6 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "s2_map_explode": """
-            WITH kv AS (
-              SELECT unnest(json_keys(props)) AS key,
-                     CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS value
-              FROM events
-            )
-            SELECT key, count(*) AS n, sum(value) AS total,
-                   min(value) AS min_v, max(value) AS max_v
-            FROM kv GROUP BY key
         """,
         "j_semi_anti": """
             SELECT o_orderstatus, count(*) AS n_orders, 'has_hot_discount' AS bucket
@@ -1498,24 +1396,6 @@ def oracle_sql() -> dict[str, str]:
                    floor((max(pct_rank)) * 1e6 + 0.5) / 1e6 AS max_pct_rank
             FROM q GROUP BY o_orderpriority, quartile
         """,
-        "w_moving_avg": """
-            SELECT o_custkey, o_orderkey,
-                   floor((sum(floor(o_totalprice * 100 + 0.5))
-                            OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                          / (count(*) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate, o_orderkey
-                                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0))
-                         * 1e2 + 0.5) / 1e2 AS trailing_avg_price
-            FROM orders
-        """,
-        "a1_hourly_rollup": """
-            SELECT date_trunc('hour', ts) AS hour,
-                   count(*) AS n_events,
-                   count(DISTINCT event_type) AS n_types
-            FROM events GROUP BY hour
-        """,
         "w_running_total": """
             SELECT o_custkey, o_orderkey,
                    floor((sum(floor(o_totalprice * 100 + 0.5))
@@ -1526,7 +1406,15 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('day',
                              lag(CAST(o_orderdate AS DATE))
                                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                             CAST(o_orderdate AS DATE)) AS days_since_prev
+                             CAST(o_orderdate AS DATE)) AS days_since_prev,
+                   floor((sum(floor(o_totalprice * 100 + 0.5))
+                            OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                          / (count(*) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0))
+                         * 1e2 + 0.5) / 1e2 AS trailing_avg_price
             FROM orders
         """,
         "ns_corpus_clean": """
@@ -1570,13 +1458,6 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase'
             ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
-        "a_percentiles": """
-            SELECT l_returnflag,
-                   floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_price,
-                   floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price,
-                   count(*) AS lines
-            FROM lineitem GROUP BY l_returnflag
-        """,
         "s12_sql_layer": """
             SELECT l_returnflag,
                    CASE WHEN l_linestatus = 'F' THEN 'final' ELSE 'open' END AS status,
@@ -1585,14 +1466,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY 1, 2
             HAVING count(*) > 10
-        """,
-        "f5_initcap": """
-            SELECT array_to_string(
-                     list_transform(string_split(lower(p_name), ' '),
-                                    s -> upper(s[1]) || s[2:]),
-                     ' ') AS p_name_title,
-                   count(*) AS n_parts
-            FROM part GROUP BY p_name_title
         """,
         "ns_top_tokens": """
             SELECT token, count(*) AS freq FROM (
@@ -1613,17 +1486,43 @@ def oracle_sql() -> dict[str, str]:
             HAVING CAST(event_date AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
         """,
         "ns_dedup_exact": """
-            SELECT min(doc_id) AS doc_id FROM documents
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
             GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
         """,
-        "ns_token_counts": """
-            SELECT lang, count(*) AS n_docs,
-                   sum(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
-                   floor((avg(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END)) * 1e2 + 0.5) / 1e2 AS avg_tokens,
-                   sum(n_chars) AS total_chars
-            FROM documents GROUP BY lang
+        "ns_text_signals": """
+            WITH per_doc AS (
+              SELECT source, n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     floor((len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+                     floor((len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+                     len(list_distinct(list_intersect(
+                       string_split_regex(lower(text), '\\s+'),
+                       ['the','and','of','to','is','with']))) AS stop_hits,
+                     length(text) AS len_chars,
+                     len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM documents
+            ), scored AS (
+              SELECT source, n_chars, n_tokens, punct_ratio, digit_ratio,
+                     floor((
+                       0.25 * least(n_tokens / 64.0, 1.0)
+                     + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                     + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                     + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                     ) * 1e6 + 0.5) / 1e6 AS q
+              FROM per_doc
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   floor((sum(n_tokens) / count(*)) * 1e2 + 0.5) / 1e2 AS avg_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   floor((sum(floor(punct_ratio * 1000000.0 + 0.5)) / 1000000.0 / count(*)) * 1e4 + 0.5) / 1e4 AS avg_punct_ratio,
+                   floor((sum(floor(digit_ratio * 1000000.0 + 0.5)) / 1000000.0 / count(*)) * 1e4 + 0.5) / 1e4 AS avg_digit_ratio,
+                   floor((sum(floor(q * 1000000.0 + 0.5)) / 1000000.0 / count(*)) * 1e4 + 0.5) / 1e4 AS avg_quality
+            FROM scored GROUP BY source
         """,
         "ns_lang_id": f"""
             WITH scored AS (
@@ -1642,51 +1541,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY lang, pred_lang
         """,
-        "ns_quality_signals": """
-            WITH per_doc AS (
-              SELECT source,
-                     floor((len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
-                     floor((len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                           / nullif(length(text), 0)) * 1e6 + 0.5) / 1e6 AS digit_ratio,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-              FROM documents
-            )
-            SELECT source,
-                   floor((avg(punct_ratio)) * 1e4 + 0.5) / 1e4 AS avg_punct_ratio,
-                   floor((avg(digit_ratio)) * 1e4 + 0.5) / 1e4 AS avg_digit_ratio,
-                   floor((avg(n_tokens)) * 1e2 + 0.5) / 1e2 AS avg_tokens
-            FROM per_doc GROUP BY source
-        """,
-        "ns_quality_score": """
-            WITH feats AS (
-              SELECT lang,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-                     length(text) AS n_chars,
-                     len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-                     len(list_distinct(list_intersect(
-                       string_split_regex(lower(text), '\\s+'),
-                       ['the','and','of','to','is','with']))) AS stop_hits
-              FROM documents
-            ), scored AS (
-              SELECT lang,
-                     floor((0.25 * least(n_tokens / 64.0, 1.0)
-                     + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
-                     + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))
-                     + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(n_chars, 0), 1.0) * 4, 1.0))) * 1e6 + 0.5) / 1e6 AS q
-              FROM feats
-            )
-            SELECT lang, floor((avg(q)) * 1e4 + 0.5) / 1e4 AS avg_quality, count(*) AS n_docs
-            FROM scored GROUP BY lang
-        """,
-        "ns_fingerprint": """
-            SELECT count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_unique,
-                   count(*) AS n_docs
-            FROM documents
-        """,
         "ns_ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -1699,8 +1553,16 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ), sizes AS (
               SELECT doc_id, len(g) AS sz FROM grams
-            ), inv AS (
+            ), inv_all AS (
               SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inv AS (
+              -- stop-gram cutoff mirror (dedup.ngram_jaccard_pairs
+              -- max_gram_df): drop grams above the document-frequency cap
+              -- before the join; sizes stay uncapped
+              SELECT doc_id, gram FROM (
+                SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+                FROM inv_all
+              ) WHERE df <= 1000
             ), shared AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
               FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -1768,8 +1630,8 @@ def oracle_sql() -> dict[str, str]:
               FROM src
             )
             SELECT source, count(*) AS n_docs,
-                   count_if(contains(redacted, '<EMAIL>')) AS emails_redacted,
-                   count_if(contains(redacted, '<PHONE>')) AS phones_redacted
+                   CAST(count_if(contains(redacted, '<EMAIL>')) AS BIGINT) AS emails_redacted,
+                   CAST(count_if(contains(redacted, '<PHONE>')) AS BIGINT) AS phones_redacted
             FROM red GROUP BY source
         """,
         "ns_chunking": """

@@ -70,8 +70,11 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rank_col: str = "rank",
+    return_local: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k with Arrow pre-reduction — the 100 TB shape.
+    ``return_local=True`` returns the pre-merge local-top-k stage (for
+    asserting the ≤ partitions × |Q| × k shuffle bound in tests).
 
     The expression-based :func:`brute_force_topk` shuffles |corpus|×|Q|
     scored rows into the final per-query window. Here each Arrow batch
@@ -124,6 +127,8 @@ def brute_force_topk_arrow(
             yield pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
 
     scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(local_topk, out_schema)
+    if return_local:
+        return scored
     return top_k_per_group(
         scored, ["query_id"], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col=rank_col
     )

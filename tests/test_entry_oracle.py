@@ -42,3 +42,31 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_replica_catches_hugeint_float64(spark, con):
+    """The local replica must reproduce the driver's verdict on the round-1
+    failure mode: DuckDB HUGEINT → pandas float64 ("25.0") vs Spark bigint
+    ("25"). An uncast sum(BIGINT) oracle must FAIL against a long on the
+    Spark side, and pass once CAST ... AS BIGINT is applied."""
+    sdf = spark.range(1).selectExpr("CAST(25 AS BIGINT) AS s")
+    ok, msg = compare(sdf, con, "SELECT sum(x) AS s FROM (SELECT CAST(25 AS BIGINT) AS x)")
+    assert not ok and "values differ" in msg
+    ok, _ = compare(
+        sdf, con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(25 AS BIGINT) AS x)"
+    )
+    assert ok
+
+
+def test_replica_rejects_list_columns(spark, con):
+    """List-typed outputs crash the driver's pandas canon — the replica must
+    flag them instead of silently passing fetchall-level equality."""
+    sdf = spark.range(1).selectExpr("array('a','b') AS xs")
+    ok, msg = compare(sdf, con, "SELECT ['a','b'] AS xs")
+    assert not ok and "list-typed" in msg
+
+
+def test_queries_fit_driver_window():
+    """The driver correctness-checks only the FIRST 50 queries() entries
+    (round-1 verdict): every entry must sit inside that window."""
+    assert len(QUERIES) <= 50

@@ -54,12 +54,34 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 
 def test_minhash_signature_evaluated_once(spark, sf_dir):
-    # the candidate-pair plan must contain exactly one signature stage
+    # the candidate-pair stage must contain exactly one signature pass
     # (ArrowEvalPython); a self-join regression would double it
-    plan = _plan(em.queries()["ns_minhash_pairs"](spark, sf_dir))
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    plan = _plan(dedup.minhash_candidate_pairs(docs, num_hashes=64, num_bands=8))
     assert plan.count("ArrowEvalPython") == 1
 
 
-def test_brute_force_broadcasts_queries(spark, sf_dir):
-    plan = _plan(em.queries()["ns_ann_bruteforce"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+def test_brute_force_arrow_prereduces_before_shuffle(spark, sf_dir):
+    """The ANN entry must be the Arrow pre-reduced shape: local top-k inside
+    MapInPandas (shuffle carries ≤ partitions × |Q| × k rows), never a
+    |Q|×N scored-row shuffle (no nested-loop join of corpus × queries)."""
+    df = em.queries()["ns_ann_bruteforce"](spark, sf_dir)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert df.count() == 8 * 10
+    # runtime shuffle bound: the pre-reduced local stage must emit
+    # ≤ partitions × |Q| × k rows (independent of corpus size)
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings").repartition(8)
+    qv = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    local = similarity.brute_force_topk_arrow(emb, qv, k=10, return_local=True)
+    assert local.count() <= 8 * len(qv) * 10
