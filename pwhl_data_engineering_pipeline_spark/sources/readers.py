@@ -92,6 +92,63 @@ def dataframe_from_config(
     return spark.createDataFrame(data, schema)
 
 
+def read_settings_yaml(path: str) -> dict[str, Any]:
+    """Parse the reference's ``config/settings.yml`` (S6/EP1 parity:
+    scripts/ingest_weather.py:43 loads it for the weather API window/params;
+    scripts/load_to_bq.py for the warehouse block). Handles the file's UTF-8
+    BOM and interpolates ``${ENV_VAR}`` placeholders from the environment
+    (missing vars resolve to None, matching "configure before use").
+
+    Returns the raw nested dict; :func:`weather_requests_from_settings`
+    turns the weather block + market dimension into REST request
+    descriptors for :func:`rest_source`."""
+    import os
+    import re
+
+    try:
+        import yaml  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pyyaml not available") from e
+    with open(path, encoding="utf-8-sig") as f:
+        cfg = yaml.safe_load(f)
+
+    env_re = re.compile(r"^\$\{(\w+)\}$")
+
+    def _interp(v):
+        if isinstance(v, dict):
+            return {k: _interp(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_interp(x) for x in v]
+        if isinstance(v, str):
+            m = env_re.match(v.strip())
+            if m:
+                return os.environ.get(m.group(1))
+        return v
+
+    return _interp(cfg)
+
+
+def weather_requests_from_settings(
+    settings: dict[str, Any], markets: Sequence[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Thread settings.yml's weather block into per-market REST request
+    descriptors (ingest_weather.py:86-93: one fetch per market with the
+    configured window/vars). Each descriptor carries the market stamp
+    columns plus the query params ``rest_source``'s fetch fn needs."""
+    w = settings["weather"]
+    return [
+        {
+            **m,
+            "base_url": w["base_url"],
+            "start_date": str(w["start_date"]),
+            "end_date": str(w["end_date"]),
+            "hourly": w["hourly"],
+            "timeout_seconds": w.get("timeout_seconds", 60),
+        }
+        for m in markets
+    ]
+
+
 def read_markets_yaml(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """YAML market config → dimension DataFrame (S6,
     materialize_dim_market.py:10-26). Gated import: yaml may be absent."""

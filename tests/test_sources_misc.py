@@ -122,3 +122,41 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(media, every_ms=1000)
     ts = sorted(r["frame_ts_ms"] for r in frames.collect())
     assert ts == [0, 1000, 2000]
+
+
+def test_settings_yaml_reference_file(monkeypatch):
+    """read_settings_yaml parses the REFERENCE's own config/settings.yml
+    (read at runtime, never vendored): BOM handled, ${ENV} interpolated,
+    and the weather block threads into per-market REST request descriptors."""
+    pytest.importorskip("yaml")
+    import os
+
+    path = "/root/reference/config/settings.yml"
+    if not os.path.exists(path):
+        pytest.skip("reference settings.yml not present")
+    monkeypatch.setenv("BQ_PROJECT_ID", "demo-project")
+    cfg = readers.read_settings_yaml(path)
+    assert cfg["weather"]["provider"] == "open-meteo-era5"
+    assert cfg["weather"]["start_date"] == "2025-01-01"
+    assert cfg["bigquery"]["project_id"] == "demo-project"  # ${BQ_PROJECT_ID}
+
+    markets = [
+        {"venue_id": "BOS_01", "market": "Boston", "lat": 42.36, "lon": -71.06,
+         "timezone": "America/New_York"},
+        {"venue_id": "MTL_01", "market": "Montreal", "lat": 45.5, "lon": -73.57,
+         "timezone": "America/Toronto"},
+    ]
+    reqs = readers.weather_requests_from_settings(cfg, markets)
+    assert len(reqs) == 2
+    assert all(r["base_url"] == cfg["weather"]["base_url"] for r in reqs)
+    assert reqs[0]["start_date"] == "2025-01-01" and reqs[0]["market"] == "Boston"
+    assert reqs[1]["hourly"].startswith("temperature_2m")
+
+
+def test_settings_yaml_missing_env(monkeypatch, tmp_path):
+    pytest.importorskip("yaml")
+    monkeypatch.delenv("SOME_UNSET_VAR", raising=False)
+    p = tmp_path / "s.yml"
+    p.write_text("a:\n  b: ${SOME_UNSET_VAR}\n  c: 'plain'\n")
+    cfg = readers.read_settings_yaml(str(p))
+    assert cfg["a"]["b"] is None and cfg["a"]["c"] == "plain"
