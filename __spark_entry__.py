@@ -33,6 +33,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     relational,
     sessions,
     similarity,
+    vector_agg,
     windows,
 )
 
@@ -982,6 +983,15 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label embedding centroid, long format
+    (operators.vector_agg.vector_mean_long — exact integer-scaled sums, so
+    the DuckDB oracle matches bit-for-bit; the Arrow partial-mean sibling is
+    the 100 TB path and is equivalence-tested against this one)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vector_agg.vector_mean_long(emb, ["label"], "embedding", decimals=6)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column → Arrow-batched feature extraction
     (deterministic fake decoder — rows-only check)."""
@@ -1058,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
         "ns_embedding_neardup": q_embedding_neardup,
+        "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
         "st_streaming_daily": q_streaming_daily,
         "st_stateful_counters": q_stateful_counters,
@@ -1612,6 +1623,16 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "ns_vector_centroids": """
+            WITH ex AS (
+              SELECT label, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+              FROM embeddings
+            )
+            SELECT label, CAST(z[2] AS INT) AS dim,
+                   floor((sum(floor(CAST(z[1] AS DOUBLE) * 1e6 + 0.5)) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6 AS mean_v,
+                   count(*) AS n_vectors
+            FROM ex GROUP BY label, dim
         """,
         "ns_redact_pii": """
             WITH src AS (

@@ -10,5 +10,6 @@ from . import (  # noqa: F401
     sessions,
     similarity,
     skew,
+    vector_agg,
     windows,
 )

@@ -347,3 +347,36 @@ def test_ngram_stop_gram_cutoff(spark):
         ).collect()
     }
     assert pairs[(100, 101)] == pytest.approx(exact[(100, 101)])
+
+
+def test_vector_mean_long_matches_arrow(spark):
+    """The oracle-able long-format centroid and the Arrow partial-mean scale
+    path agree (to the long form's rounding)."""
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import vector_agg
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(60)],
+        schemas.EMBEDDINGS,
+    )
+    long = {
+        (r["label"], r["dim"]): (r["mean_v"], r["n_vectors"])
+        for r in vector_agg.vector_mean_long(emb, ["label"], "embedding").collect()
+    }
+    arrow = {
+        r["label"]: (r["centroid"], r["n_vectors"])
+        for r in vector_agg.vector_mean_arrow(emb, ["label"], "embedding").collect()
+    }
+    assert len(long) == 3 * 6 and len(arrow) == 3
+    for (lbl, dim), (mv, n) in long.items():
+        cent, n2 = arrow[lbl]
+        assert n == n2 == 20
+        assert mv == pytest.approx(cent[dim - 1], abs=2e-6)
+    # numpy ground truth
+    for lbl in range(3):
+        truth = vecs[np.arange(60) % 3 == lbl].astype("float64").mean(axis=0)
+        for d in range(6):
+            assert long[(lbl, d + 1)][0] == pytest.approx(truth[d], abs=2e-6)
