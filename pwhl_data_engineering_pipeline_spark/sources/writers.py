@@ -127,9 +127,18 @@ def compact_parquet(
     return n_files
 
 
-def create_database(spark: SparkSession, name: str) -> None:
-    """S11: ``CREATE SCHEMA IF NOT EXISTS`` (sql/01_create_dataset.sql:7-11)."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+def create_database(spark: SparkSession, name: str, location: str | None = None) -> None:
+    """S11: ``CREATE SCHEMA IF NOT EXISTS`` (sql/01_create_dataset.sql:7-11).
+
+    The reference's ``OPTIONS(location='US', default_table_expiration_days=
+    ...)`` maps as follows: ``location`` (a BigQuery *region*) has no Spark
+    analogue — the closest physical control is the warehouse LOCATION,
+    supported here; ``default_table_expiration_days`` (TTL auto-drop) has no
+    Spark/parquet counterpart at all and is intentionally dropped — retention
+    belongs to a table-format policy (Delta/Iceberg) or an external janitor,
+    not the catalog. Documented deviation, see sql_dialect._SCHEMA_RE."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
 
 
 def create_view(df: DataFrame, name: str) -> None:

@@ -75,3 +75,81 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert r["rainy_hours"] == 1
     assert r["min_temp_c"] == -1.0
     assert r["avg_temp_c"] == round(sum(-1.0 + h * 0.25 for h in range(24)) / 24, 2)
+
+
+def test_streaming_dedup_keys_matches_batch(spark, tmp_path):
+    """Streaming key-dedup over an availableNow run equals batch distinct:
+    redelivered (duplicate) events are dropped, state bounded by watermark."""
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+
+    rows = [
+        ("e1", "2025-01-01 10:00:00", 1.0),
+        ("e2", "2025-01-01 10:01:00", 2.0),
+        ("e1", "2025-01-01 10:02:00", 1.0),   # redelivery of e1
+        ("e3", "2025-01-01 10:03:00", 3.0),
+        ("e2", "2025-01-01 10:03:30", 2.0),   # redelivery of e2
+    ]
+    df = spark.createDataFrame(rows, "event_id string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    landing = str(tmp_path / "dd_landing")
+    df.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(landing)
+        out = sdedup.streaming_dedup_keys(stream, ["event_id"], "ts", "10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dd_keys")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted(r["event_id"] for r in spark.table("dd_keys").collect())
+    assert got == ["e1", "e2", "e3"]
+
+
+def test_streaming_dedup_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+
+    rows = [
+        (1, "2025-01-01 10:00:00", "Hello   World"),
+        (2, "2025-01-01 10:01:00", "hello world"),        # normalized dup of 1
+        (3, "2025-01-01 10:02:00", "a different doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    landing = str(tmp_path / "dc_landing")
+    df.coalesce(1).write.mode("overwrite").parquet(landing)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(landing)
+        out = sdedup.streaming_dedup_content(stream, "text", "ts", "10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dd_content")
+            .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    kept = spark.table("dd_content")
+    assert kept.count() == 2
+    assert "content_fingerprint" in kept.columns
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 3 in ids and len(ids & {1, 2}) == 1  # one of the dups survives
