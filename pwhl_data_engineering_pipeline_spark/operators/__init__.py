@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     sessions,
+    sketches,
     similarity,
     skew,
     vector_agg,
