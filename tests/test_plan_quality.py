@@ -85,3 +85,24 @@ def test_brute_force_arrow_prereduces_before_shuffle(spark, sf_dir):
     ]
     local = similarity.brute_force_topk_arrow(emb, qv, k=10, return_local=True)
     assert local.count() <= 8 * len(qv) * 10
+
+
+def test_left_join_kit_broadcasts_customer(spark, sf_dir):
+    """j2_j7 kit: the customer dim must broadcast; no sort-merge for the
+    dimension side."""
+    plan = _plan(em.queries()["j2_j7_left_join_kit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_json_kit_single_shuffle(spark, sf_dir):
+    """s2_json_kit: parse+explode are narrow; exactly one hash exchange (the
+    groupBy) on top of partial aggregation."""
+    plan = _plan(em.queries()["s2_json_kit"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan
+
+
+def test_band_bin_partial_agg_both_legs(spark, sf_dir):
+    plan = _plan(em.queries()["p_band_bin"](spark, sf_dir))
+    # both union legs aggregate map-side before their exchanges
+    assert plan.count("partial_") >= 2

@@ -78,3 +78,39 @@ def test_safe_divide_never_raises_and_nulls_on_zero(spark, pairs):
             assert r["q"] is None
         else:
             assert r["q"] is not None
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=40),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.one_of(st.none(), st.integers(-50, 50))),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """For random keyed event streams, asof_join equals the definitional
+    semantics: the payload of the LAST right row with ts <= left ts (ties on
+    ts resolved by uniqueness precondition), including NULL payloads carried
+    from the matched row itself."""
+    from pwhl_data_engineering_pipeline_spark.operators import asof
+
+    # enforce the operator's precondition: right unique per (key, ts)
+    seen = {}
+    for k, ts, v in rights:
+        seen[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in sorted(seen.items())]
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(lefts)]
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, payload long")
+    out = {
+        r["lid"]: r["payload"]
+        for r in asof.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts", right_payload=["payload"]
+        ).collect()
+    }
+    for lid, k, ts in lrows:
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert out[lid] == expect, (lid, k, ts, cands)
