@@ -1,4 +1,4 @@
 """Pipeline stages: the reference's 7 scripts recomposed as lazy
 DataFrame→DataFrame functions chained in one SparkSession (SURVEY.md §3 EP1/EP2)."""
 
-from . import capacity, integrate, pipeline, sales, star, weather  # noqa: F401
+from . import capacity, corpus, integrate, pipeline, sales, star, weather  # noqa: F401

@@ -380,3 +380,37 @@ def test_vector_mean_long_matches_arrow(spark):
         truth = vecs[np.arange(60) % 3 == lbl].astype("float64").mean(axis=0)
         for d in range(6):
             assert long[(lbl, d + 1)][0] == pytest.approx(truth[d], abs=2e-6)
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """plans.corpus: quality filter -> exact dedup -> minhash near-dedup ->
+    PII redact -> chunk -> stats, orchestrated and lazily planned."""
+    from pwhl_data_engineering_pipeline_spark.plans import corpus
+
+    rows = [
+        (0, BASE, "en", "web"),
+        (1, BASE + " extra", "en", "web"),                   # near-dup of 0
+        (2, "  THE   " + BASE[4:], "en", "web"),             # exact-normalized dup of 0
+        (3, "reach me at someone@example.com for the offer and the terms "
+            "of the deal with the partners", "en", "mail"),
+        (4, "@@@@ ####", "en", "junk"),                       # low quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    res = corpus.run_corpus_pipeline(docs, near_dup_jaccard=0.7)
+
+    kept = {r["doc_id"]: r["text"] for r in res.cleaned.collect()}
+    assert 4 not in kept          # quality-filtered
+    assert 2 not in kept          # exact dup suppressed
+    assert 1 not in kept          # near dup suppressed (jaccard >= 0.7)
+    assert 0 in kept and 3 in kept
+    assert "<EMAIL>" in kept[3]   # redacted
+
+    stages = [s.name for s in res.orchestrator.results]
+    assert stages == ["quality_filter", "dedup_exact", "dedup_minhash", "redact_pii", "chunk", "stats"]
+
+    chunks = res.chunks.collect()
+    assert all(len(c["chunk_text"]) <= 512 for c in chunks)
+    assert {c["doc_id"] for c in chunks} == {0, 3}
+
+    stats = {(r["source"], r["lang"]): r["n_docs"] for r in res.stats.collect()}
+    assert stats == {("web", "en"): 1, ("mail", "en"): 1}
