@@ -171,15 +171,20 @@ def ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    refine_iterations: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assigned corpus).
 
-    Centroids are a deterministic hash-sample of corpus vectors (k-means-free
-    by design: one pass, reproducible, no iterative driver loop; quality is
-    adequate for probe-style ANN and the structure matches a real IVF).
+    Initial centroids are a deterministic hash-sample of corpus vectors
+    (one pass, reproducible). ``refine_iterations`` > 0 runs that many Lloyd
+    (k-means) steps — assign, then recenter each cell on its member mean via
+    the Arrow partial-mean aggregator (operators.vector_agg) — which
+    measurably tightens cells and raises probe recall; each iteration is one
+    grouping shuffle of (centroid_id, vector) plus a broadcast. Centroids
+    are collected per iteration (n_centroids × dim doubles — driver-tiny).
     Assignment: argmax cosine over broadcast centroids → one narrow pass.
     At 100 TB the assigned corpus would be *written bucketed by centroid_id*
-    so probes do partition-pruned scans.
+    so probes do partition-pruned scans (see ivf_write/ivf_topk_pruned).
     """
     cent = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -191,13 +196,31 @@ def ivf_index(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
-        "*", portable_round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
-    )
-    assigned = (
-        top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
-        .drop("rn", "__cs", "centroid_vec")
-    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = corpus.crossJoin(F.broadcast(centroids)).select(
+            "*", portable_round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
+        )
+        return (
+            top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
+            .drop("rn", "__cs", "centroid_vec")
+        )
+
+    for _ in range(refine_iterations):
+        from .vector_agg import vector_mean_arrow
+
+        members = assign(cent).select("centroid_id", vec_col)
+        means = vector_mean_arrow(members, ["centroid_id"], vec_col)
+        # collect + re-broadcast: empty cells simply drop out (standard Lloyd
+        # degeneracy handling; cell count can shrink, never grow)
+        rows = means.select("centroid_id", "centroid").collect()
+        sess = corpus.sparkSession
+        cent = sess.createDataFrame(
+            [(int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in rows],
+            "centroid_id int, centroid_vec array<double>",
+        )
+
+    assigned = assign(cent)
     return cent, assigned
 
 

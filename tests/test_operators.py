@@ -414,3 +414,32 @@ def test_corpus_pipeline_end_to_end(spark):
 
     stats = {(r["source"], r["lang"]): r["n_docs"] for r in res.stats.collect()}
     assert stats == {("web", "en"): 1, ("mail", "en"): 1}
+
+
+def test_ivf_refined_centroids_improve_or_match_recall(spark):
+    """Lloyd refinement (assign → recenter via the Arrow partial-mean agg)
+    must not hurt recall on clustered data — and typically raises it."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    # 8 well-separated cluster centers + noise: k-means territory
+    centers = rng.randn(8, 8) * 4
+    vecs = np.vstack([centers[i % 8] + rng.randn(8) * 0.4 for i in range(240)]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(240)], schemas.EMBEDDINGS
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(refine):
+        cent, assigned = similarity.ivf_index(emb, n_centroids=8, refine_iterations=refine)
+        assert assigned.count() == 240
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(assigned, cent, q, k=5, n_probe=2).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    base, refined = recall(0), recall(2)
+    assert refined >= base
+    assert refined >= 0.6
