@@ -153,3 +153,42 @@ def test_streaming_dedup_content(spark, tmp_path):
     assert "content_fingerprint" in kept.columns
     ids = {r["doc_id"] for r in kept.collect()}
     assert 3 in ids and len(ids & {1, 2}) == 1  # one of the dups survives
+
+
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    broadcast dimension — the streaming face of J1 (no state store needed;
+    the dim is just a broadcast on every micro-batch)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "user_id string, tier string"
+    )
+    rows = [
+        ("u1", "2025-01-01 10:00:00", 5.0),
+        ("u2", "2025-01-01 10:01:00", 7.0),
+        ("u3", "2025-01-01 10:02:00", 9.0),   # no dim row → null tier
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    landing = str(tmp_path / "ss_landing")
+    df.coalesce(1).write.mode("overwrite").parquet(landing)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(landing)
+        out = stream.join(F.broadcast(dim), "user_id", "left")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_enrich")
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r["user_id"]: r["tier"] for r in spark.table("ss_enrich").collect()}
+    assert got == {"u1": "gold", "u2": "basic", "u3": None}
