@@ -1010,17 +1010,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries — deliberately ≤ 50: the driver correctness-checks only the
-    first 50, so every operator (including the full north-star ns_*/st_*
-    suite) sits inside the checked window. Round-1 singleton entries were
-    consolidated into kit queries (COVERAGE.md maps every SURVEY §2 row to
-    its carrying entry): p9_p10+p11→p_band_bin, j2+j7→j2_j7_left_join_kit,
-    f16→j8, a1_hourly→a1_daily (n_hours), a5→a4, a7+a8+a9+percentiles→
-    a_stats_kit, o4+f5→f_string_kit, f15→f_date_kit, s2 extract+map-explode→
-    s2_json_kit, w_topk+w_dedup_rank→w_rank_kit, w_moving_avg→
-    w_running_total, u1→u2 (its assembly IS a union-all), token_counts+
-    quality_signals+quality_score→ns_text_signals, fingerprint→
-    ns_dedup_exact, minhash pairs+kept→ns_minhash_dedup."""
+    """50 entries — exactly the driver's check window: the driver
+    correctness-checks only the first 50, so every operator (including the
+    full north-star ns_*/st_* suite) sits inside it. Round-1 singleton
+    entries were consolidated into kit queries (COVERAGE.md maps every
+    SURVEY §2 row to its carrying entry): p9_p10+p11→p_band_bin, j2+j7→
+    j2_j7_left_join_kit, f16→j8, a1_hourly→a1_daily (n_hours), a5→a4,
+    a7+a8+a9+percentiles→a_stats_kit, o4+f5→f_string_kit, f15→f_date_kit,
+    s2 extract+map-explode→s2_json_kit, w_topk+w_dedup_rank→w_rank_kit,
+    w_moving_avg→w_running_total, u1→u2 (its assembly IS a union-all),
+    token_counts+quality_signals+quality_score→ns_text_signals,
+    fingerprint→ns_dedup_exact, minhash pairs+kept→ns_minhash_dedup; the
+    freed slot carries the new ns_vector_centroids operator."""
     return {
         "flagship_priority_revenue": q_flagship,
         "p1_p5_filter_project": q_filter_project,
