@@ -67,6 +67,7 @@ def main() -> None:
         "ns_text_signals",
         "ns_minhash_pairs",
         "ns_ann_bruteforce",
+        "ns_vector_centroids",
         "ns_corpus_clean",
     ]
 
