@@ -3,8 +3,6 @@ matches a numpy oracle, windows are deterministic, sources/writers round-trip.""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -6,7 +6,6 @@ that silently degrades one of these is a 100 TB regression."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as em
