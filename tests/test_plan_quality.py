@@ -105,3 +105,28 @@ def test_band_bin_partial_agg_both_legs(spark, sf_dir):
     plan = _plan(em.queries()["p_band_bin"](spark, sf_dir))
     # both union legs aggregate map-side before their exchanges
     assert plan.count("partial_") >= 2
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Blanket scale gate: NO queries() entry may plan a cartesian product /
+    broadcast nested-loop join unless it is on the explicit allowlist.
+    These are the classic 100 TB killers; a future edit that slips one in
+    fails here, not in production.
+
+    Allowlisted: j3_cross_join (a cross join is the operator under test,
+    on two ≤25-row dims); ns_embedding_neardup (intentional all-pairs
+    verification on an id-bounded block — the scale path is the LSH-blocked
+    variant, see dedup_embedding_cosine); ns_ann_ivf (corpus × broadcast
+    centroids scoring is a nested-loop by construction, but the broadcast
+    side is n_centroids rows, so it is a bounded-fanout narrow map — no
+    shuffle, replication factor = centroid count, not data size)."""
+    allow = {"j3_cross_join", "ns_embedding_neardup", "ns_ann_ivf"}
+    streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
+    offenders = []
+    for name, fn in em.queries().items():
+        if name in allow or name in streaming:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"nested-loop/cartesian plans: {offenders}"
