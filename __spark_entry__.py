@@ -626,7 +626,8 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB-path approximate aggregates: HLL distinct counts and t-digest
     percentiles — sketch-based (single pass, bounded memory, mergeable
     partials), hence rows-only: sketch internals are engine-specific and not
-    oracle-hashable. Exact counterparts: a5_count_distinct, a_percentiles."""
+    oracle-hashable. Exact counterparts: a4_a5_distinct_dims (count
+    distinct), a_stats_kit (percentiles)."""
     li = _t(spark, sf_dir, "lineitem")
     # the quantile array is stringified: list cells crash the driver's
     # pandas canonicalization (unhashable in sort_values)

@@ -160,3 +160,34 @@ def test_settings_yaml_missing_env(monkeypatch, tmp_path):
     p.write_text("a:\n  b: ${SOME_UNSET_VAR}\n  c: 'plain'\n")
     cfg = readers.read_settings_yaml(str(p))
     assert cfg["a"]["b"] is None and cfg["a"]["c"] == "plain"
+
+
+def test_schema_evolution_merge_and_conform(spark, tmp_path):
+    """Lake reality: a dataset whose later files gained a column. mergeSchema
+    unions the file schemas; relational.conform_schema then pins the frame to
+    the declared contract (missing columns → typed NULLs, extras dropped) so
+    downstream operators see one stable shape."""
+    from pwhl_data_engineering_pipeline_spark.operators import relational
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    path = str(tmp_path / "evolving")
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("grade", T.StringType()),   # declared but absent on disk
+        ]
+    )
+    out = relational.conform_schema(merged, contract)
+    assert [f.name for f in out.schema.fields] == ["id", "score", "grade"]
+    got = {r["id"]: (r["score"], r["grade"]) for r in out.collect()}
+    assert got == {1: (None, None), 2: (9.5, None)}
