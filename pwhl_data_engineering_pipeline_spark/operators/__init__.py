@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     multimodal,
     rangejoin,
     relational,
+    resample,
     sessions,
     sketches,
     similarity,

@@ -441,3 +441,39 @@ def test_ivf_refined_centroids_improve_or_match_recall(spark):
     base, refined = recall(0), recall(2)
     assert refined >= base
     assert refined >= 0.6
+
+
+def test_resample_ffill(spark):
+    """Gap filling: irregular per-key observations land on an hourly grid,
+    holes forward-filled from the latest prior observation (struct carry:
+    NULL observed values are carried as NULL, not skipped)."""
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.operators import resample
+
+    rows = [
+        ("a", "2025-01-01 00:10:00", 1.0, "x"),
+        ("a", "2025-01-01 00:50:00", 2.0, "y"),   # same hour → latest wins
+        ("a", "2025-01-01 03:05:00", None, "z"),  # NULL value observation
+        ("a", "2025-01-01 04:20:00", 5.0, None),
+        ("b", "2025-01-01 01:00:00", 10.0, "q"),
+        ("b", "2025-01-01 02:59:00", 20.0, "r"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double, tag string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = resample.resample_ffill(df, ["k"], "ts", ["v", "tag"], step_seconds=3600)
+    got = {
+        (r["k"], r["grid_ts"].isoformat()): (r["v"], r["tag"], r["is_observed"])
+        for r in out.collect()
+    }
+    # key a: grid 00..04 (5 cells)
+    assert got[("a", "2025-01-01T00:00:00")] == (2.0, "y", True)    # latest in hour
+    assert got[("a", "2025-01-01T01:00:00")] == (2.0, "y", False)   # filled
+    assert got[("a", "2025-01-01T02:00:00")] == (2.0, "y", False)
+    assert got[("a", "2025-01-01T03:00:00")] == (None, "z", True)   # NULL carried, not skipped
+    assert got[("a", "2025-01-01T04:00:00")] == (5.0, None, True)
+    # key b: grid 01..02
+    assert got[("b", "2025-01-01T01:00:00")] == (10.0, "q", True)
+    assert got[("b", "2025-01-01T02:00:00")] == (20.0, "r", True)
+    assert len(got) == 7
