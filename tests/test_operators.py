@@ -477,3 +477,27 @@ def test_resample_ffill(spark):
     assert got[("b", "2025-01-01T01:00:00")] == (10.0, "q", True)
     assert got[("b", "2025-01-01T02:00:00")] == (20.0, "r", True)
     assert len(got) == 7
+
+
+def test_distributed_percentiles_match_builtin(spark):
+    """The distributed two-pass exact percentile equals Spark's holistic
+    builtin percentile() (linear interpolation) on real data, without
+    gathering a group onto one task."""
+    from pwhl_data_engineering_pipeline_spark.operators import aggregates
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, "/root/testdata/sf0.001", "lineitem")
+    ps = [0.25, 0.5, 0.95]
+    got = {
+        (r["l_returnflag"], r["percentile"]): r["value"]
+        for r in aggregates.exact_percentiles_distributed(
+            li, "l_returnflag", "l_extendedprice", ps, n_partitions=8
+        ).collect()
+    }
+    ref_rows = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias("q")
+    ).collect()
+    for r in ref_rows:
+        for p, expect in zip(ps, r["q"]):
+            assert got[(r["l_returnflag"], p)] == pytest.approx(expect, rel=1e-12), (
+                r["l_returnflag"], p)
