@@ -501,3 +501,19 @@ def test_distributed_percentiles_match_builtin(spark):
         for p, expect in zip(ps, r["q"]):
             assert got[(r["l_returnflag"], p)] == pytest.approx(expect, rel=1e-12), (
                 r["l_returnflag"], p)
+
+
+def test_distributed_percentiles_int_group_key(spark):
+    from pwhl_data_engineering_pipeline_spark.operators import aggregates
+
+    df = spark.range(1001).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS v")
+    got = {
+        (r["g"], r["percentile"]): r["value"]
+        for r in aggregates.exact_percentiles_distributed(df, "g", "v", [0.5], n_partitions=4).collect()
+    }
+    ref = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("m")).collect()
+    }
+    assert got[(0, 0.5)] == pytest.approx(ref[0], rel=1e-12)
+    assert got[(1, 0.5)] == pytest.approx(ref[1], rel=1e-12)
