@@ -26,9 +26,10 @@ def quantize(col: Column, cmin: float, cmax: float, bits: int) -> Column:
     (NULLs → 0: they cluster together at the curve origin)."""
     span = (cmax - cmin) or 1.0
     q = F.floor((col.cast("double") - F.lit(cmin)) / F.lit(span) * F.lit((1 << bits) - 1))
-    return F.coalesce(
-        F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))), F.lit(0)
-    ).cast("long")
+    # coalesce BEFORE clamping: least/greatest skip NULL inputs, so a NULL q
+    # would otherwise slide to the curve end (2^bits - 1), not the origin
+    q = F.coalesce(q, F.lit(0))
+    return F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))).cast("long")
 
 
 def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
@@ -36,6 +37,13 @@ def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
     i*len(cols)+j of the key. Unrolled to a flat OR tree (bits×cols terms)
     so it stays inside codegen — no UDF, no loop at runtime."""
     n = len(cols)
+    if bits * n > 63:
+        # JVM shiftleft masks the shift amount mod 64: position 64 wraps to
+        # 0 and different columns' bits silently collide. Refuse instead.
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds 63 — use bits <= {63 // n} "
+            f"for {n} columns (zorder_key auto-shrinks)"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -50,7 +58,9 @@ def zorder_key(
 ) -> Column:
     """Z-order key expression for ``df``'s columns. Runs one small agg job to
     learn per-column min/max for quantization (at scale: compute once per
-    table, or use known domain bounds)."""
+    table, or use known domain bounds). ``bits`` auto-shrinks so the
+    interleaved key fits in 63 bits regardless of column count."""
+    bits = min(bits, 63 // max(len(zcols), 1))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in zcols],
         *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in zcols],

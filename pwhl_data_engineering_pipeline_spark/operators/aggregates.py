@@ -121,22 +121,33 @@ def exact_percentiles_distributed(
                 specs.append((g, float(p), lo, hi, frac))
                 targets.append((g, lo))
                 targets.append((g, hi))
+        # join keys are renamed and compared with eqNullSafe so a NULL group
+        # (which survives groupBy and appears in specs) still matches — a
+        # plain equi-join would drop it and KeyError at picked[(None, lo)]
         off_df = sess.createDataFrame(
-            offsets, f"__pid int, {group_col} {gtype}, __off long"
+            offsets, f"__opid int, __og {gtype}, __off long"
         )
         tgt_df = sess.createDataFrame(
-            sorted(set(targets)), f"{group_col} {gtype}, __rank long"
+            sorted(set(targets), key=lambda t: (t[0] is not None, t[0], t[1])),
+            f"__tg {gtype}, __trank long",
         ).distinct()
         wloc = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
         ranked = (
             sorted_df.withColumn("__rn", F.row_number().over(wloc))
-            .join(F.broadcast(off_df), ["__pid", group_col])
+            .join(
+                F.broadcast(off_df),
+                (F.col("__pid") == F.col("__opid"))
+                & F.col(group_col).eqNullSafe(F.col("__og")),
+            )
             .withColumn("__rank", F.col("__off") + F.col("__rn"))
         )
         picked = {
             (r[group_col], r["__rank"]): r["__v"]
             for r in ranked.join(
-                F.broadcast(tgt_df), [group_col, "__rank"], "left_semi"
+                F.broadcast(tgt_df),
+                F.col(group_col).eqNullSafe(F.col("__tg"))
+                & (F.col("__rank") == F.col("__trank")),
+                "left_semi",
             ).collect()
         }
     finally:

@@ -29,10 +29,26 @@ def _as_num(c) -> Column:
     return col.cast("double")
 
 
+#: Rows sampled when estimating the default bucket width. ``limit(N)`` makes
+#: the estimation job incremental (CollectLimit reads one partition, then a
+#: handful more only if needed) — it never scans the full table.
+_AUTO_WIDTH_SAMPLE_ROWS = 10_000
+
+
 def _auto_width(df: DataFrame, start: str, end: str) -> float:
-    """Default bucket width: the mean interval length (one tiny agg job).
-    Within ~2× of optimal for non-pathological length distributions."""
-    row = df.agg(F.avg(_as_num(end) - _as_num(start)).alias("w")).collect()[0]
+    """Default bucket width: mean interval length over the first
+    ``_AUTO_WIDTH_SAMPLE_ROWS`` rows. Within ~2× of optimal for
+    non-pathological length distributions.
+
+    NOTE: this runs one small eager Spark job (bounded by ``limit``, so at
+    100 TB it reads a partition or two, not the table). Pass an explicit
+    ``bucket_width`` to skip the job entirely."""
+    row = (
+        df.select((_as_num(end) - _as_num(start)).alias("__len"))
+        .limit(_AUTO_WIDTH_SAMPLE_ROWS)
+        .agg(F.avg("__len").alias("w"))
+        .collect()[0]
+    )
     return max(float(row["w"] or 1.0), 1e-9)
 
 
@@ -119,23 +135,22 @@ def point_in_interval_join(
             .drop("__b")
         )
     if how == "left":
-        matched = pb.join(
-            ib,
-            [*keys, "__b"],
-            "left",
-        ).filter(
-            F.col(start_col).isNull()
-            | (
-                (_as_num(start_col) <= _as_num(point_col))
-                & (_as_num(point_col) <= _as_num(end_col))
-            )
+        # Tag each point with a unique id so the "which points matched"
+        # bookkeeping is null-safe: anti-joining on payload columns would
+        # drop its own hit row whenever a payload column is NULL (null-unsafe
+        # equality) and re-emit the point as a spurious unmatched duplicate.
+        pid = pb.withColumn("__pid", F.monotonically_increasing_id())
+        matched = pid.join(ib, [*keys, "__b"]).filter(
+            (_as_num(start_col) <= _as_num(point_col))
+            & (_as_num(point_col) <= _as_num(end_col))
         )
-        # a point whose bucket matched intervals but none contained it would
-        # vanish under the filter; restore such points via anti-join
-        hit = matched.select(*points.columns).distinct()
-        missing = points.join(hit, points.columns, "left_anti")
+        missing = pid.join(
+            matched.select("__pid"), "__pid", "left_anti"
+        )
         for c in intervals.columns:
             if c not in keys:
                 missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-        return matched.drop("__b").unionByName(missing)
+        return matched.drop("__b", "__pid").unionByName(
+            missing.drop("__b", "__pid")
+        )
     raise ValueError(f"unsupported how={how!r}")

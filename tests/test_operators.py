@@ -517,3 +517,25 @@ def test_distributed_percentiles_int_group_key(spark):
     }
     assert got[(0, 0.5)] == pytest.approx(ref[0], rel=1e-12)
     assert got[(1, 0.5)] == pytest.approx(ref[1], rel=1e-12)
+
+
+def test_distributed_percentiles_null_group(spark):
+    """NULL group keys survive groupBy, so they must survive the internal
+    offset/target joins too (null-safe equality) — matching the builtin."""
+    from pwhl_data_engineering_pipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["percentile"]): r["value"]
+        for r in aggregates.exact_percentiles_distributed(df, "g", "v", [0.5, 0.9], n_partitions=3).collect()
+    }
+    ref = {
+        r["g"]: r["q"]
+        for r in df.groupBy("g").agg(F.expr("percentile(v, array(0.5, 0.9))").alias("q")).collect()
+    }
+    for g in ("a", "b", None):
+        for p, expect in zip([0.5, 0.9], ref[g]):
+            assert got[(g, p)] == pytest.approx(expect, rel=1e-12), (g, p)

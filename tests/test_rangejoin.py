@@ -69,6 +69,52 @@ def test_point_in_interval_inner_and_left(spark):
     assert got_left == brute
 
 
+def test_point_in_interval_left_null_payload(spark):
+    """Left-join bookkeeping must be null-safe: a matched point with a NULL
+    payload column must appear exactly once (matched), never duplicated as a
+    spurious unmatched row."""
+    intervals = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (2, "a", 5.0, 15.0), (3, "b", 0.0, 10.0)],
+        "iid long, k string, s double, e double",
+    )
+    points = spark.createDataFrame(
+        [(10, "a", 7.0, None), (11, "a", 99.0, None), (12, "b", 3.0, "x")],
+        "pid long, k string, p double, payload string",
+    )
+    out = rangejoin.point_in_interval_join(
+        points, intervals, ["k"], "p", "s", "e", how="left", bucket_width=5.0
+    ).collect()
+    by_pid: dict = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r["iid"])
+    # pid 10 (NULL payload) matches intervals 1 and 2 — and ONLY those rows
+    assert sorted(by_pid[10]) == [1, 2]
+    # pid 11 is unmatched → exactly one NULL-interval row despite NULL payload
+    assert by_pid[11] == [None]
+    assert by_pid[12] == [3]
+    assert len(out) == 4
+
+
+def test_auto_width_does_not_scan_full_table(spark):
+    """_auto_width must estimate from a bounded sample: a poison row placed
+    beyond the sample window would blow up a full-table scan."""
+    from pyspark.sql.types import DoubleType
+
+    def poison(v):
+        if v is not None and v > 900_000:
+            raise RuntimeError("full scan reached the poison rows")
+        return float(v) + 5.0
+
+    poison_udf = F.udf(poison, DoubleType())
+    df = (
+        spark.range(1_000_000, numPartitions=8)
+        .withColumn("s", F.col("id").cast("double"))
+        .withColumn("e", poison_udf("id"))
+    )
+    w = rangejoin._auto_width(df, "s", "e")
+    assert w == 5.0
+
+
 def test_auto_bucket_width(spark):
     left = _intervals(spark, 40, seed=5).withColumnsRenamed({"iid": "lid", "s": "ls", "e": "le"})
     right = _intervals(spark, 40, seed=6).withColumnsRenamed({"iid": "rid", "s": "rs", "e": "re"})

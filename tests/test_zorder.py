@@ -40,6 +40,26 @@ def test_interleave_bits_known_values(spark):
     assert r["z2"] == 0b0110
 
 
+def test_interleave_bits_overflow_guard(spark):
+    import pytest
+
+    cols = [F.lit(1).cast("long")] * 5
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder.interleave_bits(cols, bits=16)
+    # zorder_key auto-shrinks instead of raising: 5 cols -> 12 bits each
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0, 5.0)], "a double, b double, c double, d double, e double")
+    key = zorder.zorder_key(df, ["a", "b", "c", "d", "e"], bits=16)
+    assert df.select(key.alias("z")).collect()[0]["z"] >= 0
+
+
+def test_quantize_nulls_at_origin(spark):
+    """Docstring contract: NULLs cluster at the curve ORIGIN (0), not at the
+    end — least/greatest skip NULL inputs so the clamp must coalesce first."""
+    df = spark.createDataFrame([(None,), (0.0,), (100.0,)], "x double")
+    got = [r["q"] for r in df.select(zorder.quantize(F.col("x"), 0.0, 100.0, 8).alias("q")).collect()]
+    assert got == [0, 0, 255]
+
+
 def test_zorder_tightens_second_dim(spark, tmp_path):
     # two independent uniform dims
     df = spark.range(40000).select(
