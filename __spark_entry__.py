@@ -309,6 +309,22 @@ def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles via the DISTRIBUTED scale path — range-sort +
+    two-pass global rank (`aggregates.exact_percentiles_distributed`), not
+    the holistic builtin that gathers each group onto one task. Same
+    linear-interpolation semantics as `percentile()` / DuckDB's
+    `quantile_cont`; this entry exists so the driver hash-checks the plan
+    shape we'd actually run at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = aggregates.exact_percentiles_distributed(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )
+    return out.select(
+        "l_returnflag", "percentile", pr(F.col("value"), 4).alias("pval")
+    )
+
+
 def q_dup_key_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/V2: duplicate-key detection (clean_ticket_sales.py:116-119)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1053,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
         "a_pivot": q_pivot,
+        "a_percentiles_dist": q_percentiles_dist,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1198,6 +1215,17 @@ def oracle_sql() -> dict[str, str]:
                    floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_price,
                    floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "a_percentiles_dist": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(ps.p AS DOUBLE) AS percentile,
+                   floor(qs[ps.i] * 1e4 + 0.5) / 1e4 AS pval
+            FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) ps(i, p)
         """,
         "a10_dup_key_detect": """
             SELECT o_custkey, count(*) AS dup_count
