@@ -280,48 +280,37 @@ def q_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7/A8/A9 + exact percentiles, one single-shuffle groupBy: COUNTIF +
-    ratio (sql/10_eda_queries.sql:128-136), Pearson corr / stddev / covar
-    (sql/10:78-83), and linear-interpolation percentiles. One array-form
-    percentile agg → single sort of the group state (two scalar percentile
-    calls would sort twice)."""
+    """A7/A8/A9 + exact percentiles: COUNTIF + ratio
+    (sql/10_eda_queries.sql:128-136), Pearson corr / stddev / covar
+    (sql/10:78-83) in one single-shuffle groupBy, and linear-interpolation
+    percentiles via `aggregates.exact_percentiles_distributed` — the SCALE
+    path (range-sort + two-pass global rank), not the holistic builtin
+    `percentile()` that gathers every value of a group into one task's
+    buffer. The driver hash-checks this against DuckDB `quantile_cont`, so
+    the plan shape we'd run at 100 TB is the one proven correct. The tiny
+    (group × p) percentile frame broadcast-joins back onto the rollup."""
     li = _t(spark, sf_dir, "lineitem")
     disc = aggregates.count_if(F.col("l_discount") >= 0.05)
-    qtiles = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            disc.alias("disc_lines"),
-            F.count(F.lit(1)).alias("lines"),
-            pr(disc / F.count(F.lit(1)), 4).alias("disc_ratio"),
-            pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
-            pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
-            pr(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
-            pr(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
-            qtiles.alias("__q"),
-        )
-        .select(
-            "l_returnflag", "disc_lines", "lines", "disc_ratio",
-            "corr_price_qty", "corr_price_disc", "stddev_price", "covar_price_qty",
-            pr(F.element_at("__q", 1), 4).alias("p50_price"),
-            pr(F.element_at("__q", 2), 4).alias("p95_price"),
-        )
+    stats = li.groupBy("l_returnflag").agg(
+        disc.alias("disc_lines"),
+        F.count(F.lit(1)).alias("lines"),
+        pr(disc / F.count(F.lit(1)), 4).alias("disc_ratio"),
+        pr(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        pr(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        pr(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        pr(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
     )
-
-
-def q_percentiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles via the DISTRIBUTED scale path — range-sort +
-    two-pass global rank (`aggregates.exact_percentiles_distributed`), not
-    the holistic builtin that gathers each group onto one task. Same
-    linear-interpolation semantics as `percentile()` / DuckDB's
-    `quantile_cont`; this entry exists so the driver hash-checks the plan
-    shape we'd actually run at 100 TB."""
-    li = _t(spark, sf_dir, "lineitem")
-    out = aggregates.exact_percentiles_distributed(
-        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    pct = aggregates.exact_percentiles_distributed(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95]
     )
-    return out.select(
-        "l_returnflag", "percentile", pr(F.col("value"), 4).alias("pval")
+    pw = pct.groupBy("l_returnflag").agg(
+        pr(F.max(F.when(F.col("percentile") == 0.5, F.col("value"))), 4).alias("p50_price"),
+        pr(F.max(F.when(F.col("percentile") == 0.95, F.col("value"))), 4).alias("p95_price"),
+    )
+    return stats.join(F.broadcast(pw), "l_returnflag").select(
+        "l_returnflag", "disc_lines", "lines", "disc_ratio",
+        "corr_price_qty", "corr_price_disc", "stddev_price", "covar_price_qty",
+        "p50_price", "p95_price",
     )
 
 
@@ -1069,7 +1058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
         "a_pivot": q_pivot,
-        "a_percentiles_dist": q_percentiles_dist,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1215,17 +1203,6 @@ def oracle_sql() -> dict[str, str]:
                    floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_price,
                    floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price
             FROM lineitem GROUP BY l_returnflag
-        """,
-        "a_percentiles_dist": """
-            WITH q AS (
-                SELECT l_returnflag,
-                       quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
-                FROM lineitem GROUP BY l_returnflag
-            )
-            SELECT l_returnflag,
-                   CAST(ps.p AS DOUBLE) AS percentile,
-                   floor(qs[ps.i] * 1e4 + 0.5) / 1e4 AS pval
-            FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) ps(i, p)
         """,
         "a10_dup_key_detect": """
             SELECT o_custkey, count(*) AS dup_count
