@@ -999,16 +999,49 @@ def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary column → Arrow-batched feature extraction
-    (deterministic fake decoder — rows-only check)."""
+    """Multimodal decode, REAL end to end: valid PNG / RIFF-WAVE containers
+    are synthesized JVM-side (byte-packing expressions — `multimodal.be32/
+    le32/le16`, whole-stage codegen) from document attributes, then
+    `multimodal.decode_meta` parses the actual container headers with the
+    pure-stdlib struct decoders in one Arrow-batched mapInPandas stage.
+    Non-circular: the JVM builds the bytes, Python parses them, and DuckDB
+    re-derives the expected metadata arithmetically — hash-checked."""
+    from pwhl_data_engineering_pipeline_spark.operators.multimodal import be32, le16, le32
+
     docs = _t(spark, sf_dir, "documents")
+    width = (F.col("doc_id") % 640 + 1).cast("bigint")
+    height = (F.octet_length("text") % 480 + 1).cast("bigint")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        be32(F.lit(13)), F.lit(b"IHDR"),
+        be32(width), be32(height), F.lit(b"\x08\x06\x00\x00\x00"),
+        be32(F.lit(0)),  # CRC not validated by the header parser
+        F.encode("text", "utf-8"),
+    )
+    data_size = (F.octet_length("text") * 4).cast("bigint")
+    wav = F.concat(
+        F.lit(b"RIFF"), le32(data_size + 36), F.lit(b"WAVE"),
+        F.lit(b"fmt "), le32(F.lit(16)),
+        le16(F.lit(1)), le16(F.lit(1)),          # PCM, mono
+        le32(F.lit(8000)), le32(F.lit(16000)),   # sample rate, byte rate
+        le16(F.lit(2)), le16(F.lit(16)),         # block align, bits
+        F.lit(b"data"), le32(data_size),
+        F.encode(F.repeat("text", 4), "utf-8"),
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("content"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(wav).alias("content"),
     )
-    media = multimodal.attach_meta(media, media_type="text", fmt="utf8")
-    feats = multimodal.extract_features(media, dim=8)
-    return feats.select("media_id", pr(F.element_at("features", 1), 4).alias("f0"))
+    meta = multimodal.decode_meta(media)
+    return meta.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.size_bytes").alias("size_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1630,6 +1663,17 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        """,
+        "ns_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(strlen(text) % 480 + 1 AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(strlen(text) * 4 * 1000 // 16000 AS BIGINT) END AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + strlen(text)
+                             ELSE 44 + strlen(text) * 4 END AS BIGINT) AS size_bytes
+            FROM documents
         """,
         "ns_vector_centroids": """
             WITH ex AS (

@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schemas, batch-shaped Arrow UDFs over
-``mapInPandas``, partitioning by media size — is real and tested; the actual
-codec work is stubbed (decode libs are not in this container) behind
-deterministic fakes / NotImplementedError, clearly marked.
+``mapInPandas``, partitioning by media size — is real and tested. Container
+HEADER decoding is REAL (pure-stdlib ``struct`` parsers for PNG IHDR, GIF
+screen descriptor, JPEG SOF, RIFF/WAVE fmt+data → width/height/duration);
+only pixel/sample decoding (needs codec libs absent from this container)
+remains a clearly-marked deterministic fake.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 (1) metadata lives in its own narrow struct column → metadata-only queries
@@ -62,6 +64,172 @@ def attach_meta(df: DataFrame, content_col: str = "content", media_type: str = "
             F.length(F.col(content_col)).cast("bigint").alias("size_bytes"),
         ),
     )
+
+
+# -- JVM-side byte packing (for synthesizing container headers in-plan) ----
+
+def be32(c) -> "F.Column":
+    """Pack an integer column into 4 big-endian bytes, JVM-side:
+    hex → left-pad to 8 nibbles → unhex. Stays in whole-stage codegen."""
+    x = F.col(c) if isinstance(c, str) else c
+    return F.unhex(F.lpad(F.hex(x.cast("bigint") % F.lit(4294967296)), 8, "0"))
+
+
+def _byte(x, i: int) -> "F.Column":
+    return F.unhex(F.lpad(F.hex(F.shiftright(x, 8 * i) % 256), 2, "0"))
+
+
+def le32(c) -> "F.Column":
+    """Pack an integer column into 4 little-endian bytes, JVM-side."""
+    x = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+    return F.concat(_byte(x, 0), _byte(x, 1), _byte(x, 2), _byte(x, 3))
+
+
+def le16(c) -> "F.Column":
+    """Pack an integer column into 2 little-endian bytes, JVM-side."""
+    x = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+    return F.concat(_byte(x, 0), _byte(x, 1))
+
+
+# -- real header decoders (pure stdlib — no codec libraries needed) --------
+#
+# These parse actual container headers with `struct`: PNG IHDR, GIF logical
+# screen descriptor, JPEG SOF frame, and RIFF/WAVE fmt+data chunks. They
+# fill MEDIA_META's codec-derived fields (width/height/duration_ms) with
+# REAL values; only pixel/sample decoding (which needs codec libs absent
+# from this container) remains out of scope.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(blob: bytes) -> dict | None:
+    """PNG IHDR: width/height are the two big-endian u32s that open the
+    first chunk after the 8-byte signature (chunk length + b'IHDR' first)."""
+    import struct
+
+    if not blob or not blob.startswith(_PNG_SIG) or len(blob) < 24:
+        return None
+    clen, ctype = struct.unpack_from(">I4s", blob, 8)
+    if ctype != b"IHDR" or clen < 8:
+        return None
+    width, height = struct.unpack_from(">II", blob, 16)
+    return {"format": "png", "media_type": "image", "width": width, "height": height}
+
+
+def parse_gif(blob: bytes) -> dict | None:
+    """GIF87a/89a logical screen descriptor: two little-endian u16s at 6."""
+    import struct
+
+    if not blob or blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 10:
+        return None
+    width, height = struct.unpack_from("<HH", blob, 6)
+    return {"format": "gif", "media_type": "image", "width": width, "height": height}
+
+
+def parse_jpeg(blob: bytes) -> dict | None:
+    """JPEG: walk the marker segments to the first SOFn frame header
+    (C0–CF excluding DHT C4, DNL C8, DAC CC); height/width are big-endian
+    u16s at offsets 3/5 inside the frame segment."""
+    import struct
+
+    if not blob or blob[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            return None
+        marker = blob[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length field
+            i += 2
+            continue
+        seglen = struct.unpack_from(">H", blob, i + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 2 + seglen > n or seglen < 7:
+                return None
+            height, width = struct.unpack_from(">HH", blob, i + 5)
+            return {
+                "format": "jpeg", "media_type": "image",
+                "width": width, "height": height,
+            }
+        i += 2 + seglen
+    return None
+
+
+def parse_wav(blob: bytes) -> dict | None:
+    """RIFF/WAVE: walk chunks for fmt (sample rate, channels, block align)
+    and data (payload size); duration_ms = data_bytes / byte_rate."""
+    import struct
+
+    if not blob or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    byte_rate = None
+    data_size = None
+    while i + 8 <= n:
+        cid, clen = struct.unpack_from("<4sI", blob, i)
+        if cid == b"fmt " and clen >= 16 and i + 8 + 16 <= n:
+            _fmt, _ch, _rate, brate, _align, _bits = struct.unpack_from(
+                "<HHIIHH", blob, i + 8
+            )
+            byte_rate = brate
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if byte_rate is None or data_size is None or byte_rate == 0:
+        return None
+    return {
+        "format": "wav", "media_type": "audio",
+        "duration_ms": int(data_size * 1000 // byte_rate),
+    }
+
+
+_PARSERS = (parse_png, parse_gif, parse_jpeg, parse_wav)
+
+
+def parse_media_header(blob: bytes) -> dict:
+    """Sniff + parse a media blob's container header. Returns the MEDIA_META
+    fields it could derive (always size_bytes; width/height/duration_ms when
+    a known container matched; format='bin' otherwise)."""
+    meta = {
+        "media_type": "binary", "format": "bin",
+        "width": None, "height": None, "duration_ms": None,
+        "size_bytes": len(blob or b""),
+    }
+    for p in _PARSERS:
+        got = p(blob)
+        if got:
+            meta.update(got)
+            return meta
+    return meta
+
+
+def decode_meta(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Fill MEDIA_META from REAL container headers via Arrow-batched
+    mapInPandas: (id, meta). Header parsing touches only the leading bytes
+    of each blob; the scan stays narrow (id + content) and the output is
+    the narrow metadata frame to join back (or write as a sidecar) —
+    metadata-only consumers never rescan the bytes."""
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("meta", MEDIA_META)]
+    )
+
+    def run(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "meta": [parse_media_header(b) for b in pdf[content_col]],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(run, out_schema)
 
 
 def _fake_decode_features(blob: bytes, dim: int) -> list[float]:
