@@ -93,7 +93,20 @@ def translate_statement(
     m = _SCHEMA_RE.search(s)
     if m:
         name = m.group(1).split(".")[-1]
-        return f"CREATE DATABASE IF NOT EXISTS {name}"
+        props = []
+        opts = m.group(2) or ""
+        ttl = re.search(r"default_table_expiration_days\s*=\s*(\d+)", opts, re.IGNORECASE)
+        if ttl:
+            # runtime counterpart: writers.vacuum_expired drops tables past
+            # this TTL (BigQuery auto-expires them server-side)
+            props.append(f"'default_table_expiration_days'='{ttl.group(1)}'")
+        loc = re.search(r"location\s*=\s*'([^']*)'", opts, re.IGNORECASE)
+        if loc:
+            # a BigQuery *region*, not a filesystem path — recorded for
+            # fidelity, not interpreted (Spark LOCATION means a warehouse dir)
+            props.append(f"'bq.location'='{loc.group(1)}'")
+        with_props = f" WITH DBPROPERTIES ({', '.join(props)})" if props else ""
+        return f"CREATE DATABASE IF NOT EXISTS {name}{with_props}"
 
     ctas = _CTAS_RE.search(s)
     target = ctas.group(1) if ctas else None

@@ -127,18 +127,122 @@ def compact_parquet(
     return n_files
 
 
-def create_database(spark: SparkSession, name: str, location: str | None = None) -> None:
+def create_database(
+    spark: SparkSession,
+    name: str,
+    location: str | None = None,
+    default_table_expiration_days: int | None = None,
+) -> None:
     """S11: ``CREATE SCHEMA IF NOT EXISTS`` (sql/01_create_dataset.sql:7-11).
 
     The reference's ``OPTIONS(location='US', default_table_expiration_days=
     ...)`` maps as follows: ``location`` (a BigQuery *region*) has no Spark
     analogue — the closest physical control is the warehouse LOCATION,
-    supported here; ``default_table_expiration_days`` (TTL auto-drop) has no
-    Spark/parquet counterpart at all and is intentionally dropped — retention
-    belongs to a table-format policy (Delta/Iceberg) or an external janitor,
-    not the catalog. Documented deviation, see sql_dialect._SCHEMA_RE."""
+    supported here. ``default_table_expiration_days`` (BigQuery auto-drops
+    tables past the TTL server-side) is stored as a database property and
+    enforced by :func:`vacuum_expired` — Spark has no server to expire
+    tables for you, so retention is an explicit janitor pass you schedule."""
     loc = f" LOCATION '{location}'" if location else ""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
+    props = (
+        f" WITH DBPROPERTIES ('default_table_expiration_days'="
+        f"'{int(default_table_expiration_days)}')"
+        if default_table_expiration_days is not None
+        else ""
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}{props}")
+
+
+def stamp_created(
+    spark: SparkSession,
+    table: str,
+    created_at_epoch: int,
+    expiration_days: int | None = None,
+) -> None:
+    """Stamp a table's creation epoch (and optional per-table TTL override)
+    as TBLPROPERTIES — the explicit timestamps :func:`vacuum_expired` trusts
+    first. Callers that create tables outside the helpers here can stamp
+    after the fact; unstamped tables fall back to the catalog's Created
+    Time, and tables with neither are never dropped."""
+    props = [f"'created_at_epoch'='{int(created_at_epoch)}'"]
+    if expiration_days is not None:
+        props.append(f"'expiration_days'='{int(expiration_days)}'")
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({', '.join(props)})")
+
+
+def _db_property(spark: SparkSession, db: str, key: str) -> str | None:
+    import re
+
+    for r in spark.sql(f"DESCRIBE DATABASE EXTENDED {db}").collect():
+        if r["info_name"].strip().lower() == "properties":
+            m = re.search(rf"\(\s*{re.escape(key)}\s*,\s*([^)]*)\)", r["info_value"])
+            if m:
+                return m.group(1).strip()
+    return None
+
+
+def _table_created_epoch(spark: SparkSession, db: str, table: str) -> int | None:
+    """Creation time for vacuum: explicit 'created_at_epoch' TBLPROPERTY
+    first, else the catalog's Created Time line from DESCRIBE EXTENDED."""
+    import calendar
+    import time
+
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.{table}").collect()
+    }
+    if "created_at_epoch" in props:
+        return int(props["created_at_epoch"])
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{table}").collect():
+        if (r["col_name"] or "").strip() == "Created Time":
+            try:  # ctime-style: 'Wed Aug 13 12:00:00 UTC 2026'
+                return calendar.timegm(
+                    time.strptime(r["data_type"].strip(), "%a %b %d %H:%M:%S %Z %Y")
+                )
+            except ValueError:
+                return None
+    return None
+
+
+def vacuum_expired(
+    spark: SparkSession, db: str, as_of_epoch: int | None = None
+) -> dict:
+    """Enforce the dataset TTL (runtime counterpart of BigQuery's
+    ``default_table_expiration_days``): drop every table in ``db`` whose age
+    exceeds its TTL. Per-table TBLPROPERTIES override the database default:
+    ``expiration_days`` (relative) and ``expires_at_epoch`` (absolute).
+    Tables whose creation time cannot be determined are NEVER dropped.
+
+    Catalog-only operation (a few list/describe calls + drops) — no data
+    scan, so it is safe to run as a scheduled janitor at any warehouse
+    size. Returns {'dropped': [...], 'kept': [...]}."""
+    import time
+
+    now = int(as_of_epoch if as_of_epoch is not None else time.time())
+    default_days = _db_property(spark, db, "default_table_expiration_days")
+    dropped, kept = [], []
+    for t in spark.sql(f"SHOW TABLES IN {db}").collect():
+        if t["isTemporary"]:
+            continue
+        name = t["tableName"]
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {db}.{name}").collect()
+        }
+        expires_at: int | None = None
+        if "expires_at_epoch" in props:
+            expires_at = int(props["expires_at_epoch"])
+        else:
+            days = props.get("expiration_days", default_days)
+            if days is not None:
+                created = _table_created_epoch(spark, db, name)
+                if created is not None:
+                    expires_at = created + int(days) * 86400
+        if expires_at is not None and expires_at <= now:
+            spark.sql(f"DROP TABLE {db}.{name}")
+            dropped.append(name)
+        else:
+            kept.append(name)
+    return {"dropped": dropped, "kept": kept}
 
 
 def create_view(df: DataFrame, name: str) -> None:

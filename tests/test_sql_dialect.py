@@ -109,3 +109,48 @@ def test_10_eda_queries_run(spark, star):
     # preserves the reference's own (inflated) semantics; the engine's
     # native star layer (plans/star.py) deduplicates dim_weather instead.
     assert summary["Boston"]["total_tickets"] == 48
+
+
+def test_01_create_dataset_ttl_end_to_end(spark, tmp_path):
+    """The reference's own 01_create_dataset.sql runs verbatim: the schema's
+    default_table_expiration_days lands as a database property, and
+    vacuum_expired enforces it (BigQuery expires tables server-side; here
+    retention is an explicit catalog-only janitor pass)."""
+    import shutil
+
+    from pwhl_data_engineering_pipeline_spark.sources import writers
+
+    db = "pwhl_takehome"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(f"spark-warehouse/{db}.db", ignore_errors=True)
+    sql_dialect.run_bigquery_script(spark, _read("01_create_dataset.sql"))
+    assert writers._db_property(spark, db, "default_table_expiration_days") == "365"
+    assert writers._db_property(spark, db, "bq.location") == "US"
+
+    spark.sql(f"CREATE TABLE {db}.t_old USING parquet AS SELECT 1 AS x")
+    spark.sql(f"CREATE TABLE {db}.t_new USING parquet AS SELECT 2 AS x")
+    spark.sql(f"CREATE TABLE {db}.t_override USING parquet AS SELECT 3 AS x")
+    now = 1_800_000_000
+    writers.stamp_created(spark, f"{db}.t_old", now - 366 * 86400)
+    writers.stamp_created(spark, f"{db}.t_new", now - 364 * 86400)
+    # per-table override beats the database default
+    writers.stamp_created(spark, f"{db}.t_override", now - 10 * 86400, expiration_days=5)
+
+    out = writers.vacuum_expired(spark, db, as_of_epoch=now)
+    assert sorted(out["dropped"]) == ["t_old", "t_override"]
+    assert out["kept"] == ["t_new"]
+    assert [
+        t["tableName"]
+        for t in spark.sql(f"SHOW TABLES IN {db}").collect()
+        if not t["isTemporary"]
+    ] == ["t_new"]
+
+    # a table with no stamp and no parseable created time is never dropped —
+    # freshly created tables DO have catalog Created Time, so they survive a
+    # vacuum dated far in the future only if TTL math says so; verify the
+    # fallback path reads the catalog timestamp at all
+    spark.sql(f"CREATE TABLE {db}.t_unstamped USING parquet AS SELECT 4 AS x")
+    created = writers._table_created_epoch(spark, db, "t_unstamped")
+    assert created is not None and abs(created - __import__("time").time()) < 3600
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    shutil.rmtree(f"spark-warehouse/{db}.db", ignore_errors=True)
