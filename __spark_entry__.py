@@ -31,6 +31,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sampling,
     sessions,
     similarity,
     vector_agg,
@@ -794,6 +795,279 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-within-group correlated subquery), adapted to
+    the partsupp-free testdata schema: parts whose retail price is the
+    minimum for their (p_type, p_size) group. Spark expresses the correlated
+    ``= (SELECT min(...) WHERE same group)`` as a window-min + filter —
+    one shuffle on the group key, no self-join re-scan."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type", "p_size")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): EXISTS correlated subquery as a
+    LEFT SEMI join with a non-equi conjunct (l_shipdate > o_orderdate —
+    the testdata schema has no commit/receipt dates)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): nation-pair trade flow — lineitem joined
+    to both its supplier's and its customer's nation, antisymmetric pair
+    filter, revenue by (supp_nation, cust_nation, year). Both nation joins
+    broadcast; the only shuffles are the two fact joins and the rollup."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("c_natkey"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_natkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_natkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias("revenue")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): customers who returned items in
+    a quarter, top 20 by lost revenue; dimension joins broadcast, fact
+    rollup partial-aggregates before the exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias("revenue")
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional two-way CASE aggregation over a fact
+    join; l_shipmode doesn't exist in the testdata, so the group key is
+    l_linestatus and the priority split is the classic urgent/non-urgent
+    CASE)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(F.lit(1) - high).alias("low_line_count"),
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): ratio of promo revenue to total revenue
+    in one month. Both numerator and denominator are exact integer-scaled
+    sums, so the final division is bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return joined.agg(
+        pr(F.lit(100.0) * msum(promo, 10000.0) / msum(disc, 10000.0), 4).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customer): IN-subquery over a grouped HAVING
+    — expressed as an aggregate-then-semi-join (the qualifying key set is
+    tiny, so it broadcasts), then the classic customer/order rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(isum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 250)
+        .select("l_orderkey")
+    )
+    qualified = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    joined = (
+        li.join(qualified, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"), "o_totalprice",
+    ).agg(isum("l_quantity").alias("sum_qty"))
+    return relational.top_k(agg, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): disjunction of conjunctive
+    brand/size/quantity bands — the OR-of-ANDs predicate lands after a
+    single broadcast join; each arm is sargable so Catalyst can push the
+    common l_quantity bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(arm1 | arm2 | arm3).agg(
+        pr(msum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_cond_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window kit for the conditional-aggregation TPC-H shapes —
+    Q4 (EXISTS semi-join counts), Q12 (two-way CASE split), Q14 (promo
+    ratio), Q19 (OR-of-ANDs revenue) — reshaped long-form
+    (leg, grp, value) so four small-result queries ride one correctness
+    row; each leg also exists standalone (q_tpch_q4 etc., extended suite)
+    with its own oracle."""
+    def leg(df: DataFrame, leg_name: str, grp, value) -> DataFrame:
+        return df.select(
+            F.lit(leg_name).alias("leg"),
+            (F.lit(grp) if isinstance(grp, str) else grp).alias("grp"),
+            value.cast("double").alias("value"),
+        )
+
+    q4 = q_tpch_q4(spark, sf_dir)
+    q12 = q_tpch_q12(spark, sf_dir)
+    q14 = q_tpch_q14(spark, sf_dir)
+    q19 = q_tpch_q19(spark, sf_dir)
+    legs = [
+        leg(q4, "q4_order_count", F.col("o_orderpriority"), F.col("order_count")),
+        leg(q12, "q12_high_line_count", F.col("l_linestatus"), F.col("high_line_count")),
+        leg(q12, "q12_low_line_count", F.col("l_linestatus"), F.col("low_line_count")),
+        leg(q14, "q14_promo_revenue_pct", "ALL", F.col("promo_revenue_pct")),
+        leg(q14, "q14_n_lines", "ALL", F.col("n_lines")),
+        leg(q19, "q19_revenue", "ALL", F.col("revenue")),
+        leg(q19, "q19_n_lines", "ALL", F.col("n_lines")),
+    ]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionAll(other)
+    return out
+
+
+def q_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + weighted corpus mixing
+    (operators.sampling): md5-hash membership, pure map-side (no shuffle,
+    no RNG state), bit-reproducible in any engine. Reports per
+    (source, split): document count, kept-after-mixing count, and kept
+    character volume — the accounting a data-mixture pipeline publishes."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    flagged = sampling.weighted_sample(
+        split,
+        "doc_id",
+        "source",
+        _MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+        seed=_MIX_SEED,
+        flag_col="keep",
+    )
+    keep_i = F.col("keep").cast("int")
+    return flagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep_i).alias("n_kept"),
+        F.sum(keep_i * F.col("n_chars")).alias("kept_chars"),
+    )
+
+
+_SPLIT_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_SPLIT_SEED = "split42"
+_MIX_RATES = {"src0": 1.0, "src1": 0.6, "src2": 0.35}
+_MIX_DEFAULT = 0.15
+_MIX_SEED = "mix42"
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): scalar subquery threshold +
+    NOT EXISTS anti-join. The average-balance cutoff is compared in exact
+    integer cents (c_cents * n > sum_cents ⟺ c_acctbal > avg) so the
+    boundary never flips cross-engine; the threshold aggregate is one tiny
+    row collected driver-side (metadata, not data)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(F.floor(F.col("c_acctbal") * 100.0 + 0.5)).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    sum_cents, n = float(stats["sum_cents"]), int(stats["n"])
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01"))
+    )
+    rich = cust.filter(
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5) * F.lit(float(n)) > F.lit(sum_cents)
+    )
+    no_urgent = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_urgent.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        pr(msum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1092,9 +1366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup_cube": q_rollup_cube,
         "a_pivot": q_pivot,
         "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1352,6 +1635,124 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q2": """
+            SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+            FROM part p
+            WHERE p_retailprice = (
+                SELECT min(p2.p_retailprice) FROM part p2
+                WHERE p2.p_type = p.p_type AND p2.p_size = p.p_size)
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   floor((sum(floor(volume * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       EXTRACT(year FROM l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14": """
+            SELECT floor((100.0
+                     * (sum(floor(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0.0 END * 10000.0 + 0.5)) / 10000.0)
+                     / (sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0)
+                   ) * 1e4 + 0.5) / 1e4 AS promo_revenue_pct,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+                   CAST(sum(floor(l_quantity + 0.5)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(floor(l_quantity + 0.5)) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT floor((sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   floor((sum(floor(c_acctbal * 100.0 + 0.5)) / 100.0) * 1e2 + 0.5) / 1e2 AS totacctbal
+            FROM customer c
+            WHERE floor(c_acctbal * 100.0 + 0.5)
+                    * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+                  > (SELECT sum(floor(c_acctbal * 100.0 + 0.5))
+                     FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
         """,
         "tpch_q3": """
             SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,

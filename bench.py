@@ -95,6 +95,10 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q6",
+        "tpch_q7",
+        "tpch_q10",
+        "tpch_q18",
+        "tpch_q19",
         "flagship_priority_revenue",
         "p1_p5_filter_project",
         "j1_broadcast_enrich",

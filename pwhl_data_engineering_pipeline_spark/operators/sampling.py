@@ -1,0 +1,159 @@
+"""Deterministic corpus sampling: hash splits and weighted slice mixing.
+
+Training-data pipelines need reproducible dataset membership: the same
+document must land in the same train/val/test split on every run, on any
+cluster size, even as the corpus grows (a doc's assignment may depend only
+on the doc itself, never on other rows, row order, or partition layout).
+Seeded RNG sampling (``df.sample``) violates all of that — partition-level
+RNG state changes whenever the layout does.
+
+Both operators here derive membership from ``md5(seed ':' key)`` truncated
+to 32 bits: a pure per-row projection with
+
+- **no shuffle** — the predicate/label is map-side and survives pushdown,
+  so a split filter prunes at the scan like any other filter;
+- **engine portability** — md5 is bit-identical everywhere, so the DuckDB
+  oracle (and any other engine auditing the pipeline) reproduces the exact
+  membership, making splits *diff-testable* rather than just "about 80%";
+- **stability under growth** — appending documents never reassigns an
+  existing one, unlike ntile/row_number schemes.
+
+At 100 TB this is the only shape that works: membership is computed where
+the row already is, with zero coordination.
+
+No counterpart in the reference (its pipeline has no ML-split stage); this
+is part of the engine's training-data extension alongside operators.dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Denominator for hash bucketing: rates are resolved to integer
+# per-ten-thousand thresholds so the boundary comparison is exact integer
+# arithmetic (no float rounding can flip a row between engines).
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, 10000): first 8 hex chars of
+    md5('<seed>:<key>') parsed as a 32-bit int, mod 10000. Uniform enough
+    for split/sampling purposes and trivially portable (md5 + substring +
+    base-16 parse exist in every SQL engine)."""
+    digest = F.md5(F.concat(F.lit(seed + ":"), key.cast("string")))
+    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % _BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    *,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label.
+
+    ``weights`` is an ordered (label, fraction) sequence summing to ~1.0;
+    fractions are resolved to cumulative integer thresholds out of 10000
+    (exact boundaries — 0.8 → bucket < 8000). The label is a pure function
+    of (seed, row key): stable across runs, engines, partitionings, and
+    corpus growth.
+    """
+    total = sum(w for _, w in weights)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    expr = None
+    cum = 0
+    for label, w in weights:
+        cum = min(_BUCKETS, cum + int(round(w * _BUCKETS)))
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    # Rounding guard: anything past the last cumulative threshold takes the
+    # final label so the assignment is total.
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    slice_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    seed: str = "mix",
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-slice sampling (corpus mixing).
+
+    Each slice value (e.g. a source/domain column) gets a keep-rate; a row
+    is kept iff its hash bucket < rate*10000. With ``flag_col`` set, the
+    keep decision is added as a boolean column instead of filtering —
+    useful for accounting queries that report kept/total per slice.
+
+    This is the standard "data mixture" knob for training corpora:
+    up-weight high-quality sources by keeping all of them, down-sample
+    boilerplate-heavy ones, reproducibly — re-running the pipeline (or
+    re-auditing it in another engine) selects the identical document set.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    threshold = None
+    for name in sorted(rates):
+        cond = F.col(slice_col) == F.lit(name)
+        t = F.lit(int(round(rates[name] * _BUCKETS)))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        threshold.otherwise(F.lit(int(round(default_rate * _BUCKETS))))
+        if threshold is not None
+        else F.lit(int(round(default_rate * _BUCKETS)))
+    )
+    keep = bucket < threshold
+    if flag_col is not None:
+        return df.withColumn(flag_col, keep)
+    return df.filter(keep)
+
+
+def split_sql(key_expr: str, weights: Sequence[tuple[str, float]], seed: str) -> str:
+    """ANSI-SQL CASE expression mirroring hash_split — used by oracle
+    queries and kept next to the implementation so the two recipes cannot
+    drift apart."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_BUCKETS})"
+    )
+    arms = []
+    cum = 0
+    for label, w in weights:
+        cum = min(_BUCKETS, cum + int(round(w * _BUCKETS)))
+        arms.append(f"WHEN {bucket} < {cum} THEN '{label}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{weights[-1][0]}' END"
+
+
+def keep_sql(
+    key_expr: str,
+    slice_expr: str,
+    rates: dict[str, float],
+    default_rate: float,
+    seed: str,
+) -> str:
+    """ANSI-SQL boolean expression mirroring weighted_sample."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_BUCKETS})"
+    )
+    arms = " ".join(
+        f"WHEN {slice_expr} = '{name}' THEN {int(round(rates[name] * _BUCKETS))}"
+        for name in sorted(rates)
+    )
+    thr = f"CASE {arms} ELSE {int(round(default_rate * _BUCKETS))} END"
+    return f"({bucket} < {thr})"
