@@ -1378,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_cond_agg_kit": q_tpch_cond_agg_kit,
+        "ns_split_mix": q_split_mix,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1412,7 +1414,7 @@ _LANG_SCORES_SQL = ",\n".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "flagship_priority_revenue": """
             SELECT o_orderpriority,
                    count(DISTINCT o_orderkey) AS order_count,
@@ -1689,10 +1691,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2119,7 +2121,41 @@ def oracle_sql() -> dict[str, str]:
                    length(substr(text, chunk_idx * 96 + 1, 128)) AS chunk_len
             FROM idx
         """,
-        # ns_minhash_pairs / ns_simhash_pairs / ns_ann_ivf /
-        # ns_multimodal_features: hash-seeded or Python-batch operators —
-        # intentionally no SQL oracle (driver rows-only check).
+        # ns_minhash_pairs / ns_simhash_pairs / ns_ann_ivf: hash-seeded or
+        # Python-batch operators — intentionally no SQL oracle (driver
+        # rows-only check).
     }
+    # Composed entries built from other oracles / the operators' own SQL
+    # mirrors, so the recipes cannot drift apart.
+    sql["tpch_cond_agg_kit"] = f"""
+        SELECT 'q4_order_count' AS leg, o_orderpriority AS grp,
+               CAST(order_count AS DOUBLE) AS value FROM ({sql["tpch_q4"]})
+        UNION ALL
+        SELECT 'q12_high_line_count', l_linestatus,
+               CAST(high_line_count AS DOUBLE) FROM ({sql["tpch_q12"]})
+        UNION ALL
+        SELECT 'q12_low_line_count', l_linestatus,
+               CAST(low_line_count AS DOUBLE) FROM ({sql["tpch_q12"]})
+        UNION ALL
+        SELECT 'q14_promo_revenue_pct', 'ALL',
+               CAST(promo_revenue_pct AS DOUBLE) FROM ({sql["tpch_q14"]})
+        UNION ALL
+        SELECT 'q14_n_lines', 'ALL', CAST(n_lines AS DOUBLE) FROM ({sql["tpch_q14"]})
+        UNION ALL
+        SELECT 'q19_revenue', 'ALL', CAST(revenue AS DOUBLE) FROM ({sql["tpch_q19"]})
+        UNION ALL
+        SELECT 'q19_n_lines', 'ALL', CAST(n_lines AS DOUBLE) FROM ({sql["tpch_q19"]})
+    """
+    split_expr = sampling.split_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)
+    keep_expr = sampling.keep_sql("doc_id", "source", _MIX_RATES, _MIX_DEFAULT, _MIX_SEED)
+    sql["ns_split_mix"] = f"""
+        WITH flagged AS (
+          SELECT source, {split_expr} AS split, {keep_expr} AS keep, n_chars
+          FROM documents
+        )
+        SELECT source, split, count(*) AS n_docs,
+               CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_kept,
+               CAST(sum(CAST(keep AS INT) * n_chars) AS BIGINT) AS kept_chars
+        FROM flagged GROUP BY source, split
+    """
+    return sql
