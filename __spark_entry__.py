@@ -973,6 +973,130 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kit_legs(legs: list[tuple[str, DataFrame, list[str], list[str]]]) -> DataFrame:
+    """Reshape several query results into one long-form frame
+    ``(leg, grp, value)`` so N small queries ride one driver correctness
+    row (the driver hash-checks only the first 50 ``queries()`` entries —
+    see tests/test_entry_oracle.py::test_queries_fit_driver_window).
+
+    ``grp`` concatenates every key/string column (NULL → '∅' explicitly:
+    concat_ws would silently *skip* nulls, and Spark and DuckDB must agree
+    on the serialization); each numeric payload column becomes its own
+    ``leg:col`` row with the value cast to double. Full row coherence is
+    preserved — the multiset of (leg, grp, value) determines every
+    sub-result exactly. Standalone forms remain in extended_queries()."""
+    outs = []
+    for leg, df, grp_cols, val_cols in legs:
+        gparts = [F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in grp_cols]
+        grp = F.concat_ws(":", *gparts) if gparts else F.lit("ALL")
+        if not val_cols:  # presence/multiplicity-only leg
+            outs.append(df.select(F.lit(f"{leg}:_present").alias("leg"),
+                                  grp.alias("grp"), F.lit(1.0).alias("value")))
+        for v in val_cols:
+            outs.append(df.select(F.lit(f"{leg}:{v}").alias("leg"), grp.alias("grp"),
+                                  F.col(v).cast("double").alias("value")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _kit_legs_sql(specs: list[tuple[str, str, list[str], list[str]]]) -> str:
+    """ANSI-SQL twin of _kit_legs, built from the standalone oracle SQL
+    strings so the kit oracle can never drift from the per-query oracles."""
+    sels = []
+    for leg, sql, grp_cols, val_cols in specs:
+        if grp_cols:
+            g = " || ':' || ".join(f"coalesce(CAST({c} AS VARCHAR), '∅')" for c in grp_cols)
+        else:
+            g = "'ALL'"
+        if not val_cols:
+            sels.append(
+                f"SELECT '{leg}:_present' AS leg, {g} AS grp, CAST(1.0 AS DOUBLE) AS value FROM ({sql})"
+            )
+        for v in val_cols:
+            sels.append(
+                f"SELECT '{leg}:{v}' AS leg, {g} AS grp, CAST({v} AS DOUBLE) AS value FROM ({sql})"
+            )
+    return "\nUNION ALL\n".join(sels)
+
+
+# (leg, query_fn, grp_cols, val_cols) — shared by the Spark kit and its
+# oracle so the two reshapes are generated from one spec.
+_TPCH_SUBQUERY_KIT = [
+    ("q2", "q_tpch_q2", ["p_partkey", "p_name", "p_type", "p_size"], ["p_retailprice"]),
+    ("q11", "q_tpch_q11", ["l_partkey"], ["part_value"]),
+    ("q15", "q_tpch_q15", ["s_suppkey", "s_name"], ["total_revenue"]),
+    ("q17", "q_tpch_q17", [], ["avg_yearly", "n_lines"]),
+    ("q20", "q_tpch_q20", ["s_suppkey", "s_name"], ["s_acctbal"]),
+    ("q22", "q_tpch_q22", ["c_mktsegment"], ["numcust", "totacctbal"]),
+]
+
+_TPCH_JOIN_KIT = [
+    ("q5", "q_tpch_q5", ["n_name"], ["revenue"]),
+    ("q7", "q_tpch_q7", ["supp_nation", "cust_nation", "l_year"], ["revenue"]),
+    ("q8", "q_tpch_q8", ["o_year"], ["mkt_share"]),
+    ("q9", "q_tpch_q9", ["nation", "o_year"], ["sum_profit"]),
+    ("q13", "q_tpch_q13", ["c_count"], ["custdist"]),
+    ("q16", "q_tpch_q16", ["p_brand", "p_type", "p_size"], ["supplier_cnt"]),
+    ("q21", "q_tpch_q21", ["s_name"], ["numwait"]),
+]
+
+_TPCH_TOPK_KIT = [
+    ("q10", "q_tpch_q10", ["c_custkey", "c_name", "n_name"], ["revenue", "c_acctbal"]),
+    ("q18", "q_tpch_q18", ["c_name", "c_custkey", "o_orderkey", "orderdate"],
+     ["o_totalprice", "sum_qty"]),
+]
+
+_REL_SHAPE_KIT = [
+    ("wrun", "q_window_running", ["o_custkey", "o_orderkey"],
+     ["running_total", "days_since_prev", "trailing_avg_price"]),
+    ("wntile", "q_ntile_rank", ["o_orderpriority", "quartile"], ["n_orders", "max_pct_rank"]),
+    ("setops", "q_set_ops", ["p_brand", "which"], []),
+    ("semianti", "q_semi_anti_join", ["o_orderstatus", "bucket"], ["n_orders"]),
+    ("pivot", "q_pivot", ["l_returnflag"], ["qty_f", "qty_o"]),
+    ("rollup", "q_rollup_cube", ["l_returnflag", "l_linestatus", "gid"], ["lines", "revenue"]),
+    ("arrayagg", "q_array_agg", ["l_returnflag", "statuses", "has_final"], ["n_suppliers"]),
+]
+
+
+def _kit_query(spec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = globals()
+        return _kit_legs([(leg, g[fn](spark, sf_dir), gc, vc) for leg, fn, gc, vc in spec])
+    return run
+
+
+def q_tpch_subquery_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery / correlated-subquery TPC-H family (Q2 min-in-group,
+    Q11 HAVING vs global fraction, Q15 max-revenue supplier, Q17 correlated
+    per-part average, Q20 semi-join chain, Q22 anti-join vs scalar
+    threshold) — long-form (leg, grp, value); standalone forms with their
+    own oracles live in extended_queries()."""
+    return _kit_query(_TPCH_SUBQUERY_KIT)(spark, sf_dir)
+
+
+def q_tpch_join_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-join TPC-H family (Q5/Q7/Q8/Q9 multi-dimension joins, Q13 left
+    histogram, Q16 distinct-count w/ NOT-IN, Q21 double-EXISTS lateness) —
+    long-form; standalone forms in extended_queries()."""
+    return _kit_query(_TPCH_JOIN_KIT)(spark, sf_dir)
+
+
+def q_tpch_topk_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TPC-H family (Q10 returned-item top-20, Q18 large-volume
+    top-100) — long-form; standalone forms in extended_queries()."""
+    return _kit_query(_TPCH_TOPK_KIT)(spark, sf_dir)
+
+
+def q_rel_shape_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-shape kit: running/frame windows, ntile ranking, set ops
+    (INTERSECT/EXCEPT), semi/anti joins, pivot, rollup+grouping_id, and
+    collection aggregates — one driver row; standalone forms in
+    extended_queries()."""
+    return _kit_query(_REL_SHAPE_KIT)(spark, sf_dir)
+
+
 def q_tpch_cond_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-window kit for the conditional-aggregation TPC-H shapes —
     Q4 (EXISTS semi-join counts), Q12 (two-way CASE split), Q14 (promo
@@ -1065,6 +1189,254 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_urgent.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
         pr(msum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): seven-table join, per-year revenue
+    share of one supplier nation inside one customer region. All five
+    dimension joins broadcast; lineitem is the only shuffled input and the
+    final rollup is two-column. The share is computed from exact integer
+    cent sums on both legs so the ratio is bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = F.broadcast(
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_natkey"))
+    )
+    supp_nat = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust_nat, cust.c_nationkey == F.col("c_natkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(supp_nat, sup.s_nationkey == F.col("s_natkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5).alias("cents"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("cents")).otherwise(F.lit(0))).alias("nat_cents"),
+        F.sum("cents").alias("all_cents"),
+    )
+    return agg.select(
+        "o_year",
+        pr(F.col("nat_cents") / F.col("all_cents"), 6).alias("mkt_share"),
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation/year), adapted to the
+    partsupp-free schema: supply cost proxied as 10% of p_retailprice per
+    unit. Profit can go negative — the same floor(x*10000+0.5) integer
+    scaling is applied per row in both engines so negative boundaries round
+    identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        pr(msum(F.col("amount"), 10000.0), 2).alias("sum_profit")
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: HAVING against a scalar-subquery
+    fraction of the global total), adapted: per-part revenue from suppliers
+    in the EUROPE region, kept when above 0.1% of that group's total. The
+    threshold compare is exact integer cents (sum_cents*1000 > total_cents)
+    so no float boundary can flip; the global total is one tiny row."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = F.broadcast(
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    base = li.join(eu_supp, li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5).alias("cents"),
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("cents").alias("sum_cents"))
+    total = int(per_part.agg(F.sum("sum_cents")).collect()[0][0])  # scalar metadata
+    return (
+        per_part.filter(F.col("sum_cents") * F.lit(1000) > F.lit(total))
+        .select("l_partkey", pr(F.col("sum_cents") / 10000.0, 2).alias("part_value"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join with an
+    ON-clause filter (non-urgent orders only), count per customer, then the
+    histogram of those counts. Two shuffles total; customers with zero
+    orders stay via the left join and land in the c_count=0 bucket."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return the
+    supplier(s) matching the global max. The max is taken over exact cent
+    sums (bigint) and re-joined as a broadcast 1-row aggregate — no window
+    over a single partition, no driver round-trip."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + 0.5)
+        ).alias("cents")
+    )
+    mx = rev.agg(F.max("cents").alias("max_cents"))
+    return (
+        rev.join(F.broadcast(mx), rev.cents == F.col("max_cents"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            pr(F.col("cents") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts by part attributes with a NOT-IN
+    supplier exclusion), adapted: suppliers observed shipping the part in
+    lineitem stand in for partsupp; the excluded set is suppliers with
+    negative account balance (no comment column in the testdata). Anti-join
+    then COUNT(DISTINCT) per (brand, type, size)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated per-part average
+    quantity subquery. Expressed as one grouped pass over the brand's
+    lineitems (avg via exact integer quantity sums) broadcast back onto the
+    same rows; the 'qty < 0.2*avg' boundary is the integer comparison
+    5*qty*n < sum_qty so both engines agree exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    rows = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + 0.5).alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).alias("price_cents"),
+    )
+    stats = rows.groupBy(F.col("l_partkey").alias("g_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    small = rows.join(F.broadcast(stats), rows.l_partkey == F.col("g_partkey")).filter(
+        F.col("qty") * F.lit(5) * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        pr(F.sum("price_cents") / 100.0 / F.lit(7.0), 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (semi-join chain: suppliers who moved real volume of
+    a part family in a year), adapted to lineitem-observed volume: keep
+    suppliers whose 1997 shipped quantity of 'red*' parts exceeds 50 units.
+    Quantity threshold compared on exact integer units."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    movers = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5)).alias("units"))
+        .filter(F.col("units") > 50)
+    )
+    return sup.join(movers, sup.s_suppkey == movers.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting: EXISTS other
+    supplier + NOT EXISTS other *late* supplier), adapted: 'late' means
+    shipped >60 days after the order date (no receipt/commit dates in the
+    testdata). The double correlated EXISTS collapses to one grouped pass
+    per order — n_supp>1 and exactly one late supplier — instead of two
+    re-scans of lineitem; one shuffle on orderkey."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lines.filter("late")
+        .join(per_order, lines.l_orderkey == F.col("g_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
@@ -1322,19 +1694,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contract exports
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """50 entries — exactly the driver's check window: the driver
-    correctness-checks only the first 50, so every operator (including the
-    full north-star ns_*/st_* suite) sits inside it. Round-1 singleton
-    entries were consolidated into kit queries (COVERAGE.md maps every
-    SURVEY §2 row to its carrying entry): p9_p10+p11→p_band_bin, j2+j7→
-    j2_j7_left_join_kit, f16→j8, a1_hourly→a1_daily (n_hours), a5→a4,
-    a7+a8+a9+percentiles→a_stats_kit, o4+f5→f_string_kit, f15→f_date_kit,
-    s2 extract+map-explode→s2_json_kit, w_topk+w_dedup_rank→w_rank_kit,
-    w_moving_avg→w_running_total, u1→u2 (its assembly IS a union-all),
-    token_counts+quality_signals+quality_score→ns_text_signals,
-    fingerprint→ns_dedup_exact, minhash pairs+kept→ns_minhash_dedup; the
-    freed slot carries the new ns_vector_centroids operator."""
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every query, standalone — the full per-operator surface. The
+    driver-facing queries() below projects this onto the ≤50-entry check
+    window via kit consolidation; pytest (tests/test_entry_oracle.py)
+    verifies THIS dict so per-query evidence never degrades."""
     return {
         "flagship_priority_revenue": q_flagship,
         "p1_p5_filter_project": q_filter_project,
@@ -1377,8 +1741,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "tpch_cond_agg_kit": q_tpch_cond_agg_kit,
+        "tpch_subquery_kit": q_tpch_subquery_kit,
+        "tpch_join_kit": q_tpch_join_kit,
+        "tpch_topk_kit": q_tpch_topk_kit,
+        "rel_shape_kit": q_rel_shape_kit,
         "ns_split_mix": q_split_mix,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
@@ -1400,6 +1777,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# The driver correctness-checks only the FIRST 50 queries() entries
+# (round-1 verdict; pinned by test_queries_fit_driver_window). This is the
+# explicit, ordered window: singleton queries whose shape is carried by a
+# kit (TPC-H beyond the q1/q3/q6 headline trio; windows/set-ops/pivot/
+# rollup/collection singletons via rel_shape_kit) stay out of the window
+# but remain fully oracle-checked through extended_queries() in pytest.
+# Round-2 consolidations are documented in COVERAGE.md (p9_p10+p11→
+# p_band_bin, j2+j7→j2_j7_left_join_kit, a7+a8+a9+percentiles→a_stats_kit,
+# w_moving_avg→w_running_total→rel_shape_kit, …).
+_DRIVER_WINDOW = [
+    "flagship_priority_revenue",
+    "p1_p5_filter_project",
+    "p_band_bin",
+    "j1_broadcast_enrich",
+    "j2_j7_left_join_kit",
+    "j3_cross_join",
+    "j8_surrogate_key_mint",
+    "a1_daily_rollup",
+    "a3_weighted_reagg",
+    "a4_a5_distinct_dims",
+    "a_stats_kit",
+    "a10_dup_key_detect",
+    "o3_topk",
+    "f_string_kit",
+    "f_date_kit",
+    "f9_multi_format_dates",
+    "s2_json_kit",
+    "s12_sql_layer",
+    "w_rank_kit",
+    "w_sessionization",
+    "j_asof_join",
+    "a_approx_aggs",
+    "rel_shape_kit",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_cond_agg_kit",
+    "tpch_subquery_kit",
+    "tpch_join_kit",
+    "tpch_topk_kit",
+    "ns_split_mix",
+    "ns_corpus_clean",
+    "ns_chunking",
+    "ns_redact_pii",
+    "ns_top_tokens",
+    "ns_dedup_exact",
+    "ns_text_signals",
+    "ns_lang_id",
+    "ns_ngram_jaccard",
+    "ns_minhash_dedup",
+    "ns_simhash_pairs",
+    "ns_ann_bruteforce",
+    "ns_ann_ivf",
+    "ns_embedding_neardup",
+    "ns_vector_centroids",
+    "ns_multimodal_features",
+    "st_streaming_daily",
+    "st_stateful_counters",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing window: ≤50 entries, every operator family inside it
+    (kits carry the consolidated shapes). Full standalone surface:
+    extended_queries()."""
+    allq = _all_queries()
+    return {k: allq[k] for k in _DRIVER_WINDOW}
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The complete per-query surface (driver window ∪ every standalone
+    query a kit consolidates). pytest oracle-checks all of it."""
+    return _all_queries()
+
+
 # Language marker arrays generated from the engine's own table so the oracle
 # can never drift out of sync with functions/text.py::_LANG_MARKERS.
 _MARKER_SQL = {
@@ -1413,7 +1865,7 @@ _LANG_SCORES_SQL = ",\n".join(
 )
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
     sql = {
         "flagship_priority_revenue": """
             SELECT o_orderpriority,
@@ -1740,6 +2192,132 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   floor((sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                          * 1.0 / sum(cents)) * 1e6 + 0.5) / 1e6 AS mkt_share
+            FROM (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS cents,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            ) v
+            GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+                   floor((sum(floor((l_extendedprice * (1 - l_discount)
+                                     - p_retailprice * 0.1 * l_quantity) * 10000.0 + 0.5))
+                          / 10000.0) * 1e2 + 0.5) / 1e2 AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q11": """
+            WITH base AS (
+              SELECT l_partkey,
+                     floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS cents
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                  JOIN nation ON s_nationkey = n_nationkey
+                                  JOIN region ON n_regionkey = r_regionkey
+                                  WHERE r_name = 'EUROPE')
+            ), per_part AS (
+              SELECT l_partkey, sum(cents) AS sum_cents FROM base GROUP BY l_partkey
+            )
+            SELECT l_partkey, floor((sum_cents / 10000.0) * 1e2 + 0.5) / 1e2 AS part_value
+            FROM per_part
+            WHERE sum_cents * 1000 > (SELECT sum(sum_cents) FROM per_part)
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) AS cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, floor((cents / 10000.0) * 1e2 + 0.5) / 1e2 AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE cents = (SELECT max(cents) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q17": """
+            WITH li_rows AS (
+              SELECT l_partkey, floor(l_quantity + 0.5) AS qty,
+                     floor(l_extendedprice * 100.0 + 0.5) AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+            ), stats AS (
+              SELECT l_partkey AS g_partkey, sum(qty) AS sum_qty, count(*) AS n_li
+              FROM li_rows GROUP BY 1
+            )
+            SELECT floor((sum(price_cents) / 100.0 / 7.0) * 1e4 + 0.5) / 1e4 AS avg_yearly,
+                   count(*) AS n_lines
+            FROM li_rows JOIN stats ON l_partkey = g_partkey
+            WHERE qty * 5 * n_li < sum_qty
+        """,
+        "tpch_q20": """
+            WITH movers AS (
+              SELECT l_suppkey, sum(floor(l_quantity + 0.5)) AS units
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING sum(floor(l_quantity + 0.5)) > 50
+            )
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM movers)
+        """,
+        "tpch_q21": """
+            WITH li_o AS (
+              SELECT l_orderkey, l_suppkey,
+                     (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ), per_order AS (
+              SELECT l_orderkey AS g_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+              FROM li_o GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM li_o JOIN per_order ON l_orderkey = g_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late AND n_supp > 1 AND n_late_supp = 1
+            GROUP BY s_name
         """,
         "tpch_q22": """
             SELECT c_mktsegment, count(*) AS numcust,
@@ -2158,4 +2736,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(keep AS INT) * n_chars) AS BIGINT) AS kept_chars
         FROM flagged GROUP BY source, split
     """
+    # Kit oracles are generated from the standalone oracles + the same spec
+    # tables the Spark kits use, so the reshapes cannot drift.
+    for kit_name, spec in [
+        ("tpch_subquery_kit", _TPCH_SUBQUERY_KIT),
+        ("tpch_join_kit", _TPCH_JOIN_KIT),
+        ("tpch_topk_kit", _TPCH_TOPK_KIT),
+        ("rel_shape_kit", _REL_SHAPE_KIT),
+    ]:
+        sql[kit_name] = _kit_legs_sql(
+            [(leg, sql[_KIT_FN_TO_ORACLE[fn]], gc, vc) for leg, fn, gc, vc in spec]
+        )
     return sql
+
+
+# Maps a kit spec's query-function name to its standalone oracle key.
+_KIT_FN_TO_ORACLE = {
+    "q_tpch_q2": "tpch_q2", "q_tpch_q5": "tpch_q5", "q_tpch_q7": "tpch_q7",
+    "q_tpch_q8": "tpch_q8", "q_tpch_q9": "tpch_q9", "q_tpch_q10": "tpch_q10",
+    "q_tpch_q11": "tpch_q11", "q_tpch_q13": "tpch_q13", "q_tpch_q15": "tpch_q15",
+    "q_tpch_q16": "tpch_q16", "q_tpch_q17": "tpch_q17", "q_tpch_q18": "tpch_q18",
+    "q_tpch_q20": "tpch_q20", "q_tpch_q21": "tpch_q21", "q_tpch_q22": "tpch_q22",
+    "q_window_running": "w_running_total", "q_ntile_rank": "w_ntile_rank",
+    "q_set_ops": "u2_set_ops", "q_semi_anti_join": "j_semi_anti",
+    "q_pivot": "a_pivot", "q_rollup_cube": "a_rollup_cube",
+    "q_array_agg": "a_array_agg",
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracles: exactly the window entries that have a SQL
+    oracle (hash-seeded / Python-batch operators are rows-only)."""
+    allsql = _all_oracle_sql()
+    return {k: allsql[k] for k in _DRIVER_WINDOW if k in allsql}
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    """Every oracle, including standalone forms consolidated into kits."""
+    return _all_oracle_sql()

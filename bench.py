@@ -43,7 +43,7 @@ def main() -> None:
 
     import __spark_entry__ as em
 
-    queries = dict(em.queries())
+    queries = dict(em.extended_queries())
 
     # ns_minhash_pairs: kept as a bench-only callable (the queries() entry is
     # now the end-to-end ns_minhash_dedup) so r1→r2→r3 timings stay comparable.

@@ -108,7 +108,7 @@ def test_band_bin_partial_agg_both_legs(spark, sf_dir):
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
-    """Blanket scale gate: NO queries() entry may plan a cartesian product /
+    """Blanket scale gate: NO query (driver window or extended) may plan a cartesian product /
     broadcast nested-loop join unless it is on the explicit allowlist.
     These are the classic 100 TB killers; a future edit that slips one in
     fails here, not in production.
@@ -123,7 +123,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     allow = {"j3_cross_join", "ns_embedding_neardup", "ns_ann_ivf"}
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
-    for name, fn in em.queries().items():
+    for name, fn in em.extended_queries().items():
         if name in allow or name in streaming:
             continue
         plan = _plan(fn(spark, sf_dir))
