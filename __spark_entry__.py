@@ -30,6 +30,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     asof,
     dedup,
     multimodal,
+    packing,
     relational,
     sampling,
     sessions,
@@ -1160,6 +1161,67 @@ _SPLIT_SEED = "split42"
 _MIX_RATES = {"src0": 1.0, "src1": 0.6, "src2": 0.35}
 _MIX_DEFAULT = 0.15
 _MIX_SEED = "mix42"
+_PACK_BIN = 2048
+_PACK_SHARDS = 4
+
+
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher/RefinedWeb-style corpus
+    filters): per document, type-token ratio, top-token frequency fraction
+    (explode → two-level hash agg, combiner-friendly — the only scalable way
+    to count within-doc token frequencies), and duplicate word-5-gram
+    fraction (pure JVM array expression, no shuffle). The `repetitive` flag
+    compares the portable-rounded doubles so the boundary is bit-identical
+    cross-engine. Documents with zero tokens carry no signal and are
+    excluded by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("max_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    sig = docs.select(
+        "doc_id", text.dup_ngram_fraction(F.col("text"), 5).alias("dup_5gram_frac")
+    )
+    scored = per_doc.join(sig, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        pr(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+        pr(F.col("max_tok") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+        "dup_5gram_frac",
+    )
+    return scored.withColumn(
+        "repetitive", (F.col("top_tok_frac") > 0.12) | (F.col("dup_5gram_frac") > 0.2)
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.packing): greedy concat-packing of each
+    (source, shard) stream into 2048-token context bins via a running-sum
+    window — the distributed equivalent of a single-threaded concat-and-
+    chunk loop. Shard is a deterministic md5 bucket (operators.sampling) so
+    stream membership is layout-independent; reports per-bin fill stats."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        text.token_count("text").alias("n_tokens"),
+        (sampling._hash_bucket(F.col("doc_id"), "shard") % _PACK_SHARDS).alias("shard"),
+    )
+    packed = packing.pack_greedy(
+        sized, "n_tokens", _PACK_BIN,
+        order_cols=["doc_id"], part_cols=["source", "shard"], offset_col="start_off",
+    )
+    return packed.groupBy("source", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("start_off").alias("first_off"),
+    )
 
 
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1819,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_topk_kit": q_tpch_topk_kit,
         "rel_shape_kit": q_rel_shape_kit,
         "ns_split_mix": q_split_mix,
+        "ns_rep_signals": q_rep_signals,
+        "ns_pack_sequences": q_pack_sequences,
         "ns_corpus_clean": q_corpus_clean,
         "ns_chunking": q_chunking,
         "ns_redact_pii": q_redact_pii,
@@ -1818,6 +1882,8 @@ _DRIVER_WINDOW = [
     "tpch_join_kit",
     "tpch_topk_kit",
     "ns_split_mix",
+    "ns_rep_signals",
+    "ns_pack_sequences",
     "ns_corpus_clean",
     "ns_chunking",
     "ns_redact_pii",
@@ -2735,6 +2801,58 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_kept,
                CAST(sum(CAST(keep AS INT) * n_chars) AS BIGINT) AS kept_chars
         FROM flagged GROUP BY source, split
+    """
+    sql["ns_rep_signals"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents WHERE trim(text) <> ''
+        ), per_tok AS (
+          SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        ), per_doc AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_tok,
+                 count(*) AS n_distinct
+          FROM per_tok GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) - 4 <= 0 THEN 0.0
+                      ELSE floor((1.0 - len(list_distinct(list_transform(
+                               range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 3),
+                               i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+4], ' '))))
+                             * 1.0 / (len(string_split_regex(lower(trim(text)), '\\s+')) - 4)) * 1e6 + 0.5) / 1e6
+                 END AS dup_5gram_frac
+          FROM documents
+        )
+        SELECT p.doc_id, n_tokens,
+               floor((n_distinct * 1.0 / n_tokens) * 1e6 + 0.5) / 1e6 AS ttr,
+               floor((max_tok * 1.0 / n_tokens) * 1e6 + 0.5) / 1e6 AS top_tok_frac,
+               dup_5gram_frac,
+               (floor((max_tok * 1.0 / n_tokens) * 1e6 + 0.5) / 1e6 > 0.12
+                OR dup_5gram_frac > 0.2) AS repetitive
+        FROM per_doc p JOIN sig USING (doc_id)
+    """
+    pack_bin_expr = packing.pack_sql(
+        "n_tokens", _PACK_BIN, order_cols=["doc_id"], part_cols=["source", "shard"]
+    )
+    sql["ns_pack_sequences"] = f"""
+        WITH sized AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 (('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000) % {_PACK_SHARDS} AS shard
+          FROM documents
+        ), packed AS (
+          SELECT source, shard, n_tokens,
+                 {pack_bin_expr} AS pack_id,
+                 CAST((sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      % {_PACK_BIN} AS BIGINT) AS start_off
+          FROM sized
+        )
+        SELECT source, shard, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(min(start_off) AS BIGINT) AS first_off
+        FROM packed GROUP BY source, shard, pack_id
     """
     # Kit oracles are generated from the standalone oracles + the same spec
     # tables the Spark kits use, so the reshapes cannot drift.

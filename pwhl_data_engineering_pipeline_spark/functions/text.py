@@ -122,6 +122,22 @@ def quality_score(c: ColumnOrName) -> Column:
     return portable_round(score, 6)
 
 
+def dup_ngram_fraction(c: ColumnOrName, n: int = 5) -> Column:
+    """Duplicate word-n-gram fraction: 1 − distinct_ngrams / total_ngrams,
+    0.0 when the document has fewer than ``n`` tokens.
+
+    The standard repetition signal for corpus filtering (high values flag
+    boilerplate / looping generations — cf. the Gopher and RefinedWeb
+    repetition rules). Pure JVM array expressions: no explode, no shuffle —
+    a per-row projection that survives at any scale."""
+    toks = tokens(F.lower(_col(c)))
+    total = (F.size(toks) - F.lit(n - 1)).cast("double")
+    distinct_n = F.size(word_ngrams(c, n)).cast("double")
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        portable_round(F.lit(1.0) - distinct_n / total, 6)
+    )
+
+
 def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
     """k-character shingle set (distinct) → array<string>. Feed MinHash.
 
