@@ -481,7 +481,12 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # Parquet timestamps without a TZ annotation read as TIMESTAMP_NTZ on
+    # Spark 4, which withWatermark rejects. The session pins UTC, so casting
+    # to TIMESTAMP (LTZ) is wall-clock-preserving and oracle-consistent.
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
     tmp = tempfile.mkdtemp(prefix="stream_src_")
     ev.write.mode("overwrite").parquet(f"{tmp}/landing")
     # Streaming stateful aggregation has no AQE coalescing: a vanilla-session
@@ -1597,7 +1602,11 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pwhl_data_engineering_pipeline_spark.streaming import stateful
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # cast: plain parquet timestamps read as TIMESTAMP_NTZ on Spark 4 (see
+    # q_streaming_daily); keep the streaming path on TIMESTAMP under UTC.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
     tmp = tempfile.mkdtemp(prefix="stateful_src_")
     ev.write.mode("overwrite").parquet(f"{tmp}/landing")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

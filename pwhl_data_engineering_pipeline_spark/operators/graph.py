@@ -1,0 +1,168 @@
+"""Distributed connected components + cluster-exact dedup.
+
+Near-dup pair generators (``dedup.minhash_candidate_pairs``,
+``dedup.ngram_jaccard_pairs``, ``dedup.simhash_near_pairs``) emit an edge
+list; turning "pairs" into "keep one doc per duplicate *cluster*" needs the
+connected components of that graph. The greedy per-pair suppression in
+``dedup.dedup_minhash`` under-merges when similarity is not transitive
+(a~b, b~c, a!~c drops b and c but keeps a and... see its docstring); this
+module provides the cluster-exact alternative.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and Beyond",
+SoCC 2014). Each round is a groupBy + join over the edge list — no driver
+materialization, no vertex-indexed state — and the edge set converges to
+stars rooted at each component's minimum id in O(log^2 n) rounds (2–4 rounds
+for the shallow clusters dedup produces). This is the standard shape for
+100 TB-scale components: every step shuffles on node id, so skew follows the
+hottest node degree, which the upstream pair generators already cap
+(hot-bucket caps / stop-gram cutoffs).
+
+Iteration mechanics on Spark: each round calls ``localCheckpoint(eager)`` to
+truncate lineage (iterative self-referential plans otherwise grow Catalyst
+analysis time superlinearly) and runs ONE tiny action per round — a
+(count, hash-sum) signature used as the convergence test. Rounds are O(log^2
+n), so the driver-side loop is a handful of jobs, not a per-row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_clusters", "dedup_connected"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge list: (u, v) columns, self-loops and NULL
+    endpoints dropped, deduplicated."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return e
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """LargeStar: for every node u, connect each strictly-larger neighbor to
+    m(u) = min(neighbors(u) + [u])."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """SmallStar: orient each edge large→small; connect every
+    smaller-or-equal neighbor (and u itself) to m(u) = min of that set."""
+    oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    with_self = oriented.union(mins.select("u", F.col("u").alias("v")))
+    return (
+        with_self.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple:
+    """Cheap order-independent fingerprint of an edge set: (count, sum of
+    per-row xxhash64). One action; used as the convergence test."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns one row per node appearing in ``edges`` with its component label:
+    ``(node, cluster_id)`` where ``cluster_id`` is the MINIMUM node id in the
+    component (deterministic, join-able back onto the source table).
+
+    Alternates large-star/small-star until the edge set reaches its star
+    fixpoint (signature-stable), then reads labels straight off the final
+    child→root edges. Raises ``RuntimeError`` if ``max_iter`` rounds do not
+    converge — at the published O(log^2 n) bound, 20 rounds covers any
+    realistic graph; non-convergence indicates corrupted input (e.g. NaN
+    ids), not a tuning problem.
+    """
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # At the fixpoint every edge is child→root(min). Roots label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node"),
+            F.coalesce("root", "node").alias("cluster_id"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Label every row of ``df`` with its duplicate-cluster id: the minimum
+    ``id_col`` among rows connected (transitively) through ``pairs``.
+    Rows in no pair get ``cluster_id = id``. Output: df columns +
+    ``cluster_id``."""
+    comps = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "node", id_col
+    )
+    return df.join(comps, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+
+
+def dedup_connected(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster-exact near-dedup: keep exactly one row (the minimum id) per
+    connected duplicate cluster. The transitive-closure-correct alternative
+    to ``dedup.dedup_minhash``'s greedy pair suppression."""
+    labeled = dedup_clusters(df, pairs, id_col, src, dst)
+    return labeled.filter(F.col("cluster_id") == F.col(id_col)).drop("cluster_id")

@@ -42,7 +42,10 @@ def resample_ffill(
     one bucket the LATEST (by ts) wins — deterministic. Grid cells before a
     key's first observation stay NULL (nothing to fill from)."""
     step = F.lit(step_seconds)
-    epoch = F.unix_timestamp(F.col(ts_col))
+    # cast-first: plain parquet timestamps read as TIMESTAMP_NTZ (Spark 4),
+    # which unix_timestamp rejects; session TZ is pinned UTC so the cast is
+    # wall-clock-preserving.
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     bucket = (F.floor(epoch / step) * step).cast("long")
 
     # latest observation per (key, bucket): struct carry keeps columns together

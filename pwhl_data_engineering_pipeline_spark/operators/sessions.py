@@ -11,8 +11,16 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_sec(c: Column) -> Column:
+    """Epoch seconds from TIMESTAMP *or* TIMESTAMP_NTZ (plain parquet
+    timestamps read as NTZ on Spark 4, which cannot cast to long directly;
+    the intermediate cast interprets NTZ in the session timezone — pinned
+    UTC by session.get_spark — so gaps/durations are identical either way)."""
+    return c.cast("timestamp").cast("long")
 
 
 def sessionize(
@@ -34,7 +42,7 @@ def sessionize(
     prev = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev.isNull()
-        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds),
+        | ((_epoch_sec(F.col(ts_col)) - _epoch_sec(prev)) > gap_seconds),
         1,
     ).otherwise(0)
     running = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
@@ -55,7 +63,7 @@ def session_stats(
     s = sessionize(df, ts_col, key_cols, gap_seconds, order_tiebreak)
     return s.groupBy(*key_cols, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")).alias(
+        (_epoch_sec(F.max(F.col(ts_col))) - _epoch_sec(F.min(F.col(ts_col)))).alias(
             "duration_sec"
         ),
         F.min(F.col(ts_col)).alias("session_start"),

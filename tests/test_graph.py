@@ -1,0 +1,99 @@
+"""Connected components (large-star/small-star) vs a driver-side union-find
+reference, plus cluster-dedup semantics on the documents table."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.operators import graph
+
+
+def _union_find(edges):
+    """Reference implementation: component label = min node id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = graph.connected_components(df)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    edges = [(i, i + 1) for i in range(1, 10)]
+    assert _run(spark, edges) == {n: 1 for n in range(1, 11)}
+
+
+def test_two_components_and_duplicate_edges(spark):
+    edges = [(5, 3), (3, 9), (9, 3), (20, 21), (21, 20), (7, 7)]
+    got = _run(spark, edges)
+    # self-loop (7,7) is dropped entirely — 7 is not "in a pair"
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_star_already_converged(spark):
+    edges = [(1, 2), (1, 3), (1, 4)]
+    assert _run(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert graph.connected_components(df).count() == 0
+
+
+def test_null_endpoints_dropped(spark):
+    edges = [(1, None), (None, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"] for r in graph.connected_components(df).collect()}
+    assert got == {3: 3, 4: 3}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_random_graphs_match_union_find(spark, edges):
+    expected = _union_find([(a, b) for a, b in edges if a != b])
+    assert _run(spark, edges) == expected
+
+
+def test_dedup_connected_vs_greedy_transitivity(spark):
+    """a~b, b~c but a!~c: cluster-exact keeps only a; greedy would too here,
+    but the cluster labels must put all three in ONE cluster."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    labeled = graph.dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labeled.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+    kept = sorted(
+        r["doc_id"] for r in graph.dedup_connected(docs, pairs).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = graph.connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
