@@ -29,6 +29,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     aggregates,
     asof,
     dedup,
+    graph,
     multimodal,
     packing,
     relational,
@@ -1572,6 +1573,37 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs + cluster-exact labels in one result (two legs).
+
+    leg='pair': word-3-gram Jaccard candidate pairs (inverted-index join —
+    the deterministic edge generator, so the whole kit is SQL-oracleable).
+    leg='cluster': every doc labeled with the minimum doc_id of its
+    connected component over those pairs (alternating large-star/small-star,
+    ``operators/graph.py``) — the transitive-closure-correct "keep one per
+    duplicate cluster" output, id_a=doc_id, id_b=cluster_id.
+
+    Oracle mirrors the components with a DuckDB recursive CTE (min-label
+    propagation), so the iterative distributed algorithm is hash-checked
+    end-to-end, not just property-tested."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
+    pair_leg = pairs.select(
+        F.lit("pair").alias("leg"),
+        "id_a",
+        "id_b",
+        pr("jaccard", 6).alias("jaccard"),
+    )
+    labels = graph.dedup_clusters(docs.select("doc_id"), pairs)
+    cluster_leg = labels.select(
+        F.lit("cluster").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_leg.unionByName(cluster_leg)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH candidate pairs → true-Jaccard
     verification → greedy suppression; returns surviving doc ids
@@ -1838,6 +1870,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_text_signals": q_text_signals,
         "ns_lang_id": q_lang_id,
         "ns_ngram_jaccard": q_ngram_jaccard,
+        "ns_dedup_cluster_kit": q_dedup_cluster_kit,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -1900,7 +1933,7 @@ _DRIVER_WINDOW = [
     "ns_dedup_exact",
     "ns_text_signals",
     "ns_lang_id",
-    "ns_ngram_jaccard",
+    "ns_dedup_cluster_kit",
     "ns_minhash_dedup",
     "ns_simhash_pairs",
     "ns_ann_bruteforce",
@@ -2681,6 +2714,59 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+        """,
+        # Connected components oracle: recursive CTE propagates every label
+        # reachable along pair edges; min(label) per node == min doc_id of
+        # the component — exactly graph.connected_components' contract.
+        "ns_dedup_cluster_kit": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE doc_id < 500
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS sz FROM grams
+            ), inv_all AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inv AS (
+              SELECT doc_id, gram FROM (
+                SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+                FROM inv_all
+              ) WHERE df <= 1000
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b, inter * 1.0 / (sa.sz + sb.sz - inter) AS raw_j
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ), cc AS (
+              SELECT doc_id AS node, doc_id AS label
+              FROM documents WHERE doc_id < 500
+              UNION
+              SELECT e.v AS node, cc.label AS label
+              FROM cc JOIN edges e ON cc.node = e.u
+            ), labels AS (
+              SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+            )
+            SELECT 'pair' AS leg, id_a, id_b,
+                   floor(raw_j * 1e6 + 0.5) / 1e6 AS jaccard
+            FROM pairs
+            UNION ALL
+            SELECT 'cluster' AS leg, node AS id_a, cluster_id AS id_b,
+                   CAST(NULL AS DOUBLE) AS jaccard
+            FROM labels
         """,
         # Cosine oracles mirror the engine's double-precision sequential
         # dot/norm exactly: DuckDB's builtin list_cosine_similarity computes
