@@ -78,11 +78,13 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _signature(e: DataFrame) -> tuple:
-    """Cheap order-independent fingerprint of an edge set: (count, sum of
-    per-row xxhash64). One action; used as the convergence test."""
+    """Cheap order-independent fingerprint of an edge set: (count, XOR of
+    per-row xxhash64). One action; used as the convergence test. XOR (not
+    sum): full-range hash longs overflow a summing aggregate under ANSI
+    mode — the driver's vanilla Spark 4 session — while XOR cannot."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("u", "v")).alias("h"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
     ).first()
     return (row["n"], row["h"])
 

@@ -1,0 +1,32 @@
+"""Driver-fidelity guard: the driver calls queries() on its own VANILLA
+SparkSession — Spark 4 defaults, ANSI mode ON — not on session.get_spark's
+engine session (ANSI off for reference SAFE_* parity). Every driver-window
+query must therefore execute without ANSI runtime errors (overflow, bad
+cast, div-by-zero): a full-range hash summed into a long, for example,
+passes ANSI-off pytest but crashes the driver (caught live in round 3 —
+graph._signature's sum(xxhash64) → bit_xor).
+
+ANSI is a runtime-settable SQL conf, so this flips it on the shared session
+for the sweep and restores it after; value correctness is already covered by
+the ANSI-off oracle sweep in test_entry_oracle.py — this checks execution.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def ansi_spark(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_driver_window_query_runs_under_ansi(ansi_spark, sf_dir, name):
+    df = entrymod.queries()[name](ansi_spark, sf_dir)
+    assert df.count() >= 0
