@@ -1604,6 +1604,16 @@ def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_leg.unionByName(cluster_leg)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word-4-gram with the
+    "benchmark" slice (doc_id % 17 == 0). Eval gram index broadcasts; the
+    corpus side never shuffles pre-aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return dedup.ngram_contamination(corpus, evalset, n=4, min_shared=1)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash near-dedup: LSH candidate pairs → true-Jaccard
     verification → greedy suppression; returns surviving doc ids
@@ -1871,6 +1881,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_lang_id": q_lang_id,
         "ns_ngram_jaccard": q_ngram_jaccard,
         "ns_dedup_cluster_kit": q_dedup_cluster_kit,
+        "ns_decontaminate": q_decontaminate,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -2767,6 +2778,31 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT 'cluster' AS leg, node AS id_a, cluster_id AS id_b,
                    CAST(NULL AS DOUBLE) AS jaccard
             FROM labels
+        """,
+        "ns_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 1) + 1),
+                       i -> array_to_string(t[i:i+3], ' '))) AS g
+              FROM toks
+            ), eval_grams AS (
+              SELECT DISTINCT doc_id AS eval_id, unnest(g) AS gram
+              FROM grams WHERE doc_id % 17 = 0
+            ), corpus_grams AS (
+              SELECT doc_id, unnest(g) AS gram
+              FROM grams WHERE doc_id % 17 <> 0
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS shared_grams,
+                   CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+                   min(eval_id) AS first_eval_id
+            FROM corpus_grams JOIN eval_grams USING (gram)
+            GROUP BY doc_id
+            HAVING count(*) >= 1
         """,
         # Cosine oracles mirror the engine's double-precision sequential
         # dot/norm exactly: DuckDB's builtin list_cosine_similarity computes

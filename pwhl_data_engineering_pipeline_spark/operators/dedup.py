@@ -465,6 +465,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥ ``min_shared``
+    distinct word n-grams with any eval/benchmark doc (the GPT-3/Pile-style
+    13-gram membership test, n configurable).
+
+    Shape for 100 TB: the eval side is tiny (benchmarks are thousands of
+    docs, the corpus is the 100 TB side), so its exploded distinct gram
+    index is BROADCAST — corpus rows never shuffle, the probe runs map-side
+    inside the corpus scan, and cost is one pass over the corpus. The
+    gram-level join key also makes Spark's runtime Bloom-filter pruning
+    applicable on the corpus explode.
+
+    Returns one row per contaminated corpus doc:
+    (id_col, shared_grams [distinct gram×eval hits], n_eval_docs,
+    first_eval_id) — join back onto the corpus to drop or quarantine.
+    """
+    eval_grams = (
+        evalset.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("shared_grams"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
 def bucket_skew_stats(
     buckets: DataFrame, bucket_keys: list[str], max_bucket: int = 64
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     similarity,
     windows,
 )
+from pwhl_data_engineering_pipeline_spark.functions import text
 from pwhl_data_engineering_pipeline_spark.sources import readers, writers
 
 BASE = (
@@ -72,6 +73,29 @@ def test_ngram_jaccard(docs):
     }
     assert pairs[(0, 4)] == pytest.approx(1.0)
     assert (0, 1) in pairs
+
+
+def test_ngram_contamination(docs):
+    # eval = doc 0; docs 1/2/4 share 4-grams with it, 3/5 are clean
+    evalset = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    hits = {
+        r["doc_id"]: (r["shared_grams"], r["n_eval_docs"], r["first_eval_id"])
+        for r in dedup.ngram_contamination(corpus, evalset, n=4).collect()
+    }
+    assert set(hits) == {1, 2, 4}
+    assert all(v[1] == 1 and v[2] == 0 for v in hits.values())
+    # doc 4 is doc 0 after normalization → shares ALL of doc 0's 4-grams
+    n_eval_grams = evalset.select(
+        F.explode(text.word_ngrams("text", 4))
+    ).distinct().count()
+    assert hits[4][0] == n_eval_grams
+    # eval side must broadcast: the corpus side never shuffles pre-agg
+    plan = (
+        dedup.ngram_contamination(corpus, evalset, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_brute_force_topk_vs_numpy(spark):
