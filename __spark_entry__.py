@@ -539,6 +539,21 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 gaps-and-islands collapse: the event stream becomes one row per
+    run of equal event_type per user with [valid_from, valid_to) validity —
+    the maintained-dimension shape (operators/scd2.py)."""
+    from pwhl_data_engineering_pipeline_spark.operators import scd2
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2.collapse_history(
+        ev, ["user_id"], "event_type", "ts", order_tiebreak=["event_id"]
+    ).select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        "n_observations", "is_current",
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -1882,6 +1897,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ngram_jaccard": q_ngram_jaccard,
         "ns_dedup_cluster_kit": q_dedup_cluster_kit,
         "ns_decontaminate": q_decontaminate,
+        "s_scd2_history": q_scd2_history,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -2778,6 +2794,33 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT 'cluster' AS leg, node AS id_a, cluster_id AS id_b,
                    CAST(NULL AS DOUBLE) AS jaccard
             FROM labels
+        """,
+        "s_scd2_history": """
+            WITH flagged AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                               IS NOT DISTINCT FROM event_type
+                          THEN 0 ELSE 1 END AS chg
+              FROM events
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM flagged
+            ), per_run AS (
+              SELECT user_id, run, min(event_type) AS event_type,
+                     min(ts) AS valid_from,
+                     CAST(count(*) AS BIGINT) AS n_observations
+              FROM runs GROUP BY user_id, run
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                     AS valid_to,
+                   n_observations,
+                   (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                     IS NULL) AS is_current
+            FROM per_run
         """,
         "ns_decontaminate": """
             WITH toks AS (
