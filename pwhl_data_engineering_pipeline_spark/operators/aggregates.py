@@ -71,12 +71,15 @@ def exact_percentiles_distributed(
        sort, so partition i's rows precede partition i+1's in the total
        order.
     2. Tiny per-(partition, group) counts → driver computes cumulative
-       offsets (numPartitions × groups rows).
-    3. Global rank of every row = its partition's group offset + its local
-       row_number over (partition_id, group) — a window whose state is one
-       partition's slice of one group, fully parallel.
-    4. Filter to the two bracketing ranks per requested percentile and
-       interpolate (same ``lo + frac·(hi−lo)`` formula as the builtin).
+       offsets (numPartitions × groups rows) and from them the EXACT
+       (partition, group, local rank) address of every bracketing rank.
+    3. Ranking pass pruned to target slices only: a broadcast left-semi
+       drops every (partition, group) slice holding no bracket map-side
+       (no shuffle for dropped rows); the row_number window then ranks
+       just the surviving slices and an inner broadcast join picks the
+       bracket rows.
+    4. Interpolate driver-side (same ``lo + frac·(hi−lo)`` formula as the
+       builtin).
 
     The sorted frame is persisted (memory-and-disk) between the counting and
     ranking passes and unpersisted before returning. Returns
@@ -110,7 +113,7 @@ def exact_percentiles_distributed(
                 offsets.append((pid, g, acc))
                 acc += c
             group_n[g] = acc
-        targets = []  # (group, rank) to fetch
+        targets = set()  # (group, global rank) to fetch
         specs = []  # (group, p, lo_rank, hi_rank, frac)
         for g, n in group_n.items():
             for p in percentiles:
@@ -119,36 +122,60 @@ def exact_percentiles_distributed(
                 hi = min(lo + 1, n)
                 frac = pos - int(pos)
                 specs.append((g, float(p), lo, hi, frac))
-                targets.append((g, lo))
-                targets.append((g, hi))
-        # join keys are renamed and compared with eqNullSafe so a NULL group
-        # (which survives groupBy and appears in specs) still matches — a
-        # plain equi-join would drop it and KeyError at picked[(None, lo)]
-        off_df = sess.createDataFrame(
-            offsets, f"__opid int, __og {gtype}, __off long"
-        )
-        tgt_df = sess.createDataFrame(
-            sorted(set(targets), key=lambda t: (t[0] is not None, t[0], t[1])),
-            f"__tg {gtype}, __trank long",
-        ).distinct()
-        wloc = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
-        ranked = (
-            sorted_df.withColumn("__rn", F.row_number().over(wloc))
-            .join(
-                F.broadcast(off_df),
-                (F.col("__pid") == F.col("__opid"))
-                & F.col(group_col).eqNullSafe(F.col("__og")),
+                targets.add((g, lo))
+                targets.add((g, hi))
+        # The driver already knows, from the per-(partition, group) counts,
+        # WHICH partition holds each bracketing rank and at what LOCAL
+        # offset — so the ranking pass prunes to just those (partition,
+        # group) slices instead of window-ranking the whole frame. The
+        # pruning join is a broadcast LEFT SEMI (map-side filter over the
+        # persisted sort, no shuffle for dropped rows); only surviving
+        # slices enter the row_number exchange.
+        run_starts: dict = {}  # group -> [(pid, global_start_rank_0based)]
+        for pid, g, off in offsets:
+            run_starts.setdefault(g, []).append((pid, off))
+        local_to_global: dict = {}  # (pid, group, local_rank) -> (group, rank)
+        for g, rank in targets:
+            runs = run_starts[g]  # sorted by pid (offsets built in pid order)
+            pid, off = next(
+                (p, o)
+                for (p, o), nxt in zip(
+                    runs, [o for _, o in runs[1:]] + [group_n[g]]
+                )
+                if o < rank <= nxt
             )
-            .withColumn("__rank", F.col("__off") + F.col("__rn"))
+            local_to_global[(pid, g, rank - off)] = (g, rank)
+        # eqNullSafe joins keep a NULL group key matching (a plain equi-join
+        # drops it and KeyErrors at picked[(None, lo)])
+        tgt_df = sess.createDataFrame(
+            sorted(
+                local_to_global,
+                key=lambda t: (t[0], t[1] is not None, t[1], t[2]),
+            ),
+            f"__tpid int, __tg {gtype}, __tlrank long",
+        )
+        prune_df = tgt_df.select("__tpid", "__tg").distinct()
+        pruned = sorted_df.join(
+            F.broadcast(prune_df),
+            (F.col("__pid") == F.col("__tpid"))
+            & F.col(group_col).eqNullSafe(F.col("__tg")),
+            "left_semi",
+        )
+        wloc = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
+        hits = (
+            pruned.withColumn("__rn", F.row_number().over(wloc))
+            .join(
+                F.broadcast(tgt_df),
+                (F.col("__pid") == F.col("__tpid"))
+                & F.col(group_col).eqNullSafe(F.col("__tg"))
+                & (F.col("__rn") == F.col("__tlrank")),
+            )
+            .select("__pid", group_col, "__rn", "__v")
+            .collect()
         )
         picked = {
-            (r[group_col], r["__rank"]): r["__v"]
-            for r in ranked.join(
-                F.broadcast(tgt_df),
-                F.col(group_col).eqNullSafe(F.col("__tg"))
-                & (F.col("__rank") == F.col("__trank")),
-                "left_semi",
-            ).collect()
+            local_to_global[(r["__pid"], r[group_col], r["__rn"])]: r["__v"]
+            for r in hits
         }
     finally:
         sorted_df.unpersist()
