@@ -1646,9 +1646,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4)
+    """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only
+    check). Arrow signature path (numpy bit votes, ~2× the interpreted-HOF
+    expression form at sf0.1); repartition first so the single-file scan
+    fans out over every core."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4, method="arrow")
 
 
 def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,6 +66,26 @@ def test_simhash_hamming(docs):
     assert (0, 1) in pairs or (0, 2) in pairs
 
 
+def test_simhash_arrow_matches_expr_semantics(docs):
+    """The Arrow twin uses a different hash family, so signatures differ —
+    but Hamming SEMANTICS must hold: identical-after-normalization docs at
+    distance 0, planted near-dups detected, unrelated docs not."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=6, method="arrow").collect()
+    }
+    assert pairs.get((0, 4)) == 0
+    assert (0, 1) in pairs or (0, 2) in pairs
+    assert (3, 5) not in pairs
+    # single ArrowEvalPython stage: the signature must not be recomputed
+    # per band (signatures travel inside the bucket structs)
+    plan = (
+        dedup.simhash_near_pairs(docs, max_hamming=6, method="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_ngram_jaccard(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
