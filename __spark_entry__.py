@@ -544,6 +544,52 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (streaming/sessions.py): availableNow run
+    of a watermark-finalized gap-session aggregation over events.
+
+    Oracle-checkable: with a 0-second watermark delay, append mode emits
+    exactly the sessions whose window end (last event + gap) ≤ the global
+    max event time — a deterministic rule DuckDB mirrors with
+    gaps-and-islands + a HAVING on max(ts). Values are integer-scaled
+    before the stream (exact long sums, engine-order independent)."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.streaming import sessions as ssx
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.write.mode("overwrite").parquet(f"{tmp}/landing")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    qname = "stream_sessions_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/landing")
+        out = ssx.streaming_session_stats(
+            stream, ts_col="ts", key_cols=("user_id",),
+            gap="30 minutes", watermark="0 seconds",
+        ).select(
+            "user_id", "session_start", "session_end", "duration_sec",
+            "n_events", pr(F.col("total_value") / 100.0, 2).alias("total_value"),
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname)
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the event stream, as pure
     window functions — session-level feature table per (user, session)."""
@@ -1919,6 +1965,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_dedup_cluster_kit": q_dedup_cluster_kit,
         "ns_decontaminate": q_decontaminate,
         "s_scd2_history": q_scd2_history,
+        "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -2815,6 +2862,43 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT 'cluster' AS leg, node AS id_a, cluster_id AS id_b,
                    CAST(NULL AS DOUBLE) AS jaccard
             FROM labels
+        """,
+        # Streaming session windows: mirror session_window's merge rule
+        # (merge iff ts - prev_ts < gap, µs precision) and append-mode's
+        # close rule (emit iff session_end <= max event time). Values are
+        # integer-scaled pre-stream on both engines → exact sums.
+        "st_session_windows": """
+            WITH ev AS (
+              SELECT user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts))
+                               < 1800000000
+                          THEN 0 ELSE 1 END AS chg
+              FROM ev
+            ), runs AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            ), sess AS (
+              SELECT user_id,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     floor((sum(value) / 100.0) * 100 + 0.5) / 100
+                       AS total_value
+              FROM runs GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end,
+                   CAST(floor(epoch(session_end)) AS BIGINT)
+                     - CAST(floor(epoch(session_start)) AS BIGINT)
+                     AS duration_sec,
+                   n_events, total_value
+            FROM sess
+            WHERE session_end <= (SELECT max(ts) FROM events)
         """,
         "s_scd2_history": """
             WITH flagged AS (
