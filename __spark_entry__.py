@@ -1686,7 +1686,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 word-4-gram with the
     "benchmark" slice (doc_id % 17 == 0). Eval gram index broadcasts; the
     corpus side never shuffles pre-aggregation."""
-    docs = _t(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
     evalset = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return dedup.ngram_contamination(corpus, evalset, n=4, min_shared=1)

@@ -117,6 +117,9 @@ def main() -> None:
         "ivf_topk_pruned",
         "ns_vector_centroids",
         "ns_corpus_clean",
+        "ns_dedup_cluster_kit",
+        "ns_decontaminate",
+        "s_scd2_history",
     ]
 
     def run_once(fn):

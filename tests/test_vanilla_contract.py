@@ -26,7 +26,7 @@ def ansi_spark(spark):
     spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+@pytest.mark.parametrize("name", sorted(entrymod.extended_queries()))
 def test_driver_window_query_runs_under_ansi(ansi_spark, sf_dir, name):
-    df = entrymod.queries()[name](ansi_spark, sf_dir)
+    df = entrymod.extended_queries()[name](ansi_spark, sf_dir)
     assert df.count() >= 0
