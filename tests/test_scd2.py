@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from pwhl_data_engineering_pipeline_spark.operators import scd2
@@ -88,6 +89,57 @@ def test_scd2_apply(spark):
     # exactly one current row per key
     cur = out.filter("is_current").groupBy("user_id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def _collapse_reference(rows):
+    """Driver-side reference: per key, sort by ts, split into runs of equal
+    attr (None == None), emit (key, attr, first_ts, next_run_first_ts|None,
+    n, is_current)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, a, ts in rows:
+        by_key[k].append((ts, a))
+    out = set()
+    for k, obs in by_key.items():
+        obs.sort(key=lambda x: x[0])
+        runs = []
+        for ts, a in obs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, ts, 1])
+        for i, (a, start, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.add((k, a, start, nxt, n, nxt is None))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # key
+            st.sampled_from([None, "a", "b", "c"]),       # attr
+            st.integers(min_value=0, max_value=20),       # distinct ts slot
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[2]),  # one observation per (key, ts)
+    )
+)
+def test_collapse_history_matches_reference(spark, obs):
+    rows = [
+        (k, a, datetime.datetime(2025, 1, 1) + datetime.timedelta(hours=t))
+        for k, a, t in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tier string, ts timestamp")
+    got = {
+        (r["user_id"], r["tier"], r["valid_from"], r["valid_to"],
+         r["n_observations"], r["is_current"])
+        for r in scd2.collapse_history(df, ["user_id"], "tier", "ts").collect()
+    }
+    assert got == _collapse_reference(rows)
 
 
 def test_collapse_single_shuffle(spark):
