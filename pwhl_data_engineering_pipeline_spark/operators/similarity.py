@@ -198,13 +198,7 @@ def ivf_index(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = corpus.crossJoin(F.broadcast(centroids)).select(
-            "*", portable_round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
-        )
-        return (
-            top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
-            .drop("rn", "__cs", "centroid_vec")
-        )
+        return ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
 
     for _ in range(refine_iterations):
         from .vector_agg import vector_mean_arrow
@@ -222,6 +216,45 @@ def ivf_index(
 
     assigned = assign(cent)
     return cent, assigned
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Route each vector to its nearest centroid (argmax cosine over the
+    broadcast centroid table) — one narrow pass, no shuffle of the vector
+    side beyond the per-id top-1 window. Shared by index build, Lloyd
+    refinement, and incremental append."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "*", portable_round(cosine(vec_col, "centroid_vec"), 9).alias("__cs")
+    )
+    return (
+        top_k_per_group(scored, [id_col], [F.desc("__cs"), F.asc("centroid_id")], 1)
+        .drop("rn", "__cs", "centroid_vec")
+    )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: route to the
+    EXISTING centroids and append into the centroid_id partition layout —
+    new files land only in the touched partitions, nothing is rewritten.
+    The build-once-probe-many contract survives ingestion: probes see the
+    union immediately with the same partition pruning.
+
+    Centroids deliberately do not move (the FAISS IVF convention): cell
+    quality degrades only if the data distribution drifts — rebuild or
+    Lloyd-refine offline when recall SLOs say so."""
+    assigned = ivf_assign(new_vectors, centroids, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(index_path)
 
 
 def ivf_write(
