@@ -186,7 +186,21 @@ def parse_wav(blob: bytes) -> dict | None:
     }
 
 
-_PARSERS = (parse_png, parse_gif, parse_jpeg, parse_wav)
+def parse_bmp(blob: bytes) -> dict | None:
+    """BMP (BITMAPINFOHEADER): width/height from the info header. Height may
+    be negative (top-down rows) — report its magnitude."""
+    import struct
+
+    if not blob or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    width, height = struct.unpack_from("<ii", blob, 18)
+    return {
+        "format": "bmp", "media_type": "image",
+        "width": int(abs(width)), "height": int(abs(height)),
+    }
+
+
+_PARSERS = (parse_png, parse_gif, parse_jpeg, parse_wav, parse_bmp)
 
 
 def parse_media_header(blob: bytes) -> dict:
@@ -241,6 +255,106 @@ def _fake_decode_features(blob: bytes, dim: int) -> list[float]:
 
     h = hashlib.sha256(blob or b"").digest()
     return [((h[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
+
+
+def decode_bmp_pixels(blob: bytes):
+    """REAL pixel decode for uncompressed 24-bit BMP (BI_RGB) — pure
+    stdlib+numpy, no codec libs. Returns an (height, width, 3) uint8 RGB
+    array, or None if the blob isn't such a BMP. Rows are stored bottom-up
+    (positive height) and padded to 4-byte boundaries; negative height means
+    top-down."""
+    import struct
+
+    import numpy as np
+
+    if not blob or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp, compression = struct.unpack_from("<HI", blob, 28)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h, top_down = abs(height), height < 0
+    row_bytes = (width * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(blob) < need:
+        return None
+    rows = np.frombuffer(blob, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    img = rows.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[..., ::-1]  # BGR on disk → RGB
+
+
+def decode_wav_samples(blob: bytes):
+    """REAL sample decode for 16-bit PCM WAV — pure stdlib+numpy. Returns
+    (samples as (n, channels) int16 array, sample_rate), or None."""
+    import struct
+
+    import numpy as np
+
+    if not blob or len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid, clen = struct.unpack_from("<4sI", blob, i)
+        if cid == b"fmt " and clen >= 16 and i + 8 + 16 <= n:
+            fmt = struct.unpack_from("<HHIIHH", blob, i + 8)
+        elif cid == b"data":
+            data = blob[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    samples = np.frombuffer(data, dtype="<i2")
+    usable = (len(samples) // channels) * channels
+    return samples[:usable].reshape(-1, channels), rate
+
+
+def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
+    """REAL feature extraction for the formats stdlib can fully decode:
+
+    - 24-bit BMP → [1, width, height, mean R, mean G, mean B, std R/G/B,
+      overall brightness] (means scaled to [0,1])
+    - 16-bit PCM WAV → [2, n_samples, channels, sample_rate, RMS, peak,
+      zero-crossing rate] (amplitudes scaled to [-1,1])
+    - anything else (compressed codecs need external libs) → the
+      deterministic hash fake, tagged [0, ...].
+
+    Padded/truncated to ``dim``. The leading tag makes the source of each
+    vector auditable downstream."""
+    import numpy as np
+
+    img = decode_bmp_pixels(blob)
+    if img is not None:
+        px = img.astype(np.float64) / 255.0
+        feats = [
+            1.0, float(img.shape[1]), float(img.shape[0]),
+            *(float(px[..., c].mean()) for c in range(3)),
+            *(float(px[..., c].std()) for c in range(3)),
+            float(px.mean()),
+        ]
+    else:
+        wav = decode_wav_samples(blob)
+        if wav is not None:
+            samples, rate = wav
+            x = samples.astype(np.float64) / 32768.0
+            mono = x.mean(axis=1)
+            zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
+            feats = [
+                2.0, float(len(mono)), float(samples.shape[1]), float(rate),
+                float(np.sqrt((mono**2).mean())) if len(mono) else 0.0,
+                float(np.abs(mono).max()) if len(mono) else 0.0,
+                zc,
+            ]
+        else:
+            feats = [0.0, *_fake_decode_features(blob, dim - 1)]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
 
 
 def extract_features(

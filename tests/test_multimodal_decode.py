@@ -124,3 +124,81 @@ def test_jvm_synth_parse_round_trip(spark):
     )
     out = mm.decode_meta(df.select("media_id", wav.alias("content"))).collect()[0]["meta"]
     assert (out["format"], out["duration_ms"], out["size_bytes"]) == ("wav", 200, 3244)
+
+
+def _bmp24(pixels_rgb) -> bytes:
+    """Build an uncompressed 24-bit BMP from a row-major [[(r,g,b)...]...]
+    grid (top row first) — rows stored bottom-up, BGR, 4-byte padded."""
+    h = len(pixels_rgb)
+    w = len(pixels_rgb[0])
+    row_pad = (-(w * 3)) % 4
+    body = b""
+    for row in reversed(pixels_rgb):
+        for r, g, b in row:
+            body += bytes([b, g, r])
+        body += b"\x00" * row_pad
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def test_decode_bmp_pixels_real():
+    grid = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    img = mm.decode_bmp_pixels(_bmp24(grid))
+    assert img.shape == (2, 3, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)      # top-left red, RGB order
+    assert tuple(img[0, 2]) == (0, 0, 255)
+    assert tuple(img[1, 1]) == (40, 50, 60)
+    # header parser agrees
+    meta = mm.parse_media_header(_bmp24(grid))
+    assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 3, 2)
+
+
+def test_decode_wav_samples_real():
+    import numpy as np
+
+    sig = np.array([0, 16384, 0, -16384] * 100, dtype="<i2")  # square-ish wave
+    blob = _wav(8000, 16000, sig.tobytes())
+    samples, rate = mm.decode_wav_samples(blob)
+    assert rate == 8000 and samples.shape == (400, 1)
+    assert samples[1, 0] == 16384
+
+
+def test_stdlib_media_features_tags_and_stats():
+    import numpy as np
+
+    # all-red 2x2 BMP: tag 1, mean R == 1.0, mean G/B == 0
+    red = mm.stdlib_media_features(_bmp24([[(255, 0, 0)] * 2] * 2), dim=16)
+    assert red[0] == 1.0 and red[1] == 2.0 and red[2] == 2.0
+    assert red[3] == 1.0 and red[4] == 0.0 and red[5] == 0.0
+    # half-amplitude square wave: tag 2, RMS == peak == 0.5
+    sig = np.array([16384, -16384] * 200, dtype="<i2")
+    wav = mm.stdlib_media_features(_wav(8000, 16000, sig.tobytes()), dim=16)
+    assert wav[0] == 2.0 and wav[3] == 8000.0
+    assert abs(wav[4] - 0.5) < 1e-9 and abs(wav[5] - 0.5) < 1e-9
+    # unknown bytes: tag 0, deterministic fake
+    other = mm.stdlib_media_features(b"not-a-container", dim=16)
+    assert other[0] == 0.0 and len(other) == 16
+
+
+def test_extract_features_with_stdlib_decoder(spark):
+    rows = [
+        (1, _bmp24([[(255, 0, 0)]]),),
+        (2, _wav(8000, 16000, struct.pack("<4h", 0, 100, 0, -100))),
+        (3, b"opaque-bytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(
+            df, dim=16, real_decoder=lambda b: mm.stdlib_media_features(b, 16)
+        ).collect()
+    }
+    assert out[1][0] == 1.0 and out[2][0] == 2.0 and out[3][0] == 0.0
