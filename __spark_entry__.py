@@ -1645,8 +1645,15 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: word-3-gram Jaccard pairs via inverted-index join."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    """Near-dup: word-3-gram Jaccard pairs via inverted-index join.
+    Repartition fans the single-file scan out before the interpreted-HOF
+    gram stage (the expensive part — see q_decontaminate)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .repartition(n_part)
+    )
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
 
@@ -1664,7 +1671,12 @@ def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle mirrors the components with a DuckDB recursive CTE (min-label
     propagation), so the iterative distributed algorithm is hash-checked
     end-to-end, not just property-tested."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .repartition(n_part)
+    )
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
     pair_leg = pairs.select(
         F.lit("pair").alias("leg"),
