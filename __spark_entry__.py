@@ -1721,6 +1721,25 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: index the first half of the corpus once,
+    then dedup the second half against the PERSISTED band index (corpus
+    never re-hashed) — the daily-ingest shape. Hash-seeded (numpy band
+    hashes) → rows-only check."""
+    import tempfile
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    mid = 250
+    corpus = docs.filter(F.col("doc_id") < mid)
+    batch = docs.filter((F.col("doc_id") >= mid) & (F.col("doc_id") < 2 * mid))
+    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    dedup.minhash_index_write(corpus, idx, num_hashes=64, num_bands=8)
+    return dedup.dedup_minhash_incremental(
+        spark, batch, idx, num_hashes=64, num_bands=8, append_survivors=False
+    ).select("doc_id")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only
     check). Arrow signature path (numpy bit votes, ~2× the interpreted-HOF
@@ -1980,6 +1999,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_scd2_history": q_scd2_history,
         "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
+        "ns_dedup_incremental": q_dedup_incremental,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,

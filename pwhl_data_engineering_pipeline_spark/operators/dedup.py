@@ -188,23 +188,172 @@ def minhash_candidate_pairs(
     self-join; AQE skew-join splitting plus the distinct() on pairs keeps it
     bounded. Callers should pre-filter trivial documents.
     """
+    buckets = minhash_buckets(
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl
+    )
+    return pairs_from_buckets(buckets, ["band", "band_hash"], id_col)
+
+
+def minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    impl: str = "arrow",
+) -> DataFrame:
+    """LSH bucket rows (id, band, band_hash) — the shared first stage of
+    pair generation, index build, and incremental probing. All consumers of
+    one index MUST use identical (num_hashes, num_bands, shingle_k, seed,
+    impl) or band hashes won't collide."""
     rows = num_hashes // num_bands
     if impl == "arrow":
         sig_df = minhash_signature_arrow(df, text_col, id_col, num_hashes, shingle_k, seed)
-        buckets = (
+        return (
             sig_df.select(
                 F.col(id_col),
                 F.explode(minhash_bands(F.col("sig"), num_bands, rows)).alias("bk"),
             )
             .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
         )
-    else:
-        sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
-        buckets = (
-            df.select(F.col(id_col), F.explode(minhash_bands(sig, num_bands, rows)).alias("bk"))
-            .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
+    return (
+        df.select(F.col(id_col), F.explode(minhash_bands(sig, num_bands, rows)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    )
+
+
+def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop degenerate (band, band_hash) buckets BEFORE any join/agg — the
+    standard hot-bucket guard (window count over the join partitioning)."""
+    if max_bucket is None:
+        return buckets
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "band_hash")
+    return (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    impl: str = "arrow",
+    max_bucket: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash band index: (id, band, band_hash) bucket rows,
+    written partitioned by ``band``. Hot buckets (boilerplate, empty docs)
+    are dropped AT WRITE TIME — they would otherwise poison every future
+    probe with a quadratic bucket. ``mode='append'`` adds a new batch's
+    buckets (see dedup_minhash_incremental)."""
+    b = _cap_buckets(
+        minhash_buckets(docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
+        max_bucket,
+    )
+    b.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def minhash_incremental_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    impl: str = "arrow",
+    max_bucket: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs for an incoming batch against a PERSISTED corpus
+    index — the incremental-ingest shape: the 100 TB corpus is never
+    re-hashed, only its (id, band, band_hash) index is probed.
+
+    Returns (cross, within): ``cross`` = (new_id, corpus_id) collisions,
+    ``within`` = (id_a, id_b) collisions inside the new batch. The
+    new-batch bucket frame is computed ONCE and reused for both (cache it
+    upstream if the batch is large). The cross join is a plain equi-join on
+    (band, band_hash): AQE skew splitting plus the write-time and probe-side
+    hot-bucket caps bound every bucket; the session's runtime Bloom filter
+    prunes index row-groups whose band_hash can't match."""
+    nb = _cap_buckets(
+        minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
+        max_bucket,
+    )
+    idx = spark.read.parquet(index_path).withColumnRenamed(id_col, "__corpus_id")
+    cross = (
+        nb.join(idx, ["band", "band_hash"])
+        .select(F.col(id_col).alias("new_id"), F.col("__corpus_id").alias("corpus_id"))
+        .distinct()
+    )
+    within = pairs_from_buckets(nb, ["band", "band_hash"], id_col, max_bucket=max_bucket)
+    return cross, within
+
+
+def dedup_minhash_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    impl: str = "arrow",
+    max_bucket: int = 64,
+    append_survivors: bool = True,
+) -> DataFrame:
+    """Incrementally dedup a new batch against the indexed corpus: drop new
+    docs that LSH-collide with ANY corpus doc (corpus wins — stable under
+    re-ingestion), then greedily suppress within-batch collisions (min id
+    wins per pair; for cluster-exact batch semantics run graph.dedup_connected
+    on the ``within`` pairs instead). Survivors' buckets are appended to the
+    index by default, so tomorrow's batch probes today's survivors too.
+
+    LSH-only decision (no true-Jaccard verification pass): the index stores
+    band hashes, not text — tune precision with num_bands/rows_per_band
+    (collision prob ≈ J^rows per band). This is the standard trade for
+    corpus-scale incremental dedup; run the batch variant when bodies are
+    cheap to re-read."""
+    cross, within = minhash_incremental_pairs(
+        spark, new_docs, index_path, text_col, id_col,
+        num_hashes, num_bands, shingle_k, seed, impl, max_bucket,
+    )
+    no_corpus_dup = new_docs.join(
+        cross.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+    # within-batch greedy: drop the larger id of each colliding pair whose
+    # ends both survived the corpus filter
+    losers = (
+        within.join(
+            no_corpus_dup.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
         )
-    return pairs_from_buckets(buckets, ["band", "band_hash"], id_col)
+        .join(no_corpus_dup.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = no_corpus_dup.join(losers, id_col, "left_anti")
+    if append_survivors:
+        minhash_index_write(
+            survivors, index_path, text_col, id_col,
+            num_hashes, num_bands, shingle_k, seed, impl, max_bucket,
+            mode="append",
+        )
+    return survivors
 
 
 def pairs_from_buckets(

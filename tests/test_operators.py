@@ -118,6 +118,35 @@ def test_ngram_contamination(docs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_incremental_dedup(spark, docs, tmp_path):
+    """Index a corpus once, then dedup an incoming batch against it:
+    corpus collisions drop, within-batch pairs keep the min id, novel docs
+    survive and (appended) catch tomorrow's copies."""
+    idx = str(tmp_path / "mh_idx")
+    dedup.minhash_index_write(docs, idx)
+
+    new = spark.createDataFrame(
+        [
+            (100, BASE + " slightly extended tail", "en"),      # ~corpus near-dup
+            (101, "a wholly novel document about streaming watermarks and state stores", "en"),
+            (102, "a wholly novel document about streaming watermarks and state stores!!", "en"),  # ~dup of 101
+            (103, "entirely distinct content regarding z-order layouts and bloom filters", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    survivors = dedup.dedup_minhash_incremental(spark, new, idx)
+    kept = sorted(r["doc_id"] for r in survivors.collect())
+    assert kept == [101, 103]  # 100 collides with corpus, 102 loses to 101
+
+    # survivors were appended: a copy of 101 arriving tomorrow is dropped
+    tomorrow = spark.createDataFrame(
+        [(200, "a wholly novel document about streaming watermarks and state stores", "en")],
+        "doc_id long, text string, lang string",
+    )
+    survivors2 = dedup.dedup_minhash_incremental(spark, tomorrow, idx, append_survivors=False)
+    assert survivors2.count() == 0
+
+
 def test_brute_force_topk_vs_numpy(spark):
     import numpy as np
 
