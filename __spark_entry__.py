@@ -1677,7 +1677,12 @@ def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .repartition(n_part)
     )
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
+    # Both legs consume the pair table (pair rows + components input) and
+    # components additionally iterates over it: materialize the expensive
+    # inverted-index stage ONCE instead of once per leg.
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_gram_df=1000
+    ).localCheckpoint(eager=True)
     pair_leg = pairs.select(
         F.lit("pair").alias("leg"),
         "id_a",

@@ -108,14 +108,17 @@ def connected_components(
     realistic graph; non-convergence indicates corrupted input (e.g. NaN
     ids), not a tuning problem.
     """
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    # Lazy localCheckpoint: the signature action is the FIRST compute of
+    # each round's edge set, so it materializes the checkpoint cache as a
+    # side effect — one job per round instead of eager-checkpoint + probe.
+    e = _canon(edges, src, dst).localCheckpoint(eager=False)
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
     ).distinct()
 
     sig = _signature(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
