@@ -91,9 +91,13 @@ def exact_percentiles_distributed(
     base = df.select(F.col(group_col), F.col(value_col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    # Range-partitioned but NOT pre-sorted: the global order the rank math
+    # needs comes from the range boundaries alone (partition i's (group,
+    # value) range precedes partition i+1's); within-partition order is
+    # established later by the row_number window — and only for the pruned
+    # bracket slices, so a full in-partition sort here would be wasted work.
     sorted_df = (
         base.repartitionByRange(n_parts, group_col, "__v")
-        .sortWithinPartitions(group_col, "__v")
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
