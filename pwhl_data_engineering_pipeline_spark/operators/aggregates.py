@@ -67,9 +67,9 @@ def exact_percentiles_distributed(
     lands in one aggregation buffer, so 3 groups over 10^12 rows = 3 tasks
     doing all the work. This implementation keeps everything distributed:
 
-    1. Range-shuffle + in-partition sort on (group, value): a distributed
-       sort, so partition i's rows precede partition i+1's in the total
-       order.
+    1. Range-shuffle on (group, value): partition i's (group, value) range
+       precedes partition i+1's, which is all the cross-partition order the
+       rank math needs — no in-partition sort.
     2. Tiny per-(partition, group) counts → driver computes cumulative
        offsets (numPartitions × groups rows) and from them the EXACT
        (partition, group, local rank) address of every bracketing rank.
