@@ -1726,6 +1726,21 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 over word-3-grams):
+    the quote-inclusion detector resemblance misses."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .repartition(n_part)
+    )
+    pairs = dedup.ngram_containment_pairs(docs, n=3, threshold=0.8, max_gram_df=1000)
+    return pairs.select(
+        "contained_id", "container_id", pr("containment", 6).alias("containment")
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup: index the first half of the corpus once,
     then dedup the second half against the PERSISTED band index (corpus
@@ -2005,6 +2020,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_dedup_incremental": q_dedup_incremental,
+        "ns_containment": q_containment,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
@@ -2964,6 +2980,46 @@ def _all_oracle_sql() -> dict[str, str]:
                    (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
                      IS NULL) AS is_current
             FROM per_run
+        """,
+        "ns_containment": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE doc_id < 500
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS sz FROM grams
+            ), inv_all AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), inv AS (
+              SELECT doc_id, gram FROM (
+                SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+                FROM inv_all
+              ) WHERE df <= 1000
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), joined AS (
+              SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT contained_id, container_id,
+                   floor(c * 1e6 + 0.5) / 1e6 AS containment
+            FROM (
+              SELECT id_a AS contained_id, id_b AS container_id,
+                     inter * 1.0 / sz_a AS c FROM joined
+              UNION ALL
+              SELECT id_b AS contained_id, id_a AS container_id,
+                     inter * 1.0 / sz_b AS c FROM joined
+            )
+            WHERE c >= 0.8
         """,
         "ns_decontaminate": """
             WITH toks AS (

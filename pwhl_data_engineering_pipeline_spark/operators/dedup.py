@@ -652,6 +652,23 @@ def ngram_jaccard_pairs(
     never candidates: reported Jaccard values are exact, a pair is missed
     only if ALL of its shared grams are stop-grams. Pass ``max_gram_df=None``
     to disable (exact, but quadratic under hot grams)."""
+    shared = _ngram_shared_counts(df, text_col, id_col, n, max_gram_df)
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.try_divide(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_shared_counts(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_gram_df: int | None
+) -> DataFrame:
+    """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
+    surviving n-gram — the inverted-index core shared by the Jaccard
+    (resemblance) and containment detectors."""
     grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
     sizes = grams.select(id_col, F.size("g").alias("sz"))
     inv = grams.select(id_col, F.explode("g").alias("gram"))
@@ -672,16 +689,40 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.try_divide(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment detection (Broder's *containment*, vs the
+    Jaccard *resemblance* the near-dup pass uses): |A∩B| / |A| ≥ threshold
+    means most of A's n-grams appear in B — catches a short document quoted
+    wholesale inside a long one, which resemblance misses (the union in
+    Jaccard's denominator dilutes it).
+
+    Emits DIRECTIONAL rows (contained_id, container_id, containment), one
+    per direction that clears the threshold. Same inverted-index +
+    stop-gram-cutoff plan as ngram_jaccard_pairs; the cutoff caveat carries
+    over (a containment is missed only if every shared gram is a
+    stop-gram)."""
+    shared = _ngram_shared_counts(df, text_col, id_col, n, max_gram_df)
+    a_in_b = shared.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.try_divide(F.col("inter"), F.col("sz_a")).alias("containment"),
     )
+    b_in_a = shared.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.try_divide(F.col("inter"), F.col("sz_b")).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
 
 
 def ngram_contamination(

@@ -118,6 +118,32 @@ def test_ngram_contamination(docs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ngram_containment_asymmetric(spark):
+    """A short doc quoted inside a long one: containment fires in the
+    short→long direction only; Jaccard at the same bar would miss it."""
+    short = "the quick brown fox jumps over the lazy dog"
+    longd = (
+        "opening remarks about data engineering pipelines and spark "
+        + short
+        + " closing remarks about watermarks state stores and parquet files"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, longd), (3, "entirely unrelated text about nothing shared")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == 1.0  # every 3-gram of the short doc is in the long one
+    # resemblance misses it: jaccard for this pair is far below 0.8
+    j = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).filter(
+        "id_a = 1 AND id_b = 2"
+    ).collect()[0]["jaccard"]
+    assert j < 0.5
+
+
 def test_minhash_incremental_dedup(spark, docs, tmp_path):
     """Index a corpus once, then dedup an incoming batch against it:
     corpus collisions drop, within-batch pairs keep the min id, novel docs
