@@ -1726,6 +1726,16 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subsample: exactly min(20, |source|) docs per source, chosen
+    by deterministic hash order (sampling.sample_k_per_group) — reservoir
+    semantics as a pure function of (seed, doc_id), oracle-mirrorable."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_k_per_group(
+        docs, ["source"], "doc_id", 20, seed="sample"
+    ).select("doc_id", "source", "lang")
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 over word-3-grams):
     the quote-inclusion detector resemblance misses."""
@@ -2021,6 +2031,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_dedup_incremental": q_dedup_incremental,
         "ns_containment": q_containment,
+        "ns_sample_k": q_sample_k,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
@@ -3174,6 +3185,17 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_kept,
                CAST(sum(CAST(keep AS INT) * n_chars) AS BIGINT) AS kept_chars
         FROM flagged GROUP BY source, split
+    """
+    sql["ns_sample_k"] = f"""
+        WITH ranked AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {sampling.sample_k_order_sql("doc_id", "sample")} ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source, lang FROM ranked WHERE rk <= 20
     """
     sql["ns_rep_signals"] = """
         WITH toks AS (

@@ -123,6 +123,44 @@ def weighted_sample(
     return df.filter(keep)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    *,
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by a
+    deterministic pseudo-random order: rows ranked by (md5 hash of
+    seed:key, key) within each group, keep rank ≤ k.
+
+    The balanced-subsample knob (k docs per domain/language for evals or
+    mixture floors) with reservoir-sampling semantics but none of its
+    statefulness: the selection is a pure function of (seed, keys), stable
+    under reruns, engines, and partitioning — and SQL-mirrorable, so it is
+    driver-oracle-checked. One hash shuffle on ``group_cols``; the window
+    keeps per-group state only."""
+    from pyspark.sql import Window
+
+    order = _hash_bucket(F.col(key_col), seed)
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def sample_k_order_sql(key_expr: str, seed: str) -> str:
+    """ANSI-SQL ORDER BY operand mirroring sample_k_per_group's hash order
+    (kept next to the implementation so the recipes cannot drift)."""
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_BUCKETS})"
+    )
+
+
 def split_sql(key_expr: str, weights: Sequence[tuple[str, float]], seed: str) -> str:
     """ANSI-SQL CASE expression mirroring hash_split — used by oracle
     queries and kept next to the implementation so the two recipes cannot

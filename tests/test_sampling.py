@@ -120,3 +120,24 @@ def test_sql_mirrors_match_spark(docs):
     ).fetchall()
     got = [(r["doc_id"], r["split"], r["keep"]) for r in spark_out.orderBy("doc_id").collect()]
     assert got == [(a, b, bool(c)) for a, b, c in duck]
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    from pwhl_data_engineering_pipeline_spark.operators import sampling
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(56)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.sample_k_per_group(df, ["source"], "doc_id", 10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"big": 10, "small": 6}  # min(k, group size), exactly
+    # pure function of (seed, key): identical set under different partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sampling.sample_k_per_group(
+        df.repartition(7), ["source"], "doc_id", 10).collect()}
+    assert a == b
+    # different seed → different (almost surely) selection of the big group
+    c = {r["doc_id"] for r in sampling.sample_k_per_group(
+        df, ["source"], "doc_id", 10, seed="other").collect()}
+    assert c != a
