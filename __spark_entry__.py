@@ -1726,6 +1726,26 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding compression audit: per-vector quantization scale plus
+    integer checksums of the quantized vector (list columns crash the
+    driver canon, so the arrays are summarized, not emitted). The floor-
+    based portable rounding makes the quantizer itself hash-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        vectors.quantize_scale("embedding").alias("s"),
+        vectors.quantize_int8("embedding").alias("q8"),
+    )
+    return q.select(
+        "vec_id",
+        pr("s", 9).alias("scale"),
+        F.aggregate("q8", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.aggregate("q8", F.lit(0).cast("long"), lambda a, x: a + F.abs(x.cast("long"))).alias("q_l1"),
+        F.size("q8").alias("dim"),
+    )
+
+
 def q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced subsample: exactly min(20, |source|) docs per source, chosen
     by deterministic hash order (sampling.sample_k_per_group) — reservoir
@@ -2032,6 +2052,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_dedup_incremental": q_dedup_incremental,
         "ns_containment": q_containment,
         "ns_sample_k": q_sample_k,
+        "ns_quantize": q_quantize,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
@@ -3196,6 +3217,27 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source, lang FROM ranked WHERE rk <= 20
+    """
+    sql["ns_quantize"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), scaled AS (
+          SELECT vec_id, v,
+                 nullif(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS s
+          FROM ed
+        ), qz AS (
+          SELECT vec_id, s,
+                 list_transform(v, x ->
+                   least(127.0, greatest(-127.0, floor(x / s + 0.5)))) AS q
+          FROM scaled
+        )
+        SELECT vec_id,
+               floor(s * 1e9 + 0.5) / 1e9 AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(len(q) AS INT) AS dim
+        FROM qz
     """
     sql["ns_rep_signals"] = """
         WITH toks AS (

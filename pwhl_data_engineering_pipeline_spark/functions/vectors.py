@@ -91,3 +91,40 @@ def random_hyperplane_signs(a: ColumnOrName, n_planes: int, seed: int = 42) -> C
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def quantize_scale(a: ColumnOrName) -> Column:
+    """Per-vector int8 quantization scale: max|x| / 127 (symmetric range).
+    NULL for empty/all-NULL vectors."""
+    mx = F.array_max(F.transform(_col(a), lambda x: F.abs(x.cast("double"))))
+    return F.try_divide(F.nullif(mx, F.lit(0.0)), F.lit(127.0))
+
+
+def quantize_int8(a: ColumnOrName, scale: Column | None = None) -> Column:
+    """Symmetric per-vector int8 quantization: round(x / scale) clamped to
+    [-127, 127] as array<tinyint> — 4× smaller than float32 at rest, the
+    standard storage/IO lever for a 100 TB embedding corpus. Pair with
+    ``quantize_scale`` (store one double per vector) for dequantization;
+    cosine on dequantized vectors matches full precision to ~1e-2 (tested),
+    so candidate retrieval can run on the compressed column and re-rank the
+    short list at full precision."""
+    s = scale if scale is not None else quantize_scale(a)
+    # floor(x + 0.5), not round(): the portable-round convention (see
+    # scalars.portable_round) — bit-identical across engines, so the
+    # quantizer is oracle-checkable.
+    return F.transform(
+        _col(a),
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.floor(F.try_divide(x.cast("double"), s) + F.lit(0.5)).cast("double"),
+            ),
+        ).cast("tinyint"),
+    )
+
+
+def dequantize(q: ColumnOrName, scale: ColumnOrName) -> Column:
+    """Inverse of quantize_int8: q * scale → array<double>."""
+    s = _col(scale) if isinstance(scale, str) else scale
+    return F.transform(_col(q), lambda x: x.cast("double") * s)

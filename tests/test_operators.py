@@ -173,6 +173,48 @@ def test_minhash_incremental_dedup(spark, docs, tmp_path):
     assert survivors2.count() == 0
 
 
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """Quantize→dequantize must preserve cosine to ~1e-2 and brute-force
+    top-10 on the compressed column must overlap ≥9/10 with full precision —
+    the compressed-retrieval contract."""
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.functions import vectors as V
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(200, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.select(
+        "vec_id",
+        V.quantize_scale("embedding").alias("scale"),
+        V.quantize_int8("embedding").alias("q8"),
+    ).withColumn("deq", V.dequantize("q8", F.col("scale")))
+    # schema really is tinyint (the 4x storage claim)
+    assert dict(q.dtypes)["q8"] == "array<tinyint>"
+    # per-vector cosine(original, dequantized) ≈ 1
+    joined = emb.join(q, "vec_id").select(V.cosine("embedding", "deq").alias("c"))
+    assert joined.agg(F.min("c")).collect()[0][0] > 0.995
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    full = (
+        emb.crossJoin(query)
+        .select("vec_id", V.cosine("embedding", "qv").alias("c"))
+        .orderBy(F.desc("c")).limit(10).collect()
+    )
+    approx = (
+        q.crossJoin(query)
+        .select("vec_id", V.cosine("deq", "qv").alias("c"))
+        .orderBy(F.desc("c")).limit(10).collect()
+    )
+    overlap = {r["vec_id"] for r in full} & {r["vec_id"] for r in approx}
+    assert len(overlap) >= 9
+
+
 def test_brute_force_topk_vs_numpy(spark):
     import numpy as np
 
