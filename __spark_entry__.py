@@ -29,11 +29,13 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     aggregates,
     asof,
     dedup,
+    fuzzy,
     graph,
     multimodal,
     packing,
     relational,
     sampling,
+    search,
     sessions,
     similarity,
     vector_agg,
@@ -1771,6 +1773,76 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 probe queries for ns_bm25_search — fixed literals so the Spark plan
+#: and the DuckDB oracle score the identical query set.
+_BM25_QUERIES = [
+    ("q_spark", "spark window agg"),
+    ("q_join", "hash join table"),
+    ("q_stream", "stream batch merge"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 per probe query over the documents corpus
+    (operators.search) — the sparse-retrieval complement to the dense ANN
+    entries. Scores floor-rounded to 6 dp before ranking; (score desc,
+    doc_id) tiebreak makes the top-k deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_topk(docs, qdf, k=10)
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match over distinct normalized part names
+    (operators.fuzzy): Levenshtein <= 2 within first-character blocks, with
+    the exact length prefilter. The entity-resolution shape — catalog names
+    that are small edits of each other — with the blocking recall contract
+    mirrored exactly by the oracle."""
+    parts = _t(spark, sf_dir, "part")
+    names = parts.groupBy(
+        fuzzy.normalize_name(F.col("p_name")).alias("name")
+    ).agg(F.min("p_partkey").alias("name_id"))
+    return fuzzy.fuzzy_self_pairs(names, "name", "name_id", max_dist=2)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (sampling.temperature_sample,
+    T=2): kept counts follow n^(1/T) with the smallest language kept whole.
+    Emits per-language totals, kept counts, and a kept-id checksum so the
+    oracle verifies the exact surviving document set, not just sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.temperature_sample(
+        docs, "lang", "doc_id", temperature=2.0, seed="temp"
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .join(totals, "lang")
+        .select("lang", "n_total", "n_kept", "kept_id_sum")
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup): k-means cells → exact within-cell
+    cosine pairs → connected-components closure → min-id survivors.
+    Rows-only (k-means init is hash-seeded; centroid floats aren't
+    SQL-reproducible) — survivorship properties are pinned in
+    tests/test_semdedup.py against brute-force ground truth."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold 0.5 (not the usual ~0.95): the synthetic embeddings are
+    # near-orthogonal (max pairwise cosine ≈ 0.5), so a production-grade
+    # threshold would trivially keep everything — this setting makes the
+    # whole pipeline (cells → pairs → closure → survivors) observable.
+    survivors, _ = dedup.semantic_dedup(
+        emb, n_centroids=16, threshold=0.5, refine_iterations=1
+    )
+    return survivors.select("vec_id")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup: index the first half of the corpus once,
     then dedup the second half against the PERSISTED band index (corpus
@@ -2053,6 +2125,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_containment": q_containment,
         "ns_sample_k": q_sample_k,
         "ns_quantize": q_quantize,
+        "ns_bm25_search": q_bm25_search,
+        "ns_fuzzy_match": q_fuzzy_match,
+        "ns_temperature_mix": q_temperature_mix,
+        "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
@@ -3217,6 +3293,42 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source, lang FROM ranked WHERE rk <= 20
+    """
+    _bm25_values = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    sql["ns_bm25_search"] = search.bm25_sql(
+        docs_from="documents", queries_values=_bm25_values, k=10
+    )
+    sql["ns_fuzzy_match"] = """
+        WITH names AS (
+          SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,
+                 min(p_partkey) AS name_id
+          FROM part GROUP BY 1
+        )
+        SELECT a.name_id AS id_a, b.name_id AS id_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM names a JOIN names b
+          ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+         AND a.name_id < b.name_id
+        WHERE abs(length(a.name) - length(b.name)) <= 2
+          AND levenshtein(a.name, b.name) <= 2
+    """
+    _temp_targets = sampling.temperature_targets_sql("lang", 2.0, "documents")
+    _temp_order = sampling.sample_k_order_sql("doc_id", "temp")
+    sql["ns_temperature_mix"] = f"""
+        WITH ks AS ({_temp_targets}),
+        ranked AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_temp_order} ASC, doc_id ASC) AS rk
+          FROM documents
+        )
+        SELECT r.lang, k.n_s AS n_total,
+               count(*) AS n_kept,
+               CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+        FROM ranked r JOIN ks k ON r.lang = k.s
+        WHERE r.rk <= k.k_s
+        GROUP BY r.lang, k.n_s
     """
     sql["ns_quantize"] = """
         WITH ed AS (

@@ -120,6 +120,13 @@ def main() -> None:
         "ns_dedup_cluster_kit",
         "ns_decontaminate",
         "s_scd2_history",
+        "ns_bm25_search",
+        "ns_fuzzy_match",
+        "ns_temperature_mix",
+        # ns_semdedup is deliberately NOT headline: its two heavy stages are
+        # already timed through ivf_topk_pruned (centroid index + probe) and
+        # ns_dedup_cluster_kit (connected-components closure); adding the
+        # composed form would double-count ~4s of the same machinery.
     ]
 
     def run_once(fn):

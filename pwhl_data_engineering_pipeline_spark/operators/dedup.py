@@ -805,3 +805,105 @@ def dedup_embedding_cosine(
     )
     to_drop = j.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
+
+
+def semantic_pairs(
+    assigned: DataFrame,
+    *,
+    cluster_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """Exact cosine near-dup pairs WITHIN each cluster of a pre-clustered
+    corpus — the pair stage of SemDeDup (Abbas et al., 2023: cluster the
+    embedding space with k-means, then compare only within clusters).
+
+    Cost is Σ cluster_size², not n²: the cluster count is the scale knob
+    (at 100 TB you raise n_centroids so cells stay bounded, exactly like
+    IVF). ``max_cluster`` drops degenerate clusters before the self-join —
+    the same guard as the MinHash hot-bucket cap; at the default it only
+    protects against a collapsed clustering (all vectors in one cell).
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    side = assigned.select(cluster_col, id_col, vec_col)
+    if max_cluster is not None:
+        side = (
+            side.withColumn(
+                "__cn", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+            )
+            .filter(F.col("__cn") <= max_cluster)
+            .drop("__cn")
+        )
+    # The self-join reads `side` twice; without a materialization barrier
+    # Spark recomputes the whole upstream (centroid assignment) per branch.
+    # Lazy localCheckpoint evaluates it once. At warehouse scale the
+    # equivalent is persisting the assigned corpus (similarity.ivf_write)
+    # and self-joining the persisted table.
+    side = side.localCheckpoint(eager=False)
+    a = side.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = side.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iterations: int = 1,
+    max_cluster: int | None = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup end to end: k-means-cluster the embedding space
+    (operators.similarity.ivf_index — same index, same Lloyd refinement),
+    find exact cosine pairs within clusters (:func:`semantic_pairs`), close
+    them transitively (operators.graph.connected_components) and keep the
+    minimum id per duplicate cluster.
+
+    Returns ``(survivors, pairs)``. Connected-components closure (not greedy
+    per-pair suppression) makes survivorship cluster-exact: of a chain
+    a~b~c where a≁c, exactly one row survives.
+
+    Recall contract: within-cluster pairs are EXACT (no second blocking
+    layer); a near-duplicate pair is missed only when k-means separates it
+    across cells — the published SemDeDup trade-off, tuned by
+    ``n_centroids``/``refine_iterations``.
+    """
+    from .graph import dedup_connected
+    from .similarity import ivf_index
+
+    _, assigned = ivf_index(
+        corpus,
+        n_centroids=n_centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        refine_iterations=refine_iterations,
+    )
+    pairs = semantic_pairs(
+        assigned,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        max_cluster=max_cluster,
+    )
+    survivors = dedup_connected(corpus, pairs, id_col, "id_a", "id_b")
+    return survivors, pairs

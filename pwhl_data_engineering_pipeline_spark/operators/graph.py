@@ -117,6 +117,12 @@ def connected_components(
     ).distinct()
 
     sig = _signature(e)
+    if sig[0] == 0:
+        # Empty edge set: no components to find. Short-circuit instead of
+        # paying star rounds + a labels join on empty frames (a pair
+        # generator that found nothing — clean corpus — is a common case,
+        # and each skipped round is a full Spark job).
+        return nodes.select(F.col("node"), F.col("node").alias("cluster_id"))
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _signature(e2)

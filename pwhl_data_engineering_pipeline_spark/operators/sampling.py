@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Denominator for hash bucketing: rates are resolved to integer
@@ -150,6 +150,83 @@ def sample_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    slice_col: str,
+    key_col: str,
+    *,
+    temperature: float = 2.0,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: subsample every slice (language,
+    source, domain) so kept counts are proportional to ``n_s^(1/T)`` — the
+    standard multilingual-training reweighting (T=1 keeps the natural
+    distribution, T→∞ equalizes slices) realized by *dropping* rows only:
+
+        k_s = floor(n_s^(1/T) · n_min^(1 - 1/T) + 0.5)
+
+    The smallest slice is kept whole (k_min = n_min) and every larger slice
+    is cut toward it, so the output distribution follows the temperature law
+    without upsampling/duplication. WHICH rows survive is the deterministic
+    md5 rank of :func:`sample_k_per_group` — rerun-, engine-, and
+    partition-stable, so the selection is oracle-diff-testable.
+
+    Driver action: per-slice counts are collected (one tiny aggregate —
+    #slices rows, metadata-sized by definition) and the k_s targets are
+    computed in Python, entering the plan as literals via a broadcast map.
+    One data shuffle total: the per-slice rank window.
+    """
+    if temperature < 1.0:
+        raise ValueError(f"temperature must be >= 1.0, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(slice_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    inv_t = 1.0 / temperature
+    targets = {
+        s: int((n**inv_t) * (n_min ** (1.0 - inv_t)) + 0.5) for s, n in counts.items()
+    }
+    spark = df.sparkSession
+    slice_type = df.schema[slice_col].dataType.simpleString()
+    kdf = spark.createDataFrame(
+        [(s, k) for s, k in targets.items()], f"{slice_col} {slice_type}, __k long"
+    )
+    order = _hash_bucket(F.col(key_col), seed)
+    w = Window.partitionBy(slice_col).orderBy(order.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    # eqNullSafe: a NULL slice is a real slice (groupBy kept it); a plain
+    # equi-join would silently drop those rows.
+    kdf = F.broadcast(kdf.withColumnRenamed(slice_col, "__slice"))
+    return (
+        ranked.join(kdf, ranked[slice_col].eqNullSafe(kdf["__slice"]))
+        .filter(F.col("__rk") <= F.col("__k"))
+        .drop("__rk", "__k", "__slice")
+    )
+
+
+def temperature_targets_sql(slice_expr: str, temperature: float, from_relation: str) -> str:
+    """SQL CTE body computing the same per-slice keep targets as
+    :func:`temperature_sample` (kept adjacent so the two formulas cannot
+    drift). Yields columns (slice, n_s, k_s). Both engines evaluate
+    ``pow`` through the platform's libm on identical doubles, and the
+    Python-side mirror uses the same libm — the floor(+0.5) boundary would
+    need a half-integer within 1 ulp to diverge."""
+    inv_t = 1.0 / temperature
+    return f"""
+        SELECT {slice_expr} AS s, count(*) AS n_s,
+               CAST(floor(pow(count(*), {inv_t!r})
+                          * pow((SELECT min(n) FROM (
+                                  SELECT count(*) AS n FROM {from_relation} GROUP BY {slice_expr})),
+                                {1.0 - inv_t!r}) + 0.5) AS BIGINT) AS k_s
+        FROM {from_relation} GROUP BY {slice_expr}
+    """
 
 
 def sample_k_order_sql(key_expr: str, seed: str) -> str:

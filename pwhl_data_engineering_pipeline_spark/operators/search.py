@@ -1,0 +1,207 @@
+"""BM25 keyword search: sparse lexical retrieval over a document corpus.
+
+The lexical complement to operators.similarity's dense ANN — a training-data
+platform needs both ("find documents about X" for curation/evals, dense
+cosine for dedup/retrieval). Okapi BM25 with the standard parameters::
+
+    idf(t)        = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d)   = Σ_{t ∈ q}  idf(t) · tf_{t,d}·(k1+1)
+                                / (tf_{t,d} + k1·(1 - b + b·len_d/avglen))
+
+Execution shape (the part that must survive 100 TB):
+
+- The corpus tokenizes map-side into (doc, term, tf) postings — one explode
+  inside the scan stage, no Python.
+- Document frequency is one groupBy(term) over DISTINCT (doc, term) — the
+  only corpus-sized shuffle, and it is the inverted index you would persist
+  and reuse across queries (see ``build_index`` / ``bm25_score``).
+- The query side is tiny by nature (a handful of probe strings), so query
+  terms BROADCAST onto the postings: scoring is a map-side hash-join probe
+  of the corpus, shuffling only (query, doc, partial score) for the final
+  per-query sum — rows bounded by |matched postings|, never all-pairs.
+- Global N and avglen are a 1-row aggregate broadcast via crossJoin — the
+  same scalar-subquery shape Catalyst plans for an uncorrelated subquery.
+- Scores round to 6 dp BEFORE top-k selection with a (score desc, doc_id)
+  deterministic tiebreak, so ranking is stable across engines and partition
+  layouts (the same order-stability trick as similarity.brute_force_topk).
+
+No counterpart in the reference; part of the engine's training-data
+extension. Oracle-checked end to end (`ns_bm25_search`): DuckDB reproduces
+the identical top-k because every step above is portable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col):
+    """Whitespace tokens of lower(trim(text)) — matches functions.text's
+    canonical tokenizer so search and text-analysis agree on terms."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def build_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus → (postings, stats).
+
+    ``postings``: (doc_id, term, tf, doc_len) — persist this (partitioned by
+    a hash of term at scale) to amortize tokenization across query batches.
+    ``stats``: (term, df) document frequencies. Both are plain DataFrames;
+    writing them is the caller's choice (one-shot search composes them
+    lazily and Catalyst pipelines the whole thing).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
+    )
+    stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return postings, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k, score rounded to
+    6 dp before selection. Queries are distinct-termed (a term repeated in
+    the query counts once — standard BM25 query semantics).
+    """
+    postings, stats = build_index(docs, text_col, id_col)
+
+    # 1-row corpus scalars; crossJoin of a 1-row frame broadcasts.
+    corpus = postings.select("doc_id", "doc_len").distinct()
+    scalars = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avg_len"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(F.array_distinct(_tokens(F.col(query_text)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(stats, "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("raw"))
+        # floor-round BEFORE ranking: local float noise must not reorder
+        # ties; the exact floor(x*1e6+0.5)/1e6 form is what the SQL mirror
+        # computes, so the doubles are bit-identical across engines
+        .withColumn("score", F.floor(F.col("raw") * 1e6 + F.lit(0.5)) / 1e6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_sql(
+    *,
+    docs_from: str,
+    queries_values: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ANSI/DuckDB SQL mirror of :func:`bm25_topk`, kept beside the
+    implementation so the two recipes cannot drift. ``docs_from`` is a
+    FROM-able relation with (doc_id, text); ``queries_values`` a VALUES
+    list ``(query_id, query_text)``."""
+    return f"""
+        WITH q(query_id, query_text) AS (VALUES {queries_values}),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(string_split_regex(lower(trim(query_text)), '\\s+')) AS term
+            FROM q
+          ) WHERE term <> ''
+        ),
+        toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM {docs_from}
+          ) WHERE term <> ''
+        ),
+        postings AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        lens AS (
+          SELECT doc_id, sum(tf) AS doc_len FROM postings GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT term, count(*) AS df FROM postings GROUP BY term
+        ),
+        scalars AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avg_len FROM lens
+        ),
+        scored AS (
+          SELECT qt.query_id, p.doc_id,
+                 floor(sum(
+                   ln(1.0 + (s.n_docs - st.df + 0.5) / (st.df + 0.5))
+                   * (p.tf * {k1 + 1.0!r})
+                   / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.doc_len / s.avg_len))
+                 ) * 1e6 + 0.5) / 1e6 AS score
+          FROM postings p
+          JOIN qterms qt USING (term)
+          JOIN stats st USING (term)
+          JOIN lens l USING (doc_id)
+          CROSS JOIN scalars s
+          GROUP BY qt.query_id, p.doc_id
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -1,0 +1,216 @@
+"""Unit tests: operators.fuzzy (blocked edit-distance joins) and
+operators.search (BM25 lexical retrieval)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.operators import fuzzy, search
+
+
+# ---------------------------------------------------------------- fuzzy ----
+
+NAMES = [
+    (1, "Acme Corp"),
+    (2, "acme  corp"),        # normalizes identical to 1 → dist 0
+    (3, "Acme Corp."),        # one insertion → dist 1
+    (4, "Acme Crop"),         # transposition = 2 single-char edits
+    (5, "Bcme Corp"),         # first-char edit: blocked away (recall contract)
+    (6, "Zenith Ltd"),        # unrelated
+    (7, "Zenith Ltd International"),  # same block, length gap > max_dist
+]
+
+
+@pytest.fixture(scope="module")
+def names_df(spark):
+    return spark.createDataFrame(NAMES, "id long, name string")
+
+
+def test_fuzzy_self_pairs_finds_expected(names_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy.fuzzy_self_pairs(names_df, "name", "id", max_dist=2).collect()
+    }
+    assert got[(1, 2)] == 0        # whitespace/case normalize to equality
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 1
+    assert got[(1, 4)] == 2
+    # first-char block: (1,5) is a true dist-1 pair but lands in block 'b'
+    # vs 'a' — the documented single-pass blocking miss
+    assert (1, 5) not in got
+    # length prefilter: gap 14 > max_dist, never verified
+    assert (6, 7) not in got
+    assert all(a < b for a, b in got)
+
+
+def test_fuzzy_first_char_miss_recovered_by_second_pass(names_df):
+    """Multi-pass blocking recovers first-char edits: union a suffix-block
+    pass and the (1,5) pair appears."""
+    norm = fuzzy.normalize_name(F.col("name"))
+    suffix = fuzzy.fuzzy_self_pairs(
+        names_df, "name", "id", max_dist=2, block_expr=F.substring(norm, -1, 1)
+    )
+    prefix = fuzzy.fuzzy_self_pairs(names_df, "name", "id", max_dist=2)
+    both = prefix.unionByName(suffix).distinct()
+    pairs = {(r["id_a"], r["id_b"]) for r in both.collect()}
+    assert (1, 5) in pairs
+
+
+def test_fuzzy_matches_brute_force_within_block(spark, names_df):
+    """Inside a block the result is exact: equals the brute-force O(n²)
+    answer restricted to pairs sharing a first character."""
+    rows = [(i, " ".join(n.lower().split())) for i, n in NAMES]
+    brute = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            if ta[0] == tb[0] and _lev(ta, tb) <= 2:
+                brute.add((min(ia, ib), max(ia, ib)))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy.fuzzy_self_pairs(names_df, "name", "id", max_dist=2).collect()
+    }
+    assert got == brute
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_max_block_drops_degenerate_block(spark):
+    """A block over the cap contributes no pairs (the quadratic guard);
+    other blocks are untouched."""
+    rows = [(i, f"same name {i % 3}") for i in range(50)] + [
+        (100, "zeta one"),
+        (101, "zeta ones"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = fuzzy.fuzzy_self_pairs(df, "name", "id", max_dist=2, max_block=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # the 's' block (50 rows) was dropped
+
+
+def test_fuzzy_lookup_join_best_match(spark):
+    facts = spark.createDataFrame(
+        [(1, "ACME corp"), (2, "acme  crop"), (3, "zenith ltd"), (4, "ACME corp")],
+        "fid long, vendor string",
+    )
+    dim = spark.createDataFrame(
+        [("Acme Corp", "A1"), ("Zenith Ltd", "Z1"), ("Acme Group", "A2")],
+        "canonical string, code string",
+    )
+    out = fuzzy.fuzzy_lookup_join(
+        facts, dim, "vendor", "canonical", max_dist=2, fact_id="fid"
+    )
+    rows = {r["fid"]: (r["code"], r["dist"]) for r in out.collect()}
+    assert rows[1] == ("A1", 0)
+    assert rows[2] == ("A1", 2)
+    assert rows[3] == ("Z1", 0)
+    # duplicate fact names each keep their own row
+    assert rows[4] == ("A1", 0)
+    assert len(rows) == 4
+
+
+def test_fuzzy_lookup_join_no_fact_id_keeps_duplicate_rows(spark):
+    facts = spark.createDataFrame(
+        [("ACME corp",), ("ACME corp",)], "vendor string"
+    )
+    dim = spark.createDataFrame([("Acme Corp", "A1")], "canonical string, code string")
+    out = fuzzy.fuzzy_lookup_join(facts, dim, "vendor", "canonical", max_dist=1)
+    assert out.count() == 2
+
+
+# ---------------------------------------------------------------- BM25 -----
+
+DOCS = [
+    (1, "spark shuffle join"),
+    (2, "spark spark spark window"),
+    (3, "window agg rollup"),
+    (4, "totally unrelated words here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _bm25_reference(docs, query_terms, k1=1.2, b=0.75):
+    """Independent driver-side BM25 for the hand-check."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(toks)
+    avg = sum(len(v) for v in toks.values()) / n
+    df_ = {}
+    for terms in toks.values():
+        for t in set(terms):
+            df_[t] = df_.get(t, 0) + 1
+    scores = {}
+    for d, terms in toks.items():
+        s = 0.0
+        for t in set(query_terms):
+            tf = terms.count(t)
+            if tf == 0 or t not in df_:
+                continue
+            idf = math.log(1 + (n - df_[t] + 0.5) / (df_[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(terms) / avg))
+        if s > 0:
+            scores[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    return scores
+
+
+def test_bm25_matches_reference(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [("q1", "spark window")], "query_id string, query_text string"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in search.bm25_topk(docs_df, qdf, k=10).collect()
+    }
+    want = _bm25_reference(DOCS, ["spark", "window"])
+    assert set(got) == set(want)
+    for d, expected in want.items():
+        assert got[d][0] == pytest.approx(expected, abs=1e-9)
+    # ranks follow (score desc, doc_id asc)
+    ordered = sorted(got.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [rank for _, (_, rank) in ordered] == list(range(1, len(ordered) + 1))
+
+
+def test_bm25_repeated_query_term_counts_once(spark, docs_df):
+    q1 = spark.createDataFrame([("q", "spark")], "query_id string, query_text string")
+    q2 = spark.createDataFrame(
+        [("q", "spark spark spark")], "query_id string, query_text string"
+    )
+    s1 = {r["doc_id"]: r["score"] for r in search.bm25_topk(docs_df, q1).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in search.bm25_topk(docs_df, q2).collect()}
+    assert s1 == s2
+
+
+def test_bm25_k_truncates(spark, docs_df):
+    qdf = spark.createDataFrame(
+        [("q", "spark window agg join")], "query_id string, query_text string"
+    )
+    out = search.bm25_topk(docs_df, qdf, k=2).collect()
+    assert len(out) == 2
+    assert {r["rank"] for r in out} == {1, 2}
+
+
+def test_bm25_no_cartesian_in_plan(spark, docs_df):
+    """The query side must broadcast onto postings — never a nested-loop
+    over the corpus."""
+    qdf = spark.createDataFrame(
+        [("q", "spark window")], "query_id string, query_text string"
+    )
+    plan = search.bm25_topk(docs_df, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop is allowed: the 1-row corpus-scalars
+    # crossJoin (the scalar-subquery shape); the term join must be a hash join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan

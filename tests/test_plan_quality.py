@@ -119,8 +119,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     variant, see dedup_embedding_cosine); ns_ann_ivf (corpus × broadcast
     centroids scoring is a nested-loop by construction, but the broadcast
     side is n_centroids rows, so it is a bounded-fanout narrow map — no
-    shuffle, replication factor = centroid count, not data size)."""
-    allow = {"j3_cross_join", "ns_embedding_neardup", "ns_ann_ivf"}
+    shuffle, replication factor = centroid count, not data size);
+    ns_bm25_search (one crossJoin of the 1-ROW corpus-scalars frame
+    (N, avgdl) — the scalar-subquery shape; the term join itself is
+    asserted to be a broadcast HASH join in test_fuzzy_search.py)."""
+    allow = {"j3_cross_join", "ns_embedding_neardup", "ns_ann_ivf", "ns_bm25_search"}
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
     for name, fn in em.extended_queries().items():
