@@ -1826,6 +1826,48 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Epoch factors for ns_epoch_mix — literal so the Spark plan and the oracle
+#: replicate the identical mixture spec.
+_EPOCH_FACTORS = {"src0": 2.5, "src1": 3.0, "src2": 0.25}
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (sampling.upsample_epochs): src0 → 2.5
+    epochs, src1 → 3, src2 → 0.25, rest 1.0. Verifies the exact emitted
+    copy multiset per source (row count, distinct docs, copy-index sum)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.upsample_epochs(
+        docs, "doc_id", "source", _EPOCH_FACTORS, default_factor=1.0, seed="epoch"
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("epoch").alias("epoch_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate at the p75 quantile: scores via
+    functions.text.quality_score, the threshold via the DISTRIBUTED exact
+    percentile (aggregates.exact_percentiles_distributed — the no-group-
+    gather scale path, second driver-checked consumer after a_stats_kit),
+    broadcast back and filtered. The classic 'keep the best quarter of each
+    source' curation move, hash-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("q")
+    )
+    pct = aggregates.exact_percentiles_distributed(scored, "source", "q", [0.75])
+    thr = pct.select("source", pr("value", 6).alias("q75"))
+    kept = scored.join(F.broadcast(thr), "source").filter(F.col("q") >= F.col("q75"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.max("q75").alias("q75"),
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semantic_dedup): k-means cells → exact within-cell
     cosine pairs → connected-components closure → min-id survivors.
@@ -2128,6 +2170,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_search": q_bm25_search,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
+        "ns_epoch_mix": q_epoch_mix,
+        "ns_quality_quantile": q_quality_quantile,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3329,6 +3373,51 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM ranked r JOIN ks k ON r.lang = k.s
         WHERE r.rk <= k.k_s
         GROUP BY r.lang, k.n_s
+    """
+    _epoch_n = sampling.epoch_n_sql("doc_id", "source", _EPOCH_FACTORS, 1.0, "epoch")
+    sql["ns_epoch_mix"] = f"""
+        WITH base AS (
+          SELECT doc_id, source, {_epoch_n} AS n FROM documents
+        ), expanded AS (
+          SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM base
+        )
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(epoch) AS BIGINT) AS epoch_sum,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM expanded GROUP BY source
+    """
+    sql["ns_quality_quantile"] = """
+        WITH per_doc AS (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 len(list_distinct(list_intersect(
+                   string_split_regex(lower(text), '\\s+'),
+                   ['the','and','of','to','is','with']))) AS stop_hits,
+                 length(text) AS len_chars,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                 len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, source,
+                 floor((
+                   0.25 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                 + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                 + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                 ) * 1e6 + 0.5) / 1e6 AS q
+          FROM per_doc
+        ), thr AS (
+          SELECT source, floor(quantile_cont(q, 0.75) * 1e6 + 0.5) / 1e6 AS q75
+          FROM scored GROUP BY source
+        )
+        SELECT s.source, count(*) AS n_kept,
+               CAST(sum(s.doc_id) AS BIGINT) AS kept_id_sum,
+               max(t.q75) AS q75
+        FROM scored s JOIN thr t USING (source)
+        WHERE s.q >= t.q75
+        GROUP BY s.source
     """
     sql["ns_quantize"] = """
         WITH ed AS (

@@ -211,6 +211,94 @@ def temperature_sample(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    key_col: str,
+    slice_col: str,
+    factors: dict[str, float],
+    *,
+    default_factor: float = 1.0,
+    seed: str = "epoch",
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch repetition — the up-weighting half of corpus mixing
+    (temperature_sample/weighted_sample only drop rows). A slice with factor
+    2.5 emits every row 2 times plus a deterministic 50% of rows a 3rd time,
+    so the slice contributes exactly ~2.5 epochs; factor 0.25 keeps a 25%
+    subset once (fractional factors < 1 degrade to weighted_sample
+    semantics). Emitted copies carry ``copy_col`` = 0..n-1 so downstream
+    shuffling/packing can treat copies as distinct training rows.
+
+    Which rows get the extra (or the surviving) copy is the same
+    md5(seed:key) bucket as every sampler here: a pure per-row projection —
+    no shuffle, stable under reruns, engines, partition layout, and corpus
+    growth. The explode is map-side; output size is Σ n_s·f_s, the number a
+    mixture spec already budgets for.
+    """
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {name!r} must be >= 0, got {f}")
+    if default_factor < 0:
+        raise ValueError(f"default_factor must be >= 0, got {default_factor}")
+
+    def _split(f: float) -> tuple[int, int]:
+        whole = int(f)
+        return whole, int(round((f - whole) * _BUCKETS))
+
+    whole_expr, thr_expr = None, None
+    for name in sorted(factors):
+        cond = F.col(slice_col) == F.lit(name)
+        w, t = _split(factors[name])
+        whole_expr = (
+            F.when(cond, w) if whole_expr is None else whole_expr.when(cond, w)
+        )
+        thr_expr = F.when(cond, t) if thr_expr is None else thr_expr.when(cond, t)
+    dw, dt = _split(default_factor)
+    whole_expr = whole_expr.otherwise(dw) if whole_expr is not None else F.lit(dw)
+    thr_expr = thr_expr.otherwise(dt) if thr_expr is not None else F.lit(dt)
+
+    bucket = _hash_bucket(F.col(key_col), seed)
+    n = (whole_expr + (bucket < thr_expr).cast("int")).cast("long")
+    copies = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))
+
+
+def epoch_n_sql(
+    key_expr: str,
+    slice_expr: str,
+    factors: dict[str, float],
+    default_factor: float,
+    seed: str,
+) -> str:
+    """ANSI-SQL expression for the per-row copy count of
+    :func:`upsample_epochs` (mirror; `unnest(range(0, n))` reproduces the
+    copies — range(0,0) is empty, dropping factor-0 rows like the empty
+    explode does)."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_BUCKETS})"
+    )
+
+    def _split(f: float) -> tuple[int, int]:
+        whole = int(f)
+        return whole, int(round((f - whole) * _BUCKETS))
+
+    whole_arms = " ".join(
+        f"WHEN {slice_expr} = '{name}' THEN {_split(factors[name])[0]}"
+        for name in sorted(factors)
+    )
+    thr_arms = " ".join(
+        f"WHEN {slice_expr} = '{name}' THEN {_split(factors[name])[1]}"
+        for name in sorted(factors)
+    )
+    dw, dt = _split(default_factor)
+    whole = f"CASE {whole_arms} ELSE {dw} END"
+    thr = f"CASE {thr_arms} ELSE {dt} END"
+    return f"({whole} + CASE WHEN {bucket} < {thr} THEN 1 ELSE 0 END)"
+
+
 def temperature_targets_sql(slice_expr: str, temperature: float, from_relation: str) -> str:
     """SQL CTE body computing the same per-slice keep targets as
     :func:`temperature_sample` (kept adjacent so the two formulas cannot

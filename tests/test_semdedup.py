@@ -169,3 +169,41 @@ def test_temperature_rejects_below_one(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         sampling.temperature_sample(df, "lang", "doc_id", temperature=0.5)
+
+
+# ------------------------------------------------------- epoch upsampling --
+
+def _bucket(seed: str, key) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16) % 10_000
+
+
+def test_upsample_epochs_exact_multiset(spark):
+    rows = [(i, "a" if i < 60 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.upsample_epochs(
+        df, "doc_id", "source", {"a": 2.5, "b": 0.25}, seed="epoch"
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(60):  # slice a: 2 copies + 1 more when bucket < 5000
+        n = 2 + (_bucket("epoch", i) < 5000)
+        assert sorted(got[i]) == list(range(n)), i
+    for i in range(60, 100):  # slice b: one copy for 25% of rows
+        n = 1 if _bucket("epoch", i) < 2500 else 0
+        assert sorted(got.get(i, [])) == list(range(n)), i
+
+
+def test_upsample_epochs_default_factor(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    out = sampling.upsample_epochs(df, "doc_id", "source", {}, default_factor=2.0)
+    assert out.count() == 4
+    assert {r["epoch"] for r in out.collect()} == {0, 1}
+
+
+def test_upsample_epochs_rejects_negative(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        sampling.upsample_epochs(df, "doc_id", "source", {"x": -1.0})
