@@ -1802,7 +1802,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = parts.groupBy(
         fuzzy.normalize_name(F.col("p_name")).alias("name")
     ).agg(F.min("p_partkey").alias("name_id"))
-    return fuzzy.fuzzy_self_pairs(names, "name", "name_id", max_dist=2)
+    # max_block=None: the oracle has no block cap, so the Spark side must
+    # not cap either (the testdata name vocabulary is tiny; production use
+    # keeps the default cap and accounts for what it drops).
+    return fuzzy.fuzzy_self_pairs(names, "name", "name_id", max_dist=2, max_block=None)
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,6 +1861,11 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", text.quality_score(F.col("text")).alias("q")
     )
+    # One scoring pass: the percentile job and the keep-filter branch both
+    # read `scored`; without a materialization barrier the regex-heavy
+    # quality_score would run over the corpus twice. (At warehouse scale:
+    # write the scored projection, then gate against the written table.)
+    scored = scored.localCheckpoint(eager=False)
     pct = aggregates.exact_percentiles_distributed(scored, "source", "q", [0.75])
     thr = pct.select("source", pr("value", 6).alias("q75"))
     kept = scored.join(F.broadcast(thr), "source").filter(F.col("q") >= F.col("q75"))

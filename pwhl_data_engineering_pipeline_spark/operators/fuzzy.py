@@ -45,10 +45,12 @@ from pyspark.sql import functions as F
 
 
 def normalize_name(col: Column) -> Column:
-    """Canonical matching form: lowercase, trim, collapse internal runs of
-    whitespace to one space. Cheap, engine-portable (mirrored in SQL by
-    ``lower(trim(regexp_replace(x, '\\s+', ' ', 'g')))``)."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Canonical matching form: lowercase, collapse every whitespace run to
+    one space, then trim. Collapse BEFORE trim — ``trim`` only strips
+    spaces, so a leading tab would otherwise survive as a leading space and
+    poison both the block key and the length. This exact order is what the
+    SQL mirror computes: ``lower(trim(regexp_replace(x, '\\s+', ' ', 'g')))``."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def fuzzy_self_pairs(
@@ -133,8 +135,8 @@ def fuzzy_lookup_join(
     For dim sides too large to broadcast, use :func:`fuzzy_self_pairs`
     blocking on the union of both sides instead.
     """
-    fn = normalize_name(F.col(fact_text)).alias("__ftxt")
-    dn = normalize_name(F.col(dim_text)).alias("__dtxt")
+    fn = normalize_name(F.col(fact_text))
+    dn = normalize_name(F.col(dim_text))
     f = facts.withColumn("__ftxt", fn)
     if fact_id is None and keep_best:
         # Scope the best-match rank to one fact ROW even without a caller
@@ -144,12 +146,19 @@ def fuzzy_lookup_join(
         fact_id = "__frow"
         f = f.withColumn("__frow", F.monotonically_increasing_id())
     d = F.broadcast(dim.withColumn("__dtxt", dn))
-    joined = f.join(
-        d,
-        (F.abs(F.length("__ftxt") - F.length("__dtxt")) <= max_dist)
-        & (F.levenshtein(F.col("__ftxt"), F.col("__dtxt")) <= max_dist),
-        "inner",
-    ).withColumn("dist", F.levenshtein(F.col("__ftxt"), F.col("__dtxt")))
+    # Join on the cheap integer length prefilter ONLY, then compute the
+    # O(len²) distance once per candidate and filter — putting levenshtein
+    # in the join predicate would evaluate it a second time for the dist
+    # projection (no CSE across condition and projection).
+    joined = (
+        f.join(
+            d,
+            F.abs(F.length("__ftxt") - F.length("__dtxt")) <= max_dist,
+            "inner",
+        )
+        .withColumn("dist", F.levenshtein(F.col("__ftxt"), F.col("__dtxt")))
+        .filter(F.col("dist") <= max_dist)
+    )
     if keep_best:
         w = Window.partitionBy(fact_id).orderBy(
             F.col("dist").asc(), F.col("__dtxt").asc()

@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
+def _split_factor(f: float) -> tuple[int, int]:
+    """Epoch factor → (whole copies, fractional-copy bucket threshold).
+    Shared by upsample_epochs and its SQL mirror so the rounding rule
+    cannot drift between the two recipes."""
+    whole = int(f)
+    return whole, int(round((f - whole) * _BUCKETS))
+
+
 def _hash_bucket(key: Column, seed: str) -> Column:
     """Deterministic bucket in [0, 10000): first 8 hex chars of
     md5('<seed>:<key>') parsed as a 32-bit int, mod 10000. Uniform enough
@@ -141,8 +149,6 @@ def sample_k_per_group(
     under reruns, engines, and partitioning — and SQL-mirrorable, so it is
     driver-oracle-checked. One hash shuffle on ``group_cols``; the window
     keeps per-group state only."""
-    from pyspark.sql import Window
-
     order = _hash_bucket(F.col(key_col), seed)
     w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(key_col).asc())
     return (
@@ -241,19 +247,15 @@ def upsample_epochs(
     if default_factor < 0:
         raise ValueError(f"default_factor must be >= 0, got {default_factor}")
 
-    def _split(f: float) -> tuple[int, int]:
-        whole = int(f)
-        return whole, int(round((f - whole) * _BUCKETS))
-
     whole_expr, thr_expr = None, None
     for name in sorted(factors):
         cond = F.col(slice_col) == F.lit(name)
-        w, t = _split(factors[name])
+        w, t = _split_factor(factors[name])
         whole_expr = (
             F.when(cond, w) if whole_expr is None else whole_expr.when(cond, w)
         )
         thr_expr = F.when(cond, t) if thr_expr is None else thr_expr.when(cond, t)
-    dw, dt = _split(default_factor)
+    dw, dt = _split_factor(default_factor)
     whole_expr = whole_expr.otherwise(dw) if whole_expr is not None else F.lit(dw)
     thr_expr = thr_expr.otherwise(dt) if thr_expr is not None else F.lit(dt)
 
@@ -280,20 +282,15 @@ def epoch_n_sql(
         f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
         f" % {_BUCKETS})"
     )
-
-    def _split(f: float) -> tuple[int, int]:
-        whole = int(f)
-        return whole, int(round((f - whole) * _BUCKETS))
-
     whole_arms = " ".join(
-        f"WHEN {slice_expr} = '{name}' THEN {_split(factors[name])[0]}"
+        f"WHEN {slice_expr} = '{name}' THEN {_split_factor(factors[name])[0]}"
         for name in sorted(factors)
     )
     thr_arms = " ".join(
-        f"WHEN {slice_expr} = '{name}' THEN {_split(factors[name])[1]}"
+        f"WHEN {slice_expr} = '{name}' THEN {_split_factor(factors[name])[1]}"
         for name in sorted(factors)
     )
-    dw, dt = _split(default_factor)
+    dw, dt = _split_factor(default_factor)
     whole = f"CASE {whole_arms} ELSE {dw} END"
     thr = f"CASE {thr_arms} ELSE {dt} END"
     return f"({whole} + CASE WHEN {bucket} < {thr} THEN 1 ELSE 0 END)"

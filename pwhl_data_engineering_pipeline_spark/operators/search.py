@@ -35,11 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens as _text_tokens
+
 
 def _tokens(col):
-    """Whitespace tokens of lower(trim(text)) — matches functions.text's
-    canonical tokenizer so search and text-analysis agree on terms."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Lowercased terms via functions.text.tokens — ONE canonical tokenizer,
+    so search terms agree with text-analysis terms by construction (blank
+    text → empty array, so blank docs/queries emit no postings)."""
+    return _text_tokens(F.lower(col))
 
 
 def build_index(
@@ -105,9 +108,14 @@ def bm25_topk(
         .filter(F.col("term") != "")
     )
 
+    # Reduce stats to the query vocabulary FIRST (broadcast qterms onto the
+    # term-partitioned stats agg), then broadcast that tiny (query, term,
+    # df) frame onto postings: the corpus-sized posting stream joins only
+    # against broadcasts — the full |vocabulary| stats table never shuffles
+    # with it, keeping the documented "only matched partials move" bound.
+    qstats = stats.join(F.broadcast(qterms), "term")
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(stats, "term")
+        postings.join(F.broadcast(qstats), "term")
         .crossJoin(F.broadcast(scalars))
         .withColumn(
             "idf",
