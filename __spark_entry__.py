@@ -31,6 +31,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     dedup,
     fuzzy,
     graph,
+    lm,
     multimodal,
     packing,
     relational,
@@ -1876,6 +1877,25 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality tail (operators.lm): the 20 worst documents by
+    mean unigram log-probability under a top-20 vocabulary (small cap so
+    the OOV floor path is live on this corpus). The perplexity-proxy
+    curation signal, hash-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    s = lm.unigram_logprob_scores(docs, top_v=20)
+    return (
+        s.select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            pr("avg_logprob", 6).alias("avg_logprob"),
+        )
+        .orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semantic_dedup): k-means cells → exact within-cell
     cosine pairs → connected-components closure → min-id survivors.
@@ -2180,6 +2200,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
         "ns_quality_quantile": q_quality_quantile,
+        "ns_lm_quality": q_lm_quality,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3394,6 +3415,14 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(epoch) AS BIGINT) AS epoch_sum,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM expanded GROUP BY source
+    """
+    sql["ns_lm_quality"] = f"""
+        WITH scores AS ({lm.unigram_logprob_sql(docs_from="documents", top_v=20)})
+        SELECT doc_id, n_tokens, oov_tokens,
+               floor(avg_logprob * 1e6 + 0.5) / 1e6 AS avg_logprob
+        FROM scores
+        ORDER BY floor(avg_logprob * 1e6 + 0.5) / 1e6 ASC, doc_id ASC
+        LIMIT 20
     """
     sql["ns_quality_quantile"] = """
         WITH per_doc AS (

@@ -1,0 +1,135 @@
+"""Unigram language-model scoring: the perplexity-proxy quality filter.
+
+CCNet-style corpus curation ranks documents by language-model perplexity and
+drops the worst tail (Wenzek et al., "CCNet: Extracting high quality
+monolingual datasets from web crawl data", 2020). A full KenLM is an
+external artifact; the distributable core of the idea — score each document
+by how probable its tokens are under a model fitted on the corpus itself —
+works with a unigram model and is what this module implements, exactly and
+engine-portably:
+
+    p(tok)        = count(tok) / total_tokens     (top-V vocabulary)
+    p(OOV)        = 1 / total_tokens              (floor: count-1 token)
+    score(doc)    = mean over tokens of ln p(tok)
+
+Low scores flag documents made of rare/garbled tokens — boilerplate hashes,
+encoding noise, wrong-language fragments — the same tail a real LM filter
+removes first.
+
+Scale shape:
+- Token counting is the corpus-sized work: one explode inside the scan and
+  one groupBy(token) — the same aggregation the BM25 index builds.
+- The model is the top-``top_v`` rows of that aggregation
+  (TakeOrderedAndProject, deterministic (count desc, token) order) and
+  BROADCASTS: scoring is a map-side left join of the token stream against
+  ≤ top_v rows, with misses taking the OOV floor. The vocabulary table
+  never shuffles with the data.
+- ``total_tokens`` rides two 1-row broadcast crossJoins (the
+  scalar-subquery shape, as in operators.search).
+
+Everything is plain SQL arithmetic, so the DuckDB oracle reproduces scores
+bit-for-bit after the standard floor-rounding (`ns_lm_quality`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens as _text_tokens
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_text_tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 50_000,
+) -> DataFrame:
+    """Per-document mean unigram log-probability.
+
+    Returns (doc_id, n_tokens, oov_tokens, avg_logprob) for every document
+    with at least one token. ``top_v`` bounds the broadcast vocabulary;
+    tokens outside it score at the OOV floor ln(1/total) and are counted in
+    ``oov_tokens`` (a useful signal by itself — a high OOV fraction is
+    garbage even when the in-vocabulary tokens are common)."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    top = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
+    model = top.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", F.coalesce("logp", -F.log(F.col("total"))))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("logp").isNull().cast("long")).alias("oov_tokens"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+    )
+
+
+def lm_quality_gate(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 50_000,
+    min_avg_logprob: float,
+) -> DataFrame:
+    """Filter ``docs`` to rows whose mean unigram log-probability clears the
+    floor — the drop-the-worst-tail curation move. The threshold is a fixed
+    number (calibrate once per corpus, e.g. from a
+    :func:`unigram_logprob_scores` quantile via
+    ``aggregates.exact_percentiles_distributed``)."""
+    scores = unigram_logprob_scores(docs, text_col, id_col, top_v)
+    keep = scores.filter(F.col("avg_logprob") >= min_avg_logprob).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def unigram_logprob_sql(
+    *,
+    docs_from: str,
+    top_v: int,
+) -> str:
+    """DuckDB mirror of :func:`unigram_logprob_scores` (adjacent so the
+    recipes cannot drift)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, term AS token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM {docs_from}
+          ) WHERE term <> ''
+        ),
+        freq AS (
+          SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ),
+        total AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
+        ),
+        model AS (
+          SELECT token, ln(cnt * 1.0 / (SELECT total FROM total)) AS logp
+          FROM freq ORDER BY cnt DESC, token ASC LIMIT {top_v}
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS oov_tokens,
+               avg(coalesce(m.logp, -ln((SELECT total FROM total))))
+                 AS avg_logprob
+        FROM toks t LEFT JOIN model m USING (token)
+        GROUP BY t.doc_id
+    """

@@ -122,8 +122,16 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     shuffle, replication factor = centroid count, not data size);
     ns_bm25_search (one crossJoin of the 1-ROW corpus-scalars frame
     (N, avgdl) — the scalar-subquery shape; the term join itself is
-    asserted to be a broadcast HASH join in test_fuzzy_search.py)."""
-    allow = {"j3_cross_join", "ns_embedding_neardup", "ns_ann_ivf", "ns_bm25_search"}
+    asserted to be a broadcast HASH join in test_fuzzy_search.py);
+    ns_lm_quality (two 1-row crossJoins of the total-token scalar — same
+    shape; the vocabulary join is a broadcast hash join)."""
+    allow = {
+        "j3_cross_join",
+        "ns_embedding_neardup",
+        "ns_ann_ivf",
+        "ns_bm25_search",
+        "ns_lm_quality",
+    }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
     for name, fn in em.extended_queries().items():
