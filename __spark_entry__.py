@@ -1877,6 +1877,17 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate 10-token spans via winnowed
+    fingerprint collision (dedup.duplicate_spans, w=4): the substring-dedup
+    signal (Lee et al. 2022) with a Schleimer-winnowing index thinning.
+    Every reported (doc, pos) is an exact 10-token window shared verbatim
+    with ≥1 other document."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    return dedup.duplicate_spans(docs, n=10, winnow_w=4)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality tail (operators.lm): the 20 worst documents by
     mean unigram log-probability under a top-20 vocabulary (small cap so
@@ -2201,6 +2212,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_epoch_mix": q_epoch_mix,
         "ns_quality_quantile": q_quality_quantile,
         "ns_lm_quality": q_lm_quality,
+        "ns_dup_spans": q_dup_spans,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3415,6 +3427,34 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(epoch) AS BIGINT) AS epoch_sum,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM expanded GROUP BY source
+    """
+    sql["ns_dup_spans"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ), wins AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 substr(md5(array_to_string(t[i+1:i+10], ' ')), 1, 16) AS gram_key
+          FROM toks, unnest(range(0, greatest(len(t) - 10 + 1, 0))) AS u(i)
+        ), framed AS (
+          SELECT doc_id, pos, gram_key,
+                 min(gram_key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM wins
+        ), sel AS (
+          SELECT doc_id, pos, gram_key FROM (
+            SELECT doc_id, pos, gram_key,
+                   max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS best
+            FROM framed
+          ) WHERE gram_key = best
+        ), dpg AS (
+          SELECT gram_key, count(DISTINCT doc_id) AS n_docs
+          FROM sel GROUP BY gram_key
+          HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 10000
+        )
+        SELECT s.doc_id, s.pos, s.gram_key, d.n_docs
+        FROM sel s JOIN dpg d USING (gram_key)
     """
     sql["ns_lm_quality"] = f"""
         WITH scores AS ({lm.unigram_logprob_sql(docs_from="documents", top_v=20)})

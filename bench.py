@@ -123,6 +123,8 @@ def main() -> None:
         "ns_bm25_search",
         "ns_fuzzy_match",
         "ns_temperature_mix",
+        "ns_lm_quality",
+        "ns_dup_spans",
         # ns_semdedup is deliberately NOT headline: its two heavy stages are
         # already timed through ivf_topk_pruned (centroid index + probe) and
         # ns_dedup_cluster_kit (connected-components closure); adding the

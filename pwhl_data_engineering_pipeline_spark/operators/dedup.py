@@ -907,3 +907,109 @@ def semantic_dedup(
     )
     survivors = dedup_connected(corpus, pairs, id_col, "id_a", "id_b")
     return survivors, pairs
+
+
+# -- exact duplicate spans (substring dedup) --------------------------------
+
+def _window_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos, gram_key): every n-token window of every document,
+    keyed by the first 16 hex chars of md5(gram) — an engine-portable
+    8-byte-entropy fingerprint, so shuffles move short keys instead of
+    n-token strings. pos is the 0-based token offset of the window start."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - F.lit(n))
+    return (
+        df.filter(cnt >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16
+                        ).alias("gram_key"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_key").alias("gram_key"))
+    )
+
+
+def winnow(
+    windows: DataFrame,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): keep a window's fingerprint only where it is the MINIMUM key in
+    the ``w`` consecutive windows starting at it or ending at it — i.e. a
+    rolling-min survivor. Guarantees ≥1 selected fingerprint in every run
+    of ``w`` windows while thinning the index ~w×, which is the point: the
+    downstream duplicate join indexes a fraction of positions yet any
+    shared span of ``n + w - 1`` tokens still collides on at least one
+    selected fingerprint.
+
+    Selection rule, exactly: position p survives iff its key is the MINIMUM
+    of at least one w-window containing p (all tied minima kept). Computed
+    in two chained frame passes over one (doc_id, pos) sort — no extra
+    shuffle: ``m_q = min(key) over [q, q+w-1]`` (each window's min value),
+    then p survives iff ``max(m_q) over q ∈ [p-w+1, p] == key[p]`` — every
+    such m_q is ≤ key[p] because p sits in window q, so equality holds
+    exactly when p achieves some containing window's min. Truncated
+    windows at document edges only add boundary selections (harmless for
+    recall, identical in the SQL mirror).
+    """
+    from pyspark.sql import Window
+
+    fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    bwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        windows.withColumn("__wmin", F.min("gram_key").over(fwd))
+        .withColumn("__best", F.max("__wmin").over(bwd))
+        .filter(F.col("gram_key") == F.col("__best"))
+        .drop("__wmin", "__best")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    winnow_w: int | None = 4,
+    max_gram_df: int = 10_000,
+) -> DataFrame:
+    """Exact cross-document duplicate spans — the substring-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), computed via fingerprint collision instead of a suffix
+    array: any ``n``-token window appearing verbatim in ≥2 documents is
+    reported at every position it occupies.
+
+    Returns (doc_id, pos, gram_key, n_docs) — n_docs = how many DISTINCT
+    documents share that window. Downstream: cut the spans, or drop/flag
+    documents whose duplicated-window fraction is high.
+
+    Scale: the explode inflates to ~tokens-per-doc rows ONCE (map-side);
+    ``winnow_w`` thins indexed positions ~w× while guaranteeing any shared
+    span of ``n + w - 1`` tokens still collides (set ``None`` to index all
+    positions — exact at window grain). The collision count groups on the
+    16-hex-char md5 key, never gram text; ``max_gram_df`` drops degenerate
+    fingerprints (boilerplate appearing in thousands of docs) the same way
+    the Jaccard stop-gram cutoff does — they are trivially duplicates and
+    their posting lists are the quadratic risk.
+    """
+    wins = _window_grams(df, text_col, id_col, n)
+    indexed = winnow(wins, winnow_w) if winnow_w is not None else wins
+    docs_per_gram = (
+        indexed.groupBy("gram_key")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_gram_df))
+    )
+    return indexed.join(docs_per_gram, "gram_key").select(
+        "doc_id", "pos", "gram_key", "n_docs"
+    )

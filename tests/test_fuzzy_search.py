@@ -214,3 +214,72 @@ def test_bm25_no_cartesian_in_plan(spark, docs_df):
     # crossJoin (the scalar-subquery shape); the term join must be a hash join
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------- duplicate spans ------
+
+from pwhl_data_engineering_pipeline_spark.operators import dedup as _dedup
+
+
+def test_duplicate_spans_planted(spark):
+    """A verbatim 12-token passage shared by two docs is reported in both,
+    at the right positions, by the un-winnowed exact index."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = [
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        (2, shared + " z1 z2 z3"),
+        (3, "completely different words with no overlap at all here okay"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _dedup.duplicate_spans(df, n=10, winnow_w=None)
+    rows = {(r["doc_id"], r["pos"]) for r in out.collect()}
+    # doc1: shared starts at token 3 -> window starts 3,4,5 (12-10+1=3 windows)
+    # doc2: shared starts at 0 -> windows 0,1,2
+    assert rows == {(1, 3), (1, 4), (1, 5), (2, 0), (2, 1), (2, 2)}
+    assert 3 not in {d for d, _ in rows}
+
+
+def test_duplicate_spans_winnow_guarantee(spark):
+    """Winnowing thins the index but any shared span of n + w - 1 tokens
+    must still collide on >= 1 selected fingerprint (the winnowing coverage
+    guarantee) — checked over several randomized corpora."""
+    import random
+
+    n, w = 5, 4
+    for seed in range(5):
+        rnd = random.Random(seed)
+        vocab = [f"t{i}" for i in range(50)]
+        span = " ".join(rnd.choices(vocab, k=n + w - 1))  # minimal guaranteed span
+        mk = lambda: " ".join(rnd.choices(vocab, k=30))
+        docs = [
+            (1, mk() + " " + span + " " + mk()),
+            (2, mk() + " " + span),
+            (3, mk()),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = _dedup.duplicate_spans(df, n=n, winnow_w=w)
+        hit_docs = {r["doc_id"] for r in out.collect()}
+        assert {1, 2} <= hit_docs, f"seed {seed}: winnow missed the planted span"
+
+
+def test_winnow_thins_but_covers(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    wins = _dedup._window_grams(df, "text", "doc_id", 5)
+    full = wins.count()
+    sel = _dedup.winnow(wins, w=4)
+    positions = sorted(r["pos"] for r in sel.collect())
+    assert len(positions) < full  # actually thinned
+    # coverage: no gap of w consecutive unselected windows
+    gaps = [b - a for a, b in zip(positions, positions[1:])]
+    assert max(gaps) <= 4
+
+
+def test_duplicate_spans_no_false_positives(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(40))),
+         (2, " ".join(f"b{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    assert _dedup.duplicate_spans(df, n=10, winnow_w=None).count() == 0
