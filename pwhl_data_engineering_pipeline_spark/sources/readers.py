@@ -45,6 +45,16 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema reach the scan; ORC carries file/stripe
+    min-max stats), included so warehouses standardized on ORC read
+    natively instead of converting. Accepts a glob or an explicit list."""
+    if isinstance(path, list):
+        return spark.read.orc(*path)
+    return spark.read.orc(path)
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 

@@ -61,6 +61,25 @@ def write_parquet_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same layout contract as the parquet writer:
+    optional day/key partitioning plus sortWithinPartitions so stripe-level
+    min/max stats stay tight on the cluster keys."""
+    out = df
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,

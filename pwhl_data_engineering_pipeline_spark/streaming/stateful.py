@@ -71,3 +71,69 @@ def running_user_counters(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_counters_tws(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The same per-user lifetime counters on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (StatefulProcessor + typed state handles, RocksDB-backed): schema-d
+    value state, explicit lifecycle, composable timers (unused here), and
+    state TTL support. Semantics are identical to
+    :func:`running_user_counters` by construction, and the differential
+    test pins that — the engine ships both so a caller can migrate without
+    a behavior change.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState state does
+    not run on the default HDFS-backed provider — and a ``google.protobuf``
+    installation: Spark's TWS driver worker speaks protobuf to the state
+    server. In environments without protobuf (this container) the query
+    fails at initialization with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE; the differential test is skipped there and
+    :func:`running_user_counters` is the runnable path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Counters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "counters",
+                "n_events long, total_value double, max_ts timestamp",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, total, max_ts = self._state.get()
+            else:
+                n, total, max_ts = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf[ts_col].max()
+                if max_ts is None or batch_max > max_ts:
+                    max_ts = batch_max
+            self._state.update((n, total, max_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_ts": [max_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        _Counters(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -191,3 +191,26 @@ def test_schema_evolution_merge_and_conform(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["id", "score", "grade"]
     got = {r["id"]: (r["score"], r["grade"]) for r in out.collect()}
     assert got == {1: (None, None), 2: (9.5, None)}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC sink/scan roundtrip; filters and projections reach the ORC scan
+    (same pushdown contract the parquet scans are held to)."""
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_orc, read_testdata
+    from pwhl_data_engineering_pipeline_spark.sources.writers import write_orc
+
+    src = read_testdata(spark, sf_dir, "part")
+    path = str(tmp_path / "part_orc")
+    write_orc(src, path, partition_by=["p_brand"], sort_by=["p_partkey"])
+
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+    q = back.filter(F.col("p_size") > 30).select("p_partkey", "p_size")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "p_size" in plan
+    # partition pruning: a brand filter must not scan every partition
+    pruned = back.filter(F.col("p_brand") == "Brand#1")
+    expected = src.filter(F.col("p_brand") == "Brand#1").count()
+    assert pruned.count() == expected

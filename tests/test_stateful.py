@@ -56,3 +56,80 @@ def test_running_counters_accumulate_across_batches(spark, tmp_path):
     # user 1 appears in both files → two emissions proves per-batch state
     # transitions actually happened across micro-batches
     assert emissions[1] == 2
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas's driver worker imports google.protobuf "
+    "(absent in this container); the operator is environment-gated, see "
+    "stateful.running_user_counters_tws docstring",
+)
+def test_tws_counters_match_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas twin produces the same final per-user
+    state as the applyInPandasWithState operator on the same two-batch
+    stream (API migration is behavior-preserving)."""
+    landing = str(tmp_path / "landing_tws")
+
+    batch1 = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00", 10.0), (1, "2025-01-01 10:01:00", 5.0),
+         (2, "2025-01-01 10:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch1.coalesce(1).write.mode("overwrite").parquet(landing)
+    batch2 = spark.createDataFrame(
+        [(1, "2025-01-01 11:00:00", 1.0), (3, "2025-01-01 11:00:00", 2.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stateful.running_user_counters_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_counters_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("t_counters_tws").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final: dict[int, tuple[int, float]] = {}
+    emissions: dict[int, int] = {}
+    for r in rows:
+        emissions[r["user_id"]] = emissions.get(r["user_id"], 0) + 1
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 16.0)
+    assert final[2] == (1, 7.0)
+    assert final[3] == (1, 2.0)
+    assert emissions[1] == 2
