@@ -1877,6 +1877,54 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query, the 5
+    nearest corpus vectors OUTSIDE its positive set (self + nearest
+    neighbor) — the contrastive-training negative sampler, on the Arrow
+    pre-reduced top-k path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    top2 = similarity.brute_force_topk_arrow(emb, qvecs, k=2, rank_col="knn_rank")
+    positives = top2.select("query_id", F.col("vec_id").alias("pos_id"))
+    return similarity.hard_negatives(emb, qvecs, positives, k=5, fetch_k=12)
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (sampling.leakage_safe_split): split key is the
+    exact-duplicate cluster (md5 of normalized text), so byte-identical
+    copies can never straddle train/val/test. Emits per-split doc counts,
+    distinct-cluster counts, and an id checksum."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = sampling.leakage_safe_split(docs, "text", "doc_id")
+    ck = F.md5(fuzzy.normalize_name(F.col("text")))
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(ck).alias("n_clusters"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (sampling.select_token_budget): spend a
+    5000-token budget on the highest-quality documents first (greedy
+    prefix of the (quality desc, doc_id) order). Single-row audit of the
+    kept set."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    kept = sampling.select_token_budget(scored, "n_tokens", "q", "doc_id", budget=5000)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("q").alias("min_quality"),
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cross-document duplicate 10-token spans via winnowed
     fingerprint collision (dedup.duplicate_spans, w=4): the substring-dedup
@@ -2213,6 +2261,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_quality_quantile": q_quality_quantile,
         "ns_lm_quality": q_lm_quality,
         "ns_dup_spans": q_dup_spans,
+        "ns_hard_negatives": q_hard_negatives,
+        "ns_split_leakage_safe": q_split_leakage_safe,
+        "ns_token_budget": q_token_budget,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3427,6 +3478,75 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(epoch) AS BIGINT) AS epoch_sum,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM expanded GROUP BY source
+    """
+    sql["ns_hard_negatives"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+          FROM ed CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(knn_rank - 2 AS INT) AS neg_rank
+        FROM ranked WHERE knn_rank > 2 AND knn_rank <= 7
+    """
+    _lsplit = sampling.split_sql("ck", list(_SPLIT_WEIGHTS), "split")
+    sql["ns_split_leakage_safe"] = f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS ck
+          FROM documents
+        ), labeled AS (
+          SELECT doc_id, ck, {_lsplit} AS split FROM keyed
+        )
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT ck) AS n_clusters,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM labeled GROUP BY split
+    """
+    sql["ns_token_budget"] = """
+        WITH per_doc AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 len(list_distinct(list_intersect(
+                   string_split_regex(lower(text), '\\s+'),
+                   ['the','and','of','to','is','with']))) AS stop_hits,
+                 length(text) AS len_chars,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                 len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, n_tokens,
+                 floor((
+                   0.25 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                 + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                 + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                 ) * 1e6 + 0.5) / 1e6 AS q
+          FROM per_doc
+        ), cum AS (
+          SELECT doc_id, n_tokens, q,
+                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS c
+          FROM scored
+        )
+        SELECT count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               min(q) AS min_quality
+        FROM cum WHERE c <= 5000
     """
     sql["ns_dup_spans"] = """
         WITH toks AS (

@@ -357,3 +357,85 @@ def keep_sql(
     )
     thr = f"CASE {arms} ELSE {int(round(default_rate * _BUCKETS))} END"
     return f"({bucket} < {thr})"
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    *,
+    seed: str = "split",
+    out_col: str = "split",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Train/val/test split that cannot leak exact duplicates across
+    splits: the split key is the DUPLICATE-CLUSTER id (md5 of the
+    normalized text — every byte-identical-after-normalization copy shares
+    it), not the row id, so all copies of a document land in the same
+    split. The eval-integrity guard every training pipeline needs and
+    per-row hash splits silently lack.
+
+    Near-duplicate-safe variant: pass ``cluster_col`` (a label from
+    ``graph.dedup_clusters`` over MinHash/SimHash pairs) and it is used as
+    the split key instead — same mechanics, transitive-closure clusters.
+
+    Pure map-side like :func:`hash_split` (the cluster key is a projection
+    of the row), same deterministic md5 bucketing, SQL-mirrorable.
+    """
+    if cluster_col is not None:
+        cluster_key = F.col(cluster_col).cast("string")
+    else:
+        # collapse-before-trim normalization (fuzzy.normalize_name order):
+        # trim only strips spaces, so collapsing first is what makes leading
+        # tabs normalize away — and what the SQL mirror computes.
+        from .fuzzy import normalize_name
+
+        cluster_key = F.md5(normalize_name(F.col(text_col)))
+    total = sum(w for _, w in weights)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = _hash_bucket(cluster_key, seed)
+    expr = None
+    cum = 0
+    for label, w in weights:
+        cum = min(_BUCKETS, cum + int(round(w * _BUCKETS)))
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def select_token_budget(
+    df: DataFrame,
+    token_col: str,
+    quality_col: str,
+    key_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank all
+    rows by (quality desc, key asc) and keep the maximal prefix whose
+    cumulative token count stays ≤ ``budget`` — "spend the token budget on
+    the best documents first", the curation step between scoring and
+    training.
+
+    The running sum is a single global-ordering window: correct and
+    oracle-mirrorable, but the cumulative pass is inherently sequential —
+    ONE task owns the ordering at the boundary. At warehouse scale don't
+    run this over 100 TB directly: find the quality CUTOFF on a sample or
+    via ``aggregates.exact_percentiles_distributed`` (budget/total_tokens
+    quantile), filter map-side, and use this exact form to trim the
+    boundary stratum only. (The same exact/approximate split as percentiles
+    — both paths shipped, this is the exact one.)
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col(quality_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -342,3 +342,50 @@ def ivf_topk(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rank"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    query_vecs: list[tuple],
+    positives: DataFrame,
+    k: int = 5,
+    fetch_k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the ``k`` highest-cosine corpus items that are NOT in its
+    positive set — the standard contrastive-training negative sampler
+    (in-batch negatives are easy; the informative ones are the near-misses
+    an ANN/brute-force pass surfaces).
+
+    ``positives``: (query_id, pos_id) — include the query's own id if
+    self-matches must be excluded. Built on the Arrow pre-reduced top-k
+    (shuffle ≤ partitions × |Q| × fetch_k), then an anti-join drops
+    positives and a per-query re-rank keeps ``k``. ``fetch_k`` (default
+    ``k + 8``) is the headroom: if a query has more than ``fetch_k - k``
+    positives inside its top-``fetch_k``, fewer than ``k`` negatives come
+    back — size it to the max positives per query.
+
+    Output: (query_id, vec_id, cos_sim, neg_rank 1..k), deterministic
+    (scores rounded before ranking upstream; (cos desc, id) tiebreak).
+    """
+    from pyspark.sql import Window
+
+    fetch_k = fetch_k if fetch_k is not None else k + 8
+    topk = brute_force_topk_arrow(
+        corpus, query_vecs, k=fetch_k, vec_col=vec_col, id_col=id_col,
+        rank_col="knn_rank",
+    )
+    pos = positives.select(
+        F.col("query_id"), F.col("pos_id").alias(id_col)
+    )
+    negs = topk.join(pos, ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", id_col, "cos_sim", "neg_rank")
+    )

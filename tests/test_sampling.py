@@ -141,3 +141,86 @@ def test_sample_k_per_group_exact_and_deterministic(spark):
     c = {r["doc_id"] for r in sampling.sample_k_per_group(
         df, ["source"], "doc_id", 10, seed="other").collect()}
     assert c != a
+
+
+# ---- leakage-safe split / token budget / hard negatives (r3 additions) ----
+
+from pwhl_data_engineering_pipeline_spark.operators import similarity as _sim
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    rows = []
+    for i in range(300):
+        # 100 clusters of 3 byte-identical (after normalization) copies
+        rows.append((i, f"Document  number {i % 100} content"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.leakage_safe_split(df, "text", "doc_id").collect()
+    by_text = {}
+    for r in out:
+        key = " ".join(r["text"].lower().split())
+        by_text.setdefault(key, set()).add(r["split"])
+    # every duplicate cluster lives in exactly one split
+    assert all(len(s) == 1 for s in by_text.values())
+    # and the split is not degenerate (multiple labels used across clusters)
+    assert len({next(iter(s)) for s in by_text.values()}) >= 2
+
+
+def test_leakage_safe_split_cluster_col_variant(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)],
+        "doc_id long, text string, cluster long",
+    )
+    out = sampling.leakage_safe_split(
+        df, "text", "doc_id", cluster_col="cluster"
+    ).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert splits[1] == splits[2]  # same near-dup cluster → same split
+
+
+def test_select_token_budget_exact_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 0.9), (2, 100, 0.8), (3, 100, 0.7), (4, 100, 0.6)],
+        "doc_id long, n_tokens int, q double",
+    )
+    kept = sampling.select_token_budget(df, "n_tokens", "q", "doc_id", budget=250)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}  # 3rd would hit 300
+    # boundary exactly met is kept
+    kept2 = sampling.select_token_budget(df, "n_tokens", "q", "doc_id", budget=300)
+    assert {r["doc_id"] for r in kept2.collect()} == {1, 2, 3}
+    # first doc alone over budget -> empty
+    assert sampling.select_token_budget(df, "n_tokens", "q", "doc_id", budget=50).count() == 0
+
+
+def test_hard_negatives_excludes_positives(spark):
+    # 1-d directions in 2-d space: cosine ordering is fully controlled
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),   # nearest to 0
+        (2, [0.9, 0.43]),
+        (3, [0.7, 0.71]),
+        (4, [0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qvecs = [(0, [1.0, 0.0])]
+    positives = spark.createDataFrame(
+        [(0, 0), (0, 1)], "query_id long, pos_id long"
+    )
+    out = _sim.hard_negatives(corpus, qvecs, positives, k=2, fetch_k=5)
+    rows = sorted(
+        ((r["neg_rank"], r["vec_id"]) for r in out.collect())
+    )
+    # positives 0 (self) and 1 (nearest) excluded; negatives are 2 then 3
+    assert rows == [(1, 2), (2, 3)]
+
+
+def test_hard_negatives_headroom_shortfall_documented(spark):
+    """With fetch_k too small to cover the positive set, fewer than k
+    negatives return (the documented contract, not silent wrongness)."""
+    vecs = [(i, [1.0, i * 0.1]) for i in range(6)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qvecs = [(0, [1.0, 0.0])]
+    positives = spark.createDataFrame(
+        [(0, i) for i in range(4)], "query_id long, pos_id long"
+    )
+    out = _sim.hard_negatives(corpus, qvecs, positives, k=3, fetch_k=5)
+    assert out.count() == 1  # only one non-positive inside the fetch window
