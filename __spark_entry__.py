@@ -1955,6 +1955,24 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export pipeline end to end (plans.corpus.
+    run_corpus_pipeline_v2): quality gate (>=0.6) → unigram-LM gate
+    (avg logprob >= -3.5, top-30 vocab) → exact dedup → leakage-safe split
+    → temperature mix (T=2) on train only. The per-(split, lang) audit —
+    counts, token totals, id checksums — is hash-checked against a DuckDB
+    re-derivation of the ENTIRE chain, so an independent engine reproduces
+    the exact training set."""
+    from pwhl_data_engineering_pipeline_spark.plans import corpus as corpus_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    res = corpus_plan.run_corpus_pipeline_v2(docs)
+    return res.stats.select(
+        "split", "lang", "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"), "id_sum",
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semantic_dedup): k-means cells → exact within-cell
     cosine pairs → connected-components closure → min-id survivors.
@@ -2264,6 +2282,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_hard_negatives": q_hard_negatives,
         "ns_split_leakage_safe": q_split_leakage_safe,
         "ns_token_budget": q_token_budget,
+        "ns_corpus_export": q_corpus_export,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3478,6 +3497,67 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(epoch) AS BIGINT) AS epoch_sum,
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM expanded GROUP BY source
+    """
+    _ce_split = sampling.split_sql("md5(nt)", [("train", 0.8), ("val", 0.1), ("test", 0.1)], "split")
+    _ce_torder = sampling.sample_k_order_sql("doc_id", "temp")
+    _ce_ks = sampling.temperature_targets_sql("lang", 2.0, "train0")
+    sql["ns_corpus_export"] = f"""
+        WITH per_doc AS (
+          SELECT doc_id, text, lang,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 len(list_distinct(list_intersect(
+                   string_split_regex(lower(text), '\\s+'),
+                   ['the','and','of','to','is','with']))) AS stop_hits,
+                 length(text) AS len_chars,
+                 len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                 len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+          FROM documents
+        ), qf AS (
+          SELECT doc_id, text, lang, n_tokens FROM (
+            SELECT doc_id, text, lang, n_tokens,
+                   floor((
+                     0.25 * least(n_tokens / 64.0, 1.0)
+                   + 0.25 * least(coalesce(stop_hits * 1.0 / nullif(n_tokens, 0), 0.0) * 4, 1.0)
+                   + 0.25 * (1.0 - least(coalesce(n_punct * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                   + 0.25 * (1.0 - least(coalesce(n_digit * 1.0 / nullif(len_chars, 0), 1.0) * 4, 1.0))
+                   ) * 1e6 + 0.5) / 1e6 AS q
+            FROM per_doc
+          ) WHERE q >= 0.6
+        ), lmscore AS ({lm.unigram_logprob_sql(docs_from="qf", top_v=30)}
+        ), gated AS (
+          SELECT qf.* FROM qf JOIN lmscore USING (doc_id)
+          WHERE lmscore.avg_logprob >= -3.5
+        ), norm AS (
+          SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+          FROM gated
+        ), deduped AS (
+          SELECT doc_id, lang, n_tokens, nt FROM (
+            SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+            FROM norm
+          ) WHERE rn = 1
+        ), labeled AS (
+          SELECT doc_id, lang, n_tokens, {_ce_split} AS split FROM deduped
+        ), train0 AS (
+          SELECT * FROM labeled WHERE split = 'train'
+        ), ks AS ({_ce_ks}
+        ), ranked AS (
+          SELECT doc_id, lang, n_tokens, split,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {_ce_torder} ASC, doc_id ASC) AS rk
+          FROM train0
+        ), train AS (
+          SELECT r.doc_id, r.lang, r.n_tokens, r.split
+          FROM ranked r JOIN ks k ON r.lang = k.s WHERE r.rk <= k.k_s
+        ), final AS (
+          SELECT split, lang, doc_id, n_tokens FROM train
+          UNION ALL
+          SELECT split, lang, doc_id, n_tokens FROM labeled WHERE split <> 'train'
+        )
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM final GROUP BY split, lang
     """
     sql["ns_hard_negatives"] = """
         WITH ed AS (

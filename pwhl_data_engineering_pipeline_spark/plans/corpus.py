@@ -95,3 +95,97 @@ def run_corpus_pipeline(
 
     stats_df = orch.run_stage("stats", stats)
     return CorpusResult(cleaned=cleaned, chunks=chunks, stats=stats_df, orchestrator=orch)
+
+
+@dataclass
+class CorpusExportResult:
+    train: DataFrame
+    holdout: DataFrame
+    stats: DataFrame
+    orchestrator: Orchestrator
+
+
+def run_corpus_pipeline_v2(
+    docs: DataFrame,
+    *,
+    quality_threshold: float = 0.6,
+    lm_floor: float | None = -3.5,
+    lm_top_v: int = 30,
+    temperature: float = 2.0,
+    split_weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+) -> CorpusExportResult:
+    """The training-EXPORT composition — what turns a cleaned feed into a
+    training set, wiring the round-3 curation operators end to end:
+
+    1. heuristic quality gate (``text.quality_score`` >= threshold),
+    2. unigram-LM perplexity-proxy gate (``lm.lm_quality_gate``; model
+       fitted on the quality-surviving corpus itself; ``None`` skips),
+    3. exact dedup (``dedup.dedup_exact``),
+    4. leakage-safe split (``sampling.leakage_safe_split`` — duplicate
+       clusters cannot straddle train/val/test),
+    5. temperature-flattened language mix on the TRAIN slice only
+       (``sampling.temperature_sample``; eval splits stay untouched —
+       rebalancing an eval set would change what it measures).
+
+    Every stage is deterministic and SQL-mirrorable, so the WHOLE pipeline
+    is driver-hash-checked end to end (`ns_corpus_export`) — the audit
+    property: an independent engine re-derives the exact same training
+    set, not an approximation of it.
+    """
+    from ..operators import lm as _lm
+    from ..operators import sampling as _sampling
+
+    orch = Orchestrator()
+
+    def _quality() -> DataFrame:
+        return docs.withColumn("q", text.quality_score("text")).filter(
+            F.col("q") >= quality_threshold
+        )
+
+    scored = orch.run_stage("quality_filter", _quality)
+
+    def _lm_gate() -> DataFrame:
+        return _lm.lm_quality_gate(
+            scored, top_v=lm_top_v, min_avg_logprob=lm_floor
+        )
+
+    gated = (
+        orch.run_stage("lm_gate", _lm_gate, skip=lm_floor is None) or scored
+    )
+
+    def _dedup() -> DataFrame:
+        return dedup.dedup_exact(gated)
+
+    deduped = orch.run_stage("dedup_exact", _dedup)
+
+    def _split() -> DataFrame:
+        return _sampling.leakage_safe_split(
+            deduped, "text", "doc_id", split_weights
+        )
+
+    labeled = orch.run_stage("leakage_safe_split", _split)
+
+    def _mix() -> DataFrame:
+        train = labeled.filter(F.col("split") == "train")
+        return _sampling.temperature_sample(
+            train, "lang", "doc_id", temperature=temperature
+        )
+
+    train = orch.run_stage("temperature_mix_train", _mix)
+    holdout = labeled.filter(F.col("split") != "train")
+
+    def _stats() -> DataFrame:
+        return (
+            train.unionByName(holdout)
+            .groupBy("split", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(text.token_count("text")).alias("total_tokens"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+        )
+
+    stats_df = orch.run_stage("stats", _stats)
+    return CorpusExportResult(
+        train=train, holdout=holdout, stats=stats_df, orchestrator=orch
+    )

@@ -224,3 +224,27 @@ def test_hard_negatives_headroom_shortfall_documented(spark):
     )
     out = _sim.hard_negatives(corpus, qvecs, positives, k=3, fetch_k=5)
     assert out.count() == 1  # only one non-positive inside the fetch window
+
+
+def test_corpus_pipeline_v2_stages_and_integrity(spark, sf_dir):
+    from pwhl_data_engineering_pipeline_spark.plans.corpus import run_corpus_pipeline_v2
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    res = run_corpus_pipeline_v2(docs)
+    names = [s.name for s in res.orchestrator.results]
+    assert names == [
+        "quality_filter", "lm_gate", "dedup_exact",
+        "leakage_safe_split", "temperature_mix_train", "stats",
+    ]
+    # holdout is untouched by the mix: every val/test doc surviving dedup is
+    # present (mix applies to train only)
+    hold = res.holdout.groupBy("split").count().collect()
+    assert {r["split"] for r in hold} <= {"val", "test"}
+    # no doc appears in two splits
+    train_ids = {r["doc_id"] for r in res.train.select("doc_id").collect()}
+    hold_ids = {r["doc_id"] for r in res.holdout.select("doc_id").collect()}
+    assert not (train_ids & hold_ids)
+    # lm gate skip path degrades to quality-only
+    res2 = run_corpus_pipeline_v2(docs, lm_floor=None)
+    assert [s.name for s in res2.orchestrator.results if s.skipped] == ["lm_gate"]
