@@ -28,6 +28,7 @@ from pwhl_data_engineering_pipeline_spark.functions.scalars import portable_roun
 from pwhl_data_engineering_pipeline_spark.operators import (
     aggregates,
     asof,
+    bpe,
     dedup,
     fuzzy,
     graph,
@@ -1955,6 +1956,28 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (operators.bpe): learn 16 merges from the corpus's
+    distinct-word frequency table (Sennrich train loop — pair counts and
+    symbol rewrites distributed, one corpus pass total), then encode every
+    document with the classic lowest-rank-first loop. Rows-only by design:
+    the merge loop is iterative/driver-sequenced, not SQL-expressible.
+    Output: per-doc whitespace vs BPE token counts + the leading tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(bpe.word_counts(docs), num_merges=16, checkpoint_every=8)
+    enc = bpe.bpe_encode(docs, merges)
+    return (
+        enc.select(
+            "doc_id",
+            text.token_count("text").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.concat_ws(" ", F.slice(F.col("bpe_tokens"), 1, 12)).alias("head_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
 def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-export pipeline end to end (plans.corpus.
     run_corpus_pipeline_v2): quality gate (>=0.6) → unigram-LM gate
@@ -2283,6 +2306,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_split_leakage_safe": q_split_leakage_safe,
         "ns_token_budget": q_token_budget,
         "ns_corpus_export": q_corpus_export,
+        "ns_bpe_tokens": q_bpe_tokens,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,

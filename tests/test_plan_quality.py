@@ -124,13 +124,17 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     (N, avgdl) — the scalar-subquery shape; the term join itself is
     asserted to be a broadcast HASH join in test_fuzzy_search.py);
     ns_lm_quality (two 1-row crossJoins of the total-token scalar — same
-    shape; the vocabulary join is a broadcast hash join)."""
+    shape; the vocabulary join is a broadcast hash join);
+    ns_corpus_export (composes the unigram-LM gate, so it inherits
+    ns_lm_quality's 1-row total-token scalar crossJoins — IdentityBroadcast
+    of a single row, map-side, no data-sized replication)."""
     allow = {
         "j3_cross_join",
         "ns_embedding_neardup",
         "ns_ann_ivf",
         "ns_bm25_search",
         "ns_lm_quality",
+        "ns_corpus_export",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
