@@ -3522,7 +3522,7 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_sum
         FROM expanded GROUP BY source
     """
-    _ce_split = sampling.split_sql("md5(nt)", [("train", 0.8), ("val", 0.1), ("test", 0.1)], "split")
+    _ce_split = sampling.split_sql("md5(nk)", [("train", 0.8), ("val", 0.1), ("test", 0.1)], "split")
     _ce_torder = sampling.sample_k_order_sql("doc_id", "temp")
     _ce_ks = sampling.temperature_targets_sql("lang", 2.0, "train0")
     sql["ns_corpus_export"] = f"""
@@ -3553,10 +3553,16 @@ def _all_oracle_sql() -> dict[str, str]:
           SELECT qf.* FROM qf JOIN lmscore USING (doc_id)
           WHERE lmscore.avg_logprob >= -3.5
         ), norm AS (
-          SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+          -- nt mirrors text.fingerprint (trim-BEFORE-collapse) for the
+          -- dedup key; nk mirrors fuzzy.normalize_name (collapse-BEFORE-
+          -- trim) for the split key — the two Spark-side normalizations
+          -- differ on tab-leading text (trim strips spaces only), so the
+          -- oracle must carry both, not reuse one for the other.
+          SELECT *, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nk
           FROM gated
         ), deduped AS (
-          SELECT doc_id, lang, n_tokens, nt FROM (
+          SELECT doc_id, lang, n_tokens, nk FROM (
             SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
             FROM norm
           ) WHERE rn = 1
@@ -3730,8 +3736,12 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM ed
         ), qz AS (
           SELECT vec_id, s,
+                 -- NULL (zero-vector scale / NULL element) -> 0 BEFORE the
+                 -- clamp: least/greatest skip NULLs in DuckDB and Spark
+                 -- alike, mirroring vectors.quantize_int8
                  list_transform(v, x ->
-                   least(127.0, greatest(-127.0, floor(x / s + 0.5)))) AS q
+                   CASE WHEN floor(x / s + 0.5) IS NULL THEN 0.0
+                        ELSE least(127.0, greatest(-127.0, floor(x / s + 0.5))) END) AS q
           FROM scaled
         )
         SELECT vec_id,

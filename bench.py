@@ -164,6 +164,18 @@ def main() -> None:
 
     timings = {name: min(vals) for name, vals in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Like-for-like tracker: the round-1 headline set (18 queries). The full
+    # headline grew 18 → 25 → 33 across rounds, so `value` totals are NOT
+    # round-comparable; this subset is.
+    r1_set = [
+        "tpch_q1", "tpch_q3", "tpch_q6", "flagship_priority_revenue",
+        "p1_p5_filter_project", "j1_broadcast_enrich", "j_asof_join",
+        "a1_daily_rollup", "a_stats_kit", "o3_topk", "w_rank_kit",
+        "w_sessionization", "ns_dedup_exact", "ns_text_signals",
+        "ns_minhash_pairs", "ns_ann_bruteforce", "ns_vector_centroids",
+        "ns_corpus_clean",
+    ]
+    r1_subset = round(sum(timings[n] for n in r1_set if n in timings), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -173,6 +185,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "r1_subset_total_sec": r1_subset,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

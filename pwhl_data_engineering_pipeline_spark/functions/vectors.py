@@ -112,16 +112,20 @@ def quantize_int8(a: ColumnOrName, scale: Column | None = None) -> Column:
     # floor(x + 0.5), not round(): the portable-round convention (see
     # scalars.portable_round) — bit-identical across engines, so the
     # quantizer is oracle-checkable.
-    return F.transform(
-        _col(a),
-        lambda x: F.least(
-            F.lit(127.0),
-            F.greatest(
-                F.lit(-127.0),
-                F.floor(F.try_divide(x.cast("double"), s) + F.lit(0.5)).cast("double"),
-            ),
-        ).cast("tinyint"),
-    )
+    # NULL quantized values (zero/empty vector → NULL scale, or a NULL
+    # element) must be handled BEFORE the clamp: least/greatest skip NULL
+    # inputs, so greatest(-127, NULL) would be -127 and a zero vector would
+    # silently quantize to the maximum-magnitude int8 vector. They map to 0
+    # (a zero vector stores as zeros; dequantize(0)*scale == 0).
+    def _q(x: Column) -> Column:
+        q = F.floor(F.try_divide(x.cast("double"), s) + F.lit(0.5)).cast("double")
+        return (
+            F.when(q.isNull(), F.lit(0.0))
+            .otherwise(F.least(F.lit(127.0), F.greatest(F.lit(-127.0), q)))
+            .cast("tinyint")
+        )
+
+    return F.transform(_col(a), _q)
 
 
 def dequantize(q: ColumnOrName, scale: ColumnOrName) -> Column:

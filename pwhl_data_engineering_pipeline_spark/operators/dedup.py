@@ -277,6 +277,7 @@ def minhash_incremental_pairs(
     seed: int = 42,
     impl: str = "arrow",
     max_bucket: int = 64,
+    _buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs for an incoming batch against a PERSISTED corpus
     index — the incremental-ingest shape: the 100 TB corpus is never
@@ -288,12 +289,22 @@ def minhash_incremental_pairs(
     upstream if the batch is large). The cross join is a plain equi-join on
     (band, band_hash): AQE skew splitting plus the write-time and probe-side
     hot-bucket caps bound every bucket; the session's runtime Bloom filter
-    prunes index row-groups whose band_hash can't match."""
-    nb = _cap_buckets(
+    prunes index row-groups whose band_hash can't match.
+
+    The cap is re-applied to the INDEX side at probe time: the write-time
+    cap is per-append-batch only, so a bucket that stays under the cap in
+    every individual batch can still accumulate without bound across
+    appends (daily boilerplate). The window count here bounds the join
+    fanout against the index as it currently stands; a periodic index
+    compaction (rewrite with one global _cap_buckets pass) makes the probe
+    cap a no-op."""
+    nb = _buckets if _buckets is not None else _cap_buckets(
         minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,
     )
-    idx = spark.read.parquet(index_path).withColumnRenamed(id_col, "__corpus_id")
+    idx = _cap_buckets(spark.read.parquet(index_path), max_bucket).withColumnRenamed(
+        id_col, "__corpus_id"
+    )
     cross = (
         nb.join(idx, ["band", "band_hash"])
         .select(F.col(id_col).alias("new_id"), F.col("__corpus_id").alias("corpus_id"))
@@ -328,10 +339,21 @@ def dedup_minhash_incremental(
     band hashes, not text — tune precision with num_bands/rows_per_band
     (collision prob ≈ J^rows per band). This is the standard trade for
     corpus-scale incremental dedup; run the batch variant when bodies are
-    cheap to re-read."""
+    cheap to re-read.
+
+    The batch's bucket frame is computed once (lazy localCheckpoint) and
+    reused three ways — cross pairs, within pairs, and the survivor append
+    (filtered to survivor ids) — so the shingle+signature stage never
+    re-runs, and the returned ``survivors`` frame is likewise checkpointed
+    so the caller's first action does not replay the probe chain."""
+    nb = _cap_buckets(
+        minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
+        max_bucket,
+    ).localCheckpoint(eager=False)
     cross, within = minhash_incremental_pairs(
         spark, new_docs, index_path, text_col, id_col,
         num_hashes, num_bands, shingle_k, seed, impl, max_bucket,
+        _buckets=nb,
     )
     no_corpus_dup = new_docs.join(
         cross.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"
@@ -346,13 +368,16 @@ def dedup_minhash_incremental(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    survivors = no_corpus_dup.join(losers, id_col, "left_anti")
+    survivors = no_corpus_dup.join(losers, id_col, "left_anti").localCheckpoint(eager=False)
     if append_survivors:
-        minhash_index_write(
-            survivors, index_path, text_col, id_col,
-            num_hashes, num_bands, shingle_k, seed, impl, max_bucket,
-            mode="append",
-        )
+        # Reuse the batch's already-computed bucket rows instead of
+        # re-hashing survivor text through minhash_index_write: survivors
+        # are a subset of the batch, so a left_semi on their ids selects
+        # exactly their (id, band, band_hash) rows. Write-time cap
+        # semantics are preserved (nb was capped above).
+        nb.join(
+            survivors.select(id_col), id_col, "left_semi"
+        ).write.mode("append").partitionBy("band").parquet(index_path)
     return survivors
 
 

@@ -60,7 +60,17 @@ def unigram_logprob_scores(
     ``oov_tokens`` (a useful signal by itself — a high OOV fraction is
     garbage even when the in-vocabulary tokens are common)."""
     toks = _doc_tokens(docs, text_col, id_col)
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # freq is consumed twice (total + top): a lazy checkpoint pins the
+    # word-TYPE table (tiny — Heaps' law) so the corpus-sized explode runs
+    # exactly twice overall — once to fit (freq) and once to score (the
+    # join below) — instead of three times. toks itself is deliberately NOT
+    # checkpointed: that would materialize a corpus-sized token stream to
+    # save one re-scan, a bad trade at 100 TB.
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("cnt").alias("total"))
     top = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
     model = top.crossJoin(F.broadcast(total)).select(

@@ -135,22 +135,28 @@ def point_in_interval_join(
             .drop("__b")
         )
     if how == "left":
-        # Tag each point with a unique id so the "which points matched"
-        # bookkeeping is null-safe: anti-joining on payload columns would
-        # drop its own hit row whenever a payload column is NULL (null-unsafe
-        # equality) and re-emit the point as a spurious unmatched duplicate.
-        pid = pb.withColumn("__pid", F.monotonically_increasing_id())
-        matched = pid.join(ib, [*keys, "__b"]).filter(
-            (_as_num(start_col) <= _as_num(point_col))
+        # Every interval containing a point explodes into that point's
+        # bucket, so a single bucketed LEFT join with the range predicate in
+        # the ON clause IS left-join semantics: each point row appears once
+        # in pb (points land in exactly one bucket) and gets either its
+        # matching interval rows or one NULL-extended row. One pass, no
+        # matched/unmatched bookkeeping — which also avoids any reliance on
+        # a nondeterministic row id evaluated twice (a previous version
+        # anti-joined on monotonically_increasing_id; under shuffle-order
+        # nondeterminism the two evaluations could disagree and duplicate or
+        # drop points).
+        ibr = ib
+        for k in [*keys, "__b"]:
+            ibr = ibr.withColumnRenamed(k, f"__i_{k}")
+        cond = (F.col("__b") == F.col("__i___b"))
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__i_{k}"))
+        cond = (
+            cond
+            & (_as_num(start_col) <= _as_num(point_col))
             & (_as_num(point_col) <= _as_num(end_col))
         )
-        missing = pid.join(
-            matched.select("__pid"), "__pid", "left_anti"
-        )
-        for c in intervals.columns:
-            if c not in keys:
-                missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-        return matched.drop("__b", "__pid").unionByName(
-            missing.drop("__b", "__pid")
+        return pb.join(ibr, cond, "left").drop(
+            "__b", *[f"__i_{k}" for k in [*keys, "__b"]]
         )
     raise ValueError(f"unsupported how={how!r}")

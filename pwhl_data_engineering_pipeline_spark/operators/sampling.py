@@ -392,18 +392,12 @@ def leakage_safe_split(
         from .fuzzy import normalize_name
 
         cluster_key = F.md5(normalize_name(F.col(text_col)))
-    total = sum(w for _, w in weights)
-    if not 0.999 <= total <= 1.001:
-        raise ValueError(f"split weights must sum to 1.0, got {total}")
-    bucket = _hash_bucket(cluster_key, seed)
-    expr = None
-    cum = 0
-    for label, w in weights:
-        cum = min(_BUCKETS, cum + int(round(w * _BUCKETS)))
-        cond = bucket < F.lit(cum)
-        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-    expr = expr.otherwise(F.lit(weights[-1][0]))
-    return df.withColumn(out_col, expr)
+    # Delegate the bucketing/validation to hash_split on a temp key column
+    # so the two split semantics can never drift.
+    tmp = "__cluster_key"
+    return hash_split(
+        df.withColumn(tmp, cluster_key), tmp, weights, seed=seed, out_col=out_col
+    ).drop(tmp)
 
 
 def select_token_budget(

@@ -94,6 +94,8 @@ def scd2_apply(
     right-anti for brand-new keys — both joins broadcast when the batch is
     small (the normal case: a day's changes vs the full dim)."""
     kset = list(key_cols)
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty (nothing to compare)")
     changed_cond = None
     for a in attr_cols:
         c = ~F.col(f"d.{a}").eqNullSafe(F.col(f"u.{a}"))
@@ -101,8 +103,10 @@ def scd2_apply(
 
     d, u = dim.alias("d"), updates.alias("u")
     on = [F.col(f"d.{k}") == F.col(f"u.{k}") for k in kset]
-    cur = d.filter(F.col("d.is_current"))
-    hist = d.filter(~F.col("d.is_current")).select("d.*")
+    # NULL is_current must not vanish (it would match neither filter): treat
+    # it as historical — the row passes through untouched, no data loss.
+    cur = d.filter(F.col("d.is_current").eqNullSafe(F.lit(True)))
+    hist = d.filter(~F.col("d.is_current").eqNullSafe(F.lit(True))).select("d.*")
 
     joined = cur.join(F.broadcast(u), on, "left")
     unchanged = joined.filter(

@@ -49,6 +49,7 @@ def build_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus → (postings, stats).
 
@@ -57,6 +58,12 @@ def build_index(
     ``stats``: (term, df) document frequencies. Both are plain DataFrames;
     writing them is the caller's choice (one-shot search composes them
     lazily and Catalyst pipelines the whole thing).
+
+    ``checkpoint=True`` pins postings with a lazy localCheckpoint before
+    stats derive from it — for one-shot consumers that fan postings out to
+    several branches (bm25_topk uses it for corpus scalars + stats + the
+    scored join), so the corpus tokenize+aggregate runs once, not once per
+    branch. Off by default: persisted-index pipelines already materialize.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -69,6 +76,8 @@ def build_index(
             "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
         )
     )
+    if checkpoint:
+        postings = postings.localCheckpoint(eager=False)
     stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return postings, stats
 
@@ -91,7 +100,7 @@ def bm25_topk(
     6 dp before selection. Queries are distinct-termed (a term repeated in
     the query counts once — standard BM25 query semantics).
     """
-    postings, stats = build_index(docs, text_col, id_col)
+    postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
 
     # 1-row corpus scalars; crossJoin of a 1-row frame broadcasts.
     corpus = postings.select("doc_id", "doc_len").distinct()

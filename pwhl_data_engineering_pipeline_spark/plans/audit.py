@@ -54,7 +54,10 @@ def audit(df: DataFrame) -> PlanAudit:
         has_cartesian=("CartesianProduct" in plan)
         or ("BroadcastNestedLoopJoin" in plan),
         has_take_ordered="TakeOrderedAndProject" in plan,
-        partial_aggregation="partial_" in plan or "HashAggregate(keys" in plan,
+        # Only the "partial_" function prefix proves a map-side partial
+        # stage; a bare HashAggregate(keys=...) also appears in final-only
+        # plans, so matching it would mask a lost partial aggregation.
+        partial_aggregation="partial_" in plan,
         pushed_filters=pushed,
         plan=plan,
     )

@@ -173,6 +173,59 @@ def test_minhash_incremental_dedup(spark, docs, tmp_path):
     assert survivors2.count() == 0
 
 
+def test_minhash_incremental_probe_caps_accumulated_hot_bucket(spark, tmp_path):
+    """The write-time cap is per-append-batch: a bucket that stays under
+    the cap in every batch can still accumulate across appends. The probe
+    must re-cap the INDEX side, or one boilerplate bucket fans every future
+    batch out quadratically."""
+    idx = str(tmp_path / "mh_idx_hot")
+    boiler = "identical boilerplate body repeated across daily batches forever"
+    cap = 8
+    # 5 appends x 4 identical docs: each batch passes max_bucket=8, but the
+    # accumulated index bucket holds 20 ids — over the cap.
+    for day in range(5):
+        batch = spark.createDataFrame(
+            [(day * 10 + i, boiler) for i in range(4)], "doc_id long, text string"
+        )
+        dedup.minhash_index_write(batch, idx, max_bucket=cap, mode="append")
+    probe = spark.createDataFrame([(999, boiler)], "doc_id long, text string")
+    cross, within = dedup.minhash_incremental_pairs(spark, probe, idx, max_bucket=cap)
+    # the accumulated hot bucket is dropped at probe time -> no fanout
+    assert cross.count() == 0
+    # a healthy (under-cap) bucket still probes fine
+    small_idx = str(tmp_path / "mh_idx_ok")
+    dedup.minhash_index_write(
+        spark.createDataFrame([(1, boiler)], "doc_id long, text string"),
+        small_idx, max_bucket=cap,
+    )
+    cross2, _ = dedup.minhash_incremental_pairs(spark, probe, small_idx, max_bucket=cap)
+    assert cross2.select("corpus_id").distinct().count() == 1
+
+
+def test_int8_quantization_null_and_zero_vectors(spark):
+    """Zero vectors (NULL scale) and NULL elements must quantize to 0, not
+    clamp to -127 (least/greatest skip NULL inputs — the clamp must see a
+    coalesced value)."""
+    from pwhl_data_engineering_pipeline_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [0.5, None, -1.0]), (2, [])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["s"], r["q8"])
+        for r in df.select(
+            "vec_id",
+            V.quantize_scale("embedding").alias("s"),
+            V.quantize_int8("embedding").alias("q8"),
+        ).collect()
+    }
+    assert got[0] == (None, [0, 0, 0])  # zero vector -> zeros, not [-127]*3
+    s, q8 = got[1]
+    assert q8 == [64, 0, -127] and abs(s - 1.0 / 127.0) < 1e-12
+    assert got[2] == (None, [])
+
+
 def test_int8_quantization_roundtrip_and_recall(spark):
     """Quantize→dequantize must preserve cosine to ~1e-2 and brute-force
     top-10 on the compressed column must overlap ≥9/10 with full precision —

@@ -91,6 +91,33 @@ def test_scd2_apply(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_scd2_apply_null_is_current_preserved(spark):
+    """A NULL is_current row must pass through as historical, not vanish
+    (it matches neither filter(x) nor filter(~x) under null-unsafe
+    booleans); empty attr_cols must raise, not TypeError later."""
+    import pytest
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", _ts("2025-01-01"), None, None),  # NULL flag: backfill row
+            (2, "silver", _ts("2025-01-15"), None, True),
+        ],
+        "user_id long, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame([(2, "gold")], "user_id long, tier string")
+    eff = F.lit("2025-03-01 00:00:00").cast("timestamp")
+    out = scd2.scd2_apply(dim, updates, ["user_id"], ["tier"], eff)
+    rows = sorted((r["user_id"], r["tier"], r["is_current"]) for r in out.collect())
+    assert rows == sorted([
+        (1, "bronze", None),      # preserved untouched
+        (2, "silver", False),     # closed
+        (2, "gold", True),        # new version
+    ])
+    with pytest.raises(ValueError, match="attr_cols"):
+        scd2.scd2_apply(dim, updates, ["user_id"], [], eff)
+
+
 def _collapse_reference(rows):
     """Driver-side reference: per key, sort by ts, split into runs of equal
     attr (None == None), emit (key, attr, first_ts, next_run_first_ts|None,
