@@ -1978,6 +1978,31 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing (quality.quarantine): lineitem split by
+    three CHECK-style rules; output is the per-violation-set census (bad
+    rows grouped by their joined violations list) plus a '__good__' row —
+    the dead-letter triage view, one pass, no eager action."""
+    from pwhl_data_engineering_pipeline_spark import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    good, bad = quality.quarantine(
+        li,
+        {
+            "qty_le_45": F.col("l_quantity") <= 45,
+            "disc_le_8pct": F.col("l_discount") <= 0.08,
+            "price_under_60k": F.col("l_extendedprice") < 60000,
+        },
+    )
+    bad_census = bad.groupBy(
+        F.array_join("violations", ",").alias("violations")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    good_row = good.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("__good__").alias("violations"), "n_rows"
+    )
+    return bad_census.unionByName(good_row)
+
+
 def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-export pipeline end to end (plans.corpus.
     run_corpus_pipeline_v2): quality gate (>=0.6) → unigram-LM gate
@@ -2307,6 +2332,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_token_budget": q_token_budget,
         "ns_corpus_export": q_corpus_export,
         "ns_bpe_tokens": q_bpe_tokens,
+        "v_quarantine": q_quarantine,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3725,6 +3751,22 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM scored s JOIN thr t USING (source)
         WHERE s.q >= t.q75
         GROUP BY s.source
+    """
+    sql["v_quarantine"] = """
+        WITH flagged AS (
+          SELECT *, list_filter([
+              CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_le_45' END,
+              CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE) THEN 'disc_le_8pct' END,
+              CASE WHEN NOT coalesce(l_extendedprice < 60000, FALSE) THEN 'price_under_60k' END
+            ], x -> x IS NOT NULL) AS violations
+          FROM lineitem
+        )
+        SELECT array_to_string(violations, ',') AS violations,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM flagged WHERE len(violations) > 0 GROUP BY 1
+        UNION ALL
+        SELECT '__good__' AS violations, CAST(count(*) AS BIGINT) AS n_rows
+        FROM flagged WHERE len(violations) = 0
     """
     sql["ns_quantize"] = """
         WITH ed AS (

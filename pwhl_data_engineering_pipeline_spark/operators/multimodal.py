@@ -286,6 +286,122 @@ def decode_bmp_pixels(blob: bytes):
     return img[..., ::-1]  # BGR on disk → RGB
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int):
+    """GIF-variant LZW decode (pure Python): variable code width starting at
+    min_code_size+1, LSB-first bit packing, clear/end control codes, 12-bit
+    dictionary cap. Returns a bytearray of palette indices, or None on a
+    corrupt stream. Tops out at ``expected`` indices (frames are w*h)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]  # clear/end were handled above
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # corrupt stream
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frame(blob: bytes):
+    """REAL pixel decode for GIF — including the LZW decompression, pure
+    stdlib+numpy (the first compressed-codec path; BMP/WAV cover the
+    uncompressed ones). Returns the FIRST image frame as an (height, width,
+    3) uint8 RGB array (palette applied, interlacing deinterlaced), or None
+    if the blob isn't a decodable GIF. Transparency/animation composition is
+    out of scope (frame features don't need it)."""
+    import struct
+
+    import numpy as np
+
+    if not blob or len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = blob[i : i + 3 * n]
+        i += 3 * n
+    while i < len(blob):
+        b0 = blob[i]
+        if b0 == 0x21:  # extension block: label then length-prefixed sub-blocks
+            i += 2
+            while i < len(blob) and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            if i + 10 > len(blob):
+                return None
+            _left, _top, w, h, ip = struct.unpack_from("<HHHHB", blob, i + 1)
+            i += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                pal = blob[i : i + 3 * n]
+                i += 3 * n
+            if pal is None or w == 0 or h == 0 or i >= len(blob):
+                return None
+            mcs = blob[i]
+            i += 1
+            if not 2 <= mcs <= 11:
+                return None
+            data = bytearray()
+            while i < len(blob) and blob[i] != 0:
+                ln = blob[i]
+                data += blob[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if ip & 0x40:  # interlaced: 4-pass row order
+                out = np.empty_like(arr)
+                r = 0
+                for start, step in _GIF_PASSES:
+                    for rr in range(start, h, step):
+                        out[rr] = arr[r]
+                        r += 1
+                arr = out
+            palette = np.frombuffer(pal, dtype=np.uint8)
+            palette = palette[: (len(palette) // 3) * 3].reshape(-1, 3)
+            if int(arr.max()) >= len(palette):
+                return None
+            return palette[arr]
+        elif b0 == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_wav_samples(blob: bytes):
     """REAL sample decode for 16-bit PCM WAV — pure stdlib+numpy. Returns
     (samples as (n, channels) int16 array, sample_rate), or None."""
@@ -318,11 +434,12 @@ def decode_wav_samples(blob: bytes):
 def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
     """REAL feature extraction for the formats stdlib can fully decode:
 
-    - 24-bit BMP → [1, width, height, mean R, mean G, mean B, std R/G/B,
-      overall brightness] (means scaled to [0,1])
+    - 24-bit BMP and GIF (incl. the LZW decompression) → [1, width, height,
+      mean R, mean G, mean B, std R/G/B, overall brightness] (means scaled
+      to [0,1])
     - 16-bit PCM WAV → [2, n_samples, channels, sample_rate, RMS, peak,
       zero-crossing rate] (amplitudes scaled to [-1,1])
-    - anything else (compressed codecs need external libs) → the
+    - anything else (remaining compressed codecs need external libs) → the
       deterministic hash fake, tagged [0, ...].
 
     Padded/truncated to ``dim``. The leading tag makes the source of each
@@ -330,6 +447,8 @@ def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
     import numpy as np
 
     img = decode_bmp_pixels(blob)
+    if img is None:
+        img = decode_gif_frame(blob)
     if img is not None:
         px = img.astype(np.float64) / 255.0
         feats = [

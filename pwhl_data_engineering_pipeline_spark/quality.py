@@ -142,3 +142,40 @@ class Contract:
         self.counters[name] = n
         log.info("rows[%s] = %d", name, n)
         return df
+
+
+# -- row-level quarantine (lazy; no Contract mode needed) -------------------
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level validation routing: split ``df`` into (good, bad).
+
+    ``rules`` maps rule name → boolean Column; a row is *good* iff every
+    rule evaluates TRUE (NULL counts as a failure — an unevaluable rule is
+    a dirty row, matching SQL CHECK-constraint semantics). ``bad`` carries a
+    ``violations`` array<string> naming each failed rule, so the quarantine
+    table is self-describing for triage/replay.
+
+    Unlike the Contract API (eager, abort-the-stage semantics mirroring the
+    reference's clean_ticket_sales.py:80-88 aborts), this is the LAZY
+    dead-letter shape for continuous pipelines: pure column expressions, no
+    action, fully distributed. Each returned frame filters the same
+    projection, so a consumer that materializes both pays two scans — at
+    scale, write once partitioned by ``size(violations) == 0`` instead, or
+    persist the flagged frame before splitting.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in rules.items()
+            ]
+        )
+    )
+    flagged = df.withColumn("violations", viol)
+    good = flagged.filter(F.size("violations") == 0).drop("violations")
+    bad = flagged.filter(F.size("violations") > 0)
+    return good, bad

@@ -202,3 +202,137 @@ def test_extract_features_with_stdlib_decoder(spark):
         ).collect()
     }
     assert out[1][0] == 1.0 and out[2][0] == 2.0 and out[3][0] == 0.0
+
+
+# -- GIF / LZW (compressed-codec path) --------------------------------------
+
+
+def _lzw_encode_gif(indices, mcs):
+    """Reference GIF-LZW encoder for round-trip tests: classic greedy
+    longest-match compression, variable code width mirroring the decoder's
+    table-length rule exactly (grow after the table reaches 2^cs)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    dict_ = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = []
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in dict_:
+            w = wk
+        else:
+            codes.append(dict_[w])
+            if next_code < 4096:
+                dict_[wk] = next_code
+                next_code += 1
+            w = bytes([k])
+    if w:
+        codes.append(dict_[w])
+    # emit with decoder-synchronized widths
+    emitted = []
+    cs = mcs + 1
+    table_len = clear + 2
+    emitted.append((clear, cs))
+    for i, c in enumerate(codes):
+        emitted.append((c, cs))
+        if i >= 1 and table_len < 4096:
+            table_len += 1
+            if table_len == (1 << cs) and cs < 12:
+                cs += 1
+    emitted.append((end, cs))
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in emitted:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_full(w, h, palette, indices, interlace=False, extension=False):
+    """Minimal GIF89a writer around the reference LZW encoder."""
+    n = max(2, (len(palette) - 1).bit_length())  # GCT size exponent
+    mcs = max(2, n)
+    gct = bytearray()
+    for i in range(1 << n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes([r, g, b])
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0)
+    out += gct
+    if extension:  # graphic control extension: must be skipped by the parser
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    out += bytes([mcs])
+    data = _lzw_encode_gif(bytes(indices), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _interlace_rows(h):
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def test_gif_lzw_roundtrip():
+    """Random palette images survive encode→decode bit-exactly — including
+    dictionary growth and code-width bumps (image big enough to force
+    them)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for w, h, ncol in [(1, 1, 2), (13, 7, 4), (40, 30, 16), (64, 48, 128)]:
+        palette = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(ncol)]
+        idx = rng.randint(0, ncol, size=h * w).astype("uint8")
+        img = mm.decode_gif_frame(_gif_full(w, h, palette, idx))
+        assert img is not None and img.shape == (h, w, 3)
+        expect = np.array(palette, dtype="uint8")[idx.reshape(h, w)]
+        assert (img == expect).all()
+
+
+def test_gif_interlaced_and_extension_blocks():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    w, h, ncol = 10, 9, 8
+    palette = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(ncol)]
+    idx = rng.randint(0, ncol, size=(h, w)).astype("uint8")
+    stored = idx[_interlace_rows(h)].reshape(-1)  # rows in 4-pass storage order
+    blob = _gif_full(w, h, palette, stored, interlace=True, extension=True)
+    img = mm.decode_gif_frame(blob)
+    assert img is not None
+    expect = np.array(palette, dtype="uint8")[idx]
+    assert (img == expect).all()
+
+
+def test_gif_rejects_garbage_and_truncation():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    palette = [(i, i, i) for i in range(4)]
+    idx = rng.randint(0, 4, size=12).astype("uint8")
+    blob = _gif_full(4, 3, palette, idx)
+    assert mm.decode_gif_frame(b"") is None
+    assert mm.decode_gif_frame(b"GIF89a") is None
+    assert mm.decode_gif_frame(blob[: len(blob) // 2]) is None
+    assert mm.decode_gif_frame(b"\x89PNG" + blob) is None
+
+
+def test_stdlib_features_gif_tagged_as_image():
+    # solid green 3x2 GIF: tag 1, mean G == 1.0, width/height correct
+    palette = [(0, 255, 0), (0, 0, 0)]
+    feats = mm.stdlib_media_features(_gif_full(3, 2, palette, [0] * 6), dim=16)
+    assert feats[0] == 1.0 and feats[1] == 3.0 and feats[2] == 2.0
+    assert feats[3] == 0.0 and feats[4] == 1.0 and feats[5] == 0.0

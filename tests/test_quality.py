@@ -65,3 +65,40 @@ def test_reconcile_counts(df):
     c = Contract(mode="warn")
     c.reconcile_counts("stage1", df)
     assert c.counters["stage1"] == 3
+
+
+def test_quarantine_routes_and_labels(spark):
+    """good/bad partition the input; bad rows name every failed rule in
+    rule order; NULL rule results count as failures."""
+    from pwhl_data_engineering_pipeline_spark.quality import quarantine
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"),      # clean
+            (2, -5, "b"),      # fails positive
+            (3, 200, None),    # fails cap AND named (NULL comparison -> fail)
+            (4, None, "d"),    # NULL value: both numeric rules fail
+        ],
+        "id long, qty int, name string",
+    )
+    good, bad = quarantine(
+        df,
+        {
+            "positive": F.col("qty") > 0,
+            "under_cap": F.col("qty") <= 100,
+            "named": F.col("name").isNotNull(),
+        },
+    )
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["violations"] for r in bad.collect()}
+    assert got == {
+        2: ["positive"],
+        3: ["under_cap", "named"],
+        4: ["positive", "under_cap"],
+    }
+    # partition property: good + bad == input, no overlap
+    assert good.count() + bad.count() == df.count()
+    import pytest
+
+    with pytest.raises(ValueError):
+        quarantine(df, {})
