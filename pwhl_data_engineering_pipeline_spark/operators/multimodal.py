@@ -402,6 +402,107 @@ def decode_gif_frame(blob: bytes):
     return None
 
 
+def decode_png_pixels(blob: bytes):
+    """REAL pixel decode for PNG — IDAT inflate via stdlib ``zlib`` plus the
+    five scanline unfilters (None/Sub/Up/Average/Paeth). Supports 8-bit
+    greyscale / RGB / grey+alpha / RGBA, non-interlaced (Adam7 → None —
+    rare in pipelines, and the header decoder still covers its metadata).
+    Returns an (height, width, channels) uint8 array, or None.
+
+    The Up unfilter (the common case for photographic encoders) is
+    numpy-vectorized; Sub/Average/Paeth carry an intra-row left-neighbor
+    dependency and run as byte loops — fine for the Arrow-batch feature
+    path where images are thumbnails, and exact for any size."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not blob or not blob.startswith(sig):
+        return None
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(blob):
+        ln, typ = struct.unpack_from(">I4s", blob, i)
+        data = blob[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or inter != 0 or ch is None:
+        return None
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        cur = raw[pos + 1 : pos + 1 + stride]
+        pos += stride + 1
+        if f == 0:
+            line = np.frombuffer(cur, dtype=np.uint8).copy()
+        elif f == 2:  # Up: fully vectorized
+            line = (np.frombuffer(cur, dtype=np.uint8) + prev).astype(np.uint8)
+        else:
+            b = bytearray(cur)
+            if f == 1:  # Sub
+                for x in range(ch, stride):
+                    b[x] = (b[x] + b[x - ch]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = b[x - ch] if x >= ch else 0
+                    b[x] = (b[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = b[x - ch] if x >= ch else 0
+                    up = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    b[x] = (b[x] + pred) & 0xFF
+            else:
+                return None
+            line = np.frombuffer(bytes(b), dtype=np.uint8)
+        rows[y] = line
+        prev = rows[y]
+    return rows.reshape(h, w, ch)
+
+
+def _to_rgb(img):
+    """(h, w, ch) uint8 → (h, w, 3): replicate grey, drop alpha."""
+    ch = img.shape[2]
+    if ch == 3:
+        return img
+    if ch == 4:
+        return img[..., :3]
+    grey = img[..., :1]  # 1 or 2 (grey+alpha) channels: grey is channel 0
+    import numpy as np
+
+    return np.repeat(grey, 3, axis=2)
+
+
 def decode_wav_samples(blob: bytes):
     """REAL sample decode for 16-bit PCM WAV — pure stdlib+numpy. Returns
     (samples as (n, channels) int16 array, sample_rate), or None."""
@@ -449,6 +550,9 @@ def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
     img = decode_bmp_pixels(blob)
     if img is None:
         img = decode_gif_frame(blob)
+    if img is None:
+        png = decode_png_pixels(blob)
+        img = _to_rgb(png) if png is not None else None
     if img is not None:
         px = img.astype(np.float64) / 255.0
         feats = [

@@ -336,3 +336,104 @@ def test_stdlib_features_gif_tagged_as_image():
     feats = mm.stdlib_media_features(_gif_full(3, 2, palette, [0] * 6), dim=16)
     assert feats[0] == 1.0 and feats[1] == 3.0 and feats[2] == 2.0
     assert feats[3] == 0.0 and feats[4] == 1.0 and feats[5] == 0.0
+
+
+# -- PNG (zlib/IDAT path) ---------------------------------------------------
+
+
+def _png_filter_row(cur, prev, f, ch):
+    """Apply PNG filter f to a raw row (test-side encoder)."""
+    stride = len(cur)
+    out = bytearray(stride)
+    for x in range(stride):
+        a = cur[x - ch] if x >= ch else 0
+        b = prev[x]
+        c = prev[x - ch] if x >= ch else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (cur[x] - pred) & 0xFF
+    return out
+
+
+def _png_full(arr, filters):
+    """Minimal PNG writer: 8-bit, color type by channel count, one IDAT."""
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = bytearray(w * ch)
+    for y in range(h):
+        cur = bytearray(arr[y].tobytes())
+        f = filters[y % len(filters)]
+        raw += bytes([f]) + _png_filter_row(cur, prev, f, ch)
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 2, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            arr = rng.randint(0, 256, size=(9, 7, ch)).astype("uint8")
+            img = mm.decode_png_pixels(_png_full(arr, filters))
+            assert img is not None, (ch, filters)
+            assert (img == arr).all(), (ch, filters)
+
+
+def test_png_rejects_garbage():
+    import numpy as np
+
+    arr = np.zeros((2, 2, 3), dtype="uint8")
+    blob = _png_full(arr, [0])
+    assert mm.decode_png_pixels(b"") is None
+    assert mm.decode_png_pixels(blob[:30]) is None
+    # corrupt the zlib stream (byte 45 sits inside IDAT data; the inflate
+    # adler check must fail and decode must return None, not raise)
+    bad = bytearray(blob)
+    bad[45] ^= 0xFF
+    assert mm.decode_png_pixels(bytes(bad)) is None
+
+
+def test_stdlib_features_png_tagged_as_image():
+    import numpy as np
+
+    # solid blue 4x3 RGB PNG with Paeth filtering
+    arr = np.zeros((3, 4, 3), dtype="uint8")
+    arr[..., 2] = 255
+    feats = mm.stdlib_media_features(_png_full(arr, [4]), dim=16)
+    assert feats[0] == 1.0 and feats[1] == 4.0 and feats[2] == 3.0
+    assert feats[3] == 0.0 and feats[4] == 0.0 and feats[5] == 1.0
+    # greyscale+alpha maps grey across RGB
+    ga = np.zeros((2, 2, 2), dtype="uint8")
+    ga[..., 0] = 128
+    ga[..., 1] = 255
+    f2 = mm.stdlib_media_features(_png_full(ga, [2]), dim=16)
+    assert f2[0] == 1.0 and abs(f2[3] - 128 / 255) < 1e-9 and f2[3] == f2[4] == f2[5]
