@@ -402,60 +402,21 @@ def decode_gif_frame(blob: bytes):
     return None
 
 
-def decode_png_pixels(blob: bytes):
-    """REAL pixel decode for PNG — IDAT inflate via stdlib ``zlib`` plus the
-    five scanline unfilters (None/Sub/Up/Average/Paeth). Supports 8-bit
-    greyscale / RGB / grey+alpha / RGBA, non-interlaced (Adam7 → None —
-    rare in pipelines, and the header decoder still covers its metadata).
-    Returns an (height, width, channels) uint8 array, or None.
-
-    The Up unfilter (the common case for photographic encoders) is
-    numpy-vectorized; Sub/Average/Paeth carry an intra-row left-neighbor
-    dependency and run as byte loops — fine for the Arrow-batch feature
-    path where images are thumbnails, and exact for any size."""
-    import struct
-    import zlib
-
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at ``pos`` in the
+    inflated stream. Returns ((h, w*ch) uint8 array, next pos), or None on a
+    short/corrupt stream. The Up unfilter (the common case for photographic
+    encoders) is numpy-vectorized; Sub/Average/Paeth carry an intra-row
+    left-neighbor dependency and run as byte loops — fine for the
+    Arrow-batch feature path where images are thumbnails, exact for any
+    size."""
     import numpy as np
 
-    sig = b"\x89PNG\r\n\x1a\n"
-    if not blob or not blob.startswith(sig):
-        return None
-    i = 8
-    ihdr = None
-    idat = bytearray()
-    while i + 8 <= len(blob):
-        ln, typ = struct.unpack_from(">I4s", blob, i)
-        data = blob[i + 8 : i + 8 + ln]
-        if len(data) < ln:
-            return None
-        if typ == b"IHDR":
-            if ln != 13:
-                return None
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        i += 12 + ln  # length + type + data + crc
-    if ihdr is None or not idat:
-        return None
-    w, h, depth, ctype, comp, filt, inter = ihdr
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or comp != 0 or filt != 0 or inter != 0 or ch is None:
-        return None
-    if w == 0 or h == 0:
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) - pos < h * (stride + 1):
         return None
     rows = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         cur = raw[pos + 1 : pos + 1 + stride]
@@ -487,7 +448,80 @@ def decode_png_pixels(blob: bytes):
             line = np.frombuffer(bytes(b), dtype=np.uint8)
         rows[y] = line
         prev = rows[y]
-    return rows.reshape(h, w, ch)
+    return rows, pos
+
+
+# Adam7 passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL pixel decode for PNG — IDAT inflate via stdlib ``zlib`` plus the
+    five scanline unfilters (None/Sub/Up/Average/Paeth). Supports 8-bit
+    greyscale / RGB / grey+alpha / RGBA, both non-interlaced and Adam7
+    interlaced (each pass is its own filtered sub-image). Returns an
+    (height, width, channels) uint8 array, or None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not blob or not blob.startswith(sig):
+        return None
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(blob):
+        ln, typ = struct.unpack_from(">I4s", blob, i)
+        data = blob[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or inter not in (0, 1) or ch is None:
+        return None
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if inter == 0:
+        got = _png_unfilter(raw, 0, w, h, ch)
+        if got is None:
+            return None
+        rows, _ = got
+        return rows.reshape(h, w, ch)
+    # Adam7: seven filtered sub-images scattered onto the grid
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        got = _png_unfilter(raw, pos, pw, ph, ch)
+        if got is None:
+            return None
+        rows, pos = got
+        sub = rows.reshape(ph, pw, ch)
+        out[y0::dy, x0::dx] = sub
+    return out
 
 
 def _to_rgb(img):

@@ -437,3 +437,52 @@ def test_stdlib_features_png_tagged_as_image():
     ga[..., 1] = 255
     f2 = mm.stdlib_media_features(_png_full(ga, [2]), dim=16)
     assert f2[0] == 1.0 and abs(f2[3] - 128 / 255) < 1e-9 and f2[3] == f2[4] == f2[5]
+
+
+def _png_adam7(arr, filters):
+    """Adam7-interlaced PNG writer: each pass is its own filtered
+    sub-image."""
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        prev = bytearray(sub.shape[1] * ch)
+        for y in range(sub.shape[0]):
+            cur = bytearray(sub[y].tobytes())
+            f = filters[y % len(filters)]
+            raw += bytes([f]) + _png_filter_row(cur, prev, f, ch)
+            prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    for w, h, ch in [(1, 1, 3), (7, 5, 3), (16, 16, 4), (9, 3, 1)]:
+        arr = rng.randint(0, 256, size=(h, w, ch)).astype("uint8")
+        img = mm.decode_png_pixels(_png_adam7(arr, [0, 1, 2, 3, 4]))
+        assert img is not None, (w, h, ch)
+        assert (img == arr).all(), (w, h, ch)
