@@ -694,18 +694,31 @@ def _ngram_shared_counts(
     """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
     surviving n-gram — the inverted-index core shared by the Jaccard
     (resemblance) and containment detectors."""
-    grams = df.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
+    # Pin the gram ARRAYS before exploding: Catalyst collapses the HOF
+    # projection into the Generate input, and an interpreted higher-order
+    # function inside a Generate stage pays per-OUTPUT-row evaluation —
+    # measured 24× slower than exploding a materialized array (3.6s vs
+    # 0.15s for 260k postings at sf0.1; an exchange doesn't help because
+    # the projection collapses straight through it). The checkpoint also
+    # serves the sizes leg and both sides of the self-join, so the n-gram
+    # build runs exactly once.
+    grams = df.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("g")
+    ).localCheckpoint(eager=False)
     sizes = grams.select(id_col, F.size("g").alias("sz"))
     inv = grams.select(id_col, F.explode("g").alias("gram"))
     if max_gram_df is not None:
-        from pyspark.sql import Window
-
-        wg = Window.partitionBy("gram")
-        inv = (
-            inv.withColumn("__df", F.count(F.lit(1)).over(wg))
-            .filter(F.col("__df") <= max_gram_df)
-            .drop("__df")
+        # Stop-gram cutoff as aggregate + broadcast anti-join, not a window:
+        # the hot-gram list is tiny by construction (≤ |postings|/max_gram_df
+        # grams can exceed the cutoff), so the partial-aggregated count +
+        # map-side anti-join replaces a full posting-list shuffle.
+        hot = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("gram")
         )
+        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -773,15 +786,21 @@ def ngram_contamination(
     (id_col, shared_grams [distinct gram×eval hits], n_eval_docs,
     first_eval_id) — join back onto the corpus to drop or quarantine.
     """
+    # Pin the gram arrays before exploding (interpreted-HOF-in-Generate
+    # penalty — see _ngram_shared_counts). The corpus side is the one that
+    # matters at 100 TB; the eval side is small but gets the same shape.
     eval_grams = (
         evalset.select(
-            F.col(id_col).alias("eval_id"),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
+            F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("g")
         )
+        .localCheckpoint(eager=False)
+        .select("eval_id", F.explode("g").alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    corpus_grams = (
+        corpus.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
+        .localCheckpoint(eager=False)
+        .select(id_col, F.explode("g").alias("gram"))
     )
     return (
         corpus_grams.join(F.broadcast(eval_grams), "gram")
@@ -946,24 +965,25 @@ def _window_grams(
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), cnt - F.lit(n))
-    return (
-        df.filter(cnt >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.substring(
-                            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16
-                        ).alias("gram_key"),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_key").alias("gram_key"))
-    )
+    # Build the window-struct ARRAY in its own pinned stage, then explode:
+    # an interpreted HOF collapsed into a Generate input pays per-OUTPUT-row
+    # evaluation (see _ngram_shared_counts — measured 24× on the same
+    # shape, and this transform also re-runs md5 per window).
+    arrays = df.filter(cnt >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16
+                ).alias("gram_key"),
+            ),
+        ).alias("ws"),
+    ).localCheckpoint(eager=False)
+    return arrays.select(
+        "doc_id", F.explode("ws").alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_key").alias("gram_key"))
 
 
 def winnow(
