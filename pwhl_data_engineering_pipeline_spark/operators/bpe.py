@@ -54,15 +54,24 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     return (
         df.select(F.explode(text.tokens(text_col)).alias("word"))
+        # Java split yields a leading "" element for tab/newline-leading
+        # text (trim strips spaces only) — an empty "word" would otherwise
+        # reach _chars as ['',''] (sequence(1,0) runs DESCENDING) and train
+        # garbage ('','') merges that no real word can ever use.
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
 
 
 def _chars(col: Column) -> Column:
-    """word → array of single-character symbols (JVM, no Python)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)), lambda i: F.substr(col, i, F.lit(1))
+    """word → array of single-character symbols (JVM, no Python). Guarded
+    for the empty string: sequence(1, 0) is a descending [1, 0] in Spark,
+    not an empty array."""
+    return F.when(F.length(col) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)), lambda i: F.substr(col, i, F.lit(1))
+        )
     )
 
 
@@ -181,10 +190,18 @@ def bpe_encode(
     The merge table broadcasts in the UDF closure (num_merges entries —
     bytes, not data). Per-batch distinct-word cache: Python cost scales
     with word types per batch, not token count. Word boundaries use the
-    same whitespace split as ``text.tokens`` (str.split() ≡ trim +
-    split(\\s+) for the executor side).
+    same ASCII-whitespace split as the Spark-side training tokenization
+    (Java ``\\s+``) — NOT Python's ``str.split()``, which also breaks on
+    Unicode whitespace and would segment differently than training did.
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # Mirror the TRAINING tokenization exactly: Spark splits on Java \s+
+    # (ASCII whitespace only), while Python str.split() also breaks on
+    # Unicode whitespace (NBSP, U+2028, ...) — a word like 'foo\xa0bar'
+    # must stay ONE word at encode time because it trained as one.
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf(ArrayType(StringType()))
     def _encode(texts: pd.Series) -> pd.Series:
@@ -194,7 +211,9 @@ def bpe_encode(
             if t is None:
                 return []
             out: list[str] = []
-            for w in str(t).split():
+            for w in _ws.split(str(t)):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

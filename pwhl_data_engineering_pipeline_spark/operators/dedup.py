@@ -227,17 +227,25 @@ def minhash_buckets(
 
 def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
     """Drop degenerate (band, band_hash) buckets BEFORE any join/agg — the
-    standard hot-bucket guard (window count over the join partitioning)."""
+    standard hot-bucket guard.
+
+    Shape: partial-aggregated bucket counts → the (tiny, ≤ |rows|/max_bucket)
+    over-cap list → broadcast anti-join. No full shuffle of the bucket rows
+    themselves — a window count over (band, band_hash) would shuffle the
+    ENTIRE frame just to drop a handful of buckets, which is exactly wrong
+    when the frame is a persisted 100 TB-corpus index probed per batch.
+    (pairs_from_buckets keeps its window form deliberately: there the
+    following groupBy shuffles on the same keys anyway, so its window rides
+    a shuffle that must happen regardless.)"""
     if max_bucket is None:
         return buckets
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("band", "band_hash")
-    return (
-        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+    hot = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("band", "band_hash")
     )
+    return buckets.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
 
 
 def minhash_index_write(
@@ -341,15 +349,20 @@ def dedup_minhash_incremental(
     corpus-scale incremental dedup; run the batch variant when bodies are
     cheap to re-read.
 
-    The batch's bucket frame is computed once (lazy localCheckpoint) and
-    reused three ways — cross pairs, within pairs, and the survivor append
-    (filtered to survivor ids) — so the shingle+signature stage never
-    re-runs, and the returned ``survivors`` frame is likewise checkpointed
-    so the caller's first action does not replay the probe chain."""
-    nb = _cap_buckets(
-        minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
-        max_bucket,
+    The batch's UNCAPPED bucket frame is computed once (lazy
+    localCheckpoint) and reused three ways — cross pairs, within pairs
+    (both via a capped view), and the survivor append — so the
+    shingle+signature stage never re-runs, and the returned ``survivors``
+    frame is likewise checkpointed so the caller's first action does not
+    replay the probe chain. The append re-applies the cap over the
+    SURVIVOR subset, not the batch: a bucket hot in the batch can be
+    under-cap among survivors (the duplicates that made it hot were
+    dropped), and those survivor rows must still be indexed or tomorrow's
+    copies of them sail through."""
+    nb0 = minhash_buckets(
+        new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl
     ).localCheckpoint(eager=False)
+    nb = _cap_buckets(nb0, max_bucket)
     cross, within = minhash_incremental_pairs(
         spark, new_docs, index_path, text_col, id_col,
         num_hashes, num_bands, shingle_k, seed, impl, max_bucket,
@@ -370,13 +383,14 @@ def dedup_minhash_incremental(
     )
     survivors = no_corpus_dup.join(losers, id_col, "left_anti").localCheckpoint(eager=False)
     if append_survivors:
-        # Reuse the batch's already-computed bucket rows instead of
-        # re-hashing survivor text through minhash_index_write: survivors
-        # are a subset of the batch, so a left_semi on their ids selects
-        # exactly their (id, band, band_hash) rows. Write-time cap
-        # semantics are preserved (nb was capped above).
-        nb.join(
-            survivors.select(id_col), id_col, "left_semi"
+        # Reuse the batch's already-computed (uncapped) bucket rows instead
+        # of re-hashing survivor text: survivors are a subset of the batch,
+        # so a left_semi on their ids selects exactly their
+        # (id, band, band_hash) rows. The write-time cap is then applied
+        # over the SURVIVOR rows — matching what minhash_index_write(
+        # survivors) would compute, without the second signature pass.
+        _cap_buckets(
+            nb0.join(survivors.select(id_col), id_col, "left_semi"), max_bucket
         ).write.mode("append").partitionBy("band").parquet(index_path)
     return survivors
 
@@ -699,12 +713,14 @@ def _ngram_shared_counts(
     # function inside a Generate stage pays per-OUTPUT-row evaluation —
     # measured 24× slower than exploding a materialized array (3.6s vs
     # 0.15s for 260k postings at sf0.1; an exchange doesn't help because
-    # the projection collapses straight through it). The checkpoint also
-    # serves the sizes leg and both sides of the self-join, so the n-gram
-    # build runs exactly once.
+    # the projection collapses straight through it). persist(), not
+    # localCheckpoint: the cache is corpus-sized, and persist keeps lineage
+    # so an executor loss recomputes partitions instead of failing the job.
+    # The pin also serves the sizes leg and both sides of the self-join, so
+    # the n-gram build runs exactly once.
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("g")
-    ).localCheckpoint(eager=False)
+    ).persist()
     sizes = grams.select(id_col, F.size("g").alias("sz"))
     inv = grams.select(id_col, F.explode("g").alias("gram"))
     if max_gram_df is not None:
@@ -787,19 +803,21 @@ def ngram_contamination(
     first_eval_id) — join back onto the corpus to drop or quarantine.
     """
     # Pin the gram arrays before exploding (interpreted-HOF-in-Generate
-    # penalty — see _ngram_shared_counts). The corpus side is the one that
-    # matters at 100 TB; the eval side is small but gets the same shape.
+    # penalty — see _ngram_shared_counts; persist keeps lineage so the
+    # corpus-sized cache stays fault-tolerant). The corpus side is the one
+    # that matters at 100 TB; the eval side is small but gets the same
+    # shape.
     eval_grams = (
         evalset.select(
             F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("g")
         )
-        .localCheckpoint(eager=False)
+        .persist()
         .select("eval_id", F.explode("g").alias("gram"))
         .distinct()
     )
     corpus_grams = (
         corpus.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
-        .localCheckpoint(eager=False)
+        .persist()
         .select(id_col, F.explode("g").alias("gram"))
     )
     return (
@@ -980,7 +998,7 @@ def _window_grams(
                 ).alias("gram_key"),
             ),
         ).alias("ws"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     return arrays.select(
         "doc_id", F.explode("ws").alias("w")
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_key").alias("gram_key"))

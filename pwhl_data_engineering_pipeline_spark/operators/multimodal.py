@@ -433,7 +433,10 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int):
             elif f == 3:  # Average
                 for x in range(stride):
                     a = b[x - ch] if x >= ch else 0
-                    b[x] = (b[x] + ((a + prev[x]) >> 1)) & 0xFF
+                    # int() matters: prev[x] is np.uint8 and under NumPy 2
+                    # (NEP 50) a Python int + uint8 scalar stays uint8, so
+                    # the 9-bit sum would wrap before the shift.
+                    b[x] = (b[x] + ((a + int(prev[x])) >> 1)) & 0xFF
             elif f == 4:  # Paeth
                 for x in range(stride):
                     a = b[x - ch] if x >= ch else 0

@@ -167,6 +167,13 @@ def quarantine(
     """
     if not rules:
         raise ValueError("rules must be non-empty")
+    if "violations" in df.columns:
+        # Re-quarantining an already-labeled bad frame would silently
+        # clobber (good) or overwrite (bad) the historical labels.
+        raise ValueError(
+            "input already has a 'violations' column — rename it first "
+            "(e.g. withColumnRenamed) to keep prior labels"
+        )
     viol = F.array_compact(
         F.array(
             *[

@@ -143,3 +143,31 @@ def test_merge_fold_equals_scan(spark, words, a, b):
     }
     for i, w in enumerate(words):
         assert got[i] == scan_merge(list(w), a, b), (w, a, b)
+
+
+def test_no_empty_word_from_tab_leading_text(spark):
+    """Tab/newline-leading text must not inject a '' word (Java split yields
+    a leading empty element; sequence(1,0) is DESCENDING so _chars('')
+    would be ['','']) — and training must never learn a ('','') merge."""
+    docs = spark.createDataFrame(
+        [(0, "\tlow low"), (1, "low\nlow"), (2, " low low ")],
+        "doc_id long, text string",
+    )
+    wc = {r["word"]: r["count"] for r in bpe.word_counts(docs).collect()}
+    assert wc == {"low": 6}
+    merges = bpe.bpe_train(bpe.word_counts(docs), num_merges=5)
+    assert all(a and b for a, b in merges)
+    ref = ref_train({"low": 6}, 5)
+    assert merges == ref
+
+
+def test_encode_ascii_whitespace_parity(spark):
+    """Encode must split on ASCII whitespace only (Java \\s+ parity): a word
+    containing NBSP trained as ONE word and must encode as one."""
+    docs = spark.createDataFrame([(0, "foo bar foo bar")], "doc_id long, text string")
+    wc = {r["word"]: r["count"] for r in bpe.word_counts(docs).collect()}
+    assert wc == {"foo bar": 2}
+    merges = bpe.bpe_train(bpe.word_counts(docs), num_merges=6)
+    out = bpe.bpe_encode(docs, merges).collect()[0]["bpe_tokens"]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert out == 2 * bpe.encode_word("foo bar", ranks)

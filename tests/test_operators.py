@@ -733,3 +733,36 @@ def test_distributed_percentiles_null_group(spark):
     for g in ("a", "b", None):
         for p, expect in zip([0.5, 0.9], ref[g]):
             assert got[(g, p)] == pytest.approx(expect, rel=1e-12), (g, p)
+
+
+def test_minhash_incremental_append_equals_index_write_of_survivors(spark, tmp_path):
+    """The survivor-append optimization (reusing batch buckets) must write
+    EXACTLY what minhash_index_write(survivors) would: capped over the
+    survivor rows, not the batch rows — a bucket hot in the batch can be
+    under-cap among survivors and must still be indexed."""
+    idx = str(tmp_path / "mh_idx_eq")
+    base = spark.createDataFrame(
+        [(1, "seed corpus document about parquet file compaction strategies", "en")],
+        "doc_id long, text string, lang string",
+    )
+    dedup.minhash_index_write(base, idx, max_bucket=4)
+    before = {tuple(r) for r in spark.read.parquet(idx).collect()}
+    batch = spark.createDataFrame(
+        [(10 + i, f"novel text number {i} on watermark state store sizing", "en") for i in range(6)]
+        + [(50, "seed corpus document about parquet file compaction strategies!", "en")],
+        "doc_id long, text string, lang string",
+    )
+    survivors = dedup.dedup_minhash_incremental(spark, batch, idx, max_bucket=4)
+    after = {tuple(r) for r in spark.read.parquet(idx).collect()}
+    appended = after - before
+    expected_df = dedup._cap_buckets(
+        dedup.minhash_buckets(survivors, "text", "doc_id"), 4
+    ).select("doc_id", "band", "band_hash")
+    expected = {tuple(r) for r in expected_df.collect()}
+    # parquet partitioning reorders columns; compare as (id, band, hash) sets
+    cols = spark.read.parquet(idx).columns
+    appended_norm = {
+        (dict(zip(cols, r))["doc_id"], dict(zip(cols, r))["band"], dict(zip(cols, r))["band_hash"])
+        for r in appended
+    }
+    assert appended_norm == expected

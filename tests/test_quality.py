@@ -102,3 +102,13 @@ def test_quarantine_routes_and_labels(spark):
 
     with pytest.raises(ValueError):
         quarantine(df, {})
+
+
+def test_quarantine_rejects_existing_violations_column(spark):
+    from pwhl_data_engineering_pipeline_spark.quality import quarantine
+
+    df = spark.createDataFrame([(1, ["old"])], "id long, violations array<string>")
+    import pytest
+
+    with pytest.raises(ValueError, match="violations"):
+        quarantine(df, {"pos": F.col("id") > 0})
