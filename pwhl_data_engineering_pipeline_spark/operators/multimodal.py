@@ -200,7 +200,90 @@ def parse_bmp(blob: bytes) -> dict | None:
     }
 
 
-_PARSERS = (parse_png, parse_gif, parse_jpeg, parse_wav, parse_bmp)
+def parse_avi(blob: bytes) -> dict | None:
+    """AVI (RIFF) main header: walk chunks to 'avih' — width/height are
+    u32s at field offsets 32/36, duration = dwTotalFrames ×
+    dwMicroSecPerFrame."""
+    import struct
+
+    if not blob or len(blob) < 24 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    i, n = 12, len(blob)
+    while i + 8 <= n:
+        cid, sz = struct.unpack_from("<4sI", blob, i)
+        if cid == b"LIST":
+            i += 12  # descend into the list (subtype occupies the first 4)
+            continue
+        if cid == b"avih" and i + 8 + 40 <= n:
+            fields = struct.unpack_from("<10I", blob, i + 8)
+            usec_pf, total_frames = fields[0], fields[4]
+            width, height = fields[8], fields[9]
+            dur = (total_frames * usec_pf) // 1000 if usec_pf else None
+            return {
+                "format": "avi", "media_type": "video",
+                "width": width, "height": height, "duration_ms": dur,
+            }
+        i += 8 + sz + (sz & 1)
+    return None
+
+
+def parse_mp4(blob: bytes) -> dict | None:
+    """MP4/ISO-BMFF: box walk — duration from moov/mvhd (v0 or v1),
+    width/height from the first trak/tkhd with a nonzero size (16.16
+    fixed-point)."""
+    import struct
+
+    if not blob or len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, out: dict):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack_from(">I", blob, i)
+            btype = blob[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", blob, i + 8)
+                hdr = 16
+            elif size == 0:
+                size = hi - i
+            if size < hdr or i + size > hi:
+                return
+            body = i + hdr
+            if btype in (b"moov", b"trak"):
+                walk(body, i + size, out)
+            elif btype == b"mvhd" and "duration_ms" not in out and size >= hdr + 20:
+                ver = blob[body]
+                if ver == 1 and size >= hdr + 28:
+                    ts, dur = struct.unpack_from(">IQ", blob, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", blob, body + 12)
+                if ts:
+                    out["duration_ms"] = (dur * 1000) // ts
+            elif btype == b"tkhd" and "width" not in out and size >= hdr + 84:
+                ver = blob[body]
+                off = body + (96 if ver == 1 else 84) - 8
+                if off + 8 <= i + size:
+                    w_fx, h_fx = struct.unpack_from(">II", blob, off)
+                    if w_fx and h_fx:
+                        out["width"] = w_fx >> 16
+                        out["height"] = h_fx >> 16
+            i += size
+
+    out: dict = {}
+    walk(0, len(blob), out)
+    if not out:
+        return None
+    return {
+        "format": "mp4", "media_type": "video",
+        "width": out.get("width"), "height": out.get("height"),
+        "duration_ms": out.get("duration_ms"),
+    }
+
+
+_PARSERS = (parse_png, parse_gif, parse_jpeg, parse_wav, parse_avi, parse_mp4, parse_bmp)
 
 
 def parse_media_header(blob: bytes) -> dict:
@@ -570,19 +653,23 @@ def decode_wav_samples(blob: bytes):
 
 
 def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
-    """REAL feature extraction for the formats stdlib can fully decode:
+    """REAL feature extraction — every image/audio container this engine
+    names now decodes for real, pure stdlib+numpy:
 
-    - 24-bit BMP and GIF (incl. the LZW decompression) → [1, width, height,
+    - 24-bit BMP, GIF (incl. LZW), PNG (incl. zlib inflate + unfilters),
+      baseline JPEG (incl. huffman + IDCT + YCbCr) → [1, width, height,
       mean R, mean G, mean B, std R/G/B, overall brightness] (means scaled
       to [0,1])
     - 16-bit PCM WAV → [2, n_samples, channels, sample_rate, RMS, peak,
       zero-crossing rate] (amplitudes scaled to [-1,1])
-    - anything else (remaining compressed codecs need external libs) → the
-      deterministic hash fake, tagged [0, ...].
+    - unrecognized bytes → a deterministic hash vector tagged [0, ...]
+      (progressive/arithmetic JPEG and exotic variants land here).
 
     Padded/truncated to ``dim``. The leading tag makes the source of each
     vector auditable downstream."""
     import numpy as np
+
+    from .jpeg import decode_jpeg_pixels
 
     img = decode_bmp_pixels(blob)
     if img is None:
@@ -590,6 +677,8 @@ def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
     if img is None:
         png = decode_png_pixels(blob)
         img = _to_rgb(png) if png is not None else None
+    if img is None:
+        img = decode_jpeg_pixels(blob)
     if img is not None:
         px = img.astype(np.float64) / 255.0
         feats = [

@@ -1,0 +1,359 @@
+"""Baseline JPEG decoder (operators.jpeg): round-trip against a test-side
+encoder (generic DHT/DQT serialization, canonical huffman, FF-stuffing,
+restart markers), plus hand-constructed DC-only and single-AC streams so
+encoder and decoder cannot share a cancelling basis bug."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from pwhl_data_engineering_pipeline_spark.operators import jpeg as J
+
+
+# ---- test-side encoder ----------------------------------------------------
+
+# simple spec-valid huffman layout: 12 DC categories at code length 4,
+# all 162 AC (run,size) symbols (plus EOB/ZRL) at code length 8
+DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_SYMS = list(range(12))
+AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+AC_COUNTS = [0] * 16
+AC_COUNTS[7] = len(AC_SYMS)
+
+
+def canonical_codes(counts, syms):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+DC_CODES = canonical_codes(DC_COUNTS, DC_SYMS)
+AC_CODES = canonical_codes(AC_COUNTS, AC_SYMS)
+
+
+def dct_basis():
+    C = np.zeros((8, 8))
+    for k in range(8):
+        a = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            C[k, n] = a * math.cos((2 * n + 1) * k * math.pi / 16)
+    return C
+
+
+class BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def pad(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def category(v):
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def value_bits(v, t):
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def encode_block(bw: BitWriter, coeffs_zz, pred):
+    dc = int(coeffs_zz[0])
+    diff = dc - pred
+    t = category(diff)
+    ln, code = DC_CODES[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(value_bits(diff, t), t)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and coeffs_zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            ln, code = AC_CODES[0x00]
+            bw.put(code, ln)
+            return dc
+        while run >= 16:
+            ln, code = AC_CODES[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        v = int(coeffs_zz[k])
+        t = category(v)
+        ln, code = AC_CODES[(run << 4) | t]
+        bw.put(code, ln)
+        bw.put(value_bits(v, t), t)
+        k += 1
+    return dc
+
+
+def seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def dht_payload(tc, th, counts, syms):
+    return bytes([(tc << 4) | th] + counts + syms)
+
+
+def encode_jpeg(img, q=1, subsample=False, restart=0):
+    """img: (h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
+    C = dct_basis()
+    qtab = np.full(64, q, dtype=np.int32)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+        if subsample:
+            # 2x2 average chroma
+            def sub(p):
+                ph = p[: (h // 2) * 2, : (w // 2) * 2] if h % 2 == 0 and w % 2 == 0 else None
+                assert ph is not None, "use even dims for 4:2:0 tests"
+                return ph.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+            planes = [y - 128.0, sub(cb) - 128.0, sub(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        th_, tw_ = mcus_y * vs * 8, mcus_x * hs * 8
+        pp = np.zeros((th_, tw_))
+        pp[: p.shape[0], : p.shape[1]] = p
+        # replicate edges so padding doesn't ring
+        pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(pp)
+
+    bw = BitWriter()
+    preds = [0] * len(planes)
+    zz = np.array(J._ZIGZAG)
+    chunks = []
+    mcu_count = 0
+    rst_id = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.pad()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes([0xFF, 0xD0 + rst_id]))
+                rst_id = (rst_id + 1) % 8
+                bw = BitWriter()
+                preds = [0] * len(planes)
+            for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8]
+                        F = C @ blk @ C.T
+                        Q = np.round(F / qtab.reshape(8, 8)).astype(np.int64)
+                        preds[ci] = encode_block(bw, Q.flatten()[zz], preds[ci])
+            mcu_count += 1
+    bw.pad()
+    chunks.append(bytes(bw.out))
+    data = b"".join(chunks)
+
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(qtab.flatten()[zz].astype(np.uint8)))
+    out += seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+    out += seg(0xC4, dht_payload(1, 0, AC_COUNTS, AC_SYMS))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += seg(0xC0, sof)
+    out += seg(0xDA, sos)
+    out += data + b"\xff\xd9"
+    return out
+
+
+# ---- tests ----------------------------------------------------------------
+
+
+def test_solid_gray_exact():
+    for g in (0, 52, 128, 130, 255):
+        img = np.full((8, 8), g, dtype=np.uint8)
+        got = J.decode_jpeg_pixels(encode_jpeg(img, q=1))
+        assert got is not None and got.shape == (8, 8, 3)
+        assert int(got.max()) - int(got.min()) == 0
+        assert abs(int(got[0, 0, 0]) - g) <= 1
+
+
+def test_hand_built_dc_only_stream():
+    """Fully hand-constructed minimal grayscale JPEG (no encoder): one 8x8
+    block, q=1, DC=16 (gray 130). Pins marker parsing, canonical huffman,
+    category/extend, and the DC basis — independent of the encoder."""
+    zz = np.array(J._ZIGZAG)
+    q = np.ones(64, dtype=np.uint8)
+    bw = BitWriter()
+    ln, code = DC_CODES[5]  # DC diff 16 → category 5
+    bw.put(code, ln)
+    bw.put(16, 5)  # positive value: bits == value
+    ln, code = AC_CODES[0x00]  # EOB
+    bw.put(code, ln)
+    bw.pad()
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(q))
+        + seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+        + seg(0xC4, dht_payload(1, 0, AC_COUNTS, AC_SYMS))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    got = J.decode_jpeg_pixels(blob)
+    assert got is not None
+    # DC-only block: constant plane at round(16/8 + 128) = 130
+    assert (got == 130).all()
+
+
+def test_single_ac_coefficient_matches_formula():
+    """A lone AC coefficient must reconstruct the DCT basis function —
+    computed here from the textbook formula, not the decoder's matrix."""
+    bw = BitWriter()
+    ln, code = DC_CODES[0]
+    bw.put(code, ln)  # DC diff 0
+    # zigzag index 1 = (u,v)=(0,1): run 0, value 40 (category 6)
+    ln, code = AC_CODES[(0 << 4) | 6]
+    bw.put(code, ln)
+    bw.put(40, 6)
+    ln, code = AC_CODES[0x00]
+    bw.put(code, ln)
+    bw.pad()
+    q = np.ones(64, dtype=np.uint8)
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(q))
+        + seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+        + seg(0xC4, dht_payload(1, 0, AC_COUNTS, AC_SYMS))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    got = J.decode_jpeg_pixels(blob)
+    assert got is not None
+    expect = np.empty((8, 8))
+    for yy in range(8):
+        for xx in range(8):
+            expect[yy, xx] = (
+                40.0
+                * math.sqrt(2 / 8)
+                * math.sqrt(1 / 8)
+                * math.cos((2 * xx + 1) * 1 * math.pi / 16)
+            ) + 128.0
+    expect = np.clip(expect + 0.5, 0, 255).astype(np.uint8)
+    assert (np.abs(got[..., 0].astype(int) - expect.astype(int)) <= 1).all()
+
+
+def _gradient(h, w, color=False):
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = (40 + (160.0 * (yy + xx) / (h + w))).astype(np.uint8)
+    if not color:
+        return g
+    r = g
+    gg = (255 - g).astype(np.uint8)
+    b = np.full_like(g, 90)
+    return np.stack([r, gg, b], axis=2)
+
+
+def test_roundtrip_gray_multiblock():
+    img = _gradient(24, 40)
+    got = J.decode_jpeg_pixels(encode_jpeg(img, q=1))
+    assert got is not None and got.shape == (24, 40, 3)
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_roundtrip_color_444():
+    img = _gradient(16, 24, color=True)
+    got = J.decode_jpeg_pixels(encode_jpeg(img, q=1))
+    assert got is not None and got.shape == (16, 24, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_roundtrip_color_420_subsampled():
+    img = _gradient(32, 32, color=True)
+    got = J.decode_jpeg_pixels(encode_jpeg(img, q=1, subsample=True))
+    assert got is not None and got.shape == (32, 32, 3)
+    # replication-upsample vs averaged subsample on a smooth gradient
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+    assert np.abs(got.astype(int) - img.astype(int)).mean() <= 2.5
+
+
+def test_roundtrip_with_restart_markers():
+    img = _gradient(16, 48)
+    blob = encode_jpeg(img, q=1, restart=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    got = J.decode_jpeg_pixels(blob)
+    assert got is not None
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_lossy_quant_still_close():
+    img = _gradient(24, 24)
+    got = J.decode_jpeg_pixels(encode_jpeg(img, q=8))
+    assert got is not None
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).mean() <= 4
+
+
+def test_rejects_progressive_truncated_garbage():
+    img = _gradient(8, 8)
+    blob = encode_jpeg(img)
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert J.decode_jpeg_pixels(prog) is None
+    assert J.decode_jpeg_pixels(blob[:20]) is None
+    assert J.decode_jpeg_pixels(b"") is None
+    assert J.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_stdlib_features_jpeg_tagged_as_image():
+    from pwhl_data_engineering_pipeline_spark.operators import multimodal as mm
+
+    img = np.full((8, 16), 130, dtype=np.uint8)
+    feats = mm.stdlib_media_features(encode_jpeg(img, q=1), dim=16)
+    assert feats[0] == 1.0 and feats[1] == 16.0 and feats[2] == 8.0
+    assert abs(feats[3] - 130 / 255) < 0.01

@@ -486,3 +486,67 @@ def test_png_adam7_interlaced_roundtrip():
         img = mm.decode_png_pixels(_png_adam7(arr, [0, 1, 2, 3, 4]))
         assert img is not None, (w, h, ch)
         assert (img == arr).all(), (w, h, ch)
+
+
+# -- video containers (AVI / MP4 headers) -----------------------------------
+
+
+def _avi(width, height, total_frames, usec_pf):
+    avih = struct.pack(
+        "<10I", usec_pf, 0, 0, 0, total_frames, 0, 1, 0, width, height
+    ) + b"\x00" * 16  # avih is 56 bytes; trailing reserved
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
+
+
+def _box(btype, payload):
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(width, height, timescale, duration, v1=False):
+    if v1:
+        mvhd = _box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                    + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+        tkhd = _box(b"tkhd", b"\x01\x00\x00\x00" + b"\x00" * 84
+                    + struct.pack(">II", width << 16, height << 16))
+    else:
+        mvhd = _box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                    + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+        tkhd = _box(b"tkhd", b"\x00\x00\x00\x00" + b"\x00" * 72
+                    + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_parse_avi_header():
+    m = mm.parse_media_header(_avi(640, 480, 250, 40000))  # 25fps, 10s
+    assert (m["format"], m["media_type"]) == ("avi", "video")
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 480, 10000)
+
+
+def test_parse_mp4_header_v0_and_v1():
+    m = mm.parse_media_header(_mp4(1920, 1080, 600, 6000))  # 10s @ ts 600
+    assert (m["format"], m["media_type"]) == ("mp4", "video")
+    assert (m["width"], m["height"], m["duration_ms"]) == (1920, 1080, 10000)
+    m1 = mm.parse_media_header(_mp4(320, 240, 90000, 90000 * 3, v1=True))
+    assert (m1["width"], m1["height"], m1["duration_ms"]) == (320, 240, 3000)
+
+
+def test_parse_video_garbage():
+    assert mm.parse_media_header(b"RIFF\x00\x00\x00\x00AVI ")["format"] == "bin"
+    assert mm.parse_media_header(b"\x00\x00\x00\x08ftypisom"[:6])["format"] == "bin"
+    # WAV must still win over AVI on RIFF disambiguation
+    assert mm.parse_media_header(_wav(8000, 16000, b"\x00" * 64))["format"] == "wav"
+
+
+def test_decode_meta_video(spark):
+    df = spark.createDataFrame(
+        [(1, _avi(320, 200, 100, 33333)), (2, _mp4(640, 360, 1000, 2500))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["meta"].asDict() for r in mm.decode_meta(df).collect()}
+    assert (got[1]["media_type"], got[1]["width"], got[1]["duration_ms"]) == ("video", 320, 3333)
+    assert (got[2]["format"], got[2]["height"], got[2]["duration_ms"]) == ("mp4", 360, 2500)
