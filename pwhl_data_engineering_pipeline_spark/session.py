@@ -70,6 +70,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM IS the executor; Spark's 1g default
+        # heap starves 32 concurrent task slots (GC thrash, OOM on wide
+        # shuffles). Only honored at JVM launch — the first session in the
+        # process decides. Override with SPARK_GRAFT_DRIVER_MEM.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
