@@ -1,0 +1,203 @@
+"""Snapshot-versioned parquet tables: time travel, rollback, vacuum.
+
+A minimal transactional-table mechanism (the Iceberg/Delta idea distilled
+to its core) the reference's warehouse layer lacks entirely — its loads
+truncate-and-replace (scripts/load_to_bq.py:99-102) with no history:
+
+- every write lands in an IMMUTABLE uniquely-named data directory;
+- a numbered JSON manifest lists the data directories visible at that
+  version (append = previous list + new dir, overwrite = new dir only);
+- a CURRENT pointer names the latest version and is written LAST, via
+  temp-file + rename.
+
+Crash safety: a writer dying before CURRENT flips leaves an orphan data
+dir and possibly an orphan manifest — both unreferenced, both invisible
+to readers, both reclaimed by ``vacuum``. Readers never see a partial
+write. Concurrency: single writer by design (rename-based CURRENT gives
+last-writer-wins on real HDFS; object stores without atomic rename need a
+real table format — documented, not hidden).
+
+All metadata IO goes through the Hadoop FileSystem API (via the JVM
+gateway), so the store works on any filesystem Spark can reach — local,
+HDFS, S3A — not just the driver's local disk. Data IO is plain
+``spark.read/write.parquet`` on the manifest's directories, so scans keep
+pushdown/pruning and scale like any parquet read.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    fs, hpath, jvm = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def _meta_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/_snapshots"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{_meta_dir(path)}/v{version:08d}.json"
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """Latest committed version, or None for a fresh path."""
+    txt = _read_text(spark, f"{_meta_dir(path)}/CURRENT")
+    return int(txt.strip()) if txt else None
+
+
+def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    txt = _read_text(spark, _manifest_path(path, version))
+    if txt is None:
+        raise FileNotFoundError(f"no snapshot v{version} at {path}")
+    return json.loads(txt)
+
+
+def _commit(spark, path, dirs, op, parent: int | None, schema_json: str) -> int:
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "dirs": dirs,
+        "schema": schema_json,
+        "committed_at": time.time(),
+    }
+    _write_text(spark, _manifest_path(path, version), json.dumps(manifest))
+    # CURRENT flips last, via temp + rename (atomic on HDFS/local)
+    cur = f"{_meta_dir(path)}/CURRENT"
+    tmp = f"{_meta_dir(path)}/.CURRENT.{uuid.uuid4().hex}"
+    _write_text(spark, tmp, str(version))
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(cur), False)
+    if not fs.rename(P(tmp), P(cur)):
+        raise IOError(f"CURRENT pointer rename failed at {path}")
+    return version
+
+
+def _write_data(df: DataFrame, path: str) -> str:
+    d = uuid.uuid4().hex
+    df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/data/{d}")
+    return d
+
+
+def snapshot_append(df: DataFrame, path: str) -> int:
+    """Append ``df`` as a new snapshot (previous data stays visible).
+    Returns the committed version."""
+    spark = df.sparkSession
+    parent = current_version(spark, path)
+    dirs = list(read_manifest(spark, path, parent)["dirs"]) if parent else []
+    dirs.append(_write_data(df, path))
+    return _commit(spark, path, dirs, "append", parent, df.schema.json())
+
+
+def snapshot_overwrite(df: DataFrame, path: str) -> int:
+    """Replace the table contents in a new snapshot (history retained —
+    the reference's truncate-reload, but reversible)."""
+    spark = df.sparkSession
+    parent = current_version(spark, path)
+    return _commit(
+        spark, path, [_write_data(df, path)], "overwrite", parent, df.schema.json()
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (default: CURRENT) — time travel is
+    just picking an older manifest. Plain parquet scan of the manifest's
+    directories: pushdown, pruning, and split sizing all apply."""
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    m = read_manifest(spark, path, version)
+    base = path.rstrip("/")
+    return spark.read.parquet(*[f"{base}/data/{d}" for d in m["dirs"]])
+
+
+def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
+    """Restore an old version AS A NEW SNAPSHOT (non-destructive: the bad
+    versions stay in history for forensics until vacuumed)."""
+    m = read_manifest(spark, path, version)
+    parent = current_version(spark, path)
+    return _commit(
+        spark, path, list(m["dirs"]), f"rollback:{version}", parent, m["schema"]
+    )
+
+
+def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
+    """All committed manifests ≤ CURRENT, oldest first."""
+    cur = current_version(spark, path)
+    if cur is None:
+        return []
+    out = []
+    for v in range(1, cur + 1):
+        try:
+            out.append(read_manifest(spark, path, v))
+        except FileNotFoundError:
+            continue  # vacuumed
+    return out
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
+    """Reclaim storage: keep the newest ``keep_last`` manifests, delete
+    older manifests and every data directory no kept manifest references
+    (this includes orphans from crashed writers). Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_version(spark, path)
+    if cur is None:
+        return {"manifests_deleted": 0, "dirs_deleted": 0}
+    keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+    referenced: set[str] = set()
+    for v in keep_versions:
+        try:
+            referenced.update(read_manifest(spark, path, v)["dirs"])
+        except FileNotFoundError:
+            continue
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    manifests_deleted = 0
+    for v in range(1, cur + 1):
+        if v not in keep_versions:
+            if fs.delete(P(_manifest_path(path, v)), False):
+                manifests_deleted += 1
+    dirs_deleted = 0
+    data_root = P(f"{base}/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            name = st.getPath().getName()
+            if name not in referenced:
+                if fs.delete(st.getPath(), True):
+                    dirs_deleted += 1
+    return {"manifests_deleted": manifests_deleted, "dirs_deleted": dirs_deleted}

@@ -1,0 +1,89 @@
+"""Snapshot-versioned tables (sources.snapshots): append/overwrite history,
+time travel, non-destructive rollback, crash-orphan invisibility, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 10).alias("v"))
+
+
+def test_append_overwrite_time_travel_rollback(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = S.snapshot_append(_df(spark, 0, 5), path)
+    v2 = S.snapshot_append(_df(spark, 5, 8), path)
+    v3 = S.snapshot_overwrite(_df(spark, 100, 102), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert S.current_version(spark, path) == 3
+    # time travel
+    assert S.read_snapshot(spark, path, 1).count() == 5
+    assert S.read_snapshot(spark, path, 2).count() == 8
+    assert sorted(
+        r["id"] for r in S.read_snapshot(spark, path).collect()
+    ) == [100, 101]
+    # rollback restores v2 as a NEW version; v3 stays in history
+    v4 = S.snapshot_rollback(spark, path, 2)
+    assert v4 == 4
+    assert S.read_snapshot(spark, path).count() == 8
+    ops = [m["op"] for m in S.snapshot_history(spark, path)]
+    assert ops == ["append", "append", "overwrite", "rollback:2"]
+    # appends still build on the rolled-back state
+    S.snapshot_append(_df(spark, 8, 10), path)
+    assert sorted(r["id"] for r in S.read_snapshot(spark, path).collect()) == list(range(10))
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    S.snapshot_append(_df(spark, 0, 4), path)
+    # simulate a crashed writer: data landed, manifest+CURRENT never did
+    _df(spark, 90, 95).write.parquet(f"{path}/data/orphandir")
+    assert S.read_snapshot(spark, path).count() == 4  # orphan invisible
+    got = S.vacuum(spark, path, keep_last=1)
+    assert got["dirs_deleted"] == 1  # the orphan
+    assert S.read_snapshot(spark, path).count() == 4  # table intact
+
+
+def test_vacuum_drops_old_versions(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    S.snapshot_overwrite(_df(spark, 0, 3), path)
+    S.snapshot_overwrite(_df(spark, 3, 9), path)
+    S.snapshot_overwrite(_df(spark, 9, 10), path)
+    got = S.vacuum(spark, path, keep_last=1)
+    assert got["manifests_deleted"] == 2 and got["dirs_deleted"] == 2
+    # current still reads; history collapsed to the kept tail
+    assert S.read_snapshot(spark, path).count() == 1
+    assert [m["version"] for m in S.snapshot_history(spark, path)] == [3]
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, path, 1)
+    with pytest.raises(ValueError):
+        S.vacuum(spark, path, keep_last=0)
+
+
+def test_fresh_path_errors(spark, tmp_path):
+    path = str(tmp_path / "none")
+    assert S.current_version(spark, path) is None
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot(spark, path)
+    assert S.snapshot_history(spark, path) == []
+    assert S.vacuum(spark, path) == {"manifests_deleted": 0, "dirs_deleted": 0}
+
+
+def test_schema_recorded_and_plan_is_plain_parquet(spark, tmp_path):
+    path = str(tmp_path / "tbl4")
+    S.snapshot_append(_df(spark, 0, 50), path)
+    m = S.read_manifest(spark, path, 1)
+    assert '"id"' in m["schema"] and '"v"' in m["schema"]
+    # reads stay plain parquet scans: filter pushdown survives
+    plan = (
+        S.read_snapshot(spark, path)
+        .filter(F.col("id") > 40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,40)]" in plan
