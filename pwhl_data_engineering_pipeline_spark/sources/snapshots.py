@@ -80,7 +80,10 @@ def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(txt)
 
 
-def _commit(spark, path, dirs, op, parent: int | None, schema_json: str) -> int:
+def _commit(
+    spark, path, dirs, op, parent: int | None, schema_json: str,
+    extra: dict | None = None,
+) -> int:
     version = (parent or 0) + 1
     manifest = {
         "version": version,
@@ -89,6 +92,7 @@ def _commit(spark, path, dirs, op, parent: int | None, schema_json: str) -> int:
         "dirs": dirs,
         "schema": schema_json,
         "committed_at": time.time(),
+        **(extra or {}),
     }
     _write_text(spark, _manifest_path(path, version), json.dumps(manifest))
     # CURRENT flips last, via temp + rename (atomic on HDFS/local)
@@ -201,3 +205,67 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
                 if fs.delete(st.getPath(), True):
                     dirs_deleted += 1
     return {"manifests_deleted": manifests_deleted, "dirs_deleted": dirs_deleted}
+
+
+def snapshot_merge(
+    updates: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Keyed upsert (MERGE): rows in ``updates`` replace same-key rows in
+    CURRENT; new keys append. Commits one new overwrite snapshot, so the
+    merge is atomic-to-readers and reversible via rollback.
+
+    Copy-on-write at table grain — the simple, always-correct form. At
+    100 TB restrict the rewrite by partitioning the table into several
+    snapshot stores (e.g. per day) and merging only touched partitions;
+    file-grain copy-on-write is a real table format's job.
+    """
+    spark = updates.sparkSession
+    cur = current_version(spark, path)
+    if cur is None:
+        return snapshot_overwrite(updates, path)
+    base = read_snapshot(spark, path, cur)
+    merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
+        updates
+    )
+    return snapshot_overwrite(merged, path)
+
+
+def streaming_snapshot_sink(stream_df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once streaming sink onto a snapshot table.
+
+    ``foreachBatch`` + the snapshot commit protocol: each micro-batch
+    appends one snapshot whose manifest records the epoch id. On restart
+    Spark may REPLAY the last batch (at-least-once delivery); the sink
+    checks committed epoch ids and skips duplicates, upgrading the store
+    to exactly-once — the same idempotent-commit trick transactional sinks
+    use, here made possible because commits are atomic manifest flips.
+
+    Returns the DataStreamWriter (caller starts it / uses availableNow).
+    """
+
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: commit_stream_batch(batch_df, epoch_id, path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def commit_stream_batch(batch_df: DataFrame, epoch_id: int, path: str) -> int | None:
+    """One micro-batch → one epoch-stamped append snapshot; a replayed
+    epoch id is a no-op (returns None). Exposed so the idempotence
+    contract is directly testable and usable from custom foreachBatch
+    bodies that do more than append."""
+    spark = batch_df.sparkSession
+    parent = current_version(spark, path)
+    if parent is not None:
+        for m in snapshot_history(spark, path):
+            if m.get("epoch_id") == epoch_id:
+                return None  # replayed batch: already committed, skip
+    dirs = list(read_manifest(spark, path, parent)["dirs"]) if parent else []
+    dirs.append(_write_data(batch_df, path))
+    return _commit(
+        spark, path, dirs, "stream-append", parent,
+        batch_df.schema.json(), extra={"epoch_id": epoch_id},
+    )

@@ -87,3 +87,46 @@ def test_schema_recorded_and_plan_is_plain_parquet(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,40)]" in plan
+
+
+def test_snapshot_merge_upserts(spark, tmp_path):
+    path = str(tmp_path / "tbl5")
+    S.snapshot_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"), path
+    )
+    S.snapshot_merge(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"), path, ["k"]
+    )
+    got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # merge on a fresh path degrades to a plain write
+    p2 = str(tmp_path / "tbl6")
+    S.snapshot_merge(spark.createDataFrame([(1, "x")], "k long, v string"), p2, ["k"])
+    assert S.read_snapshot(spark, p2).count() == 1
+    # atomic-to-readers: pre-merge version still readable
+    assert {r["k"] for r in S.read_snapshot(spark, path, 1).collect()} == {1, 2, 3}
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """availableNow micro-batches commit epoch-stamped snapshots; a
+    replayed epoch id (Spark's at-least-once foreachBatch redelivery) must
+    be a no-op — the exactly-once upgrade."""
+    src = str(tmp_path / "src")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    path = str(tmp_path / "sink_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    q = S.streaming_snapshot_sink(stream, path, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert S.read_snapshot(spark, path).count() == 10
+    hist = S.snapshot_history(spark, path)
+    assert all(m["op"] == "stream-append" for m in hist)
+    epoch = hist[-1]["epoch_id"]
+    before = S.current_version(spark, path)
+    # replay the SAME epoch directly against the commit protocol
+    assert S.commit_stream_batch(spark.read.parquet(src), epoch, path) is None
+    assert S.current_version(spark, path) == before  # duplicate skipped
+    assert S.read_snapshot(spark, path).count() == 10
+    # a NEW epoch commits normally
+    assert S.commit_stream_batch(spark.range(1).selectExpr("id", "id AS v"), epoch + 1, path) == before + 1
+    assert S.read_snapshot(spark, path).count() == 11
