@@ -148,9 +148,17 @@ def decode_jpeg_pixels(blob: bytes):
         while i + 4 <= n:
             if blob[i] != 0xFF:
                 return None
+            # spec-legal 0xFF fill bytes may pad before any marker
+            while i + 1 < n and blob[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             m = blob[i + 1]
             if m == 0xD9:  # EOI before SOS
                 return None
+            if 0xD0 <= m <= 0xD8 or m == 0x01:  # standalone markers: no length
+                i += 2
+                continue
             (seglen,) = struct.unpack_from(">H", blob, i + 2)
             seg = blob[i + 4 : i + 2 + seglen]
             if m == 0xDB:  # DQT
@@ -208,13 +216,18 @@ def decode_jpeg_pixels(blob: bytes):
                     restart_interval,
                 )
             i += 2 + seglen
-    except (struct.error, IndexError, KeyError):
+    except (struct.error, IndexError, KeyError, ValueError, ZeroDivisionError):
+        # the contract is None-on-corrupt, never a raised exception inside
+        # a Spark task: ValueError covers e.g. a truncated 16-bit DQT
+        # (frombuffer size mismatch), ZeroDivisionError a 0 sampling factor
         return None
     return None
 
 
 def _decode_scan(np, blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
+    if any(c[1] == 0 or c[2] == 0 for c in comps):
+        return None  # 0 sampling factor: corrupt SOF
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):

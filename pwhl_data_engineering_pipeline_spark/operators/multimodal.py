@@ -256,9 +256,17 @@ def parse_mp4(blob: bytes) -> dict | None:
                 walk(body, i + size, out)
             elif btype == b"mvhd" and "duration_ms" not in out and size >= hdr + 20:
                 ver = blob[body]
-                if ver == 1 and size >= hdr + 28:
-                    ts, dur = struct.unpack_from(">IQ", blob, body + 20)
-                else:
+                # v1 layout needs 32 body bytes before the u64 duration ends
+                # (4 ver/flags + 16 times + 4 timescale + 8 duration); a
+                # 28-byte guard would read the duration's low half from the
+                # NEXT box.
+                ts = dur = None
+                if ver == 1:
+                    if size >= hdr + 32:
+                        ts, dur = struct.unpack_from(">IQ", blob, body + 20)
+                    # truncated v1: skip — the v0 layout would misread the
+                    # 64-bit timestamps as timescale/duration
+                elif ver == 0:
                     ts, dur = struct.unpack_from(">II", blob, body + 12)
                 if ts:
                     out["duration_ms"] = (dur * 1000) // ts

@@ -70,7 +70,9 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    if master and master.startswith("local"):
+    if master and (master == "local" or master.startswith("local[")):
+        # NOT local-cluster[...]: there the executors are separate JVMs and
+        # the big-driver-heap rationale below does not hold.
         # In local mode the driver JVM IS the executor; Spark's 1g default
         # heap starves 32 concurrent task slots (GC thrash, OOM on wide
         # shuffles). Only honored at JVM launch — the first session in the

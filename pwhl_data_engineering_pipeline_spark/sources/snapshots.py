@@ -7,15 +7,20 @@ truncate-and-replace (scripts/load_to_bq.py:99-102) with no history:
 - every write lands in an IMMUTABLE uniquely-named data directory;
 - a numbered JSON manifest lists the data directories visible at that
   version (append = previous list + new dir, overwrite = new dir only);
-- a CURRENT pointer names the latest version and is written LAST, via
-  temp-file + rename.
+- THE COMMIT POINT IS THE MANIFEST RENAME: the manifest is written to a
+  temp name and renamed to ``v{n}.json``. Rename-to-a-new-path is atomic
+  on HDFS/local (no overwrite semantics needed), so readers see either
+  the whole manifest or none, and two racing writers of the same version
+  conflict explicitly — the loser's rename fails. The current version is
+  simply the highest committed manifest in one directory listing; there
+  is no mutable pointer file to race on.
 
-Crash safety: a writer dying before CURRENT flips leaves an orphan data
-dir and possibly an orphan manifest — both unreferenced, both invisible
-to readers, both reclaimed by ``vacuum``. Readers never see a partial
-write. Concurrency: single writer by design (rename-based CURRENT gives
-last-writer-wins on real HDFS; object stores without atomic rename need a
-real table format — documented, not hidden).
+Crash safety: a writer dying before the rename leaves an orphan data dir
+and possibly a ``.tmp`` manifest — both invisible to readers, both
+reclaimed by ``vacuum`` (age-gated so an in-flight writer's directory is
+never swept mid-write). Readers never see a partial commit. Object stores
+without atomic rename (raw S3) need a real table format's commit service;
+documented, not hidden.
 
 All metadata IO goes through the Hadoop FileSystem API (via the JVM
 gateway), so the store works on any filesystem Spark can reach — local,
@@ -27,10 +32,13 @@ pushdown/pruning and scale like any parquet read.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -68,9 +76,20 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def current_version(spark: SparkSession, path: str) -> int | None:
-    """Latest committed version, or None for a fresh path."""
-    txt = _read_text(spark, f"{_meta_dir(path)}/CURRENT")
-    return int(txt.strip()) if txt else None
+    """Latest committed version (highest manifest in one directory
+    listing), or None for a fresh path."""
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    md = P(_meta_dir(path))
+    if not fs.exists(md):
+        return None
+    best = None
+    for st in fs.listStatus(md):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m:
+            v = int(m.group(1))
+            best = v if best is None or v > best else best
+    return best
 
 
 def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -94,16 +113,19 @@ def _commit(
         "committed_at": time.time(),
         **(extra or {}),
     }
-    _write_text(spark, _manifest_path(path, version), json.dumps(manifest))
-    # CURRENT flips last, via temp + rename (atomic on HDFS/local)
-    cur = f"{_meta_dir(path)}/CURRENT"
-    tmp = f"{_meta_dir(path)}/.CURRENT.{uuid.uuid4().hex}"
-    _write_text(spark, tmp, str(version))
+    # temp write + rename-to-final IS the commit: atomic, and a concurrent
+    # writer of the same version loses the rename (explicit conflict).
+    tmp = f"{_meta_dir(path)}/.v{version:08d}.{uuid.uuid4().hex}.tmp"
+    _write_text(spark, tmp, json.dumps(manifest))
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    fs.delete(P(cur), False)
-    if not fs.rename(P(tmp), P(cur)):
-        raise IOError(f"CURRENT pointer rename failed at {path}")
+    final = P(_manifest_path(path, version))
+    if fs.exists(final) or not fs.rename(P(tmp), final):
+        fs.delete(P(tmp), False)
+        raise IOError(
+            f"snapshot v{version} commit conflict at {path} "
+            "(concurrent writer?) — retry from the new current version"
+        )
     return version
 
 
@@ -136,7 +158,7 @@ def snapshot_overwrite(df: DataFrame, path: str) -> int:
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Read the table at ``version`` (default: CURRENT) — time travel is
+    """Read the table at ``version`` (default: current) — time travel is
     just picking an older manifest. Plain parquet scan of the manifest's
     directories: pushdown, pruning, and split sizing all apply."""
     if version is None:
@@ -159,7 +181,7 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
 
 
 def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
-    """All committed manifests ≤ CURRENT, oldest first."""
+    """All committed manifests, oldest first."""
     cur = current_version(spark, path)
     if cur is None:
         return []
@@ -172,10 +194,17 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
+def vacuum(
+    spark: SparkSession, path: str, keep_last: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> dict:
     """Reclaim storage: keep the newest ``keep_last`` manifests, delete
-    older manifests and every data directory no kept manifest references
-    (this includes orphans from crashed writers). Returns counts."""
+    older manifests, stale ``.tmp`` manifests, and every data directory no
+    kept manifest references. Deletions are AGE-GATED on filesystem
+    modification time (default 1 h): an in-flight writer's data directory
+    or temp manifest is younger than the gate and survives — without the
+    gate a concurrent vacuum would sweep a mid-write directory and the
+    commit that follows would reference deleted files. Returns counts."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     cur = current_version(spark, path)
@@ -191,17 +220,26 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     base = path.rstrip("/")
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     manifests_deleted = 0
-    for v in range(1, cur + 1):
-        if v not in keep_versions:
-            if fs.delete(P(_manifest_path(path, v)), False):
-                manifests_deleted += 1
+    md = P(_meta_dir(path))
+    for st in fs.listStatus(md):
+        name = st.getPath().getName()
+        m = _MANIFEST_RE.match(name)
+        stale_tmp = name.endswith(".tmp") and st.getModificationTime() < cutoff_ms
+        old_manifest = (
+            m is not None
+            and int(m.group(1)) not in keep_versions
+            and st.getModificationTime() < cutoff_ms
+        )
+        if (stale_tmp or old_manifest) and fs.delete(st.getPath(), False):
+            manifests_deleted += 1
     dirs_deleted = 0
     data_root = P(f"{base}/data")
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
             name = st.getPath().getName()
-            if name not in referenced:
+            if name not in referenced and st.getModificationTime() < cutoff_ms:
                 if fs.delete(st.getPath(), True):
                     dirs_deleted += 1
     return {"manifests_deleted": manifests_deleted, "dirs_deleted": dirs_deleted}
@@ -211,8 +249,9 @@ def snapshot_merge(
     updates: DataFrame, path: str, keys: list[str]
 ) -> int:
     """Keyed upsert (MERGE): rows in ``updates`` replace same-key rows in
-    CURRENT; new keys append. Commits one new overwrite snapshot, so the
-    merge is atomic-to-readers and reversible via rollback.
+    the current version; new keys append. Commits one new overwrite
+    snapshot, so the merge is atomic-to-readers and reversible via
+    rollback.
 
     Copy-on-write at table grain — the simple, always-correct form. At
     100 TB restrict the rewrite by partitioning the table into several
@@ -234,38 +273,54 @@ def streaming_snapshot_sink(stream_df: DataFrame, path: str, checkpoint: str):
     """Exactly-once streaming sink onto a snapshot table.
 
     ``foreachBatch`` + the snapshot commit protocol: each micro-batch
-    appends one snapshot whose manifest records the epoch id. On restart
+    appends one snapshot stamped with (stream id, epoch id). On restart
     Spark may REPLAY the last batch (at-least-once delivery); the sink
-    checks committed epoch ids and skips duplicates, upgrading the store
-    to exactly-once — the same idempotent-commit trick transactional sinks
-    use, here made possible because commits are atomic manifest flips.
+    sees the epoch already committed for this stream and skips it,
+    upgrading the store to exactly-once. The stream id is the checkpoint
+    location — the one identity that survives restarts — so a DIFFERENT
+    query (new checkpoint) writing epoch 0 to the same table is a new
+    stream, not a duplicate.
 
     Returns the DataStreamWriter (caller starts it / uses availableNow).
     """
-
     return (
         stream_df.writeStream.foreachBatch(
-            lambda batch_df, epoch_id: commit_stream_batch(batch_df, epoch_id, path)
+            lambda batch_df, epoch_id: commit_stream_batch(
+                batch_df, epoch_id, path, stream_id=checkpoint
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
 
 
-def commit_stream_batch(batch_df: DataFrame, epoch_id: int, path: str) -> int | None:
+def commit_stream_batch(
+    batch_df: DataFrame, epoch_id: int, path: str, stream_id: str = ""
+) -> int | None:
     """One micro-batch → one epoch-stamped append snapshot; a replayed
-    epoch id is a no-op (returns None). Exposed so the idempotence
-    contract is directly testable and usable from custom foreachBatch
-    bodies that do more than append."""
+    (stream_id, epoch_id) is a no-op (returns None).
+
+    Dedup reads ONLY the parent manifest: each commit carries forward a
+    small ``stream_epochs`` map {stream_id: last epoch}, so the check is
+    O(1) metadata reads per batch, not a full history scan (which would be
+    one remote read per version per batch — O(N²) over a stream's life).
+    Spark only ever replays a stream's most recent epoch, so "epoch ≤ last
+    committed for this stream" is exactly the duplicate condition."""
     spark = batch_df.sparkSession
     parent = current_version(spark, path)
+    epochs: dict[str, int] = {}
+    dirs: list[str] = []
     if parent is not None:
-        for m in snapshot_history(spark, path):
-            if m.get("epoch_id") == epoch_id:
-                return None  # replayed batch: already committed, skip
-    dirs = list(read_manifest(spark, path, parent)["dirs"]) if parent else []
+        pm = read_manifest(spark, path, parent)
+        epochs = dict(pm.get("stream_epochs") or {})
+        last = epochs.get(stream_id)
+        if last is not None and epoch_id <= last:
+            return None  # replayed batch: already committed, skip
+        dirs = list(pm["dirs"])
     dirs.append(_write_data(batch_df, path))
+    epochs[stream_id] = epoch_id
     return _commit(
         spark, path, dirs, "stream-append", parent,
-        batch_df.schema.json(), extra={"epoch_id": epoch_id},
+        batch_df.schema.json(),
+        extra={"epoch_id": epoch_id, "stream_epochs": epochs},
     )

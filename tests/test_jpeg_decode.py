@@ -357,3 +357,24 @@ def test_stdlib_features_jpeg_tagged_as_image():
     feats = mm.stdlib_media_features(encode_jpeg(img, q=1), dim=16)
     assert feats[0] == 1.0 and feats[1] == 16.0 and feats[2] == 8.0
     assert abs(feats[3] - 130 / 255) < 0.01
+
+
+def test_fill_bytes_and_malformed_segments():
+    img = _gradient(8, 16)
+    blob = encode_jpeg(img, q=1)
+    # spec-legal 0xFF fill padding before a marker must not derail the walk
+    padded = blob[:2] + b"\xff" + blob[2:]
+    got = J.decode_jpeg_pixels(padded)
+    assert got is not None and got.shape == (8, 16, 3)
+    # zero sampling factor in SOF: None, not ZeroDivisionError
+    i = blob.index(b"\xff\xc0")
+    bad_sof = bytearray(blob)
+    bad_sof[i + 11] = 0x10  # hv byte: h=1, v=0
+    assert J.decode_jpeg_pixels(bytes(bad_sof)) is None
+    # truncated 16-bit DQT: None, not ValueError from frombuffer
+    q16 = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x10]) + b"\x00\x01" * 30 + b"\x00")  # pq=1, odd len
+        + blob[2:]
+    )
+    assert J.decode_jpeg_pixels(q16) is None

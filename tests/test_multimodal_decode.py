@@ -550,3 +550,15 @@ def test_decode_meta_video(spark):
     got = {r["media_id"]: r["meta"].asDict() for r in mm.decode_meta(df).collect()}
     assert (got[1]["media_type"], got[1]["width"], got[1]["duration_ms"]) == ("video", 320, 3333)
     assert (got[2]["format"], got[2]["height"], got[2]["duration_ms"]) == ("mp4", 360, 2500)
+
+
+def test_mp4_truncated_v1_mvhd_skipped():
+    """A v1 mvhd too short for its 64-bit duration must yield no duration —
+    not a value read half out of the next box, and not the v0 misparse."""
+    short_mvhd = _box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 24)  # 28 body bytes
+    free = _box(b"free", b"\xff" * 16)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    blob = ftyp + _box(b"moov", short_mvhd + free)
+    m = mm.parse_media_header(blob)
+    # no tkhd/duration parsed -> whole parse returns no video match
+    assert m["duration_ms"] is None

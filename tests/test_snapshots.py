@@ -40,10 +40,10 @@ def test_append_overwrite_time_travel_rollback(spark, tmp_path):
 def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
     path = str(tmp_path / "tbl2")
     S.snapshot_append(_df(spark, 0, 4), path)
-    # simulate a crashed writer: data landed, manifest+CURRENT never did
+    # simulate a crashed writer: data landed, the manifest never committed
     _df(spark, 90, 95).write.parquet(f"{path}/data/orphandir")
     assert S.read_snapshot(spark, path).count() == 4  # orphan invisible
-    got = S.vacuum(spark, path, keep_last=1)
+    got = S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
     assert got["dirs_deleted"] == 1  # the orphan
     assert S.read_snapshot(spark, path).count() == 4  # table intact
 
@@ -53,7 +53,7 @@ def test_vacuum_drops_old_versions(spark, tmp_path):
     S.snapshot_overwrite(_df(spark, 0, 3), path)
     S.snapshot_overwrite(_df(spark, 3, 9), path)
     S.snapshot_overwrite(_df(spark, 9, 10), path)
-    got = S.vacuum(spark, path, keep_last=1)
+    got = S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
     assert got["manifests_deleted"] == 2 and got["dirs_deleted"] == 2
     # current still reads; history collapsed to the kept tail
     assert S.read_snapshot(spark, path).count() == 1
@@ -123,10 +123,24 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     assert all(m["op"] == "stream-append" for m in hist)
     epoch = hist[-1]["epoch_id"]
     before = S.current_version(spark, path)
-    # replay the SAME epoch directly against the commit protocol
-    assert S.commit_stream_batch(spark.read.parquet(src), epoch, path) is None
+    # replay the SAME (stream, epoch) directly against the commit protocol
+    assert S.commit_stream_batch(spark.read.parquet(src), epoch, path, stream_id=ckpt) is None
     assert S.current_version(spark, path) == before  # duplicate skipped
     assert S.read_snapshot(spark, path).count() == 10
-    # a NEW epoch commits normally
-    assert S.commit_stream_batch(spark.range(1).selectExpr("id", "id AS v"), epoch + 1, path) == before + 1
+    # a NEW epoch of the same stream commits normally
+    assert (
+        S.commit_stream_batch(
+            spark.range(1).selectExpr("id", "id AS v"), epoch + 1, path, stream_id=ckpt
+        )
+        == before + 1
+    )
     assert S.read_snapshot(spark, path).count() == 11
+    # a DIFFERENT stream restarting at epoch 0 is NOT a duplicate: epoch
+    # ids are only unique per query, so dedup must key on (stream, epoch)
+    assert (
+        S.commit_stream_batch(
+            spark.range(2).selectExpr("id", "id AS v"), 0, path, stream_id="other-ckpt"
+        )
+        == before + 2
+    )
+    assert S.read_snapshot(spark, path).count() == 13
