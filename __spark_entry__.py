@@ -703,6 +703,25 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS ((returnflag), (linestatus)) — two
+    independent aggregation grains in ONE pass (Catalyst expands + partial-
+    aggregates before the exchange), which neither ROLLUP nor CUBE
+    expresses. grouping_id disambiguates the grain of each output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: sorted distinct list per group (collect_set is
     unordered → sort_array for deterministic output), plus array membership."""
@@ -2272,6 +2291,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_array_agg": q_array_agg,
         "a_approx_aggs": q_approx_aggs,
         "a_rollup_cube": q_rollup_cube,
+        "a_grouping_sets": q_grouping_sets,
         "a_pivot": q_pivot,
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -2962,6 +2982,14 @@ def _all_oracle_sql() -> dict[str, str]:
                    list_contains(list_sort(list_distinct(list(l_linestatus))), 'F') AS has_final,
                    len(list_distinct(list(l_suppkey))) AS n_suppliers
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "a_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "a_rollup_cube": """
             SELECT l_returnflag, l_linestatus,

@@ -156,18 +156,27 @@ def snapshot_overwrite(df: DataFrame, path: str) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel is
     just picking an older manifest. Plain parquet scan of the manifest's
-    directories: pushdown, pruning, and split sizing all apply."""
+    directories: pushdown, pruning, and split sizing all apply.
+
+    ``merge_schema=True`` unions the schemas of all referenced data dirs
+    (parquet mergeSchema) so a table whose appends ADDED columns reads with
+    the superset schema, old rows NULL-filled — additive schema evolution.
+    Off by default: merging reads every file footer up front."""
     if version is None:
         version = current_version(spark, path)
         if version is None:
             raise FileNotFoundError(f"no snapshots at {path}")
     m = read_manifest(spark, path, version)
     base = path.rstrip("/")
-    return spark.read.parquet(*[f"{base}/data/{d}" for d in m["dirs"]])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{base}/data/{d}" for d in m["dirs"]])
 
 
 def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
@@ -324,3 +333,22 @@ def commit_stream_batch(
         batch_df.schema.json(),
         extra={"epoch_id": epoch_id, "stream_epochs": epochs},
     )
+
+
+def snapshot_diff(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed between two versions: the multiset difference,
+    labeled ``_change`` = 'insert' (in to, not in from) or 'delete' (in
+    from, not in to). An update appears as delete+insert — exactly what a
+    downstream MERGE consumer applies. Computed with ``exceptAll`` (exact
+    multiset semantics, hash-aggregate shuffle on the full row), so cost is
+    a join-shaped pass over both versions — the price of content-level diff
+    without stored row lineage."""
+    older = read_snapshot(spark, path, from_version)
+    newer = read_snapshot(spark, path, to_version)
+    from pyspark.sql import functions as F
+
+    return newer.exceptAll(older).withColumn(
+        "_change", F.lit("insert")
+    ).unionByName(older.exceptAll(newer).withColumn("_change", F.lit("delete")))

@@ -144,3 +144,36 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
         == before + 2
     )
     assert S.read_snapshot(spark, path).count() == 13
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    path = str(tmp_path / "tbl7")
+    S.snapshot_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"), path
+    )
+    S.snapshot_merge(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"), path, ["k"]
+    )
+    diff = {
+        (r["k"], r["v"], r["_change"])
+        for r in S.snapshot_diff(spark, path, 1, 2).collect()
+    }
+    assert diff == {
+        (2, "b", "delete"),   # update = delete + insert
+        (2, "B2", "insert"),
+        (4, "d", "insert"),
+    }
+    # identity diff is empty
+    assert S.snapshot_diff(spark, path, 2, 2).count() == 0
+
+
+def test_snapshot_read_with_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "tbl8")
+    S.snapshot_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    S.snapshot_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"), path
+    )
+    merged = S.read_snapshot(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5
