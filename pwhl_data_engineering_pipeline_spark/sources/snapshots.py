@@ -344,7 +344,11 @@ def snapshot_diff(
     downstream MERGE consumer applies. Computed with ``exceptAll`` (exact
     multiset semantics, hash-aggregate shuffle on the full row), so cost is
     a join-shaped pass over both versions — the price of content-level diff
-    without stored row lineage."""
+    without stored row lineage.
+
+    Versions must share a schema (exceptAll is positional); across an
+    additive schema change, read both sides with ``merge_schema`` and
+    select the common/superset columns before diffing."""
     older = read_snapshot(spark, path, from_version)
     newer = read_snapshot(spark, path, to_version)
     from pyspark.sql import functions as F
