@@ -78,3 +78,39 @@ def pack_sql(
         f"ROWS UNBOUNDED PRECEDING) - {size_expr})"
     )
     return f"CAST(floor({cum} * 1.0 / {bin_size}) AS BIGINT)"
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+    order_within: bool = True,
+):
+    """Deterministic training-shard layout: every row gets ``shard``
+    (md5-hash bucket of (seed, id) — rerun/engine/layout-independent) and,
+    when ``order_within``, ``shard_pos`` (its position in the shard's
+    deterministic read order). The seeded hash IS the global shuffle:
+    changing ``seed`` is a fresh epoch-level reshuffle with zero state.
+
+    The trainer-facing final step after packing/mixing: write with
+    ``.repartition(n_shards, 'shard').write.partitionBy('shard')`` (or
+    into a snapshot table) and each reader rank streams its shard in
+    ``shard_pos`` order — no coordination, bit-reproducible.
+
+    Scale: one hash projection (map-side) plus, with ``order_within``, a
+    row_number window per shard — a single shuffle on the shard key, which
+    the write's repartition needs anyway."""
+    out = df.withColumn(
+        "shard",
+        F.pmod(
+            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n_shards)
+        ).cast("int"),
+    )
+    if order_within:
+        w = Window.partitionBy("shard").orderBy(
+            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        out = out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+    return out

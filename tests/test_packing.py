@@ -98,3 +98,27 @@ def test_pack_plan_single_window_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_shard_assign_deterministic_balanced_and_ordered(spark):
+    from pwhl_data_engineering_pipeline_spark.operators.packing import shard_assign
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = shard_assign(docs, 8, seed="e0")
+    rows = a.collect()
+    # total partition: every row in [0, 8), shard_pos 1..|shard| contiguous
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # near-balanced (hash uniformity): no shard over 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * (2000 / 8)
+    # deterministic: identical rerun, different seed reshuffles
+    b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in shard_assign(docs, 8, seed="e0").collect()}
+    assert b == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in rows}
+    c = {r["doc_id"]: r["shard"] for r in shard_assign(docs, 8, seed="e1").collect()}
+    moved = sum(1 for r in rows if c[r["doc_id"]] != r["shard"])
+    assert moved > 1000  # a new seed is a real epoch reshuffle
