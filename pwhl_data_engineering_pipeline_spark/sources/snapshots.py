@@ -356,3 +356,67 @@ def snapshot_diff(
     return newer.exceptAll(older).withColumn(
         "_change", F.lit("insert")
     ).unionByName(older.exceptAll(newer).withColumn("_change", F.lit("delete")))
+
+
+def _part_dir(path: str, part_col: str, value) -> str:
+    v = str(value).replace("/", "_")
+    return f"{path.rstrip('/')}/{part_col}={v}"
+
+
+def merge_partitioned(
+    updates: DataFrame, path: str, keys: list[str], part_col: str
+) -> dict:
+    """MERGE into a PARTITIONED snapshot store — the bounded-rewrite form
+    of :func:`snapshot_merge` for big tables: the store is a directory of
+    independent per-partition snapshot tables (``part=<v>/``), and the
+    merge rewrites ONLY the partitions the update batch touches. Untouched
+    partitions keep their current version byte-for-byte (tested), so the
+    copy-on-write cost tracks the update's partition footprint, not table
+    size — the day-partitioned fact pattern.
+
+    Returns {partition value: committed version}. The updates frame is
+    pinned (persist) since each touched partition filters it once.
+    Partition values must be path-safe scalars (dates, ids); commits are
+    per-partition — a crash mid-batch leaves some partitions merged and
+    others not, each atomically (re-run the merge: it converges)."""
+    from pyspark.sql import functions as F
+
+    updates = updates.persist()
+    try:
+        parts = [r[0] for r in updates.select(part_col).distinct().collect()]
+        out = {}
+        for p in sorted(parts, key=str):
+            sub = updates.filter(F.col(part_col) == F.lit(p))
+            out[p] = snapshot_merge(sub, _part_dir(path, part_col, p), keys)
+        return out
+    finally:
+        updates.unpersist()
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, part_col: str, values: list | None = None
+) -> DataFrame:
+    """Read a partitioned snapshot store: union of each partition's current
+    version. ``values`` restricts to named partitions — manifest-level
+    partition pruning (unlisted partitions are never even opened)."""
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    root = P(path.rstrip("/"))
+    if not fs.exists(root):
+        raise FileNotFoundError(f"no partitioned store at {path}")
+    prefix = f"{part_col}="
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith(prefix)
+    ]
+    if values is not None:
+        wanted = {str(v).replace("/", "_") for v in values}
+        names = [n for n in names if n[len(prefix):] in wanted]
+    if not names:
+        raise FileNotFoundError(f"no matching partitions under {path}")
+    dfs = [read_snapshot(spark, f"{path.rstrip('/')}/{n}") for n in sorted(names)]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

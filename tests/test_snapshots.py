@@ -177,3 +177,32 @@ def test_snapshot_read_with_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     got = {r["k"]: r["score"] for r in merged.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_partitioned_merge_bounds_the_rewrite(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d2", "d")],
+        "k long, day string, v string",
+    )
+    S.merge_partitioned(base, path, ["k"], "day")
+    v_d2_before = S.current_version(spark, f"{path}/day=d2")
+    # an update touching only d1
+    got = S.merge_partitioned(
+        spark.createDataFrame([(2, "d1", "B2"), (9, "d1", "z")], "k long, day string, v string"),
+        path, ["k"], "day",
+    )
+    assert set(got) == {"d1"}
+    # untouched partition: version unchanged (no rewrite at all)
+    assert S.current_version(spark, f"{path}/day=d2") == v_d2_before
+    allrows = {r["k"]: r["v"] for r in S.read_partitioned(spark, path, "day").collect()}
+    assert allrows == {1: "a", 2: "B2", 3: "c", 4: "d", 9: "z"}
+    # manifest-level partition pruning
+    only_d2 = S.read_partitioned(spark, path, "day", values=["d2"])
+    assert {r["k"] for r in only_d2.collect()} == {3, 4}
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        S.read_partitioned(spark, path, "day", values=["d9"])
+    with pytest.raises(FileNotFoundError):
+        S.read_partitioned(spark, str(tmp_path / "nope"), "day")
