@@ -87,11 +87,19 @@ def shard_assign(
     seed: str = "shard",
     order_within: bool = True,
 ):
-    """Deterministic training-shard layout: every row gets ``shard``
-    (md5-hash bucket of (seed, id) — rerun/engine/layout-independent) and,
+    """Deterministic training-shard layout: every row gets ``shard`` and,
     when ``order_within``, ``shard_pos`` (its position in the shard's
-    deterministic read order). The seeded hash IS the global shuffle:
-    changing ``seed`` is a fresh epoch-level reshuffle with zero state.
+    deterministic read order). ONE md5 of (seed, id) drives both — the
+    shard is the key's high hex digits mod ``n_shards``, the order is the
+    key itself — so the layout is a pure, engine-portable function of
+    (seed, id): any reader that can compute md5 reproduces shard
+    membership and order (the same portability contract as
+    ``sampling._hash_bucket``). Changing ``seed`` is a fresh epoch-level
+    reshuffle with zero state.
+
+    PRECONDITION: ``id_col`` unique and non-null (the usual doc-id
+    contract) — duplicate or NULL ids collapse to one order key and their
+    relative ``shard_pos`` would then depend on arrival order.
 
     The trainer-facing final step after packing/mixing: write with
     ``.repartition(n_shards, 'shard').write.partitionBy('shard')`` (or
@@ -101,16 +109,17 @@ def shard_assign(
     Scale: one hash projection (map-side) plus, with ``order_within``, a
     row_number window per shard — a single shuffle on the shard key, which
     the write's repartition needs anyway."""
-    out = df.withColumn(
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string")))
+    out = df.withColumn("__k", key).withColumn(
         "shard",
         F.pmod(
-            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n_shards)
+            F.conv(F.substring(F.col("__k"), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
         ).cast("int"),
     )
     if order_within:
-        w = Window.partitionBy("shard").orderBy(
-            F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))),
-            F.col(id_col),
-        )
+        w = Window.partitionBy("shard").orderBy(F.col("__k"), F.col(id_col))
         out = out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
-    return out
+    return out.drop("__k")

@@ -271,9 +271,13 @@ def snapshot_merge(
     cur = current_version(spark, path)
     if cur is None:
         return snapshot_overwrite(updates, path)
-    base = read_snapshot(spark, path, cur)
+    # merge_schema + allowMissingColumns: a table whose appends added
+    # columns (supported state — see read_snapshot) must merge without
+    # silently dropping the added column (plain read picks an arbitrary
+    # footer's schema) or failing the union; absent columns NULL-fill.
+    base = read_snapshot(spark, path, cur, merge_schema=True)
     merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
-        updates
+        updates, allowMissingColumns=True
     )
     return snapshot_overwrite(merged, path)
 
@@ -343,14 +347,16 @@ def snapshot_diff(
     from, not in to). An update appears as delete+insert — exactly what a
     downstream MERGE consumer applies. Computed with ``exceptAll`` (exact
     multiset semantics, hash-aggregate shuffle on the full row), so cost is
-    a join-shaped pass over both versions — the price of content-level diff
-    without stored row lineage.
+    two set-difference passes over the versions — the price of
+    content-level diff without stored row lineage. Both sides are pinned
+    (persist) since each feeds BOTH exceptAll legs; without the pin every
+    version's parquet would scan twice.
 
     Versions must share a schema (exceptAll is positional); across an
     additive schema change, read both sides with ``merge_schema`` and
     select the common/superset columns before diffing."""
-    older = read_snapshot(spark, path, from_version)
-    newer = read_snapshot(spark, path, to_version)
+    older = read_snapshot(spark, path, from_version).persist()
+    newer = read_snapshot(spark, path, to_version).persist()
     from pyspark.sql import functions as F
 
     return newer.exceptAll(older).withColumn(
@@ -359,7 +365,11 @@ def snapshot_diff(
 
 
 def _part_dir(path: str, part_col: str, value) -> str:
-    v = str(value).replace("/", "_")
+    v = str(value)
+    # no silent sanitization: 'a/b' -> 'a_b' would COLLIDE with a literal
+    # 'a_b' partition value and merge two partitions' rows undetectably
+    if value is None or "/" in v or "=" in v or v.startswith("."):
+        raise ValueError(f"partition value not path-safe: {value!r}")
     return f"{path.rstrip('/')}/{part_col}={v}"
 
 
@@ -376,14 +386,25 @@ def merge_partitioned(
 
     Returns {partition value: committed version}. The updates frame is
     pinned (persist) since each touched partition filters it once.
-    Partition values must be path-safe scalars (dates, ids); commits are
-    per-partition — a crash mid-batch leaves some partitions merged and
-    others not, each atomically (re-run the merge: it converges)."""
+    Partition values must be path-safe scalars (dates, ids) and NON-NULL
+    (raises otherwise — a NULL would filter to zero rows and commit an
+    empty bogus partition); commits are per-partition — a crash mid-batch
+    leaves some partitions merged and others not, each atomically (re-run
+    the merge: it converges).
+
+    CONSTRAINT (standard for partitioned upserts): ``part_col`` must be
+    immutable per key — a function of the merge key, like the event day of
+    a fact row. An update that MOVES a key to a different partition only
+    touches the new partition, so the old partition's row would survive as
+    a stale duplicate. Key-migrating workloads need the unpartitioned
+    :func:`snapshot_merge` (global rewrite) instead."""
     from pyspark.sql import functions as F
 
     updates = updates.persist()
     try:
         parts = [r[0] for r in updates.select(part_col).distinct().collect()]
+        if any(p is None for p in parts):
+            raise ValueError(f"NULL values in partition column {part_col!r}")
         out = {}
         for p in sorted(parts, key=str):
             sub = updates.filter(F.col(part_col) == F.lit(p))
@@ -394,11 +415,16 @@ def merge_partitioned(
 
 
 def read_partitioned(
-    spark: SparkSession, path: str, part_col: str, values: list | None = None
+    spark: SparkSession, path: str, part_col: str, values: list | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a partitioned snapshot store: union of each partition's current
     version. ``values`` restricts to named partitions — manifest-level
-    partition pruning (unlisted partitions are never even opened)."""
+    partition pruning (unlisted partitions are never even opened) — and
+    EVERY requested value must exist (a typo'd partition raises instead of
+    silently returning partial data). ``merge_schema`` is passed through
+    to each partition's read and relaxes the union to NULL-fill columns a
+    partition lacks (additive drift across partitions)."""
     fs, _, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     root = P(path.rstrip("/"))
@@ -411,12 +437,21 @@ def read_partitioned(
         if st.getPath().getName().startswith(prefix)
     ]
     if values is not None:
-        wanted = {str(v).replace("/", "_") for v in values}
+        wanted = {str(v) for v in values}
+        have = {n[len(prefix):] for n in names}
+        missing = wanted - have
+        if missing:
+            raise FileNotFoundError(
+                f"partitions not found under {path}: {sorted(missing)}"
+            )
         names = [n for n in names if n[len(prefix):] in wanted]
     if not names:
         raise FileNotFoundError(f"no matching partitions under {path}")
-    dfs = [read_snapshot(spark, f"{path.rstrip('/')}/{n}") for n in sorted(names)]
+    dfs = [
+        read_snapshot(spark, f"{path.rstrip('/')}/{n}", merge_schema=merge_schema)
+        for n in sorted(names)
+    ]
     out = dfs[0]
     for d in dfs[1:]:
-        out = out.unionByName(d)
+        out = out.unionByName(d, allowMissingColumns=merge_schema)
     return out

@@ -206,3 +206,39 @@ def test_partitioned_merge_bounds_the_rewrite(spark, tmp_path):
         S.read_partitioned(spark, path, "day", values=["d9"])
     with pytest.raises(FileNotFoundError):
         S.read_partitioned(spark, str(tmp_path / "nope"), "day")
+
+
+def test_partitioned_guards(spark, tmp_path):
+    path = str(tmp_path / "ptbl2")
+    S.merge_partitioned(
+        spark.createDataFrame([(1, "d1", "a")], "k long, day string, v string"),
+        path, ["k"], "day",
+    )
+    # NULL partition value: raise, don't silently drop the rows
+    with pytest.raises(ValueError, match="NULL"):
+        S.merge_partitioned(
+            spark.createDataFrame([(2, None, "b")], "k long, day string, v string"),
+            path, ["k"], "day",
+        )
+    # path-unsafe partition value: raise, don't collide 'a/b' with 'a_b'
+    with pytest.raises(ValueError, match="path-safe"):
+        S.merge_partitioned(
+            spark.createDataFrame([(3, "a/b", "c")], "k long, day string, v string"),
+            path, ["k"], "day",
+        )
+    # ANY missing requested partition raises, even when others match
+    with pytest.raises(FileNotFoundError, match="d9"):
+        S.read_partitioned(spark, path, "day", values=["d1", "d9"])
+
+
+def test_merge_on_schema_evolved_table(spark, tmp_path):
+    """MERGE over a table whose appends added a column must keep the added
+    column (merge-schema read) and NULL-fill it for updates that lack it."""
+    path = str(tmp_path / "tbl9")
+    S.snapshot_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    S.snapshot_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"), path
+    )
+    S.snapshot_merge(spark.createDataFrame([(1, "A2")], "k long, v string"), path, ["k"])
+    got = {r["k"]: (r["v"], r["score"]) for r in S.read_snapshot(spark, path).collect()}
+    assert got == {1: ("A2", None), 2: ("b", 9.5)}
