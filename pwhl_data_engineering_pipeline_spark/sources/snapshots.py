@@ -455,3 +455,34 @@ def read_partitioned(
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=merge_schema)
     return out
+
+
+def snapshot_optimize(
+    spark: SparkSession, path: str, zorder_cols: list | None = None,
+    n_files: int = 8,
+) -> int:
+    """Table maintenance: rewrite the CURRENT version into one compacted
+    data directory (``n_files`` evenly-sized files), optionally laid out
+    along the z-curve of ``zorder_cols`` (tight row-group min/max on every
+    z column → ordinary filters prune files; see functions.zorder). Commits
+    as a new snapshot, so the rewrite is atomic-to-readers, time travel to
+    the fragmented versions still works, and ``vacuum`` later reclaims
+    their directories. The missing third of the maintenance triad next to
+    rollback and vacuum — an appends-heavy table (e.g. the streaming sink's
+    one-dir-per-micro-batch) reads N directories until optimized back to
+    one."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    df = read_snapshot(spark, path, cur, merge_schema=True)
+    d = uuid.uuid4().hex
+    target = f"{path.rstrip('/')}/data/{d}"
+    if zorder_cols:
+        from ..functions.zorder import write_zordered
+
+        write_zordered(df, target, zorder_cols, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(target)
+    return _commit(
+        spark, path, [d], f"optimize:{cur}", cur, df.schema.json()
+    )

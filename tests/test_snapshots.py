@@ -242,3 +242,20 @@ def test_merge_on_schema_evolved_table(spark, tmp_path):
     S.snapshot_merge(spark.createDataFrame([(1, "A2")], "k long, v string"), path, ["k"])
     got = {r["k"]: (r["v"], r["score"]) for r in S.read_snapshot(spark, path).collect()}
     assert got == {1: ("A2", None), 2: ("b", 9.5)}
+
+
+def test_snapshot_optimize_compacts_and_preserves(spark, tmp_path):
+    path = str(tmp_path / "tbl10")
+    for lo in range(0, 50, 10):  # 5 small append snapshots -> 5 data dirs
+        S.snapshot_append(_df(spark, lo, lo + 10), path)
+    assert len(S.read_manifest(spark, path, 5)["dirs"]) == 5
+    v = S.snapshot_optimize(spark, path, zorder_cols=["id", "v"], n_files=2)
+    m = S.read_manifest(spark, path, v)
+    assert m["op"] == "optimize:5" and len(m["dirs"]) == 1
+    # contents identical, pre-optimize version still time-travels
+    assert sorted(r["id"] for r in S.read_snapshot(spark, path).collect()) == list(range(50))
+    assert S.read_snapshot(spark, path, 5).count() == 50
+    # fragmented dirs reclaimed once vacuumed
+    got = S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
+    assert got["dirs_deleted"] == 5
+    assert S.read_snapshot(spark, path).count() == 50
