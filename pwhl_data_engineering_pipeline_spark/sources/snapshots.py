@@ -486,3 +486,76 @@ def snapshot_optimize(
     return _commit(
         spark, path, [d], f"optimize:{cur}", cur, df.schema.json()
     )
+
+
+def read_snapshot_changes(
+    spark: SparkSession, path: str, since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: rows ADDED between ``since_version``
+    (exclusive) and ``to_version`` (default current) — the snapshot-table
+    analogue of reading a stream's new files.
+
+    Fast path: when every intermediate commit is append-shaped (its dirs ⊇
+    the parent's — append / stream-append), the delta is exactly the NEW
+    data directories, read directly: no diff computation, cost scales with
+    the new data only. Non-append history in the range (overwrite,
+    rollback, optimize rewrite) makes "added rows" ill-defined at the
+    directory level — that raises, and the caller decides between
+    :func:`snapshot_diff` (content-level, full scan) or a re-read.
+    """
+    cur = to_version if to_version is not None else current_version(spark, path)
+    if cur is None or cur < since_version:
+        raise FileNotFoundError(f"no snapshot range v{since_version}..{to_version} at {path}")
+    base_dirs = set(read_manifest(spark, path, since_version)["dirs"]) if since_version else set()
+    prev = base_dirs
+    new_dirs: list[str] = []
+    for v in range(since_version + 1, cur + 1):
+        m = read_manifest(spark, path, v)
+        dirs = m["dirs"]
+        if not set(dirs) >= prev:
+            raise ValueError(
+                f"v{v} ({m['op']}) is not append-shaped; directory-level "
+                "changes are undefined — use snapshot_diff for content-level"
+            )
+        new_dirs.extend(d for d in dirs if d not in prev)
+        prev = set(dirs)
+    base = path.rstrip("/")
+    if not new_dirs:
+        return read_snapshot(spark, path, cur).limit(0)
+    return spark.read.parquet(*[f"{base}/data/{d}" for d in new_dirs])
+
+
+def snapshot_stats(spark: SparkSession, path: str) -> dict:
+    """Storage observability for vacuum/optimize planning: current version,
+    live vs total data directories, file count and bytes (live = referenced
+    by CURRENT; reclaimable = everything else, including crash orphans).
+    One filesystem walk, no Spark jobs."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    live = set(read_manifest(spark, path, cur)["dirs"])
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    out = {
+        "version": cur, "live_dirs": 0, "other_dirs": 0,
+        "live_files": 0, "live_bytes": 0, "reclaimable_bytes": 0,
+    }
+    data_root = P(f"{path.rstrip('/')}/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            name = st.getPath().getName()
+            nbytes = nfiles = 0
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                nbytes += f.getLen()
+                nfiles += 1
+            if name in live:
+                out["live_dirs"] += 1
+                out["live_files"] += nfiles
+                out["live_bytes"] += nbytes
+            else:
+                out["other_dirs"] += 1
+                out["reclaimable_bytes"] += nbytes
+    return out

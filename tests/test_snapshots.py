@@ -259,3 +259,40 @@ def test_snapshot_optimize_compacts_and_preserves(spark, tmp_path):
     got = S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
     assert got["dirs_deleted"] == 5
     assert S.read_snapshot(spark, path).count() == 50
+
+
+def test_read_snapshot_changes_incremental(spark, tmp_path):
+    path = str(tmp_path / "tbl11")
+    S.snapshot_append(_df(spark, 0, 5), path)        # v1
+    S.snapshot_append(_df(spark, 5, 8), path)        # v2
+    S.snapshot_append(_df(spark, 8, 12), path)       # v3
+    # new rows since v1 = v2+v3 appends only
+    got = sorted(r["id"] for r in S.read_snapshot_changes(spark, path, 1).collect())
+    assert got == list(range(5, 12))
+    # bounded range
+    assert sorted(
+        r["id"] for r in S.read_snapshot_changes(spark, path, 1, to_version=2).collect()
+    ) == list(range(5, 8))
+    # since current -> empty frame with the table schema
+    empty = S.read_snapshot_changes(spark, path, 3)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+    # an overwrite in the range breaks append shape -> explicit error
+    S.snapshot_overwrite(_df(spark, 100, 101), path)  # v4
+    with pytest.raises(ValueError, match="append-shaped"):
+        S.read_snapshot_changes(spark, path, 2)
+    # but ranges entirely before the overwrite still work
+    assert S.read_snapshot_changes(spark, path, 2, to_version=3).count() == 4
+
+
+def test_snapshot_stats(spark, tmp_path):
+    path = str(tmp_path / "tbl12")
+    S.snapshot_overwrite(_df(spark, 0, 10), path)    # v1 (becomes dead)
+    S.snapshot_overwrite(_df(spark, 0, 20), path)    # v2 (live)
+    stats = S.snapshot_stats(spark, path)
+    assert stats["version"] == 2
+    assert stats["live_dirs"] == 1 and stats["other_dirs"] == 1
+    assert stats["live_files"] > 0 and stats["live_bytes"] > 0
+    assert stats["reclaimable_bytes"] > 0
+    S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
+    stats2 = S.snapshot_stats(spark, path)
+    assert stats2["other_dirs"] == 0 and stats2["reclaimable_bytes"] == 0
