@@ -104,6 +104,20 @@ def _commit(
     extra: dict | None = None,
 ) -> int:
     version = (parent or 0) + 1
+    # stream_epochs (the streaming sink's exactly-once dedup state) is
+    # carried forward through EVERY commit: commit_stream_batch reads only
+    # the parent manifest, so any interleaved batch append / optimize /
+    # rollback that dropped the map would silently re-admit a replayed
+    # micro-batch. ``extra`` still overrides (the sink passes the updated
+    # map itself).
+    inherited: dict = {}
+    if parent is not None:
+        try:
+            pe = read_manifest(spark, path, parent).get("stream_epochs")
+            if pe:
+                inherited["stream_epochs"] = dict(pe)
+        except FileNotFoundError:
+            pass
     manifest = {
         "version": version,
         "parent": parent,
@@ -111,6 +125,7 @@ def _commit(
         "dirs": dirs,
         "schema": schema_json,
         "committed_at": time.time(),
+        **inherited,
         **(extra or {}),
     }
     # temp write + rename-to-final IS the commit: atomic, and a concurrent
@@ -506,7 +521,9 @@ def read_snapshot_changes(
     """
     cur = to_version if to_version is not None else current_version(spark, path)
     if cur is None or cur < since_version:
-        raise FileNotFoundError(f"no snapshot range v{since_version}..{to_version} at {path}")
+        raise FileNotFoundError(
+            f"no snapshot range v{since_version}..{cur if cur is not None else 'current'} at {path}"
+        )
     base_dirs = set(read_manifest(spark, path, since_version)["dirs"]) if since_version else set()
     prev = base_dirs
     new_dirs: list[str] = []
@@ -522,8 +539,14 @@ def read_snapshot_changes(
         prev = set(dirs)
     base = path.rstrip("/")
     if not new_dirs:
-        return read_snapshot(spark, path, cur).limit(0)
-    return spark.read.parquet(*[f"{base}/data/{d}" for d in new_dirs])
+        return read_snapshot(spark, path, cur, merge_schema=True).limit(0)
+    # mergeSchema: additive evolution is a supported table state (see
+    # read_snapshot) — without it the incremental feed would take one
+    # arbitrary footer's schema and silently drop an added column
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{base}/data/{d}" for d in new_dirs])
+    )
 
 
 def snapshot_stats(spark: SparkSession, path: str) -> dict:
@@ -539,7 +562,8 @@ def snapshot_stats(spark: SparkSession, path: str) -> dict:
     P = jvm.org.apache.hadoop.fs.Path
     out = {
         "version": cur, "live_dirs": 0, "other_dirs": 0,
-        "live_files": 0, "live_bytes": 0, "reclaimable_bytes": 0,
+        "live_files": 0, "other_files": 0, "live_bytes": 0,
+        "reclaimable_bytes": 0,
     }
     data_root = P(f"{path.rstrip('/')}/data")
     if fs.exists(data_root):
@@ -557,5 +581,6 @@ def snapshot_stats(spark: SparkSession, path: str) -> dict:
                 out["live_bytes"] += nbytes
             else:
                 out["other_dirs"] += 1
+                out["other_files"] += nfiles
                 out["reclaimable_bytes"] += nbytes
     return out

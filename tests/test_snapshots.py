@@ -296,3 +296,32 @@ def test_snapshot_stats(spark, tmp_path):
     S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
     stats2 = S.snapshot_stats(spark, path)
     assert stats2["other_dirs"] == 0 and stats2["reclaimable_bytes"] == 0
+
+
+def test_stream_dedup_survives_interleaved_commits(spark, tmp_path):
+    """Exactly-once state must survive ANY intermediate commit: a batch
+    append or an optimize between stream batches must not drop the
+    stream_epochs map that replay-dedup reads from the parent manifest."""
+    path = str(tmp_path / "tbl13")
+    df = spark.range(3).selectExpr("id", "id AS v")
+    assert S.commit_stream_batch(df, 0, path, stream_id="q1") == 1
+    S.snapshot_append(df, path)                      # interleaved batch write
+    S.snapshot_optimize(spark, path, n_files=1)      # and an optimize
+    # replaying epoch 0 after both must STILL be a no-op
+    before = S.current_version(spark, path)
+    assert S.commit_stream_batch(df, 0, path, stream_id="q1") is None
+    assert S.current_version(spark, path) == before
+    # and the next epoch commits
+    assert S.commit_stream_batch(df, 1, path, stream_id="q1") == before + 1
+
+
+def test_changes_read_merges_evolved_schema(spark, tmp_path):
+    path = str(tmp_path / "tbl14")
+    S.snapshot_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    S.snapshot_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"), path
+    )
+    ch = S.read_snapshot_changes(spark, path, 0)
+    assert set(ch.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in ch.collect()}
+    assert got == {1: None, 2: 9.5}
