@@ -186,3 +186,51 @@ def quarantine(
     good = flagged.filter(F.size("violations") == 0).drop("violations")
     bad = flagged.filter(F.size("violations") > 0)
     return good, bad
+
+
+def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Column-level data profile: one row per column with row/null counts,
+    approximate distinct count, and min/max (rendered as strings so one
+    schema serves every column type) — the first-look diagnostic before
+    writing contracts or choosing join/partition keys.
+
+    ONE aggregation job over the input regardless of column count (all
+    per-column aggregates ride a single pass; map-side partial
+    aggregation applies), then a driver-side pivot of the 1-row result
+    into the per-column frame — no per-column jobs, no toPandas of data.
+    Distinct counts use HyperLogLog (approx_count_distinct, ~2% default
+    error): exact distincts per column would add a shuffle per column.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    dtypes = dict(df.dtypes)
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            dtypes[c],
+            n,
+            row[f"__nulls_{c}"],
+            (row[f"__nulls_{c}"] / n) if n else 0.0,
+            row[f"__dist_{c}"],
+            row[f"__min_{c}"],
+            row[f"__max_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "null_rate double, approx_distinct long, min string, max string",
+    )

@@ -112,3 +112,29 @@ def test_quarantine_rejects_existing_violations_column(spark):
 
     with pytest.raises(ValueError, match="violations"):
         quarantine(df, {"pos": F.col("id") > 0})
+
+
+def test_profile_one_pass_per_column_stats(spark):
+    from pwhl_data_engineering_pipeline_spark.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (3, "a", None)],
+        "id long, name string, score double",
+    )
+    got = {r["column"]: r.asDict() for r in profile(df).collect()}
+    assert set(got) == {"id", "name", "score"}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["name"]["n_nulls"] == 1 and abs(got["name"]["null_rate"] - 0.25) < 1e-9
+    assert got["score"]["n_nulls"] == 2
+    assert got["id"]["min"] == "1" and got["id"]["max"] == "3"
+    assert got["name"]["min"] == "a" and got["name"]["max"] == "b"
+    # HLL on tiny cardinalities is exact
+    assert got["id"]["approx_distinct"] == 3
+    assert got["id"]["dtype"] == "bigint"
+    # column subset + empty guard
+    sub = profile(df, ["name"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "name"
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile(df, [])
