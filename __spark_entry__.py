@@ -621,6 +621,63 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table subsystem end-to-end under the value oracle
+    (sources/snapshots.py): commit v1 from a deterministic orders slice,
+    MERGE an upsert batch (same-key updates + new-key inserts) committing
+    v2, then read BOTH versions back — @v1 via time travel AFTER the merge
+    landed, @current as the merged state — and emit a per-status census
+    (row count + exact integer cents total) plus one history row per
+    committed version. DuckDB recomputes the censuses relationally (v1 =
+    the slice; current = slice-anti-join-updates ∪ updates), so a hash
+    match proves the commit protocol, keyed MERGE semantics, and time
+    travel return exactly the rows the relational algebra says.
+    Mirrors the reference's truncate-reload load pattern
+    (scripts/load_to_warehouse.py) upgraded to versioned, reversible
+    commits."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    path = tempfile.mkdtemp(prefix="snapkit_")
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 < 5)
+    v1 = snapshots.snapshot_overwrite(base, path)
+    # keys %10 in {3,4}: updates of existing rows; {5,6}: brand-new keys.
+    updates = (
+        orders.filter((F.col("o_orderkey") % 10).between(3, 6))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    snapshots.snapshot_merge(updates, path, ["o_orderkey"])
+
+    def census(df: DataFrame, leg: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5))
+            .cast("long")
+            .alias("total_cents"),
+        ).select(F.lit(leg).alias("leg"), "grp", "n_rows", "total_cents")
+
+    hist = spark.createDataFrame(
+        [
+            (m["op"], m["version"])
+            for m in snapshots.snapshot_history(spark, path)
+        ],
+        "grp string, n_rows long",
+    ).select(
+        F.lit("history").alias("leg"),
+        "grp",
+        "n_rows",
+        F.lit(None).cast("long").alias("total_cents"),
+    )
+    return (
+        census(snapshots.read_snapshot(spark, path, v1), "v1")
+        .unionAll(census(snapshots.read_snapshot(spark, path), "current"))
+        .unionAll(hist)
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -737,24 +794,41 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB-path approximate aggregates: HLL distinct counts and t-digest
-    percentiles — sketch-based (single pass, bounded memory, mergeable
-    partials), hence rows-only: sketch internals are engine-specific and not
-    oracle-hashable. Exact counterparts: a4_a5_distinct_dims (count
-    distinct), a_stats_kit (percentiles)."""
+    """100 TB-path approximate aggregates (HLL distinct counts, t-digest-ish
+    percentiles — single pass, bounded memory, mergeable partials),
+    graduated from rows-only to a VALUE-level check (round-3 verdict task):
+    alongside each sketch estimate the query computes the exact counterpart
+    and emits the invariant ``|approx − exact| ≤ tol·exact`` as a boolean.
+    The output carries the exact values plus the booleans — both of which
+    DuckDB recomputes (booleans as literal TRUE) — so the sketch path is
+    hash-gated without the oracle needing HLL internals. Sketches are
+    deterministic for fixed input (no RNG), so the booleans are stable.
+    Tolerances: HLL rsd=0.01 → 5σ band; approx_percentile accuracy=10000 →
+    rank error ≤ 1/10000, 2% value band is generous."""
     li = _t(spark, sf_dir, "lineitem")
-    # the quantile array is stringified: list cells crash the driver's
-    # pandas canonicalization (unhashable in sort_values)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.array_join(
-            F.transform(
-                F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("approx_price_quantiles"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+        ).alias("__aq"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("__eq"),
+    )
+
+    def within(a, e, tol: float):
+        a, e = a.cast("double"), e.cast("double")
+        return F.abs(a - e) <= F.lit(tol) * e
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within(F.col("__ao"), F.col("exact_orders"), 0.05).alias("orders_within_5pct"),
+        within(F.col("__ap"), F.col("exact_parts"), 0.05).alias("parts_within_5pct"),
+        within(F.element_at("__aq", 1), F.element_at("__eq", 1), 0.02).alias("p50_within_2pct"),
+        within(F.element_at("__aq", 2), F.element_at("__eq", 2), 0.02).alias("p99_within_2pct"),
     )
 
 
@@ -1207,11 +1281,12 @@ def q_rel_shape_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_cond_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-window kit for the conditional-aggregation TPC-H shapes —
-    Q4 (EXISTS semi-join counts), Q12 (two-way CASE split), Q14 (promo
-    ratio), Q19 (OR-of-ANDs revenue) — reshaped long-form
-    (leg, grp, value) so four small-result queries ride one correctness
-    row; each leg also exists standalone (q_tpch_q4 etc., extended suite)
-    with its own oracle."""
+    Q4 (EXISTS semi-join counts), Q6 (pushdown filter+global agg), Q12
+    (two-way CASE split), Q14 (promo ratio), Q19 (OR-of-ANDs revenue) —
+    reshaped long-form (leg, grp, value) so five small-result queries ride
+    one correctness row; each leg also exists standalone (q_tpch_q4 etc.,
+    extended suite) with its own oracle. (Q6 folded in round 4 to free a
+    driver-window slot for s_snapshot_kit.)"""
     def leg(df: DataFrame, leg_name: str, grp, value) -> DataFrame:
         return df.select(
             F.lit(leg_name).alias("leg"),
@@ -1220,10 +1295,13 @@ def q_tpch_cond_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     q4 = q_tpch_q4(spark, sf_dir)
+    q6 = q_tpch_q6(spark, sf_dir)
     q12 = q_tpch_q12(spark, sf_dir)
     q14 = q_tpch_q14(spark, sf_dir)
     q19 = q_tpch_q19(spark, sf_dir)
     legs = [
+        leg(q6, "q6_revenue", "ALL", F.col("revenue")),
+        leg(q6, "q6_n_lines", "ALL", F.col("n_lines")),
         leg(q4, "q4_order_count", F.col("o_orderpriority"), F.col("order_count")),
         leg(q12, "q12_high_line_count", F.col("l_linestatus"), F.col("high_line_count")),
         leg(q12, "q12_low_line_count", F.col("l_linestatus"), F.col("low_line_count")),
@@ -2142,13 +2220,63 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search: IVF-probe ANN (approximate — rows-only check)."""
+    """Similarity search: IVF-probe ANN, graduated from rows-only to a
+    VALUE-level check (round-3 verdict task) via three deterministic
+    per-query invariants against exact brute force computed in the same
+    job:
+
+    - ``exhaustive_matches_bf``: with ``n_probe = n_centroids`` the
+      candidate set is the whole corpus, so IVF top-10 must EQUAL the
+      brute-force top-10 (identical rounded-cosine + id tie-break order) —
+      the strongest possible check of routing/cell-union/top-k-merge.
+    - ``recall_monotone``: hits@probe4 ≤ hits@probe8 ≤ 10. A theorem: a
+      bf-top-10 member inside the candidate set is among the 10 best of
+      any subset containing it, so hits = |bf₁₀ ∩ candidates| grows with
+      probes.
+    - ``recall_floor_ok``: hits@probe4 ≥ 3. The testdata embeddings are
+      near-uniform (IVF's documented worst case — test_ivf_recall.py);
+      measured per-query minima are 3/4/6 hits at sf0.001/0.01/0.1 and
+      fully deterministic (seeded k-means, no RNG), so the floor is a
+      stable fact, not a tolerance.
+
+    All three are literal TRUE in the DuckDB oracle over the same
+    query-id set — an approximate operator under a hash-checkable
+    contract."""
     emb = _t(spark, sf_dir, "embeddings")
     cent, assigned = similarity.ivf_index(emb, n_centroids=16)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(assigned, cent, queries, k=10, n_probe=4)
+    qrows = queries.collect()
+    qvecs = [(r["query_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    bf10 = similarity.brute_force_topk_arrow(emb, qvecs, k=10, rank_col="rank").select(
+        "query_id", "vec_id"
+    )
+
+    def hits(n_probe: int, name: str) -> DataFrame:
+        iv = similarity.ivf_topk(assigned, cent, queries, k=10, n_probe=n_probe)
+        return (
+            iv.join(bf10, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = spark.createDataFrame([(int(q),) for q, _ in qvecs], "query_id long")
+    joined = (
+        base.join(hits(4, "__h4"), "query_id", "left")
+        .join(hits(8, "__h8"), "query_id", "left")
+        .join(hits(16, "__h16"), "query_id", "left")
+        .na.fill(0, ["__h4", "__h8", "__h16"])
+    )
+    return joined.select(
+        "query_id",
+        F.lit(10).cast("long").alias("n_results"),
+        (F.col("__h16") == 10).alias("exhaustive_matches_bf"),
+        ((F.col("__h4") <= F.col("__h8")) & (F.col("__h8") <= 10)).alias(
+            "recall_monotone"
+        ),
+        (F.col("__h4") >= 3).alias("recall_floor_ok"),
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2334,6 +2462,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_dedup_cluster_kit": q_dedup_cluster_kit,
         "ns_decontaminate": q_decontaminate,
         "s_scd2_history": q_scd2_history,
+        "s_snapshot_kit": q_snapshot_kit,
         "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_dedup_incremental": q_dedup_incremental,
@@ -2400,7 +2529,7 @@ _DRIVER_WINDOW = [
     "rel_shape_kit",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
+    "s_snapshot_kit",
     "tpch_cond_agg_kit",
     "tpch_subquery_kit",
     "tpch_join_kit",
@@ -3322,6 +3451,33 @@ def _all_oracle_sql() -> dict[str, str]:
                      IS NULL) AS is_current
             FROM per_run
         """,
+        "s_snapshot_kit": """
+            WITH v1 AS (
+              SELECT * FROM orders WHERE o_orderkey % 10 < 5
+            ), upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 6
+            ), cur AS (
+              SELECT * FROM v1
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+              UNION ALL SELECT * FROM upd
+            )
+            SELECT 'v1' AS leg, o_orderstatus AS grp,
+                   count(*) AS n_rows,
+                   CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+                     AS total_cents
+            FROM v1 GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'current', o_orderstatus, count(*),
+                   CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+            FROM cur GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'history', op, v, CAST(NULL AS BIGINT)
+            FROM (VALUES ('overwrite', CAST(1 AS BIGINT)),
+                         ('overwrite', CAST(2 AS BIGINT))) AS h(op, v)
+        """,
         "ns_containment": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -3479,13 +3635,40 @@ def _all_oracle_sql() -> dict[str, str]:
                    length(substr(text, chunk_idx * 96 + 1, 128)) AS chunk_len
             FROM idx
         """,
-        # ns_minhash_pairs / ns_simhash_pairs / ns_ann_ivf: hash-seeded or
-        # Python-batch operators — intentionally no SQL oracle (driver
-        # rows-only check).
+        # a_approx_aggs / ns_ann_ivf (graduated round 4): the approximate
+        # values themselves are engine-specific, so the queries emit exact
+        # counterparts + deterministic accuracy-invariant booleans; the
+        # oracle recomputes the exact side and mirrors the booleans as
+        # literal TRUE — a full hash check on what CAN be cross-engine.
+        "a_approx_aggs": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_orders,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS orders_within_5pct,
+                   TRUE AS parts_within_5pct,
+                   TRUE AS p50_within_2pct,
+                   TRUE AS p99_within_2pct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "ns_ann_ivf": """
+            SELECT vec_id AS query_id,
+                   CAST(10 AS BIGINT) AS n_results,
+                   TRUE AS exhaustive_matches_bf,
+                   TRUE AS recall_monotone,
+                   TRUE AS recall_floor_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
+        # ns_minhash_pairs / ns_simhash_pairs: hash-seeded band-bucket
+        # operators — intentionally no SQL oracle (driver rows-only check).
     }
     # Composed entries built from other oracles / the operators' own SQL
     # mirrors, so the recipes cannot drift apart.
     sql["tpch_cond_agg_kit"] = f"""
+        SELECT 'q6_revenue' AS leg, 'ALL' AS grp,
+               CAST(revenue AS DOUBLE) AS value FROM ({sql["tpch_q6"]})
+        UNION ALL
+        SELECT 'q6_n_lines', 'ALL', CAST(n_lines AS DOUBLE) FROM ({sql["tpch_q6"]})
+        UNION ALL
         SELECT 'q4_order_count' AS leg, o_orderpriority AS grp,
                CAST(order_count AS DOUBLE) AS value FROM ({sql["tpch_q4"]})
         UNION ALL

@@ -18,11 +18,15 @@ for the shallow clusters dedup produces). This is the standard shape for
 hottest node degree, which the upstream pair generators already cap
 (hot-bucket caps / stop-gram cutoffs).
 
-Iteration mechanics on Spark: each round calls ``localCheckpoint(eager)`` to
-truncate lineage (iterative self-referential plans otherwise grow Catalyst
-analysis time superlinearly) and runs ONE tiny action per round — a
-(count, hash-sum) signature used as the convergence test. Rounds are O(log^2
-n), so the driver-side loop is a handful of jobs, not a per-row loop.
+Iteration mechanics on Spark: each round truncates lineage with a checkpoint
+(iterative self-referential plans otherwise grow Catalyst analysis time
+superlinearly) and runs ONE tiny action per round — a (count, hash-sum)
+signature used as the convergence test. Rounds are O(log^2 n), so the
+driver-side loop is a handful of jobs, not a per-row loop. Lineage
+truncation is ``localCheckpoint`` by default (local mode / fast path) or
+RELIABLE ``checkpoint()`` to a shared filesystem when ``checkpoint_dir`` is
+given — the cluster-safe path where executor loss mid-iteration costs a
+re-read instead of the job (round-3 verdict finding #3).
 """
 
 from __future__ import annotations
@@ -94,6 +98,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -107,11 +112,32 @@ def connected_components(
     converge — at the published O(log^2 n) bound, 20 rounds covers any
     realistic graph; non-convergence indicates corrupted input (e.g. NaN
     ids), not a tuning problem.
+
+    ``checkpoint_dir``: per-round lineage truncation strategy. Default
+    (None) uses ``localCheckpoint`` — blocks live in executor memory/disk
+    only, which is the right local-mode trade but NOT fault-tolerant: on a
+    real cluster one executor loss mid-iteration fails the job (no lineage
+    left to recompute). Pass an HDFS/S3A path to use RELIABLE
+    ``checkpoint()`` instead: each round's edge set persists to the shared
+    filesystem, so executor loss costs a re-read, not the job. Labels are
+    identical either way (asserted in tests/test_graph.py); the cost is one
+    distributed write per round of an edge list that star-contraction is
+    actively shrinking.
     """
-    # Lazy localCheckpoint: the signature action is the FIRST compute of
-    # each round's edge set, so it materializes the checkpoint cache as a
-    # side effect — one job per round instead of eager-checkpoint + probe.
-    e = _canon(edges, src, dst).localCheckpoint(eager=False)
+    if checkpoint_dir is not None:
+        sc = edges.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+    else:
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
+    # Lazy (local)checkpoint: the signature action is the FIRST compute of
+    # each round's edge set, so it materializes the checkpoint as a side
+    # effect — one job per round instead of eager-checkpoint + probe.
+    e = _truncate(_canon(edges, src, dst))
     nodes = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
     ).distinct()
@@ -124,7 +150,7 @@ def connected_components(
         # and each skipped round is a full Spark job).
         return nodes.select(F.col("node"), F.col("node").alias("cluster_id"))
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e2 = _truncate(_small_star(_large_star(e)))
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
@@ -152,14 +178,15 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every row of ``df`` with its duplicate-cluster id: the minimum
     ``id_col`` among rows connected (transitively) through ``pairs``.
     Rows in no pair get ``cluster_id = id``. Output: df columns +
     ``cluster_id``."""
-    comps = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
-        "node", id_col
-    )
+    comps = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
     return df.join(comps, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col))
     )
@@ -171,9 +198,10 @@ def dedup_connected(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-exact near-dedup: keep exactly one row (the minimum id) per
     connected duplicate cluster. The transitive-closure-correct alternative
     to ``dedup.dedup_minhash``'s greedy pair suppression."""
-    labeled = dedup_clusters(df, pairs, id_col, src, dst)
+    labeled = dedup_clusters(df, pairs, id_col, src, dst, checkpoint_dir)
     return labeled.filter(F.col("cluster_id") == F.col(id_col)).drop("cluster_id")

@@ -270,12 +270,21 @@ def vacuum(
 
 
 def snapshot_merge(
-    updates: DataFrame, path: str, keys: list[str]
+    updates: DataFrame, path: str, keys: list[str], retries: int = 0
 ) -> int:
     """Keyed upsert (MERGE): rows in ``updates`` replace same-key rows in
     the current version; new keys append. Commits one new overwrite
     snapshot, so the merge is atomic-to-readers and reversible via
     rollback.
+
+    Optimistic concurrency: the commit PINS the version the merge was
+    computed FROM as its parent, so a writer that lands in between makes
+    this commit's rename fail loudly (IOError) instead of silently
+    clobbering the interloper's rows — the lost-update hazard of
+    re-reading ``current_version`` at commit time. With ``retries > 0``
+    a conflicted merge re-reads the new current version, re-applies the
+    upsert, and re-commits — both interleaved writers land, serialized
+    (tests/test_snapshots.py::test_concurrent_merges_both_land).
 
     Copy-on-write at table grain — the simple, always-correct form. At
     100 TB restrict the rewrite by partitioning the table into several
@@ -283,18 +292,30 @@ def snapshot_merge(
     file-grain copy-on-write is a real table format's job.
     """
     spark = updates.sparkSession
-    cur = current_version(spark, path)
-    if cur is None:
-        return snapshot_overwrite(updates, path)
-    # merge_schema + allowMissingColumns: a table whose appends added
-    # columns (supported state — see read_snapshot) must merge without
-    # silently dropping the added column (plain read picks an arbitrary
-    # footer's schema) or failing the union; absent columns NULL-fill.
-    base = read_snapshot(spark, path, cur, merge_schema=True)
-    merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
-        updates, allowMissingColumns=True
-    )
-    return snapshot_overwrite(merged, path)
+    attempt = 0
+    while True:
+        cur = current_version(spark, path)
+        if cur is None:
+            df, op = updates, "overwrite"
+        else:
+            # merge_schema + allowMissingColumns: a table whose appends
+            # added columns (supported state — see read_snapshot) must
+            # merge without silently dropping the added column (plain read
+            # picks an arbitrary footer's schema) or failing the union;
+            # absent columns NULL-fill.
+            base = read_snapshot(spark, path, cur, merge_schema=True)
+            df = base.join(updates.select(*keys), keys, "left_anti").unionByName(
+                updates, allowMissingColumns=True
+            )
+            op = "overwrite"
+        d = _write_data(df, path)
+        try:
+            return _commit(spark, path, [d], op, cur, df.schema.json())
+        except IOError:
+            # the orphaned data dir is age-gate-swept by vacuum()
+            if attempt >= retries:
+                raise
+            attempt += 1
 
 
 def streaming_snapshot_sink(stream_df: DataFrame, path: str, checkpoint: str):

@@ -97,3 +97,45 @@ def test_no_cartesian_in_plan(spark):
     out = graph.connected_components(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reliable_checkpoint_identical_labels(spark, tmp_path):
+    """checkpoint_dir= switches per-round lineage truncation from
+    localCheckpoint (executor-memory blocks — lost with the executor) to
+    reliable checkpoint() on a shared filesystem. Labels must be identical,
+    and the round files must actually land under the directory."""
+    import os
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(df).collect()
+    }
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    # the reliable path wrote RDD checkpoint data to the shared dir
+    found = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckdir)
+        for f in files
+    ]
+    assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_dedup_connected_reliable_checkpoint_passthrough(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in graph.dedup_connected(
+            docs, pairs, checkpoint_dir=str(tmp_path / "cc2")
+        ).collect()
+    )
+    assert kept == [1, 4]

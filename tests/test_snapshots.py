@@ -325,3 +325,65 @@ def test_changes_read_merges_evolved_schema(spark, tmp_path):
     assert set(ch.columns) == {"k", "v", "score"}
     got = {r["k"]: r["score"] for r in ch.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_concurrent_merges_both_land(spark, tmp_path, monkeypatch):
+    """Two interleaved merges: writer B lands while writer A is mid-write
+    (after A computed its merge from v1, before A commits). A's pinned-
+    parent commit must CONFLICT — not silently clobber B — and with
+    retries=2 A re-derives from B's version and lands on top, so the final
+    table carries BOTH upserts."""
+    path = str(tmp_path / "tblc")
+    S.snapshot_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        path,
+    )
+    upd_a = spark.createDataFrame([(2, "A2"), (5, "a5")], "k long, v string")
+    upd_b = spark.createDataFrame([(3, "B3"), (6, "b6")], "k long, v string")
+
+    orig_write_data = S._write_data
+    state = {"interleaved": False}
+
+    def racing_write_data(df, p):
+        # Writer B sneaks a full merge in during A's data write — the
+        # classic read-compute-commit race window.
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            S.snapshot_merge(upd_b, p, ["k"])
+        return orig_write_data(df, p)
+
+    monkeypatch.setattr(S, "_write_data", racing_write_data)
+    v = S.snapshot_merge(upd_a, path, ["k"], retries=2)
+    assert v == 3  # v1 base, v2 = B, v3 = A's retried commit
+    got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got == {1: "a", 2: "A2", 3: "B3", 5: "a5", 6: "b6"}
+
+
+def test_concurrent_merge_without_retries_raises(spark, tmp_path, monkeypatch):
+    """retries=0 (default): the conflicted writer gets a loud IOError —
+    never a silent lost update."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tblc0")
+    S.snapshot_overwrite(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    orig_write_data = S._write_data
+    state = {"interleaved": False}
+
+    def racing_write_data(df, p):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            S.snapshot_merge(
+                spark.createDataFrame([(9, "z")], "k long, v string"), p, ["k"]
+            )
+        return orig_write_data(df, p)
+
+    monkeypatch.setattr(S, "_write_data", racing_write_data)
+    with _pytest.raises(IOError, match="conflict"):
+        S.snapshot_merge(
+            spark.createDataFrame([(1, "A1")], "k long, v string"), path, ["k"]
+        )
+    # B's merge survives untouched — nothing was clobbered
+    got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got == {1: "a", 9: "z"}
