@@ -766,3 +766,79 @@ def test_minhash_incremental_append_equals_index_write_of_survivors(spark, tmp_p
         for r in appended
     }
     assert appended_norm == expected
+
+
+def test_ngram_auto_cap_tiny_corpus_lossless(spark):
+    """Default max_gram_df="auto" = max(64, 2·√n_docs): on a small corpus
+    the 64 floor exceeds every df, so results equal the uncapped run."""
+    rows = [(i, f"shared prefix words here document {i} tail {i*3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.05, max_gram_df=None
+        ).collect()
+    }
+    assert auto == exact and auto
+
+
+def test_ngram_auto_cap_engages_on_hot_corpus(spark):
+    """On a degenerate high-overlap corpus (every doc shares the same
+    grams), the auto cap prunes the hot grams — the 14×-at-10× failure mode
+    from round 3 — while a pinned max_gram_df above the df would not."""
+    n_docs = 300  # df of every gram = 300 > 2·√300 ≈ 35
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto_pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).count()
+    assert auto_pairs == 0  # all grams hot → no candidates materialized
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 50), n=3, threshold=0.1, max_gram_df=None
+    ).count()
+    assert uncapped == 50 * 49 / 2  # the quadratic blow-up the cap prevents
+
+
+def test_ngram_sum_df2_budget_raises(spark):
+    """sum_df2_budget is a fail-fast guard: when the surviving posting lists
+    would still materialize more than the budget, raise BEFORE the join."""
+    rows = [(i, "common words everywhere same text") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="Σ df²|sum_df2_budget"):
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, max_gram_df=None, sum_df2_budget=1000
+        ).count()
+    # generous budget: runs fine
+    assert (
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.9, max_gram_df=None, sum_df2_budget=10**9
+        ).count()
+        == 100 * 99 / 2
+    )
+
+
+def test_ngram_prefix_variant_matches_uncapped(spark):
+    """ngram_jaccard_pairs_prefix is exact: identical pair set AND jaccard
+    values to the uncapped inverted-index join, including boilerplate-heavy
+    docs where the stop-gram cutoff would prune."""
+    stock = "all rights reserved contact us for terms"
+    rows = (
+        [(i, f"unique document number {i} about topic {i * 7} . " + stock) for i in range(40)]
+        + [(100, BASE), (101, BASE + " extra"), (102, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, max_gram_df=None
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.1
+        ).collect()
+    }
+    assert pref == exact and (100, 101) in pref
