@@ -33,6 +33,33 @@ from ..functions.text import char_shingles, fingerprint, word_ngrams
 from ..functions.vectors import cosine
 
 
+def pin_handles(out: DataFrame, *handles: DataFrame) -> DataFrame:
+    """Attach persisted upstream frames to a returned result so the CALLER
+    owns the cache lifetime (round-3 advice: operator-internal ``persist()``
+    pins otherwise accumulate in a long-lived session until LRU eviction).
+    Blocks are MEMORY_AND_DISK and evictable, so leaving them is safe — but
+    a batch driver looping over many corpora should release each call's
+    pins once its result is fully materialized::
+
+        pairs = dedup.ngram_jaccard_pairs(docs)
+        pairs.write.parquet(out)
+        dedup.unpersist_pins(pairs)
+    """
+    out._spark_graft_pins = list(handles)  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_pins(df: DataFrame, blocking: bool = False) -> int:
+    """Release the persisted upstream handles attached by this module's
+    operators (see :func:`pin_handles`). Call AFTER the result is fully
+    materialized — the pins are what keep the result's lineage cheap.
+    Returns the number of handles released."""
+    handles = getattr(df, "_spark_graft_pins", [])
+    for h in handles:
+        h.unpersist(blocking)
+    return len(handles)
+
+
 def bind_once(expr: Column, fn) -> Column:
     """Evaluate ``expr`` exactly once per row and expose it to ``fn`` as a
     lambda variable.
@@ -248,6 +275,54 @@ def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
     return buckets.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
 
 
+def _hot_sidecar_path(index_path: str) -> str:
+    # underscore prefix: parquet data discovery ignores _-prefixed dirs, so
+    # the sidecar can live INSIDE the index path without polluting reads
+    return index_path.rstrip("/") + "/_hot_buckets"
+
+
+def refresh_hot_sidecar(spark, index_path: str, max_bucket: int) -> int:
+    """Recompute the index's ACCUMULATED hot-bucket list (buckets whose
+    total posting count across all appends exceeds ``max_bucket``) and
+    write it as a small parquet sidecar inside the index directory.
+
+    Runs one partial-aggregated groupBy over the index — a write-path cost
+    paid once per append/compaction instead of once per probe batch
+    (round-3 advice: the old probe-time re-cap scanned the whole index on
+    EVERY probe, and its broadcast hot list was unbounded on a degenerate
+    index; the sidecar is materialized once and its size is inspected
+    driver-side before any broadcast). Returns the hot-bucket count."""
+    idx = spark.read.parquet(index_path)
+    hot = (
+        idx.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("band", "band_hash")
+    )
+    hot.write.mode("overwrite").parquet(_hot_sidecar_path(index_path))
+    return spark.read.parquet(_hot_sidecar_path(index_path)).count()
+
+
+def minhash_index_compact(
+    spark, index_path: str, max_bucket: int = 64, out_path: str | None = None
+) -> int:
+    """Index maintenance: refresh the hot-bucket sidecar, and (optionally)
+    rewrite the index WITHOUT the hot buckets' rows to ``out_path`` — the
+    global `_cap_buckets` pass that makes future probe caps a no-op. The
+    pruned copy goes to a new path (an in-place parquet self-overwrite is
+    unsafe); swap paths at the orchestration layer. Returns the hot count."""
+    n_hot = refresh_hot_sidecar(spark, index_path, max_bucket)
+    if out_path is not None:
+        idx = spark.read.parquet(index_path)
+        hot = spark.read.parquet(_hot_sidecar_path(index_path))
+        idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(out_path)
+        # pruned index has no hot buckets: write an empty sidecar
+        hot.limit(0).write.mode("overwrite").parquet(_hot_sidecar_path(out_path))
+    return n_hot
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,
@@ -265,12 +340,15 @@ def minhash_index_write(
     written partitioned by ``band``. Hot buckets (boilerplate, empty docs)
     are dropped AT WRITE TIME — they would otherwise poison every future
     probe with a quadratic bucket. ``mode='append'`` adds a new batch's
-    buckets (see dedup_minhash_incremental)."""
+    buckets (see dedup_minhash_incremental). Every write also refreshes
+    the accumulated hot-bucket SIDECAR (see refresh_hot_sidecar), so
+    probes never rescan the index to find hot buckets."""
     b = _cap_buckets(
         minhash_buckets(docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,
     )
     b.write.mode(mode).partitionBy("band").parquet(path)
+    refresh_hot_sidecar(docs.sparkSession, path, max_bucket)
 
 
 def minhash_incremental_pairs(
@@ -286,6 +364,7 @@ def minhash_incremental_pairs(
     impl: str = "arrow",
     max_bucket: int = 64,
     _buckets: DataFrame | None = None,
+    probe_cap: str | None = "sidecar",
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs for an incoming batch against a PERSISTED corpus
     index — the incremental-ingest shape: the 100 TB corpus is never
@@ -299,20 +378,37 @@ def minhash_incremental_pairs(
     hot-bucket caps bound every bucket; the session's runtime Bloom filter
     prunes index row-groups whose band_hash can't match.
 
-    The cap is re-applied to the INDEX side at probe time: the write-time
-    cap is per-append-batch only, so a bucket that stays under the cap in
-    every individual batch can still accumulate without bound across
-    appends (daily boilerplate). The window count here bounds the join
-    fanout against the index as it currently stands; a periodic index
-    compaction (rewrite with one global _cap_buckets pass) makes the probe
-    cap a no-op."""
+    The write-time cap is per-append-batch only, so a bucket under the cap
+    in every batch can still accumulate without bound across appends
+    (daily boilerplate). ``probe_cap`` controls how the INDEX side is
+    protected (round-3 advice — the old behavior recomputed the hot list
+    with a full index scan on EVERY probe):
+
+    - ``"sidecar"`` (default): anti-join the small ``_hot_buckets``
+      sidecar maintained at write/append/compaction time — zero extra
+      index scans per probe. Missing sidecar (pre-sidecar index) → no
+      index-side cap; run :func:`refresh_hot_sidecar` once to create it.
+    - ``"scan"``: recompute the hot list from the index now (one full
+      groupBy scan per probe) — correct against an index whose sidecar is
+      stale, at the old cost.
+    - ``None``: trust the write-time caps only.
+    """
     nb = _buckets if _buckets is not None else _cap_buckets(
         minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,
     )
-    idx = _cap_buckets(spark.read.parquet(index_path), max_bucket).withColumnRenamed(
-        id_col, "__corpus_id"
-    )
+    idx = spark.read.parquet(index_path)
+    if probe_cap == "scan":
+        idx = _cap_buckets(idx, max_bucket)
+    elif probe_cap == "sidecar":
+        try:
+            hot = spark.read.parquet(_hot_sidecar_path(index_path))
+            idx = idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+        except Exception:  # no sidecar yet (pre-sidecar index): uncapped
+            pass
+    elif probe_cap is not None:
+        raise ValueError(f"probe_cap must be 'sidecar', 'scan', or None: {probe_cap!r}")
+    idx = idx.withColumnRenamed(id_col, "__corpus_id")
     cross = (
         nb.join(idx, ["band", "band_hash"])
         .select(F.col(id_col).alias("new_id"), F.col("__corpus_id").alias("corpus_id"))
@@ -392,6 +488,9 @@ def dedup_minhash_incremental(
         _cap_buckets(
             nb0.join(survivors.select(id_col), id_col, "left_semi"), max_bucket
         ).write.mode("append").partitionBy("band").parquet(index_path)
+        # keep the accumulated hot-bucket sidecar current so future probes
+        # stay scan-free (write-path cost, amortized across probes)
+        refresh_hot_sidecar(spark, index_path, max_bucket)
     return survivors
 
 
@@ -719,13 +818,14 @@ def ngram_jaccard_pairs(
     shared = _ngram_shared_counts(
         df, text_col, id_col, n, max_gram_df, sum_df2_budget
     )
-    return (
+    return pin_handles(
         shared.withColumn(
             "jaccard",
             F.try_divide(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        *getattr(shared, "_spark_graft_pins", []),
     )
 
 
@@ -841,7 +941,7 @@ def _ngram_shared_counts(
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
-    return shared.join(sa, "id_a").join(sb, "id_b")
+    return pin_handles(shared.join(sa, "id_a").join(sb, "id_b"), grams)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -933,7 +1033,7 @@ def ngram_jaccard_pairs_prefix(
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
-    return (
+    return pin_handles(
         cand.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("inter", inter)
@@ -945,7 +1045,8 @@ def ngram_jaccard_pairs_prefix(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        grams,
     )
 
 
@@ -983,7 +1084,10 @@ def ngram_containment_pairs(
         F.col("id_a").alias("container_id"),
         F.try_divide(F.col("inter"), F.col("sz_b")).alias("containment"),
     )
-    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+    return pin_handles(
+        a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold),
+        *getattr(shared, "_spark_graft_pins", []),
+    )
 
 
 def ngram_contamination(
@@ -1014,20 +1118,17 @@ def ngram_contamination(
     # corpus-sized cache stays fault-tolerant). The corpus side is the one
     # that matters at 100 TB; the eval side is small but gets the same
     # shape.
-    eval_grams = (
-        evalset.select(
-            F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("g")
-        )
-        .persist()
-        .select("eval_id", F.explode("g").alias("gram"))
-        .distinct()
-    )
-    corpus_grams = (
-        corpus.select(F.col(id_col), word_ngrams(text_col, n).alias("g"))
-        .persist()
-        .select(id_col, F.explode("g").alias("gram"))
-    )
-    return (
+    eval_pin = evalset.select(
+        F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("g")
+    ).persist()
+    eval_grams = eval_pin.select(
+        "eval_id", F.explode("g").alias("gram")
+    ).distinct()
+    corpus_pin = corpus.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("g")
+    ).persist()
+    corpus_grams = corpus_pin.select(id_col, F.explode("g").alias("gram"))
+    return pin_handles(
         corpus_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(
@@ -1035,7 +1136,9 @@ def ngram_contamination(
             F.count_distinct("eval_id").alias("n_eval_docs"),
             F.min("eval_id").alias("first_eval_id"),
         )
-        .filter(F.col("shared_grams") >= min_shared)
+        .filter(F.col("shared_grams") >= min_shared),
+        eval_pin,
+        corpus_pin,
     )
 
 
@@ -1206,9 +1309,14 @@ def _window_grams(
             ),
         ).alias("ws"),
     ).persist()
-    return arrays.select(
-        "doc_id", F.explode("ws").alias("w")
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram_key").alias("gram_key"))
+    return pin_handles(
+        arrays.select("doc_id", F.explode("ws").alias("w")).select(
+            "doc_id",
+            F.col("w.pos").alias("pos"),
+            F.col("w.gram_key").alias("gram_key"),
+        ),
+        arrays,
+    )
 
 
 def winnow(
@@ -1280,6 +1388,9 @@ def duplicate_spans(
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_gram_df))
     )
-    return indexed.join(docs_per_gram, "gram_key").select(
-        "doc_id", "pos", "gram_key", "n_docs"
+    return pin_handles(
+        indexed.join(docs_per_gram, "gram_key").select(
+            "doc_id", "pos", "gram_key", "n_docs"
+        ),
+        *getattr(wins, "_spark_graft_pins", []),
     )

@@ -52,7 +52,16 @@ class _Huff:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with FF00 unstuffing.
-    Stops at any real marker (FFxx, xx != 0) and reports it."""
+    Stops at any real marker (FFxx, xx != 0) and reports it.
+
+    Over-read tracking (round-3 advice): padding bits fabricated past the
+    end of real data (stream exhausted, or past a terminating marker) are
+    counted WHEN CONSUMED. The spec allows up to 7 fill bits to byte-align
+    the final entropy-coded byte; consuming more than that means the scan
+    ran out of real data before the last MCU completed — a truncated
+    stream that would otherwise silently decode to zero-bit garbage.
+    Callers check :attr:`overrun` and return None (the corrupt-stream
+    contract of decode_jpeg_pixels)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -60,6 +69,14 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         self.marker = None
+        self.fab_bits = 0  # fabricated padding bits currently in acc (low end)
+        self.fab_consumed = 0
+
+    @property
+    def overrun(self) -> bool:
+        """True once more than the 7 legal byte-align fill bits of
+        fabricated padding have actually been consumed."""
+        return self.fab_consumed > 7
 
     def _fill(self):
         d = self.data
@@ -67,6 +84,7 @@ class _BitReader:
             if self.pos >= len(d):
                 self.acc = (self.acc << 8) | 0
                 self.nbits += 8
+                self.fab_bits += 8
                 continue
             b = d[self.pos]
             if b == 0xFF:
@@ -79,6 +97,7 @@ class _BitReader:
                     # of the last byte are padding)
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.fab_bits += 8
                     continue
             else:
                 self.pos += 1
@@ -89,6 +108,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
+        if self.nbits < self.fab_bits:
+            # fabricated bits sit at the low end of acc (fabrication never
+            # precedes real data), so the bit just consumed was padding
+            self.fab_consumed += 1
+            self.fab_bits = self.nbits
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
@@ -108,6 +132,10 @@ class _BitReader:
                 self.acc = 0
                 self.nbits = 0
                 self.marker = None
+                # byte-align fill before each RSTn is legal — reset the
+                # padding accounting for the next interval
+                self.fab_bits = 0
+                self.fab_consumed = 0
                 return True
             p += 1
         return False
@@ -289,6 +317,11 @@ def _decode_scan(np, blob, pos, frame, sel, qt, huff_dc, huff_ac, restart_interv
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
+            if br.overrun:
+                # entropy data ran out before this MCU finished: the bits
+                # that "decoded" it were fabricated zero padding, not real
+                # data — honor the corrupt-stream → None contract
+                return None
     out_planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         p = planes[ci] + 128.0

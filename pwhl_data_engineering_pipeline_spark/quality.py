@@ -200,34 +200,44 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
     into the per-column frame — no per-column jobs, no toPandas of data.
     Distinct counts use HyperLogLog (approx_count_distinct, ~2% default
     error): exact distincts per column would add a shuffle per column.
+
+    Columns are referenced backtick-quoted (exact-name resolution), so
+    names containing dots profile as themselves instead of being parsed as
+    struct paths; non-orderable/non-hashable types (maps) skip min/max and
+    the distinct sketch and report NULLs there instead of raising.
     """
     cols = list(columns) if columns is not None else list(df.columns)
     if not cols:
         raise ValueError("no columns to profile")
+    dtypes = dict(df.dtypes)
+    orderable = {c: not dtypes[c].startswith("map<") for c in cols}
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.approx_count_distinct(c).alias(f"__dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-        ]
+    def _q(name: str):  # exact-name reference: `a.b` is a column, not a path
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(_q(c).isNull().cast("long")).alias(f"__nulls_{i}"))
+        if orderable[c]:
+            aggs += [
+                F.approx_count_distinct(_q(c)).alias(f"__dist_{i}"),
+                F.min(_q(c)).cast("string").alias(f"__min_{i}"),
+                F.max(_q(c)).cast("string").alias(f"__max_{i}"),
+            ]
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
-    dtypes = dict(df.dtypes)
     spark = df.sparkSession
     out = [
         (
             c,
             dtypes[c],
             n,
-            row[f"__nulls_{c}"],
-            (row[f"__nulls_{c}"] / n) if n else 0.0,
-            row[f"__dist_{c}"],
-            row[f"__min_{c}"],
-            row[f"__max_{c}"],
+            row[f"__nulls_{i}"],
+            (row[f"__nulls_{i}"] / n) if n else 0.0,
+            row[f"__dist_{i}"] if orderable[c] else None,
+            row[f"__min_{i}"] if orderable[c] else None,
+            row[f"__max_{i}"] if orderable[c] else None,
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return spark.createDataFrame(
         out,

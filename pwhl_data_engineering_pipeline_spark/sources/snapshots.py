@@ -376,7 +376,8 @@ def commit_stream_batch(
 
 
 def snapshot_diff(
-    spark: SparkSession, path: str, from_version: int, to_version: int
+    spark: SparkSession, path: str, from_version: int, to_version: int,
+    eager: bool = True,
 ) -> DataFrame:
     """Row-level change feed between two versions: the multiset difference,
     labeled ``_change`` = 'insert' (in to, not in from) or 'delete' (in
@@ -384,20 +385,37 @@ def snapshot_diff(
     downstream MERGE consumer applies. Computed with ``exceptAll`` (exact
     multiset semantics, hash-aggregate shuffle on the full row), so cost is
     two set-difference passes over the versions — the price of
-    content-level diff without stored row lineage. Both sides are pinned
-    (persist) since each feeds BOTH exceptAll legs; without the pin every
-    version's parquet would scan twice.
+    content-level diff without stored row lineage.
+
+    Cache lifecycle (round-3 advice — the old form pinned both version
+    reads and never released them, accumulating blocks across calls in a
+    long-lived session): with ``eager=True`` (default) both sides are
+    pinned only for the duration of the call — the diff itself (usually
+    the SMALL side: changed rows) is persisted and materialized, then the
+    version pins are released before returning. The caller may
+    ``unpersist()`` the returned frame when done. ``eager=False`` avoids
+    the materializing action entirely and pins NOTHING: each version's
+    parquet scans twice (once per exceptAll leg) — the right trade when
+    the diff feeds a single downstream action anyway.
 
     Versions must share a schema (exceptAll is positional); across an
     additive schema change, read both sides with ``merge_schema`` and
     select the common/superset columns before diffing."""
-    older = read_snapshot(spark, path, from_version).persist()
-    newer = read_snapshot(spark, path, to_version).persist()
     from pyspark.sql import functions as F
 
-    return newer.exceptAll(older).withColumn(
+    older = read_snapshot(spark, path, from_version)
+    newer = read_snapshot(spark, path, to_version)
+    if eager:
+        older, newer = older.persist(), newer.persist()
+    diff = newer.exceptAll(older).withColumn(
         "_change", F.lit("insert")
     ).unionByName(older.exceptAll(newer).withColumn("_change", F.lit("delete")))
+    if eager:
+        diff = diff.persist()
+        diff.count()  # materialize while the version pins are alive
+        older.unpersist()
+        newer.unpersist()
+    return diff
 
 
 def _part_dir(path: str, part_col: str, value) -> str:

@@ -378,3 +378,22 @@ def test_fill_bytes_and_malformed_segments():
         + blob[2:]
     )
     assert J.decode_jpeg_pixels(q16) is None
+
+
+def test_truncated_entropy_segment_returns_none():
+    """ADVICE round 3: a stream cut mid-entropy-data must return None, not
+    decode trailing MCUs from fabricated zero padding. A large image is
+    truncated at various points inside the scan; every cut must be refused
+    (≤7 byte-align fill bits stay legal, so the intact blob still decodes)."""
+    img = _gradient(48, 48)
+    blob = encode_jpeg(img, q=4)
+    assert J.decode_jpeg_pixels(blob) is not None  # intact: fill bits OK
+    sos = blob.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    scan_len = len(blob) - 2 - scan_start  # strip trailing EOI
+    for frac in (0.3, 0.6, 0.9):
+        cut = scan_start + max(2, int(scan_len * frac))
+        truncated = blob[:cut]
+        assert J.decode_jpeg_pixels(truncated) is None, f"frac={frac}"
+        # and with a spurious EOI glued on (common corruption shape)
+        assert J.decode_jpeg_pixels(truncated + b"\xff\xd9") is None, f"frac={frac}+eoi"

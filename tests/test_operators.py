@@ -842,3 +842,46 @@ def test_ngram_prefix_variant_matches_uncapped(spark):
         ).collect()
     }
     assert pref == exact and (100, 101) in pref
+
+
+def test_minhash_hot_sidecar_probe_is_scan_free_and_compact_prunes(spark, tmp_path):
+    """ADVICE round 3: the probe no longer rescans the index for hot
+    buckets — it anti-joins the _hot_buckets sidecar maintained at
+    write/append time. Sidecar, scan, and compacted-index probes must all
+    agree; compaction to a new path leaves an empty sidecar."""
+    import os
+
+    idx = str(tmp_path / "mh_idx_side")
+    boiler = "identical boilerplate body repeated across daily batches forever"
+    cap = 8
+    for day in range(5):
+        batch = spark.createDataFrame(
+            [(day * 10 + i, boiler) for i in range(4)]
+            + [(day * 10 + 7, f"healthy unique document for day {day} nothing shared")],
+            "doc_id long, text string",
+        )
+        dedup.minhash_index_write(batch, idx, max_bucket=cap, mode="append")
+    assert os.path.isdir(os.path.join(idx, "_hot_buckets"))
+    probe = spark.createDataFrame([(999, boiler)], "doc_id long, text string")
+    for mode in ("sidecar", "scan"):
+        cross, _ = dedup.minhash_incremental_pairs(
+            spark, probe, idx, max_bucket=cap, probe_cap=mode
+        )
+        assert cross.count() == 0, mode
+    # trust-write-time-caps mode sees the accumulated bucket (by design)
+    cross_none, _ = dedup.minhash_incremental_pairs(
+        spark, probe, idx, max_bucket=cap, probe_cap=None
+    )
+    assert cross_none.count() == 20
+    # compact to a fresh path: hot rows pruned, sidecar empty, probe clean
+    out = str(tmp_path / "mh_idx_compacted")
+    n_hot = dedup.minhash_index_compact(spark, idx, max_bucket=cap, out_path=out)
+    assert n_hot > 0
+    # the healthy docs' bucket rows survive; every boilerplate row is gone
+    compacted = spark.read.parquet(out)
+    assert compacted.count() > 0
+    assert compacted.filter(F.col("doc_id") % 10 != 7).count() == 0
+    cross_c, _ = dedup.minhash_incremental_pairs(
+        spark, probe, out, max_bucket=cap, probe_cap=None
+    )
+    assert cross_c.count() == 0

@@ -138,3 +138,20 @@ def test_profile_one_pass_per_column_stats(spark):
 
     with pytest.raises(ValueError):
         profile(df, [])
+
+
+def test_profile_dotted_names_and_map_columns(spark):
+    """ADVICE round 3: dotted column names must profile as themselves (not
+    parse as struct paths) and map columns must skip min/max + the distinct
+    sketch with NULLs instead of raising AnalysisException."""
+    from pwhl_data_engineering_pipeline_spark.quality import profile
+
+    df = spark.sql(
+        "SELECT 1 AS `a.b`, map('k', 2) AS m UNION ALL SELECT NULL, map('k', 3)"
+    )
+    prof = {r["column"]: r for r in profile(df).collect()}
+    assert prof["a.b"]["n_nulls"] == 1 and prof["a.b"]["n_rows"] == 2
+    assert prof["a.b"]["min"] == "1" and prof["a.b"]["max"] == "1"
+    m = prof["m"]
+    assert m["n_nulls"] == 0
+    assert m["min"] is None and m["max"] is None and m["approx_distinct"] is None

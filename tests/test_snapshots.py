@@ -387,3 +387,33 @@ def test_concurrent_merge_without_retries_raises(spark, tmp_path, monkeypatch):
     # B's merge survives untouched — nothing was clobbered
     got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
     assert got == {1: "a", 9: "z"}
+
+
+def test_snapshot_diff_releases_version_pins(spark, tmp_path):
+    """ADVICE round 3: snapshot_diff must not leave the two version reads
+    persisted after the call. Eager mode materializes the (small) diff and
+    releases both version pins; lazy mode pins nothing."""
+    path = str(tmp_path / "tbl_diff_pins")
+    S.snapshot_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    S.snapshot_merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), path, ["k"]
+    )
+    def n_cached(sc):
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    sc = spark.sparkContext
+    before = n_cached(sc)
+    diff = S.snapshot_diff(spark, path, 1, 2)
+    got = {(r["k"], r["v"], r["_change"]) for r in diff.collect()}
+    assert got == {
+        (2, "B", "insert"), (3, "c", "insert"), (2, "b", "delete"),
+    }
+    # only the returned diff frame may still hold a cache entry
+    after = n_cached(sc)
+    assert after <= before + 1
+    diff.unpersist()
+    lazy = S.snapshot_diff(spark, path, 1, 2, eager=False)
+    assert lazy.count() == 3
+    assert n_cached(sc) <= before
