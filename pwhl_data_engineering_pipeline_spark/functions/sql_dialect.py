@@ -15,15 +15,32 @@ same files on the engine unchanged — the dialect deltas are mechanical:
 - CTAS ``PARTITION BY / CLUSTER BY`` headers → ``USING parquet PARTITIONED
   BY`` (table mode) or stripped (temp-view mode, the default for tests)
 
-SCOPE: the translator is regex-based and scoped to the dialect constructs
-the reference's three SQL files actually use — it is not a general BigQuery
-parser. Known sharp edges for SQL beyond that scope: ``FORMAT_DATE`` with a
-nested-paren date expression (``FORMAT_DATE('%A', DATE(x))``) breaks the
-``[^)]+`` argument match, and ``split_statements`` splits on every ``;``
-including one inside a string literal. Feeding arbitrary BigQuery scripts
-through ``run_bigquery_script`` requires hardening these (balanced-paren and
-quote-aware parsing); the translated output is always plain Spark SQL, so
-misses surface as Spark analysis errors, not silent wrong results.
+SCOPE (widened round 4 per the round-3 verdict): still a dialect
+translator, not a general BigQuery parser — but now hardened for arbitrary
+user SQL to degrade GRACEFULLY instead of sharply:
+
+- ``split_statements`` is quote- and comment-aware (a ``;`` inside a
+  string literal no longer splits the statement),
+- function rewrites use balanced-paren argument scanning
+  (``FORMAT_DATE('%A', DATE(x))`` translates correctly),
+- ``SAFE_CAST`` → ``try_cast``; ``DATE_ADD/DATE_SUB (INTERVAL n
+  DAY/WEEK/MONTH/QUARTER/YEAR)`` → ``date_add/add_months`` forms;
+  ``DATE_DIFF(a, b, DAY/MONTH/QUARTER/YEAR)`` → calendar-boundary-count
+  expressions matching BigQuery semantics (NOT months_between's
+  fractional semantics); ``EXTRACT(part FROM x)`` for the parts whose
+  Spark semantics match (YEAR/QUARTER/MONTH/DAY/HOUR/MINUTE/SECOND/
+  DAYOFWEEK/DAYOFYEAR/ISOWEEK/ISOYEAR; EXTRACT(DATE FROM ts) →
+  to_date),
+- constructs whose semantics DIVERGE or are untranslated raise
+  ``UnsupportedSQLError`` naming the construct (BigQuery WEEK
+  extract/diff — Sunday-anchored 0-based weeks; ``SELECT * EXCEPT``;
+  ``QUALIFY``; PARSE_/FORMAT_ date-time functions beyond
+  FORMAT_DATE('%A', ·); UNNEST outside the translated
+  GENERATE_DATE_ARRAY form; STRUCT<> literals; TIMESTAMP_ADD/SUB/DIFF)
+  — a clear error instead of silent mistranslation. The translated
+  output is always plain Spark SQL, so anything that slips past the
+  detector surfaces as a Spark analysis error, never a silently wrong
+  result.
 
 One *documented deviation* (SURVEY.md §7.4 item 4): the reference's viz
 queries join ``USING (weather_id)`` but no script ever materializes that
@@ -42,8 +59,6 @@ _DATE_ARRAY_RE = re.compile(
     r"\s*INTERVAL\s+1\s+DAY\s*\)\s*\)\s*AS\s+(\w+)",
     re.IGNORECASE,
 )
-_FORMAT_DATE_RE = re.compile(r"FORMAT_DATE\s*\(\s*'%A'\s*,\s*([^)]+)\)", re.IGNORECASE)
-_ISOWEEK_RE = re.compile(r"EXTRACT\s*\(\s*ISOWEEK\s+FROM\s+([^)]+)\)", re.IGNORECASE)
 _QUALIFIED_NAME_RE = re.compile(r"`[\w.-]+\.(\w+)`")
 _CTAS_RE = re.compile(
     r"CREATE\s+OR\s+REPLACE\s+TABLE\s+(\w+)\s*"
@@ -68,16 +83,273 @@ _WEATHER_ID_REPAIRS = {
 }
 
 
+class UnsupportedSQLError(ValueError):
+    """A BigQuery construct this translator refuses to translate —
+    semantics diverge from Spark or no mapping is implemented. Loud by
+    design: the alternative is silent mistranslation."""
+
+
 def split_statements(sql_text: str) -> list[str]:
-    """Split a BigQuery script into statements; drop comment-only chunks."""
-    out = []
-    for stmt in sql_text.replace("﻿", "").split(";"):
-        body = "\n".join(
-            line for line in stmt.splitlines() if not line.strip().startswith("--")
-        ).strip()
-        if body:
-            out.append(body)
+    """Split a BigQuery script into statements; drop comment-only chunks.
+    Quote- and comment-aware: a ``;`` inside a '…'/"…" literal or a ``--``
+    comment does not split."""
+    text = sql_text.replace("﻿", "")
+    stmts, buf = [], []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(text[i])
+                if text[i] == "\\" and i + 1 < n:  # escaped char inside literal
+                    i += 1
+                    buf.append(text[i])
+                elif text[i] == q:
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":  # drop comment to EOL
+                i += 1
+            continue
+        if ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def _find_calls(s: str, fname: str):
+    """Yield (start, open_paren, close_paren) index triples for every
+    ``fname( ... )`` call with BALANCED parens, quote-aware."""
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            return
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            c = s[i]
+            if c in ("'", '"'):
+                q = c
+                i += 1
+                while i < len(s) and s[i] != q:
+                    i += 2 if s[i] == "\\" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise UnsupportedSQLError(f"unbalanced parentheses in {fname}(...) call")
+        yield m.start(), m.end(), i - 1
+        pos = i
+
+
+def _split_args(args: str) -> list[str]:
+    """Split a call's argument string on top-level commas, quote-aware."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(args):
+        c = args[i]
+        if c in ("'", '"'):
+            q = c
+            cur.append(c)
+            i += 1
+            while i < len(args):
+                cur.append(args[i])
+                if args[i] == q:
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
     return out
+
+
+def _rewrite_calls(s: str, fname: str, fn) -> str:
+    """Replace every balanced ``fname(args)`` call with ``fn(args_list)``
+    (processed right-to-left so indices stay valid under nesting)."""
+    calls = list(_find_calls(s, fname))
+    for start, opn, close in reversed(calls):
+        repl = fn(_split_args(s[opn:close]))
+        s = s[:start] + repl + s[close + 1 :]
+    return s
+
+
+# strftime → Spark datetime-pattern tokens (the subset with exact
+# equivalents; anything else raises rather than mistranslating)
+_STRFTIME_TOKENS = {
+    "%A": "EEEE", "%a": "EEE", "%B": "MMMM", "%b": "MMM",
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%j": "DDD",
+}
+
+
+def _strftime_to_spark(fmt_literal: str) -> str:
+    """Translate a quoted strftime format literal to a Spark pattern
+    literal, or raise for tokens without an exact equivalent."""
+    if not (fmt_literal.startswith("'") and fmt_literal.endswith("'")):
+        raise UnsupportedSQLError(
+            f"FORMAT_DATE format must be a string literal: {fmt_literal}"
+        )
+    body = fmt_literal[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "%":
+            tok = body[i : i + 2]
+            if tok not in _STRFTIME_TOKENS:
+                raise UnsupportedSQLError(
+                    f"FORMAT_DATE token {tok!r} has no exact Spark equivalent"
+                )
+            out.append(_STRFTIME_TOKENS[tok])
+            i += 2
+        else:
+            # literal chars: quote letters so Spark doesn't read them as
+            # pattern tokens
+            if body[i].isalpha():
+                out.append(f"'{body[i]}'")
+            else:
+                out.append(body[i])
+            i += 1
+    return "'" + "".join(out).replace("''", "") + "'"
+
+
+def _format_date(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedSQLError(f"FORMAT_DATE expects 2 args, got {len(args)}")
+    return f"date_format({args[1]}, {_strftime_to_spark(args[0])})"
+
+
+_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+(.+?)\s+(DAY|WEEK|MONTH|QUARTER|YEAR)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _date_addsub(args: list[str], sign: str, fname: str) -> str:
+    if len(args) != 2:
+        raise UnsupportedSQLError(f"{fname} expects 2 args, got {len(args)}")
+    m = _INTERVAL_RE.match(args[1].strip())
+    if not m:
+        # Spark's own 2-arg DATE_ADD(date, days): already valid — re-emit
+        return f"{fname}({args[0]}, {args[1]})"
+    n, unit = f"({m.group(1)})", m.group(2).upper()
+    d = args[0]
+    forms = {
+        "DAY": f"date_add({d}, {sign}{n})",
+        "WEEK": f"date_add({d}, {sign}(7 * {n}))",
+        "MONTH": f"add_months({d}, {sign}{n})",
+        "QUARTER": f"add_months({d}, {sign}(3 * {n}))",
+        "YEAR": f"add_months({d}, {sign}(12 * {n}))",
+    }
+    return forms[unit]
+
+
+def _date_diff(args: list[str]) -> str:
+    if len(args) != 3:
+        raise UnsupportedSQLError(f"DATE_DIFF expects 3 args, got {len(args)}")
+    a, b, part = args[0], args[1], args[2].strip().upper()
+    forms = {
+        # BigQuery DATE_DIFF counts CALENDAR-BOUNDARY crossings — month
+        # arithmetic on (year*12 + month), never months_between's fractions
+        "DAY": f"datediff({a}, {b})",
+        "MONTH": f"((year({a}) * 12 + month({a})) - (year({b}) * 12 + month({b})))",
+        "QUARTER": f"((year({a}) * 4 + quarter({a})) - (year({b}) * 4 + quarter({b})))",
+        "YEAR": f"(year({a}) - year({b}))",
+        "ISOYEAR": f"(extract(YEAROFWEEK FROM {a}) - extract(YEAROFWEEK FROM {b}))",
+    }
+    if part not in forms:
+        raise UnsupportedSQLError(
+            f"DATE_DIFF part {part} not supported (BigQuery WEEK counts "
+            "Sunday-anchored boundary crossings — no exact Spark equivalent)"
+        )
+    return forms[part]
+
+
+_EXTRACT_PART_RE = re.compile(r"^\s*([A-Z_]+(?:\([^)]*\))?)\s+FROM\s+(.+)$",
+                              re.IGNORECASE | re.DOTALL)
+
+_EXTRACT_PASSTHROUGH = {
+    "YEAR", "QUARTER", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "DAYOFWEEK",
+}
+
+
+def _extract(args: list[str]) -> str:
+    m = _EXTRACT_PART_RE.match(args[0]) if len(args) == 1 else None
+    if not m:
+        raise UnsupportedSQLError(f"unparseable EXTRACT: {args}")
+    part, expr = m.group(1).upper(), m.group(2)
+    if part in _EXTRACT_PASSTHROUGH:
+        return f"extract({part} FROM {expr})"
+    if part == "DAYOFYEAR":
+        return f"extract(DOY FROM {expr})"
+    if part == "ISOWEEK":
+        return f"weekofyear({expr})"
+    if part == "ISOYEAR":
+        return f"extract(YEAROFWEEK FROM {expr})"
+    if part == "DATE":
+        return f"to_date({expr})"
+    raise UnsupportedSQLError(
+        f"EXTRACT part {part} not supported"
+        + (
+            " (BigQuery WEEK is Sunday-anchored and 0-based — no exact "
+            "Spark equivalent; use ISOWEEK)"
+            if part.startswith("WEEK")
+            else ""
+        )
+    )
+
+
+def _strip_literals(s: str) -> str:
+    """Blank out string literals (for construct DETECTION only — avoids
+    false positives on e.g. a literal containing 'UNNEST')."""
+    return re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", "''", s)
+
+
+#: BigQuery constructs with no implemented/faithful Spark mapping: the
+#: detector raises instead of letting them mistranslate or half-run.
+_UNSUPPORTED_MARKERS = [
+    (r"\bPARSE_(?:DATE|TIME|DATETIME|TIMESTAMP)\s*\(", "PARSE_* datetime parsing"),
+    (r"\bFORMAT_(?:TIME|DATETIME|TIMESTAMP)\s*\(", "FORMAT_* (non-DATE) formatting"),
+    (r"\b(?:TIMESTAMP|DATETIME|TIME)_(?:ADD|SUB|DIFF)\s*\(", "TIMESTAMP/DATETIME/TIME arithmetic"),
+    (r"\bUNNEST\s*\(", "UNNEST (beyond the GENERATE_DATE_ARRAY day-spine form)"),
+    (r"\bGENERATE_(?:DATE_)?ARRAY\s*\(", "GENERATE_ARRAY outside the day-spine form"),
+    (r"\bSTRUCT\s*<", "typed STRUCT<> literals"),
+    (r"\bQUALIFY\b", "QUALIFY clause (rewrite as a subquery over the window)"),
+    (r"\*\s+EXCEPT\s*\(", "SELECT * EXCEPT(...) projection"),
+    (r"\bSAFE\.\w+", "SAFE.-prefixed function calls"),
+    (r"\bFORMAT_DATE\s*\(", "FORMAT_DATE with an untranslated format"),
+]
+
+
+def _reject_unsupported(s: str) -> None:
+    bare = _strip_literals(s)
+    for pat, label in _UNSUPPORTED_MARKERS:
+        m = re.search(pat, bare, re.IGNORECASE)
+        if m:
+            raise UnsupportedSQLError(
+                f"BigQuery construct not supported by this translator: {label} "
+                f"(at ~char {m.start()}: {bare[m.start():m.start()+40]!r})"
+            )
 
 
 def translate_statement(
@@ -124,13 +396,20 @@ def translate_statement(
         if cv and mode == "view":
             s = _CVIEW_RE.sub(rf"CREATE OR REPLACE TEMPORARY VIEW {cv.group(1)} AS", s)
 
-    s = _FORMAT_DATE_RE.sub(r"date_format(\1, 'EEEE')", s)
-    s = _ISOWEEK_RE.sub(r"weekofyear(\1)", s)
+    # day-spine rewrite FIRST: it consumes the one supported UNNEST form,
+    # so the unsupported-construct detector below only sees leftovers
     s = _DATE_ARRAY_RE.sub(
         r"(SELECT explode(sequence(to_date(\1), to_date(\2), interval 1 day)) AS \3)", s
     )
+    s = _rewrite_calls(s, "FORMAT_DATE", _format_date)
+    s = _rewrite_calls(s, "EXTRACT", _extract)
+    s = _rewrite_calls(s, "DATE_DIFF", _date_diff)
+    s = _rewrite_calls(s, "DATE_ADD", lambda a: _date_addsub(a, "", "date_add"))
+    s = _rewrite_calls(s, "DATE_SUB", lambda a: _date_addsub(a, "-", "date_sub"))
+    s = re.sub(r"\bSAFE_CAST\b", "try_cast", s, flags=re.IGNORECASE)
     s = re.sub(r"\bSAFE_DIVIDE\b", "try_divide", s, flags=re.IGNORECASE)
     s = re.sub(r"\bCOUNTIF\b", "count_if", s, flags=re.IGNORECASE)
+    _reject_unsupported(s)
 
     if repair_weather_id and target in _WEATHER_ID_REPAIRS:
         # append the minted key at the END of the SELECT list (before FROM)

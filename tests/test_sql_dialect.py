@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pwhl_data_engineering_pipeline_spark.functions import sql_dialect
@@ -154,3 +156,98 @@ def test_01_create_dataset_ttl_end_to_end(spark, tmp_path):
     assert created is not None and abs(created - __import__("time").time()) < 3600
     spark.sql(f"DROP DATABASE {db} CASCADE")
     shutil.rmtree(f"spark-warehouse/{db}.db", ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: widened dialect surface (verdict task 7) — SAFE_CAST, DATE_ADD/
+# DATE_SUB/DATE_DIFF, EXTRACT parts, hardened parsing, loud failures.
+# ---------------------------------------------------------------------------
+
+from pwhl_data_engineering_pipeline_spark.functions.sql_dialect import (
+    UnsupportedSQLError,
+    split_statements,
+    translate_statement,
+)
+
+
+def _one(spark, bq_sql):
+    return spark.sql(translate_statement(bq_sql)).collect()[0][0]
+
+
+def test_safe_cast_translates_to_try_cast(spark):
+    assert _one(spark, "SELECT SAFE_CAST('3' AS INT) AS v") == 3
+    assert _one(spark, "SELECT SAFE_CAST('nope' AS INT) AS v") is None
+
+
+def test_date_add_sub_interval_units(spark):
+    assert str(_one(spark, "SELECT DATE_ADD(DATE '2024-01-31', INTERVAL 1 DAY) AS v")) == "2024-02-01"
+    assert str(_one(spark, "SELECT DATE_ADD(DATE '2024-01-01', INTERVAL 2 WEEK) AS v")) == "2024-01-15"
+    assert str(_one(spark, "SELECT DATE_ADD(DATE '2024-01-31', INTERVAL 1 MONTH) AS v")) == "2024-02-29"
+    assert str(_one(spark, "SELECT DATE_SUB(DATE '2024-03-01', INTERVAL 1 YEAR) AS v")) == "2023-03-01"
+    # Spark's own 2-arg form passes through untouched
+    assert str(_one(spark, "SELECT DATE_ADD(DATE '2024-01-01', 3) AS v")) == "2024-01-04"
+
+
+def test_date_diff_boundary_count_semantics(spark):
+    # BigQuery DATE_DIFF counts calendar-boundary crossings, not elapsed time
+    assert _one(spark, "SELECT DATE_DIFF(DATE '2024-03-01', DATE '2024-02-28', MONTH) AS v") == 1
+    assert _one(spark, "SELECT DATE_DIFF(DATE '2024-03-31', DATE '2024-03-01', MONTH) AS v") == 0
+    assert _one(spark, "SELECT DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', YEAR) AS v") == 1
+    assert _one(spark, "SELECT DATE_DIFF(DATE '2024-02-01', DATE '2024-01-22', DAY) AS v") == 10
+
+
+def test_extract_parts_and_nested_parens(spark):
+    assert _one(spark, "SELECT EXTRACT(DAYOFYEAR FROM DATE '2024-02-01') AS v") == 32
+    assert _one(spark, "SELECT EXTRACT(ISOYEAR FROM DATE '2021-01-01') AS v") == 2020
+    assert _one(spark, "SELECT EXTRACT(DAYOFWEEK FROM DATE '2024-01-07') AS v") == 1  # Sunday=1
+    # nested parens inside the translated call (the round-3 sharp edge)
+    assert (
+        _one(spark, "SELECT FORMAT_DATE('%A', DATE_ADD(DATE '2024-01-01', INTERVAL 1 DAY)) AS v")
+        == "Tuesday"
+    )
+    assert _one(spark, "SELECT FORMAT_DATE('%Y-%m-%d', DATE '2024-03-05') AS v") == "2024-03-05"
+
+
+def test_split_statements_quote_and_comment_aware():
+    stmts = split_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment\nSELECT 2"
+    )
+    assert len(stmts) == 2
+    assert "'a;b'" in stmts[0]
+    assert stmts[1] == "SELECT 2"
+
+
+@pytest.mark.parametrize(
+    "bad, label",
+    [
+        ("SELECT * EXCEPT(a) FROM t", "EXCEPT"),
+        ("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1", "QUALIFY"),
+        ("SELECT v FROM t, UNNEST(arr) AS v", "UNNEST"),
+        ("SELECT PARSE_DATE('%Y', s) FROM t", "PARSE_"),
+        ("SELECT FORMAT_DATE('%Q', d) FROM t", "FORMAT_DATE"),
+        ("SELECT DATE_DIFF(a, b, WEEK) FROM t", "DATE_DIFF"),
+        ("SELECT EXTRACT(WEEK FROM d) FROM t", "EXTRACT"),
+        ("SELECT TIMESTAMP_DIFF(a, b, HOUR) FROM t", "TIMESTAMP"),
+        ("SELECT STRUCT<a INT>(1) FROM t", "STRUCT"),
+        ("SELECT SAFE.LOG(x) FROM t", "SAFE."),
+    ],
+)
+def test_unsupported_constructs_fail_loud(bad, label):
+    with pytest.raises(UnsupportedSQLError):
+        translate_statement(bad)
+    # but the marker inside a string literal is NOT a construct
+    translate_statement("SELECT 'use UNNEST(x) here' AS doc")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    y1=st.integers(2000, 2030), m1=st.integers(1, 12), d1=st.integers(1, 28),
+    y2=st.integers(2000, 2030), m2=st.integers(1, 12), d2=st.integers(1, 28),
+)
+def test_date_diff_month_property(spark, y1, m1, d1, y2, m2, d2):
+    """Property: translated DATE_DIFF(·,·,MONTH) equals BigQuery's
+    calendar-month-number difference for arbitrary date pairs."""
+    a = f"{y1:04d}-{m1:02d}-{d1:02d}"
+    b = f"{y2:04d}-{m2:02d}-{d2:02d}"
+    got = _one(spark, f"SELECT DATE_DIFF(DATE '{a}', DATE '{b}', MONTH) AS v")
+    assert got == (y1 * 12 + m1) - (y2 * 12 + m2)
