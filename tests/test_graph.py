@@ -28,9 +28,9 @@ def _union_find(edges):
     return {n: find(n) for n in parent}
 
 
-def _run(spark, edges):
+def _run(spark, edges, driver_threshold=200_000):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = graph.connected_components(df)
+    out = graph.connected_components(df, driver_threshold=driver_threshold)
     return {r["node"]: r["cluster_id"] for r in out.collect()}
 
 
@@ -73,6 +73,10 @@ def test_null_endpoints_dropped(spark):
 )
 def test_random_graphs_match_union_find(spark, edges):
     expected = _union_find([(a, b) for a, b in edges if a != b])
+    # driver_threshold=0 pins the DISTRIBUTED star fixpoint (the
+    # short-circuit would otherwise make this test vacuous)
+    assert _run(spark, edges, driver_threshold=0) == expected
+    # and the driver short-circuit agrees with both
     assert _run(spark, edges) == expected
 
 
@@ -94,7 +98,7 @@ def test_dedup_connected_vs_greedy_transitivity(spark):
 
 def test_no_cartesian_in_plan(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    out = graph.connected_components(df)
+    out = graph.connected_components(df, driver_threshold=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
@@ -110,12 +114,14 @@ def test_reliable_checkpoint_identical_labels(spark, tmp_path):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     local = {
         (r["node"], r["cluster_id"])
-        for r in graph.connected_components(df).collect()
+        for r in graph.connected_components(df, driver_threshold=0).collect()
     }
     ckdir = str(tmp_path / "cc_ck")
     reliable = {
         (r["node"], r["cluster_id"])
-        for r in graph.connected_components(df, checkpoint_dir=ckdir).collect()
+        for r in graph.connected_components(
+            df, checkpoint_dir=ckdir, driver_threshold=0
+        ).collect()
     }
     assert reliable == local
     # the reliable path wrote RDD checkpoint data to the shared dir
