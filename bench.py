@@ -125,6 +125,10 @@ def main() -> None:
         "ns_temperature_mix",
         "ns_lm_quality",
         "ns_dup_spans",
+        # round 4: the snapshot table format under the clock too — commit
+        # protocol (overwrite v1), keyed MERGE (anti-join + union rewrite),
+        # and two versioned reads, end to end on real filesystem writes.
+        "s_snapshot_kit",
         # ns_semdedup is deliberately NOT headline: its two heavy stages are
         # already timed through ivf_topk_pruned (centroid index + probe) and
         # ns_dedup_cluster_kit (connected-components closure); adding the
