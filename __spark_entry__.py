@@ -621,6 +621,37 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/resample.py): the events
+    stream pre-aggregated to hour grain per user, then regularized onto a
+    complete hourly grid with forward fill — the feature-grid /
+    sensor-feed shape (and the reference's hourly-weather gap problem,
+    transform_weather.py). Pre-aggregating to the grid step first makes
+    latest-per-bucket trivially deterministic; the oracle mirrors the
+    spine (generate_series) + left join + IGNORE NULLS running fill."""
+    from pwhl_data_engineering_pipeline_spark.operators import resample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hour = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600)
+        .cast("long")
+    )
+    hourly = ev.groupBy("user_id", hour.alias("hour_ts")).agg(
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = resample.resample_ffill(
+        hourly, ["user_id"], "hour_ts", ["v_max", "n_events"], step_seconds=3600
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        pr(F.col("v_max"), 6).alias("v_max"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "is_observed",
+    )
+
+
 def q_snapshot_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table subsystem end-to-end under the value oracle
     (sources/snapshots.py): commit v1 from a deterministic orders slice,
@@ -1759,6 +1790,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filtered set-similarity join
+    (dedup.ngram_jaccard_pairs_prefix — SSJoin/PPJoin): same answer as the
+    uncapped inverted-index join, different plan (global-df-ascending
+    prefixes generate candidates, array_intersect verifies). The oracle is
+    the plain UNCAPPED relational mirror, so a hash match proves the
+    prefix-filter theorem held end to end on this corpus."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .repartition(n_part)
+    )
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs + cluster-exact labels in one result (two legs).
 
@@ -2459,10 +2507,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_text_signals": q_text_signals,
         "ns_lang_id": q_lang_id,
         "ns_ngram_jaccard": q_ngram_jaccard,
+        "ns_ngram_prefix": q_ngram_prefix,
         "ns_dedup_cluster_kit": q_dedup_cluster_kit,
         "ns_decontaminate": q_decontaminate,
         "s_scd2_history": q_scd2_history,
         "s_snapshot_kit": q_snapshot_kit,
+        "ts_resample_ffill": q_ts_resample,
         "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_dedup_incremental": q_dedup_incremental,
@@ -3334,6 +3384,35 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
         """,
+        # Prefix-filtered exact join: the oracle is the plain UNCAPPED
+        # inverted-index mirror — identical answers prove the prefix-filter
+        # theorem (candidate recall 100%) held on this corpus.
+        "ns_ngram_prefix": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents WHERE doc_id < 500
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, len(g) AS sz FROM grams
+            ), inv AS (
+              SELECT doc_id, unnest(g) AS gram FROM grams
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   floor((inter * 1.0 / (sa.sz + sb.sz - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+        """,
         # Connected components oracle: recursive CTE propagates every label
         # reachable along pair edges; min(label) per node == min doc_id of
         # the component — exactly graph.connected_components' contract.
@@ -3450,6 +3529,40 @@ def _all_oracle_sql() -> dict[str, str]:
                    (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
                      IS NULL) AS is_current
             FROM per_run
+        """,
+        "ts_resample_ffill": """
+            WITH hourly AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+                     max(value) AS v_max,
+                     count(*) AS n_events
+              FROM events WHERE user_id < 40
+              GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM hourly GROUP BY user_id
+            ), spine AS (
+              SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+              FROM bounds
+            ), joined AS (
+              SELECT s.user_id, s.bucket, h.v_max, h.n_events,
+                     h.bucket IS NOT NULL AS is_observed
+              FROM spine s LEFT JOIN hourly h USING (user_id, bucket)
+            ), filled AS (
+              SELECT user_id, bucket,
+                     last_value(v_max IGNORE NULLS) OVER w AS v_max,
+                     last_value(n_events IGNORE NULLS) OVER w AS n_events,
+                     is_observed
+              FROM joined
+              WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT user_id,
+                   CAST(to_timestamp(bucket) AS TIMESTAMP) AS grid_ts,
+                   floor(v_max * 1e6 + 0.5) / 1e6 AS v_max,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   is_observed
+            FROM filled
         """,
         "s_snapshot_kit": """
             WITH v1 AS (
