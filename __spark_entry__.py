@@ -1859,17 +1859,71 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_contamination(corpus, evalset, n=4, min_shared=1)
 
 
+#: Planted-duplicate offset for the deterministic dedup checks: every doc
+#: with doc_id % 7 == 0 is re-keyed at doc_id + _PLANT_OFFSET with the SAME
+#: text, so the corpus provably contains duplicate pairs at every sf (the
+#: sf0.001/0.01 tables have zero organic duplicate texts).
+_PLANT_OFFSET = 10_000_000
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return docs.unionByName(planted)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end MinHash near-dedup: LSH candidate pairs → true-Jaccard
-    verification → greedy suppression; returns surviving doc ids
-    (hash-seeded candidates → rows-only check)."""
+    """End-to-end MinHash near-dedup over a corpus with PLANTED exact
+    duplicates, projected onto its theorem-deterministic slice so the full
+    pipeline (Arrow signatures → banding → bucket pair expansion →
+    true-Jaccard verification → greedy suppression) is value-hash-checkable:
+    identical text ⇒ identical shingle set ⇒ identical signature under ANY
+    hash family ⇒ collides in EVERY band ⇒ always a candidate, always
+    verified at jaccard 1.0. A signature/banding/expansion/verify bug that
+    drops or fabricates a pair therefore flips the hash. The oracle needs no
+    minhash at all — it self-joins on text equality. (Pairs at 0.8 ≤ J < 1
+    remain probabilistic-recall; they stay covered rows-only via
+    ns_minhash_dedup_full.) Caveat pinned by the oracle: duplicate clusters
+    must stay below pairs_from_buckets' max_bucket (planted clusters are
+    size ≤ 4 here)."""
     # Repartition first: the testdata table is a single parquet file → one
     # scan task; signature hashing should use every core. At cluster scale
     # the input is many files and this is a no-op choice.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    corpus = _planted_corpus(spark, sf_dir).repartition(n_part)
     # 8 rows/band → collision prob ≈ J⁸: only genuinely similar docs collide,
     # keeping the bucket expansion bounded on highly-overlapping corpora.
+    verified = dedup.minhash_verified_pairs(
+        corpus, jaccard_threshold=0.8, num_hashes=64, num_bands=8
+    )
+    texts = corpus.select("doc_id", "text")
+    exact = (
+        verified.join(
+            texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")), "id_a"
+        )
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")), "id_b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b")
+    )
+    pairs_leg = exact.select(F.lit("pair").alias("leg"), "id_a", "id_b")
+    survivors = corpus.join(
+        exact.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    census_leg = survivors.agg(
+        F.count(F.lit(1)).alias("id_a"), F.sum("doc_id").alias("id_b")
+    ).select(F.lit("survivor_census").alias("leg"), "id_a", "id_b")
+    return pairs_leg.unionByName(census_leg)
+
+
+def q_minhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup shape (threshold 0.8, organic corpus, no
+    text-equality projection): surviving doc ids. Hash-seeded candidate
+    recall → rows-only check; the deterministic slice is hash-checked by
+    ns_minhash_dedup."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
     return dedup.dedup_minhash(
         docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8
     ).select("doc_id")
@@ -2203,10 +2257,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: SimHash banded Hamming pairs (hash-seeded — rows-only
-    check). Arrow signature path (numpy bit votes, ~2× the interpreted-HOF
+    """SimHash banded Hamming pairs over the planted-duplicate corpus,
+    projected onto the theorem-deterministic slice (same scheme as
+    ns_minhash_dedup): identical text ⇒ identical token stream ⇒ identical
+    64-bit signature ⇒ hamming 0 and equal chunk in EVERY band ⇒ the pair is
+    always emitted, hamming always 0 — so signature packing, band chunking,
+    bucket expansion, and XOR/bit_count verification are all on the hash.
+    Arrow signature path (numpy bit votes, ~2× the interpreted-HOF
     expression form at sf0.1); repartition first so the single-file scan
-    fans out over every core."""
+    fans out every core. Probabilistic near-pairs (0 < hamming ≤ 12)
+    stay covered rows-only via ns_simhash_pairs_full. max_bucket=None here:
+    the theorem holds only for UNCAPPED buckets (16-bit band chunks
+    concentrate — measured 625-doc buckets at sf0.1, where the default
+    64-cap silently drops two text-identical pairs), and this query's job
+    is exactness at test scale; the production shape keeps the cap."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    corpus = _planted_corpus(spark, sf_dir).repartition(n_part)
+    pairs = dedup.simhash_near_pairs(
+        corpus, max_hamming=12, n_bands=4, max_bucket=None, method="arrow"
+    )
+    texts = corpus.select("doc_id", "text")
+    exact = (
+        pairs.join(
+            texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")), "id_a"
+        )
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")), "id_b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b", "hamming")
+    )
+    pair_leg = exact.select(F.lit("pair").alias("leg"), "id_a", "id_b", "hamming")
+    census_leg = exact.agg(
+        F.count(F.lit(1)).alias("id_a"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_b"),
+        F.max("hamming").alias("hamming"),
+    ).select(F.lit("census").alias("leg"), "id_a", "id_b", "hamming")
+    return pair_leg.unionByName(census_leg)
+
+
+def q_simhash_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SimHash shape (organic corpus, all pairs at
+    hamming ≤ 12): hash-seeded banding → rows-only check; the deterministic
+    slice is hash-checked by ns_simhash_pairs."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
     return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4, method="arrow")
@@ -2515,6 +2606,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_ffill": q_ts_resample,
         "st_session_windows": q_streaming_sessions,
         "ns_minhash_dedup": q_minhash_dedup,
+        "ns_minhash_dedup_full": q_minhash_dedup_full,
         "ns_dedup_incremental": q_dedup_incremental,
         "ns_containment": q_containment,
         "ns_sample_k": q_sample_k,
@@ -2534,6 +2626,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_quarantine": q_quarantine,
         "ns_semdedup": q_semdedup,
         "ns_simhash_pairs": q_simhash_pairs,
+        "ns_simhash_pairs_full": q_simhash_pairs_full,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
         "ns_embedding_neardup": q_embedding_neardup,
@@ -3771,8 +3864,52 @@ def _all_oracle_sql() -> dict[str, str]:
                    TRUE AS recall_floor_ok
             FROM embeddings WHERE vec_id < 8
         """,
-        # ns_minhash_pairs / ns_simhash_pairs: hash-seeded band-bucket
-        # operators — intentionally no SQL oracle (driver rows-only check).
+        # Deterministic slices of the LSH dedup pipelines (planted exact
+        # duplicates; identical text ⇒ identical signature under ANY hash
+        # family ⇒ found in every band — see q_minhash_dedup): the oracle
+        # needs no minhash/simhash, only a self-join on text equality. The
+        # *_full production shapes stay rows-only (hash-seeded recall).
+        "ns_minhash_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM corpus a JOIN corpus b
+                ON a.text = b.text AND a.doc_id < b.doc_id
+            )
+            SELECT 'pair' AS leg, id_a, id_b FROM pair
+            UNION ALL
+            SELECT 'survivor_census' AS leg,
+                   CAST((SELECT count(*) FROM corpus
+                         WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_a,
+                   CAST((SELECT sum(doc_id) FROM corpus
+                         WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_b
+        """,
+        "ns_simhash_pairs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM corpus a JOIN corpus b
+                ON a.text = b.text AND a.doc_id < b.doc_id
+            )
+            SELECT 'pair' AS leg, id_a, id_b, CAST(0 AS INTEGER) AS hamming
+            FROM pair
+            UNION ALL
+            SELECT 'census' AS leg,
+                   CAST(count(*) AS BIGINT) AS id_a,
+                   CAST(sum(id_a + id_b) AS BIGINT) AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM pair
+        """,
     }
     # Composed entries built from other oracles / the operators' own SQL
     # mirrors, so the recipes cannot drift apart.

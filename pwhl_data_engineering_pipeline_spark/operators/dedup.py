@@ -546,6 +546,41 @@ def pairs_from_buckets(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """LSH candidate pairs verified by *true* shingle-Jaccard →
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    The verification join touches only candidate rows (bounded by the LSH
+    bucket expansion), never the full pair space. Guarantee worth knowing:
+    two documents with IDENTICAL text have identical shingle sets, hence
+    identical signatures for ANY hash family, hence collide in every band —
+    such a pair is always a candidate and always verifies at jaccard 1.0
+    (the one deterministic, seed-independent slice of the output; the
+    caveat is the hot-bucket cap, which drops duplicate clusters larger
+    than ``max_bucket``)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, **kw)
+    sh = df.select(F.col(id_col), char_shingles(text_col).alias("sh"))
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -561,20 +596,7 @@ def dedup_minhash(
     similarity is roughly transitive. A connected-components pass can replace
     it when cluster-exact semantics are needed.
     """
-    pairs = minhash_candidate_pairs(df, text_col, id_col, **kw)
-    sh = df.select(F.col(id_col), char_shingles(text_col).alias("sh"))
-    verified = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.try_divide(
-                F.size(F.array_intersect("sh_a", "sh_b")),
-                F.size(F.array_union("sh_a", "sh_b")),
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+    verified = minhash_verified_pairs(df, text_col, id_col, jaccard_threshold, **kw)
     to_drop = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
 
