@@ -671,7 +671,8 @@ def stdlib_media_features(blob: bytes, dim: int = 16) -> list[float]:
     - 16-bit PCM WAV → [2, n_samples, channels, sample_rate, RMS, peak,
       zero-crossing rate] (amplitudes scaled to [-1,1])
     - unrecognized bytes → a deterministic hash vector tagged [0, ...]
-      (progressive/arithmetic JPEG and exotic variants land here).
+      (arithmetic-coded JPEG and exotic variants land here; baseline AND
+      progressive JPEG both decode for real since round 4).
 
     Padded/truncated to ``dim``. The leading tag makes the source of each
     vector auditable downstream."""

@@ -121,8 +121,13 @@ def dht_payload(tc, th, counts, syms):
     return bytes([(tc << 4) | th] + counts + syms)
 
 
-def encode_jpeg(img, q=1, subsample=False, restart=0):
-    """img: (h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
+def prep_blocks(img, q=1, subsample=False):
+    """Shared coefficient pipeline for the baseline AND progressive test
+    encoders (identical quantized blocks by construction, so the
+    equivalence tests compare decoders, not encoder drift):
+    → (qblocks, samp, h, w, mcus_x, mcus_y, qtab) where qblocks[ci] is an
+    (block_rows, block_cols, 64) int64 array of zigzag-ordered quantized
+    DCT coefficients on the MCU-padded grid."""
     C = dct_basis()
     qtab = np.full(64, q, dtype=np.int32)
     gray = img.ndim == 2
@@ -151,7 +156,8 @@ def encode_jpeg(img, q=1, subsample=False, restart=0):
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = []
+    zz = np.array(J._ZIGZAG)
+    qblocks = []
     for p, (hs, vs) in zip(planes, samp):
         th_, tw_ = mcus_y * vs * 8, mcus_x * hs * 8
         pp = np.zeros((th_, tw_))
@@ -159,11 +165,22 @@ def encode_jpeg(img, q=1, subsample=False, restart=0):
         # replicate edges so padding doesn't ring
         pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
         pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
-        padded.append(pp)
+        arr = np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int64)
+        for by in range(mcus_y * vs):
+            for bx in range(mcus_x * hs):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                F = C @ blk @ C.T
+                arr[by, bx] = np.round(F / qtab.reshape(8, 8)).astype(np.int64).flatten()[zz]
+        qblocks.append(arr)
+    return qblocks, samp, h, w, mcus_x, mcus_y, qtab
 
-    bw = BitWriter()
-    preds = [0] * len(planes)
+
+def encode_jpeg(img, q=1, subsample=False, restart=0):
+    """img: (h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
+    qblocks, samp, h, w, mcus_x, mcus_y, qtab = prep_blocks(img, q, subsample)
     zz = np.array(J._ZIGZAG)
+    bw = BitWriter()
+    preds = [0] * len(qblocks)
     chunks = []
     mcu_count = 0
     rst_id = 0
@@ -175,22 +192,19 @@ def encode_jpeg(img, q=1, subsample=False, restart=0):
                 chunks.append(bytes([0xFF, 0xD0 + rst_id]))
                 rst_id = (rst_id + 1) % 8
                 bw = BitWriter()
-                preds = [0] * len(planes)
-            for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+                preds = [0] * len(qblocks)
+            for ci, (qb, (hs, vs)) in enumerate(zip(qblocks, samp)):
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        blk = p[y0 : y0 + 8, x0 : x0 + 8]
-                        F = C @ blk @ C.T
-                        Q = np.round(F / qtab.reshape(8, 8)).astype(np.int64)
-                        preds[ci] = encode_block(bw, Q.flatten()[zz], preds[ci])
+                        preds[ci] = encode_block(
+                            bw, qb[my * vs + by, mx * hs + bx], preds[ci]
+                        )
             mcu_count += 1
     bw.pad()
     chunks.append(bytes(bw.out))
     data = b"".join(chunks)
 
-    ncomp = len(planes)
+    ncomp = len(qblocks)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
@@ -207,6 +221,200 @@ def encode_jpeg(img, q=1, subsample=False, restart=0):
     out += seg(0xC0, sof)
     out += seg(0xDA, sos)
     out += data + b"\xff\xd9"
+    return out
+
+
+# ---- progressive encoder (spectral selection + successive approximation) --
+
+
+def encode_ac_first_block(bw, coeffs_zz, ss, se, al):
+    """AC first scan (Ah=0) for one block's band [ss, se] at point-transform
+    level al. EOB per block (EOBRUN length 1 → the plain 0x00 symbol)."""
+    k = ss
+    while k <= se:
+        run = 0
+        while k <= se and (abs(int(coeffs_zz[k])) >> al) == 0:
+            run += 1
+            k += 1
+        if k > se:
+            ln, code = AC_CODES[0x00]
+            bw.put(code, ln)
+            return
+        while run >= 16:
+            ln, code = AC_CODES[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        v = int(coeffs_zz[k])
+        t = -(abs(v) >> al) if v < 0 else (abs(v) >> al)
+        cat = category(t)
+        ln, code = AC_CODES[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(value_bits(t, cat), cat)
+        k += 1
+    # band ended exactly on a coefficient: no EOB needed
+
+
+def encode_ac_refine_block(bw, coeffs_zz, ss, se, al):
+    """AC refinement scan (Ah=al+1, Al=al) for one block: correction bits
+    for history-nonzero coefficients, (run,1)+sign for newly-nonzero ones,
+    EOB (run-1) + trailing correction bits for the remainder (T.81 §G.1.2.3
+    mirrored from the decoder's traversal order)."""
+    idxs = list(range(ss, se + 1))
+    sh = {k: abs(int(coeffs_zz[k])) >> al for k in idxs}
+    hist = {k: abs(int(coeffs_zz[k])) >> (al + 1) for k in idxs}
+    new_pos = [k for k in idxs if hist[k] == 0 and sh[k] != 0]
+    for k in new_pos:
+        assert sh[k] == 1, "refinement can only introduce magnitude 1"
+    last_new = new_pos[-1] if new_pos else ss - 1
+    run = 0
+    pending = []  # correction bits buffered since the last emitted symbol
+    for k in idxs:
+        if k > last_new:
+            break
+        if hist[k] != 0:
+            pending.append(sh[k] & 1)
+            continue
+        if sh[k] == 0:
+            if run == 15:
+                ln, code = AC_CODES[0xF0]
+                bw.put(code, ln)
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+                run = 0
+            else:
+                run += 1
+            continue
+        # newly nonzero: (run, 1) then sign bit, then buffered corrections
+        ln, code = AC_CODES[(run << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if int(coeffs_zz[k]) > 0 else 0, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        run = 0
+    if last_new < se:
+        # EOB (run 1), then correction bits for every remaining
+        # history-nonzero coefficient through the end of the band
+        ln, code = AC_CODES[0x00]
+        bw.put(code, ln)
+        assert not pending  # nothing sits between the last symbol and EOB
+        for k in range(last_new + 1, se + 1):
+            if hist[k] != 0:
+                bw.put(sh[k] & 1, 1)
+
+
+def encode_jpeg_progressive(
+    img, q=1, subsample=False, dc_al=0, ac_al=0, bands=((1, 63),), restart=0
+):
+    """img → progressive (SOF2) JFIF bytes. Scan script: interleaved DC
+    first scan at Al=dc_al, DC refinement scans down to 0, then per
+    component and spectral band an AC first scan at Al=ac_al and AC
+    refinement scans down to 0. ``restart`` (if set) applies to the AC
+    scans, interval in blocks."""
+    qblocks, samp, h, w, mcus_x, mcus_y, qtab = prep_blocks(img, q, subsample)
+    ncomp = len(qblocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zz = np.array(J._ZIGZAG)
+    scans = []  # (sos_payload, entropy_bytes)
+
+    def interleaved_sos(ss, se, ah, al):
+        p = bytes([ncomp])
+        for ci in range(ncomp):
+            p += bytes([ci + 1, 0x00])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    def dc_scan(ah, al):
+        """Interleaved DC scan; when a DRI is present the decoder expects
+        restarts in EVERY scan, so the DC scans chunk by MCU count too."""
+        chunks = []
+        bw = BitWriter()
+        preds = [0] * ncomp
+        cnt = 0
+        rst_id = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and cnt and cnt % restart == 0:
+                    bw.pad()
+                    chunks.append(bytes(bw.out))
+                    chunks.append(bytes([0xFF, 0xD0 + rst_id]))
+                    rst_id = (rst_id + 1) % 8
+                    bw = BitWriter()
+                    preds = [0] * ncomp
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(qblocks[ci][my * vs + by, mx * hs + bx, 0])
+                            if ah == 0:
+                                v = dc >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                t = category(diff)
+                                ln, code = DC_CODES[t]
+                                bw.put(code, ln)
+                                if t:
+                                    bw.put(value_bits(diff, t), t)
+                            else:
+                                bw.put((dc >> al) & 1, 1)
+                cnt += 1
+        bw.pad()
+        chunks.append(bytes(bw.out))
+        scans.append((interleaved_sos(0, 0, ah, al), b"".join(chunks)))
+
+    dc_scan(0, dc_al)  # DC first scan
+    for al in range(dc_al - 1, -1, -1):
+        dc_scan(al + 1, al)  # DC refinement scans
+
+    def comp_blocks(ci):
+        """Non-interleaved raster order over the component's own dims."""
+        hs, vs = samp[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                yield qblocks[ci][by, bx]
+
+    def ac_scan(ci, ss, se, ah, al, block_encoder):
+        chunks = []
+        bw = BitWriter()
+        cnt = 0
+        rst_id = 0
+        for blk in comp_blocks(ci):
+            if restart and cnt and cnt % restart == 0:
+                bw.pad()
+                chunks.append(bytes(bw.out))
+                chunks.append(bytes([0xFF, 0xD0 + rst_id]))
+                rst_id = (rst_id + 1) % 8
+                bw = BitWriter()
+            block_encoder(bw, blk, ss, se, al)
+            cnt += 1
+        bw.pad()
+        chunks.append(bytes(bw.out))
+        sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+        scans.append((sos, b"".join(chunks)))
+
+    for ci in range(ncomp):
+        for ss, se in bands:
+            ac_scan(ci, ss, se, 0, ac_al, encode_ac_first_block)
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                ac_scan(ci, ss, se, al + 1, al, encode_ac_refine_block)
+
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(qtab.flatten()[zz].astype(np.uint8)))
+    out += seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+    out += seg(0xC4, dht_payload(1, 0, AC_COUNTS, AC_SYMS))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += seg(0xC2, sof)
+    for sos, data in scans:
+        out += seg(0xDA, sos) + data
+    out += b"\xff\xd9"
     return out
 
 
@@ -340,14 +548,197 @@ def test_lossy_quant_still_close():
     assert np.abs(got[..., 0].astype(int) - img.astype(int)).mean() <= 4
 
 
-def test_rejects_progressive_truncated_garbage():
+def test_rejects_truncated_garbage():
     img = _gradient(8, 8)
     blob = encode_jpeg(img)
-    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    assert J.decode_jpeg_pixels(prog) is None
     assert J.decode_jpeg_pixels(blob[:20]) is None
     assert J.decode_jpeg_pixels(b"") is None
     assert J.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+# ---- progressive (SOF2) ---------------------------------------------------
+
+
+def test_progressive_spectral_selection_equals_baseline():
+    """Spectral-selection-only script (DC scan, then AC 1-5 and 6-63 per
+    component): identical quantized coefficients by construction, so the
+    decode must be byte-identical to the baseline decode."""
+    img = _gradient(24, 40)
+    base = J.decode_jpeg_pixels(encode_jpeg(img, q=1))
+    prog = J.decode_jpeg_pixels(
+        encode_jpeg_progressive(img, q=1, bands=((1, 5), (6, 63)))
+    )
+    assert base is not None and prog is not None
+    assert (base == prog).all()
+
+
+def test_progressive_color_444_and_420_equal_baseline():
+    img = _gradient(32, 32, color=True)
+    for sub in (False, True):
+        base = J.decode_jpeg_pixels(encode_jpeg(img, q=2, subsample=sub))
+        prog = J.decode_jpeg_pixels(
+            encode_jpeg_progressive(img, q=2, subsample=sub, bands=((1, 9), (10, 63)))
+        )
+        assert base is not None and prog is not None
+        assert (base == prog).all(), f"subsample={sub}"
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """DC Al=1 + refinement, AC first at Al=1 + refinement to 0: the
+    successive-approximation reconstruction must land on exactly the same
+    coefficients as the baseline stream."""
+    img = _gradient(24, 24)
+    base = J.decode_jpeg_pixels(encode_jpeg(img, q=2))
+    prog = J.decode_jpeg_pixels(
+        encode_jpeg_progressive(img, q=2, dc_al=1, ac_al=1)
+    )
+    assert base is not None and prog is not None
+    assert (base == prog).all()
+
+
+def test_progressive_deep_successive_approximation_color():
+    """dc_al=2 / ac_al=2 with band splits — multiple refinement scans per
+    coefficient — still reconstructs exactly."""
+    img = _gradient(16, 24, color=True)
+    base = J.decode_jpeg_pixels(encode_jpeg(img, q=2))
+    prog = J.decode_jpeg_pixels(
+        encode_jpeg_progressive(img, q=2, dc_al=2, ac_al=2, bands=((1, 20), (21, 63)))
+    )
+    assert base is not None and prog is not None
+    assert (base == prog).all()
+
+
+def test_progressive_restart_markers_in_ac_scans():
+    img = _gradient(16, 48)
+    blob = encode_jpeg_progressive(img, q=1, ac_al=1, restart=3)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    base = J.decode_jpeg_pixels(encode_jpeg(img, q=1))
+    prog = J.decode_jpeg_pixels(blob)
+    assert prog is not None
+    assert (base == prog).all()
+
+
+def test_progressive_hand_built_dc_successive_approximation():
+    """Hand-constructed two-scan progressive stream (no encoder): 8x8 gray,
+    DC=17, q=1 → DC first scan at Al=1 carries 17>>1=8, the refinement
+    scan carries bit 1 → coefficient 17 → flat plane at
+    round(17/8 + 128) = 130. Pins SOF2 parsing, the multi-scan loop, DC
+    point-transform reconstruction, and EOI finalize independently."""
+    zz = np.array(J._ZIGZAG)
+    q = np.ones(64, dtype=np.uint8)
+    bw1 = BitWriter()
+    ln, code = DC_CODES[4]  # 17>>1 = 8 → category 4
+    bw1.put(code, ln)
+    bw1.put(8, 4)
+    bw1.pad()
+    bw2 = BitWriter()
+    bw2.put(1, 1)  # refinement bit: 17 & 1
+    bw2.pad()
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(q))
+        + seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # DC first, Ah=0 Al=1
+        + bytes(bw1.out)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # DC refine, Ah=1 Al=0
+        + bytes(bw2.out)
+        + b"\xff\xd9"
+    )
+    got = J.decode_jpeg_pixels(blob)
+    assert got is not None
+    assert (got == 130).all()
+
+
+def test_progressive_hand_built_eob_run_spans_blocks():
+    """Hand-built 8x16 gray (two blocks): the AC scan places one
+    coefficient in block 1 then ends with EOB1 (r=1, one extra bit 0 →
+    eobrun covers block 2 entirely). Block 1 must show the DCT basis
+    pattern, block 2 must stay flat — pinning the EOB-run accounting
+    against the spec, independent of the encoder."""
+    # custom AC table that includes the EOB1 symbol 0x10
+    ac_syms = [0x00, 0x10, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+    ac_codes = canonical_codes(ac_counts, ac_syms)
+    q = np.ones(64, dtype=np.uint8)
+    # DC scan: two blocks, both diff 0
+    bw1 = BitWriter()
+    ln, code = DC_CODES[0]
+    bw1.put(code, ln)
+    bw1.put(code, ln)
+    bw1.pad()
+    # AC scan 1..63, Al=0: block 1: k=1 coefficient 40 (cat 6), then EOB1
+    bw2 = BitWriter()
+    ln, code = ac_codes[(0 << 4) | 6]
+    bw2.put(code, ln)
+    bw2.put(40, 6)
+    ln, code = ac_codes[0x10]  # EOBn with r=1
+    bw2.put(code, ln)
+    bw2.put(0, 1)  # extra bit → eobrun = (1<<1) - 1 + 0 = 1 (skips block 2)
+    bw2.pad()
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(q))
+        + seg(0xC4, dht_payload(0, 0, DC_COUNTS, DC_SYMS))
+        + seg(0xC4, dht_payload(1, 0, ac_counts, ac_syms))
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes(bw1.out)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        + bytes(bw2.out)
+        + b"\xff\xd9"
+    )
+    got = J.decode_jpeg_pixels(blob)
+    assert got is not None and got.shape == (8, 16, 3)
+    # right block: flat 128 (DC 0, no AC)
+    assert (got[:, 8:, 0] == 128).all()
+    # left block: cosine-in-x basis from the textbook formula
+    expect = np.empty((8, 8))
+    for yy in range(8):
+        for xx in range(8):
+            expect[yy, xx] = (
+                40.0 * math.sqrt(2 / 8) * math.sqrt(1 / 8)
+                * math.cos((2 * xx + 1) * 1 * math.pi / 16)
+            ) + 128.0
+    expect = np.clip(expect + 0.5, 0, 255).astype(np.uint8)
+    assert (np.abs(got[:, :8, 0].astype(int) - expect.astype(int)) <= 1).all()
+
+
+def test_progressive_truncated_returns_none():
+    """Cut inside a scan's entropy data, or losing the EOI entirely, must
+    return None — same corrupt-stream contract as baseline."""
+    img = _gradient(32, 32)
+    blob = encode_jpeg_progressive(img, q=2, ac_al=1)
+    assert J.decode_jpeg_pixels(blob) is not None
+    # find the FIRST AC scan's data region (3rd SOS: DC, then AC first)
+    sos_positions = []
+    p = 0
+    while True:
+        p = blob.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        sos_positions.append(p)
+        p += 2
+    assert len(sos_positions) >= 3
+    cut = sos_positions[1] + 30  # mid-entropy-data of the second scan
+    assert J.decode_jpeg_pixels(blob[:cut]) is None
+    assert J.decode_jpeg_pixels(blob[:cut] + b"\xff\xd9") is None
+    # dropping the EOI leaves scans complete but the stream unterminated
+    assert J.decode_jpeg_pixels(blob[:-2]) is None
+
+
+def test_progressive_rejects_bad_scan_headers():
+    img = _gradient(8, 8)
+    blob = encode_jpeg_progressive(img, q=1)
+    # corrupt the AC scan header: multi-component AC scan (spec-invalid)
+    i = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+    bad = bytearray(blob)
+    assert bad[i + 4] == 1  # ns of the AC scan
+    bad[i + 4] = 3
+    assert J.decode_jpeg_pixels(bytes(bad)) is None
 
 
 def test_stdlib_features_jpeg_tagged_as_image():
