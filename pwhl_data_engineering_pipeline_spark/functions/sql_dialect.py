@@ -31,16 +31,21 @@ user SQL to degrade GRACEFULLY instead of sharply:
   Spark semantics match (YEAR/QUARTER/MONTH/DAY/HOUR/MINUTE/SECOND/
   DAYOFWEEK/DAYOFYEAR/ISOWEEK/ISOYEAR; EXTRACT(DATE FROM ts) →
   to_date),
+- ``SELECT * EXCEPT (...)`` passes through (Spark's syntax is identical);
+  top-level ``QUALIFY <pred>`` is rewritten to a window-in-subquery form
+  (``SELECT * EXCEPT (__q) FROM (SELECT ..., (pred) AS __q ...) WHERE
+  __q``) with select-list aliases inlined into the predicate — Spark
+  refuses lateral aliases inside window expressions,
 - constructs whose semantics DIVERGE or are untranslated raise
   ``UnsupportedSQLError`` naming the construct (BigQuery WEEK
-  extract/diff — Sunday-anchored 0-based weeks; ``SELECT * EXCEPT``;
-  ``QUALIFY``; PARSE_/FORMAT_ date-time functions beyond
-  FORMAT_DATE('%A', ·); UNNEST outside the translated
-  GENERATE_DATE_ARRAY form; STRUCT<> literals; TIMESTAMP_ADD/SUB/DIFF)
-  — a clear error instead of silent mistranslation. The translated
-  output is always plain Spark SQL, so anything that slips past the
-  detector surfaces as a Spark analysis error, never a silently wrong
-  result.
+  extract/diff — Sunday-anchored 0-based weeks; ``SELECT * REPLACE``;
+  QUALIFY buried in a subquery/CTE or mixed with set ops/DISTINCT;
+  PARSE_/FORMAT_ date-time functions beyond FORMAT_DATE('%A', ·);
+  UNNEST outside the translated GENERATE_DATE_ARRAY form; STRUCT<>
+  literals; TIMESTAMP_ADD/SUB/DIFF) — a clear error instead of silent
+  mistranslation. The translated output is always plain Spark SQL, so
+  anything that slips past the detector surfaces as a Spark analysis
+  error, never a silently wrong result.
 
 One *documented deviation* (SURVEY.md §7.4 item 4): the reference's viz
 queries join ``USING (weather_id)`` but no script ever materializes that
@@ -325,6 +330,116 @@ def _strip_literals(s: str) -> str:
     return re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", "''", s)
 
 
+def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
+    """re.sub applied only to the segments of ``s`` outside string
+    literals (so an alias name inside '…' text is never rewritten)."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p, flags=re.IGNORECASE)
+        for i, p in enumerate(parts)
+    )
+
+
+def _top_level_matches(s: str, pattern: str) -> list[tuple[int, int]]:
+    """(start, end) spans of ``pattern`` at paren-depth 0 outside string
+    literals — how clause keywords (FROM, QUALIFY, ORDER BY…) are located
+    without tripping on subqueries or literals."""
+    pat = re.compile(pattern, re.IGNORECASE)
+    out: list[tuple[int, int]] = []
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n and s[i] != q:
+                i += 2 if s[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m and m.end() > i:
+                out.append((i, m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _rewrite_qualify(s: str) -> str:
+    """BigQuery ``QUALIFY <pred>`` → window-in-subquery rewrite (Spark has
+    no QUALIFY):
+
+        <prefix> SELECT <list> FROM ... [WHERE|GROUP BY|HAVING] QUALIFY p
+        [ORDER BY o] [LIMIT n]
+      →
+        <prefix> SELECT * EXCEPT (__q) FROM (
+            SELECT <list>, (p) AS __q FROM ... [WHERE|GROUP BY|HAVING]
+        ) WHERE __q [ORDER BY o] [LIMIT n]
+
+    The predicate may reference select-list aliases (including window
+    functions) — Spark's lateral column alias resolution covers that.
+    QUALIFY over set operations or SELECT DISTINCT raises (the wrap would
+    change which query block the predicate binds to / the evaluation
+    order), as does more than one top-level QUALIFY."""
+    quals = _top_level_matches(s, r"\bQUALIFY\b")
+    if not quals:
+        return s
+    if len(quals) > 1:
+        raise UnsupportedSQLError("multiple top-level QUALIFY clauses")
+    if _top_level_matches(s, r"\b(?:UNION|INTERSECT|EXCEPT)\b\s+(?:ALL\s+|DISTINCT\s+)?SELECT\b"):
+        raise UnsupportedSQLError(
+            "QUALIFY combined with set operations (wrap the branch in a subquery)"
+        )
+    selects = _top_level_matches(s, r"\bSELECT\b")
+    if len(selects) != 1:
+        raise UnsupportedSQLError("QUALIFY requires exactly one top-level SELECT")
+    sel_start, sel_end = selects[0]
+    if re.match(r"\s*DISTINCT\b", s[sel_end:], re.IGNORECASE):
+        raise UnsupportedSQLError(
+            "QUALIFY with SELECT DISTINCT (evaluation-order divergence)"
+        )
+    froms = [p for p in _top_level_matches(s, r"\bFROM\b") if p[0] > sel_end]
+    if not froms:
+        raise UnsupportedSQLError("QUALIFY without a top-level FROM")
+    from_pos = froms[0][0]
+    q_start, q_end = quals[0]
+    tails = [
+        p for p in _top_level_matches(s, r"\b(?:ORDER\s+BY|LIMIT)\b") if p[0] > q_end
+    ]
+    tail_pos = tails[0][0] if tails else len(s)
+    pred = s[q_end:tail_pos].strip()
+    if not pred:
+        raise UnsupportedSQLError("empty QUALIFY predicate")
+    prefix = s[:sel_start]
+    select_list = s[sel_end:from_pos]
+    body = s[from_pos:q_start]  # FROM ... WHERE/GROUP BY/HAVING
+    tail = s[tail_pos:]
+    # Substitute select-list aliases into the predicate: BigQuery QUALIFY
+    # may reference them anywhere, but Spark refuses a lateral column alias
+    # INSIDE a window expression (e.g. row_number() OVER (ORDER BY tot)
+    # where tot = SUM(v)). Inlining the defining expression is the
+    # BigQuery-equivalent form and sidesteps the limitation entirely.
+    aliases: dict[str, str] = {}
+    for item in _split_args(select_list):
+        m = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", item, re.IGNORECASE)
+        if m:
+            expr = item[: m.start()].strip()
+            for a, e in aliases.items():  # resolve alias-on-alias chains
+                expr = _sub_outside_literals(expr, rf"\b{re.escape(a)}\b", f"({e})")
+            aliases[m.group(2)] = expr
+    for a, e in aliases.items():
+        pred = _sub_outside_literals(pred, rf"\b{re.escape(a)}\b", f"({e})")
+    return (
+        f"{prefix}SELECT * EXCEPT (__q) FROM (SELECT{select_list}, ({pred}) AS __q "
+        f"{body}) WHERE __q {tail}"
+    ).rstrip()
+
+
 #: BigQuery constructs with no implemented/faithful Spark mapping: the
 #: detector raises instead of letting them mistranslate or half-run.
 _UNSUPPORTED_MARKERS = [
@@ -334,8 +449,13 @@ _UNSUPPORTED_MARKERS = [
     (r"\bUNNEST\s*\(", "UNNEST (beyond the GENERATE_DATE_ARRAY day-spine form)"),
     (r"\bGENERATE_(?:DATE_)?ARRAY\s*\(", "GENERATE_ARRAY outside the day-spine form"),
     (r"\bSTRUCT\s*<", "typed STRUCT<> literals"),
-    (r"\bQUALIFY\b", "QUALIFY clause (rewrite as a subquery over the window)"),
-    (r"\*\s+EXCEPT\s*\(", "SELECT * EXCEPT(...) projection"),
+    # QUALIFY is rewritten at top level (see _rewrite_qualify); one left
+    # inside a subquery/CTE would reach Spark's parser, which has no
+    # QUALIFY — catch it here with guidance instead.
+    (r"\bQUALIFY\b", "QUALIFY inside a subquery/CTE (only top-level QUALIFY is rewritten)"),
+    # SELECT * EXCEPT (...) passes through: Spark supports the identical
+    # syntax natively. * REPLACE does not exist in Spark → still rejected.
+    (r"\*\s+REPLACE\s*\(", "SELECT * REPLACE(...) projection"),
     (r"\bSAFE\.\w+", "SAFE.-prefixed function calls"),
     (r"\bFORMAT_DATE\s*\(", "FORMAT_DATE with an untranslated format"),
 ]
@@ -409,6 +529,7 @@ def translate_statement(
     s = re.sub(r"\bSAFE_CAST\b", "try_cast", s, flags=re.IGNORECASE)
     s = re.sub(r"\bSAFE_DIVIDE\b", "try_divide", s, flags=re.IGNORECASE)
     s = re.sub(r"\bCOUNTIF\b", "count_if", s, flags=re.IGNORECASE)
+    s = _rewrite_qualify(s)
     _reject_unsupported(s)
 
     if repair_weather_id and target in _WEATHER_ID_REPAIRS:

@@ -208,6 +208,66 @@ def test_extract_parts_and_nested_parens(spark):
     assert _one(spark, "SELECT FORMAT_DATE('%Y-%m-%d', DATE '2024-03-05') AS v") == "2024-03-05"
 
 
+def test_star_except_passes_through(spark):
+    """BigQuery ``SELECT * EXCEPT (...)`` is syntactically identical in
+    Spark — the round-4 translator passes it through instead of raising."""
+    spark.range(4).selectExpr("id", "id * 2 AS b").createOrReplaceTempView("se_t")
+    out = spark.sql(sql_dialect.translate_statement("SELECT * EXCEPT (b) FROM se_t"))
+    assert out.columns == ["id"] and out.count() == 4
+
+
+def test_qualify_rewrites_to_window_subquery(spark):
+    """Top-level QUALIFY → SELECT * EXCEPT (__q) over a subquery computing
+    the predicate; covers direct window predicates, select-alias references
+    (lateral column alias), GROUP BY + HAVING interplay, and ORDER BY/LIMIT
+    tails surviving outside the wrap."""
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5), (5, "b", 50)],
+        "id INT, g STRING, v INT",
+    ).createOrReplaceTempView("q_t")
+    # window predicate inline
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT id, g FROM q_t "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1"
+        )
+    ).collect()
+    assert sorted((r.id, r.g) for r in rows) == [(3, "a"), (5, "b")]
+    # predicate referencing a select alias, plus ORDER BY + LIMIT tail
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT id, rank() OVER (ORDER BY v DESC) AS rnk FROM q_t "
+            "QUALIFY rnk <= 3 ORDER BY rnk LIMIT 2"
+        )
+    ).collect()
+    assert [r.id for r in rows] == [5, 3]
+    assert "rnk" in {f for r in rows for f in r.asDict()}
+    # GROUP BY + HAVING stay inside the wrap; window runs over groups
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT g, SUM(v) AS tot FROM q_t GROUP BY g HAVING SUM(v) > 0 "
+            "QUALIFY row_number() OVER (ORDER BY tot DESC) = 1"
+        )
+    ).collect()
+    assert [(r.g, r.tot) for r in rows] == [("a", 60)]
+    # WITH-CTE prefix stays outside the wrap, CTE visible in the subquery
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "WITH c AS (SELECT id, g, v FROM q_t) "
+            "SELECT id FROM c QUALIFY row_number() OVER (ORDER BY v) = 1"
+        )
+    ).collect()
+    assert [r.id for r in rows] == [4]
+    # translated BigQuery functions still compose inside the predicate
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT g, COUNTIF(v > 10) AS big FROM q_t GROUP BY g "
+            "QUALIFY SAFE_DIVIDE(big, 1) >= 1"
+        )
+    ).collect()
+    assert sorted((r.g, r.big) for r in rows) == [("a", 2), ("b", 1)]
+
+
 def test_split_statements_quote_and_comment_aware():
     stmts = split_statements(
         "SELECT 'a;b' AS x; -- trailing; comment\nSELECT 2"
@@ -220,8 +280,16 @@ def test_split_statements_quote_and_comment_aware():
 @pytest.mark.parametrize(
     "bad, label",
     [
-        ("SELECT * EXCEPT(a) FROM t", "EXCEPT"),
-        ("SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1", "QUALIFY"),
+        ("SELECT * REPLACE(a + 1 AS a) FROM t", "REPLACE"),
+        # only TOP-LEVEL QUALIFY is rewritten; one buried in a CTE must
+        # still fail loud (Spark's parser has no QUALIFY)
+        (
+            "WITH c AS (SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1) "
+            "SELECT * FROM c",
+            "QUALIFY",
+        ),
+        ("SELECT x FROM t QUALIFY 1=1 UNION ALL SELECT x FROM u", "QUALIFY"),
+        ("SELECT DISTINCT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1", "QUALIFY"),
         ("SELECT v FROM t, UNNEST(arr) AS v", "UNNEST"),
         ("SELECT PARSE_DATE('%Y', s) FROM t", "PARSE_"),
         ("SELECT FORMAT_DATE('%Q', d) FROM t", "FORMAT_DATE"),
