@@ -30,6 +30,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     asof,
     bpe,
     dedup,
+    dsir,
     fuzzy,
     graph,
     lm,
@@ -2155,6 +2156,18 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators.dsir, Xie et al. 2023): pick
+    the 50 raw documents that look most like a small clean target slice
+    (english docs with doc_id % 5 == 0) under hashed unigram+bigram
+    importance weights. The md5 feature hash is bit-portable, so the
+    DuckDB oracle recomputes the entire pipeline — counts, smoothing,
+    λ table, scores, ranking — and the row set hash-matches."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return dsir.dsir_select(docs, target, k=50, n_buckets=2048)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators.bpe): learn 16 merges from the corpus's
     distinct-word frequency table (Sennrich train loop — pair counts and
@@ -2617,6 +2630,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_epoch_mix": q_epoch_mix,
         "ns_quality_quantile": q_quality_quantile,
         "ns_lm_quality": q_lm_quality,
+        "ns_dsir_select": q_dsir_select,
         "ns_dup_spans": q_dup_spans,
         "ns_hard_negatives": q_hard_negatives,
         "ns_split_leakage_safe": q_split_leakage_safe,
@@ -4173,6 +4187,12 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, s.pos, s.gram_key, d.n_docs
         FROM sel s JOIN dpg d USING (gram_key)
     """
+    sql["ns_dsir_select"] = dsir.dsir_select_sql(
+        raw_from="documents",
+        target_from="(SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id % 5 = 0)",
+        k=50,
+        n_buckets=2048,
+    )
     sql["ns_lm_quality"] = f"""
         WITH scores AS ({lm.unigram_logprob_sql(docs_from="documents", top_v=20)})
         SELECT doc_id, n_tokens, oov_tokens,
