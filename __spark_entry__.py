@@ -2156,6 +2156,25 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JL projection shape for ns_random_projection: 64-dim testdata embeddings
+#: → 8 dims, sign matrix regenerated from (seed, dims) by every engine.
+_JL_SIGNS = vectors.projection_signs(in_dim=64, out_dim=8, seed="jl")
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-sign Johnson-Lindenstrauss projection (functions.vectors):
+    every embedding cut 64 → 8 dims with the deterministic md5-parity
+    Achlioptas matrix. Pure JVM fold per output dim; the oracle rebuilds
+    the identical sign literals and term order, so projections hash-match
+    after the standard 6dp floor-round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", vectors.random_project("embedding", _JL_SIGNS).alias("p"))
+    return proj.select(
+        "vec_id",
+        *[pr(F.element_at("p", j + 1), 6).alias(f"p{j}") for j in range(len(_JL_SIGNS))],
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.dsir, Xie et al. 2023): pick
     the 50 raw documents that look most like a small clean target slice
@@ -2631,6 +2650,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_quality_quantile": q_quality_quantile,
         "ns_lm_quality": q_lm_quality,
         "ns_dsir_select": q_dsir_select,
+        "ns_random_projection": q_random_projection,
         "ns_dup_spans": q_dup_spans,
         "ns_hard_negatives": q_hard_negatives,
         "ns_split_leakage_safe": q_split_leakage_safe,
@@ -4187,6 +4207,10 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, s.pos, s.gram_key, d.n_docs
         FROM sel s JOIN dpg d USING (gram_key)
     """
+    _jl_exprs = vectors.random_project_sql("embedding", _JL_SIGNS)
+    sql["ns_random_projection"] = "SELECT vec_id, " + ", ".join(
+        f"floor({e} * 1e6 + 0.5) / 1e6 AS p{j}" for j, e in enumerate(_jl_exprs)
+    ) + " FROM embeddings"
     sql["ns_dsir_select"] = dsir.dsir_select_sql(
         raw_from="documents",
         target_from="(SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id % 5 = 0)",

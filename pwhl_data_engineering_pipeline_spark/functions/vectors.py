@@ -93,6 +93,69 @@ def random_hyperplane_signs(a: ColumnOrName, n_planes: int, seed: int = 42) -> C
     return out.cast("long")
 
 
+def projection_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic Achlioptas ±1 sign matrix (out_dim × in_dim) for
+    sparse-sign Johnson-Lindenstrauss projection: sign[j][i] derives from
+    md5 parity of '{seed}:{j}:{i}', so ANY engine (Spark expression
+    literals, the DuckDB oracle, a numpy reference) regenerates the exact
+    same matrix from the three scalars — no weight artifact to ship."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(a: ColumnOrName, signs: list[list[int]]) -> Column:
+    """Sparse-sign JL projection to ``len(signs)`` dims:
+    out_j = (1/√out_dim) Σ_i v_i · sign[j][i] → array<double>.
+
+    Pure JVM expression (one zip_with+aggregate fold per output dim, sign
+    rows embedded as literals) — the standard dimensionality-reduction
+    lever before ANN on a 100 TB embedding corpus: distances are
+    preserved within ~ε with out_dim = O(ln n / ε²), and a 64→16 cut is
+    4× less shuffle/scan in every downstream similarity pass. The
+    ascending-i fold order is bit-reproducible in DuckDB's left-to-right
+    term chain, so projections are oracle-exact before any rounding."""
+    import math
+
+    vec = _col(a)
+    scale = 1.0 / math.sqrt(len(signs))
+    comps = []
+    for row in signs:
+        weights = F.array(*[F.lit(float(s)) for s in row])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale)
+        )
+    return F.array(*comps)
+
+
+def random_project_sql(vec_expr: str, signs: list[list[int]]) -> list[str]:
+    """DuckDB mirror of :func:`random_project` (adjacent so the recipes
+    cannot drift): one expression string per output dimension, same
+    ascending-i term order and the same 1/√out_dim scale."""
+    import math
+
+    scale = 1.0 / math.sqrt(len(signs))
+    out = []
+    for row in signs:
+        terms = " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * {float(s)}"
+            for i, s in enumerate(row)
+        )
+        out.append(f"(({terms}) * {scale!r})")
+    return out
+
+
 def quantize_scale(a: ColumnOrName) -> Column:
     """Per-vector int8 quantization scale: max|x| / 127 (symmetric range).
     NULL for empty/all-NULL vectors."""

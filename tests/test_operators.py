@@ -885,3 +885,48 @@ def test_minhash_hot_sidecar_probe_is_scan_free_and_compact_prunes(spark, tmp_pa
         spark, probe, out, max_bucket=cap, probe_cap=None
     )
     assert cross_c.count() == 0
+
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark):
+    """functions.vectors.random_project: (a) components equal a numpy
+    reference computing the same md5-parity sign matrix (independent of
+    both the Spark fold and the SQL mirror); (b) the JL property holds on
+    random data — mean pairwise-distance distortion stays small at 64→16;
+    (c) the projection is a pure function of (seed, dims): re-running and
+    re-deriving the matrix give identical output."""
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.functions import vectors as V
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 64))
+    signs = V.projection_signs(64, 16, seed="jl")
+    S = np.array(signs, dtype=np.float64)  # (16, 64)
+    expected = (X @ S.T) / np.sqrt(16.0)
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    got_rows = (
+        df.select("vec_id", V.random_project("embedding", signs).alias("p"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = np.array([r["p"] for r in got_rows])
+    assert np.abs(got - expected).max() < 1e-9
+
+    # JL distance preservation (loose, deterministic given the fixed rng)
+    def pdists(M):
+        d = M[:, None, :] - M[None, :, :]
+        return np.sqrt((d * d).sum(-1))[np.triu_indices(len(M), 1)]
+
+    ratio = pdists(got) / pdists(X)
+    assert abs(float(ratio.mean()) - 1.0) < 0.15
+    assert float(ratio.std()) < 0.25
+
+    # determinism: sign matrix is regenerated, not sampled
+    signs2 = V.projection_signs(64, 16, seed="jl")
+    assert signs2 == signs
+    # and a different seed yields a different matrix (sanity)
+    assert V.projection_signs(64, 16, seed="other") != signs
