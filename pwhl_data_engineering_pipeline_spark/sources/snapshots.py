@@ -170,18 +170,47 @@ def snapshot_overwrite(df: DataFrame, path: str) -> int:
     )
 
 
+def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
+    """Latest version whose ``committed_at`` ≤ ``ts`` (Delta-style
+    timestamp travel). Metadata-only: walks the (small) manifest files,
+    never data. Raises if the table didn't exist yet at ``ts`` — reading
+    'before the first commit' is a caller bug, not an empty table."""
+    cur = current_version(spark, path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    best = None
+    for v in range(1, cur + 1):
+        try:
+            m = read_manifest(spark, path, v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        if m.get("committed_at", float("inf")) <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at {path} committed at or before ts={ts}"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None,
-    merge_schema: bool = False,
+    merge_schema: bool = False, as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel is
     just picking an older manifest. Plain parquet scan of the manifest's
     directories: pushdown, pruning, and split sizing all apply.
+    ``as_of_timestamp`` (epoch seconds) resolves the version through
+    :func:`version_at_timestamp` instead; passing both is an error.
 
     ``merge_schema=True`` unions the schemas of all referenced data dirs
     (parquet mergeSchema) so a table whose appends ADDED columns reads with
     the superset schema, old rows NULL-filled — additive schema evolution.
     Off by default: merging reads every file footer up front."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_timestamp, not both")
+        version = version_at_timestamp(spark, path, as_of_timestamp)
     if version is None:
         version = current_version(spark, path)
         if version is None:

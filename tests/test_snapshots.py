@@ -417,3 +417,33 @@ def test_snapshot_diff_releases_version_pins(spark, tmp_path):
     lazy = S.snapshot_diff(spark, path, 1, 2, eager=False)
     assert lazy.count() == 3
     assert n_cached(sc) <= before
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as_of_timestamp resolves the latest version committed at or before
+    the instant (Delta-style); before-first-commit raises, mixing version
+    and timestamp raises, and vacuumed manifests are skipped."""
+    import time
+
+    path = str(tmp_path / "ts_tbl")
+    t0 = time.time()
+    S.snapshot_append(_df(spark, 0, 5), path)       # v1
+    t1 = time.time()
+    time.sleep(0.05)
+    S.snapshot_overwrite(_df(spark, 100, 103), path)  # v2
+    t2 = time.time()
+
+    assert S.version_at_timestamp(spark, path, t1) == 1
+    assert S.version_at_timestamp(spark, path, t2) == 2
+    assert S.read_snapshot(spark, path, as_of_timestamp=t1).count() == 5
+    assert S.read_snapshot(spark, path, as_of_timestamp=t2).count() == 3
+    with pytest.raises(FileNotFoundError):
+        S.version_at_timestamp(spark, path, t0 - 10)
+    with pytest.raises(ValueError):
+        S.read_snapshot(spark, path, version=1, as_of_timestamp=t2)
+    # vacuum away v1's manifest: the timestamp that used to resolve to v1
+    # now has no surviving manifest at-or-before it → loud, not silent v2
+    S.vacuum(spark, path, keep_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        S.version_at_timestamp(spark, path, t1)
+    assert S.version_at_timestamp(spark, path, t2) == 2
