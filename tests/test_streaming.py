@@ -192,3 +192,80 @@ def test_stream_static_broadcast_enrich(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     got = {r["user_id"]: r["tier"] for r in spark.table("ss_enrich").collect()}
     assert got == {"u1": "gold", "u2": "basic", "u3": None}
+
+
+def test_streaming_hll_sketch_maintenance(spark, tmp_path):
+    """streaming.sketches: micro-batches reduce to per-day HLL sketch rows
+    appended exactly-once into a snapshot table; estimates from the
+    persisted sketches match exact distincts within the sketch tolerance,
+    at both the sketched grain and a coarser merged grain; new data
+    arriving later refines the estimates without reprocessing old events;
+    a replayed epoch is a no-op (no double counting)."""
+    from pwhl_data_engineering_pipeline_spark.operators.sketches import hll_rollup
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+    from pwhl_data_engineering_pipeline_spark.streaming import sketches as sk
+
+    landing = str(tmp_path / "hll_landing")
+    table = str(tmp_path / "hll_table")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def events(lo, hi, day):
+        return spark.range(lo, hi).selectExpr(
+            f"date'{day}' AS day", "CAST(id % 137 AS STRING) AS user_id"
+        )
+
+    first = events(0, 400, "2025-01-01").union(events(0, 300, "2025-01-02"))
+    first.write.mode("overwrite").parquet(landing)
+
+    def run_stream():
+        stream = spark.readStream.schema(first.schema).parquet(landing)
+        q = (
+            sk.streaming_hll_sink(stream, table, ckpt, ["day"], "user_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    v1 = S.current_version(spark, table)
+    assert v1 is not None
+
+    est = {
+        str(r["day"]): r["approx_distinct"]
+        for r in sk.hll_table_estimate(spark, table, ["day"]).collect()
+    }
+    # exact: day1 has min(400,137)=137 distinct users, day2 min(300,137)=137
+    for day, exact in [("2025-01-01", 137), ("2025-01-02", 137)]:
+        assert abs(est[day] - exact) / exact < 0.05, (day, est[day])
+
+    # coarser grain: global distinct users (union across days) = 137
+    g = sk.hll_table_estimate(spark, table).collect()[0]["approx_distinct"]
+    assert abs(g - 137) / 137 < 0.05
+    # n_rows carried: total events
+    assert sk.hll_table_estimate(spark, table).collect()[0]["n_rows"] == 700
+
+    # replaying the SAME epoch must be a metadata no-op, not a double count
+    batch = events(0, 400, "2025-01-01")
+    dup = S.commit_stream_batch(hll_rollup(batch, ["day"], "user_id"), 0, table, "hll")
+    assert dup is None
+    assert S.current_version(spark, table) == v1
+
+    # late-arriving new data (new files → new epoch) widens the day-2 set
+    events(1000, 1400, "2025-01-02").write.mode("append").parquet(landing)
+    run_stream()
+    assert S.current_version(spark, table) > v1
+    est2 = {
+        str(r["day"]): r["approx_distinct"]
+        for r in sk.hll_table_estimate(spark, table, ["day"]).collect()
+    }
+    # day 2 now spans ids {0..299, 1000..1399} % 137 → all 137 plus nothing
+    # new (mod already saturates) — but row counts prove the merge landed
+    assert abs(est2["2025-01-02"] - 137) / 137 < 0.05
+    n2 = {
+        str(r["day"]): r["n_rows"]
+        for r in sk.hll_table_estimate(spark, table, ["day"]).collect()
+    }
+    assert n2["2025-01-02"] == 700  # 300 + 400 late events
+    # time travel: the v1 sketch table still answers with the old counts
+    old = sk.hll_table_estimate(spark, table, ["day"], version=v1).collect()
+    assert {str(r["day"]): r["n_rows"] for r in old}["2025-01-02"] == 300
