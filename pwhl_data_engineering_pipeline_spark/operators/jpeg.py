@@ -159,11 +159,14 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_pixels(blob: bytes):
+def decode_jpeg_pixels(blob: bytes, max_pixels: int = 64_000_000):
     """Decode a baseline OR progressive JPEG to an (h, w, 3) uint8 RGB
     array (grayscale replicates), or None for anything this decoder doesn't
     cover (arithmetic coding, hierarchical, 12-bit, >2×2 sampling, corrupt
-    streams)."""
+    streams). ``max_pixels`` bounds the decode allocation: corpus bytes are
+    untrusted, and a forged 65535×65535 SOF header would otherwise ask for
+    ~34 GB of plane buffers inside an executor task before a single
+    entropy bit is read."""
     import numpy as np
 
     if not blob or len(blob) < 4 or blob[:2] != b"\xff\xd8":
@@ -227,6 +230,8 @@ def decode_jpeg_pixels(blob: bytes):
                 nc = seg[5]
                 if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                     return None
+                if h * w > max_pixels:
+                    return None  # untrusted header: refuse oversized allocs
                 comps = []
                 for c in range(nc):
                     cid = seg[6 + 3 * c]
@@ -268,10 +273,11 @@ def decode_jpeg_pixels(blob: bytes):
                 i = nxt  # position of the marker following the scan data
                 continue
             i += 2 + seglen
-    except (struct.error, IndexError, KeyError, ValueError, ZeroDivisionError):
+    except (struct.error, IndexError, KeyError, ValueError, ZeroDivisionError, MemoryError):
         # the contract is None-on-corrupt, never a raised exception inside
         # a Spark task: ValueError covers e.g. a truncated 16-bit DQT
-        # (frombuffer size mismatch), ZeroDivisionError a 0 sampling factor
+        # (frombuffer size mismatch), ZeroDivisionError a 0 sampling
+        # factor, MemoryError a dimensions-vs-cap race on tight executors
         return None
     return None
 

@@ -788,3 +788,17 @@ def test_truncated_entropy_segment_returns_none():
         assert J.decode_jpeg_pixels(truncated) is None, f"frac={frac}"
         # and with a spurious EOI glued on (common corruption shape)
         assert J.decode_jpeg_pixels(truncated + b"\xff\xd9") is None, f"frac={frac}+eoi"
+
+
+def test_forged_giant_dimensions_refused():
+    """A forged 65535x65535 SOF header must return None BEFORE allocating
+    plane buffers (untrusted corpus bytes inside an executor task)."""
+    img = _gradient(8, 8)
+    blob = encode_jpeg(img, q=1)
+    i = blob.index(b"\xff\xc0")
+    forged = bytearray(blob)
+    forged[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    assert J.decode_jpeg_pixels(bytes(forged)) is None
+    # and the cap is a parameter: a small legitimate image under a tiny cap
+    assert J.decode_jpeg_pixels(blob, max_pixels=16) is None
+    assert J.decode_jpeg_pixels(blob) is not None
