@@ -460,6 +460,11 @@ def decode_gif_frame(blob: bytes):
                 i += 3 * n
             if pal is None or w == 0 or h == 0 or i >= len(blob):
                 return None
+            if w * h > 64_000_000:
+                # untrusted corpus bytes: a forged descriptor must not let
+                # the LZW loop build a multi-GB index buffer (same cap as
+                # jpeg.decode_jpeg_pixels)
+                return None
             mcs = blob[i]
             i += 1
             if not 2 <= mcs <= 11:
@@ -591,8 +596,22 @@ def decode_png_pixels(blob: bytes):
         return None
     if w == 0 or h == 0:
         return None
+    if w * h > 64_000_000:
+        return None  # untrusted IHDR: refuse oversized allocations
+    # exact inflated size this image needs (per-pass filter byte + rows);
+    # decompress is CAPPED there so a zip-bomb IDAT cannot balloon memory
+    # past what the declared (already capped) dimensions justify
+    if inter == 0:
+        needed = h * (w * ch + 1)
+    else:
+        needed = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                needed += ph * (pw * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = zlib.decompressobj().decompress(bytes(idat), needed)
     except zlib.error:
         return None
     if inter == 0:

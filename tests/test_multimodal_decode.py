@@ -562,3 +562,59 @@ def test_mp4_truncated_v1_mvhd_skipped():
     m = mm.parse_media_header(blob)
     # no tkhd/duration parsed -> whole parse returns no video match
     assert m["duration_ms"] is None
+
+
+def test_forged_giant_dimensions_and_zip_bomb_refused():
+    """Untrusted corpus bytes must not drive multi-GB allocations: a forged
+    giant PNG IHDR or GIF descriptor returns None before any buffer is
+    sized from it, and a zip-bomb IDAT (tiny compressed, huge inflated) is
+    decompressed only up to what the declared dimensions justify — a valid
+    image with trailing inflated junk still decodes correctly."""
+    import zlib
+
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import multimodal as mm
+
+    # giant PNG IHDR (60000 x 60000 > 64M pixels), no real data needed
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    giant_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    assert mm.decode_png_pixels(giant_png) is None
+
+    # giant GIF image descriptor (60000 x 60000)
+    gct = bytes([0, 0, 0, 255, 255, 255])  # 2-entry palette
+    giant_gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0x80, 0, 0) + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 60000, 60000, 0)
+        + bytes([2, 1, 0x44, 0]) + b"\x3b"
+    )
+    assert mm.decode_gif_frame(giant_gif) is None
+
+    # zip-bomb-shaped IDAT: a valid 4x3 gray image followed by 10 MB of
+    # inflated zeros in the SAME deflate stream — the cap stops at the
+    # bytes the dimensions justify and the image still decodes exactly
+    arr = (np.arange(12, dtype=np.uint8) * 9).reshape(3, 4, 1)
+    raw = bytearray()
+    for y in range(3):
+        raw += b"\x00" + arr[y].tobytes()
+    bomb = zlib.compress(bytes(raw) + b"\x00" * 10_000_000)
+    bomb_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    got = mm.decode_png_pixels(bomb_png)
+    assert got is not None and got.shape == (3, 4, 1)
+    assert (got == arr).all()
