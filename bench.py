@@ -134,6 +134,9 @@ def main() -> None:
         # protocol (overwrite v1), keyed MERGE (anti-join + union rewrite),
         # and two versioned reads, end to end on real filesystem writes.
         "s_snapshot_kit",
+        # round 4: DSIR importance resampling — two bounded-key shuffles +
+        # broadcast λ + doc agg; the corpus-scale data-selection operator.
+        "ns_dsir_select",
         # ns_semdedup is deliberately NOT headline: its two heavy stages are
         # already timed through ivf_topk_pruned (centroid index + probe) and
         # ns_dedup_cluster_kit (connected-components closure); adding the

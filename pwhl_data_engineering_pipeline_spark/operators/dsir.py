@@ -41,14 +41,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _text_tokens
+from .dedup import pin_handles
 
 #: fixed hash-seed prefix so Spark and the SQL mirror bucket identically
 _SEED = "dsir"
 
 
-def _grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, gram) rows: unigrams ∪ '_'-joined bigrams of the
-    lowercased whitespace tokens. Map-side only."""
+def _bucket_arrays(docs: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """(doc_id, bs: array<bigint>) — the hashed buckets of the document's
+    unigrams ∪ '_'-joined bigrams, ONE array row per document.
+
+    Kept as arrays (not exploded here) deliberately: higher-order
+    functions are interpreted, and Catalyst collapses a deterministic
+    projection into the Generate input, so exploding the HOF expression
+    directly re-evaluates it per OUTPUT row (the 24× pitfall measured in
+    SCALING.md). Hashing happens INSIDE the array too, so the md5 runs
+    once per gram — not once per downstream consumer — and the persisted
+    cache holds 8-byte buckets instead of gram strings. Callers persist
+    THIS frame, then explode the materialized arrays inside codegen."""
     toks = _text_tokens(F.lower(F.col(text_col)))
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -58,26 +68,16 @@ def _grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
             lambda x, y: F.concat(x, F.lit("_"), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.concat(toks, bigrams)).alias("gram"),
-        )
-        .filter(F.col("gram") != "")
+    grams = F.filter(F.concat(toks, bigrams), lambda g: g != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams, lambda g: _bucket(g, n_buckets)).alias("bs"),
     )
 
 
 def _bucket(gram, n_buckets: int):
     digest = F.md5(F.concat(F.lit(_SEED + ":"), gram))
     return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % n_buckets)
-
-
-def _bucket_counts(grams: DataFrame, n_buckets: int) -> DataFrame:
-    return (
-        grams.select(_bucket(F.col("gram"), n_buckets).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 def dsir_scores(
@@ -95,10 +95,20 @@ def dsir_scores(
             ln((c_t + α) / (T_t + αB)) − ln((c_r + α) / (T_r + αB)).
 
     Documents with no tokens produce no grams and are absent (they carry
-    no evidence either way — filter them with the quality gates first)."""
-    raw_grams = _grams(raw, text_col, id_col)
-    tgt_counts = _bucket_counts(_grams(target, text_col, id_col), n_buckets)
-    raw_counts = _bucket_counts(raw_grams, n_buckets)
+    no evidence either way — filter them with the quality gates first).
+
+    The per-doc BUCKET arrays are persisted (one row per doc, 8-byte
+    elements): the stream is consumed twice (bucket counts, then scoring)
+    and the gram/hash HOFs must not collapse into the Generate
+    (SCALING.md, 24× pitfall). Cache lifetime rides the returned frame
+    via dedup.pin_handles — release with ``dedup.unpersist_pins(result)``
+    when looping corpora."""
+    raw_arr = _bucket_arrays(raw, text_col, id_col, n_buckets).persist()
+    tgt_arr = _bucket_arrays(target, text_col, id_col, n_buckets).persist()
+    raw_buckets = raw_arr.select("doc_id", F.explode("bs").alias("bucket"))
+    tgt_buckets = tgt_arr.select("doc_id", F.explode("bs").alias("bucket"))
+    tgt_counts = tgt_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    raw_counts = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     t_total = tgt_counts.agg(F.sum("cnt").alias("t_total"))
     r_total = raw_counts.agg(F.sum("cnt").alias("r_total"))
     # every scored bucket occurs in raw by construction → LEFT join from
@@ -116,12 +126,12 @@ def dsir_scores(
             ).alias("lam"),
         )
     )
-    return (
-        raw_grams.withColumn("bucket", _bucket(F.col("gram"), n_buckets))
-        .join(F.broadcast(lam), "bucket")
+    out = (
+        raw_buckets.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lam").alias("score"))
     )
+    return pin_handles(out, raw_arr, tgt_arr)
 
 
 def dsir_select(
