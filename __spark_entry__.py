@@ -2270,10 +2270,54 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash dedup: index the first half of the corpus once,
-    then dedup the second half against the PERSISTED band index (corpus
-    never re-hashed) — the daily-ingest shape. Hash-seeded (numpy band
-    hashes) → rows-only check."""
+    """Incremental MinHash dedup against a PERSISTED band index, projected
+    onto the theorem-deterministic slice (same scheme as ns_minhash_dedup):
+    index the first 250 docs once, probe a batch of the next 250 organic
+    docs PLUS planted exact copies of indexed docs (doc_id%7==0, re-keyed
+    +10M). Identical text ⇒ identical signatures ⇒ the planted probe
+    collides with its indexed original in EVERY band, through the index
+    write, the parquet round-trip, the hot-bucket sidecar anti-join, and
+    the (band, band_hash) probe join — so a bug anywhere in the
+    incremental path flips the value hash. The oracle is a text-equality
+    join; the probabilistic LSH-only near-dup decision stays rows-only as
+    ns_dedup_incremental_full."""
+    import tempfile
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    mid = 250
+    corpus = docs.filter(F.col("doc_id") < mid)
+    planted = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= mid) & (F.col("doc_id") < 2 * mid)
+    ).unionByName(planted)
+    idx = tempfile.mkdtemp(prefix="mh_idx_")
+    dedup.minhash_index_write(corpus, idx, num_hashes=64, num_bands=8)
+    cross, _within = dedup.minhash_incremental_pairs(
+        spark, batch, idx, num_hashes=64, num_bands=8
+    )
+    bt = batch.select(F.col("doc_id").alias("new_id"), F.col("text").alias("__tb"))
+    ct = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("__tc"))
+    exact = (
+        cross.join(bt, "new_id")
+        .join(ct, "corpus_id")
+        .filter(F.col("__tb") == F.col("__tc"))
+        .select("new_id", "corpus_id")
+    )
+    pair_leg = exact.select(F.lit("pair").alias("leg"), "new_id", "corpus_id")
+    dropped = exact.select("new_id").distinct()
+    census_leg = dropped.agg(
+        F.count(F.lit(1)).alias("new_id"), F.sum("new_id").alias("corpus_id")
+    ).select(F.lit("dropped_census").alias("leg"), "new_id", "corpus_id")
+    return pair_leg.unionByName(census_leg)
+
+
+def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production incremental shape (LSH-only decision, survivors of
+    the organic batch). Hash-seeded collisions → rows-only check; the
+    deterministic slice is hash-checked by ns_dedup_incremental."""
     import tempfile
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -2640,6 +2684,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_minhash_dedup": q_minhash_dedup,
         "ns_minhash_dedup_full": q_minhash_dedup_full,
         "ns_dedup_incremental": q_dedup_incremental,
+        "ns_dedup_incremental_full": q_dedup_incremental_full,
         "ns_containment": q_containment,
         "ns_sample_k": q_sample_k,
         "ns_quantize": q_quantize,
@@ -3922,6 +3967,28 @@ def _all_oracle_sql() -> dict[str, str]:
                          WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_a,
                    CAST((SELECT sum(doc_id) FROM corpus
                          WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_b
+        """,
+        "ns_dedup_incremental": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ),
+            batch AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 250 AND doc_id < 500
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id < 250 AND doc_id % 7 = 0
+            ),
+            pair AS (
+              SELECT b.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM batch b JOIN corpus c ON b.text = c.text
+            )
+            SELECT 'pair' AS leg, new_id, corpus_id FROM pair
+            UNION ALL
+            SELECT 'dropped_census' AS leg,
+                   CAST(count(*) AS BIGINT) AS new_id,
+                   CAST(sum(new_id) AS BIGINT) AS corpus_id
+            FROM (SELECT DISTINCT new_id FROM pair)
         """,
         "ns_simhash_pairs": """
             WITH corpus AS (
