@@ -2253,11 +2253,52 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (dedup.semantic_dedup): k-means cells → exact within-cell
-    cosine pairs → connected-components closure → min-id survivors.
-    Rows-only (k-means init is hash-seeded; centroid floats aren't
+    """SemDeDup (dedup.semantic_dedup) projected onto its
+    theorem-deterministic slice: the corpus is planted with exact copies
+    of every vec_id%7==0 embedding (re-keyed +10M). An IDENTICAL vector
+    gets the IDENTICAL k-means cell (argmin over the same centroids, no
+    matter where the hash-seeded init landed them) and verifies at
+    cosine 1.0 ≥ threshold — so every planted pair must survive the
+    cells → within-cell self-join → cosine-verify machinery, and a bug
+    anywhere in it flips the hash. The oracle joins embeddings on array
+    equality; probabilistic organic pairs (cell-assignment-dependent)
+    stay rows-only via ns_semdedup_full."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(planted)
+    _survivors, pairs = dedup.semantic_dedup(
+        corpus, n_centroids=16, threshold=0.5, refine_iterations=1
+    )
+    vecs = corpus.select("vec_id", "embedding")
+    exact = (
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")),
+            "id_b",
+        )
+        .filter(F.col("__va") == F.col("__vb"))
+        .select("id_a", "id_b")
+    )
+    pair_leg = exact.select(F.lit("pair").alias("leg"), "id_a", "id_b")
+    dropped = exact.select("id_b").distinct()
+    census_leg = dropped.agg(
+        F.count(F.lit(1)).alias("id_a"), F.sum("id_b").alias("id_b")
+    ).select(F.lit("dropped_census").alias("leg"), "id_a", "id_b")
+    return pair_leg.unionByName(census_leg)
+
+
+def q_semdedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup shape: cells → exact within-cell cosine
+    pairs → connected-components closure → min-id survivors. Rows-only
+    (k-means init is hash-seeded; centroid floats aren't
     SQL-reproducible) — survivorship properties are pinned in
-    tests/test_semdedup.py against brute-force ground truth."""
+    tests/test_semdedup.py against brute-force ground truth; the
+    deterministic slice is hash-checked by ns_semdedup."""
     emb = _t(spark, sf_dir, "embeddings")
     # threshold 0.5 (not the usual ~0.95): the synthetic embeddings are
     # near-orthogonal (max pairwise cosine ≈ 0.5), so a production-grade
@@ -2704,6 +2745,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bpe_tokens": q_bpe_tokens,
         "v_quarantine": q_quarantine,
         "ns_semdedup": q_semdedup,
+        "ns_semdedup_full": q_semdedup_full,
         "ns_simhash_pairs": q_simhash_pairs,
         "ns_simhash_pairs_full": q_simhash_pairs_full,
         "ns_ann_bruteforce": q_ann_bruteforce,
@@ -3967,6 +4009,25 @@ def _all_oracle_sql() -> dict[str, str]:
                          WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_a,
                    CAST((SELECT sum(doc_id) FROM corpus
                          WHERE doc_id NOT IN (SELECT id_b FROM pair)) AS BIGINT) AS id_b
+        """,
+        "ns_semdedup": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 7 = 0
+            ),
+            pair AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a JOIN corpus b
+                ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+            )
+            SELECT 'pair' AS leg, id_a, id_b FROM pair
+            UNION ALL
+            SELECT 'dropped_census' AS leg,
+                   CAST(count(*) AS BIGINT) AS id_a,
+                   CAST(sum(id_b) AS BIGINT) AS id_b
+            FROM (SELECT DISTINCT id_b FROM pair)
         """,
         "ns_dedup_incremental": """
             WITH corpus AS (
