@@ -319,3 +319,41 @@ def test_date_diff_month_property(spark, y1, m1, d1, y2, m2, d2):
     b = f"{y2:04d}-{m2:02d}-{d2:02d}"
     got = _one(spark, f"SELECT DATE_DIFF(DATE '{a}', DATE '{b}', MONTH) AS v")
     assert got == (y1 * 12 + m1) - (y2 * 12 + m2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-20, 20)), min_size=1, max_size=24
+    ),
+    fn=st.sampled_from(["row_number()", "rank()", "dense_rank()"]),
+    k=st.integers(1, 4),
+    direction=st.sampled_from(["ASC", "DESC"]),
+    use_alias=st.booleans(),
+)
+def test_qualify_property_vs_duckdb_native(spark, rows, fn, k, direction, use_alias):
+    """Property: the QUALIFY rewrite run on Spark produces exactly what
+    DuckDB's NATIVE QUALIFY produces on the same table and the same
+    (untranslated) BigQuery-shaped SQL — random data, ranking function,
+    cutoff, sort direction, and alias-vs-inline predicate form. (DuckDB
+    supports QUALIFY with BigQuery semantics, making it a true
+    differential oracle for the rewrite itself.)"""
+    import duckdb
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    win = f"{fn} OVER (PARTITION BY g ORDER BY v {direction}, id)"
+    if use_alias:
+        sql = f"SELECT id, g, {win} AS rnk FROM qt QUALIFY rnk <= {k}"
+    else:
+        sql = f"SELECT id, g FROM qt QUALIFY {win} <= {k}"
+
+    spark.createDataFrame(data, "id INT, g INT, v INT").createOrReplaceTempView("qt")
+    got = spark.sql(sql_dialect.translate_statement(sql)).collect()
+    got_set = sorted(tuple(r) for r in got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE qt(id INT, g INT, v INT)")
+    con.executemany("INSERT INTO qt VALUES (?, ?, ?)", data)
+    exp = con.sql(sql).fetchall()
+    con.close()
+    assert got_set == sorted(tuple(r) for r in exp)
