@@ -127,7 +127,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     shape; the vocabulary join is a broadcast hash join);
     ns_corpus_export (composes the unigram-LM gate, so it inherits
     ns_lm_quality's 1-row total-token scalar crossJoins — IdentityBroadcast
-    of a single row, map-side, no data-sized replication)."""
+    of a single row, map-side, no data-sized replication);
+    ns_dsir_select (two 1-row crossJoins of the target/raw gram-total
+    scalars onto the ≤ n_buckets λ table — same scalar-subquery shape;
+    the scoring join itself is asserted to be a broadcast HASH join in
+    test_dsir.py::test_plan_stays_broadcast_and_bounded)."""
     allow = {
         "j3_cross_join",
         "ns_embedding_neardup",
@@ -135,6 +139,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ns_bm25_search",
         "ns_lm_quality",
         "ns_corpus_export",
+        "ns_dsir_select",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
