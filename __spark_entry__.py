@@ -2175,6 +2175,31 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction (functions.text.strip_html): every doc is
+    wrapped in deterministic HTML (script/style/comment bodies, block
+    tags, named + numeric entities) inside the query, stripped back to
+    text JVM-side, and summarized. The DuckDB oracle wraps identically and
+    strips through html_strip_sql — generated from the SAME step table,
+    so the regexp chain cannot drift between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>var x = 1 < 2;</script></head><body><!-- c --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), "&", "&amp;"),
+        F.lit("</p><br/><div>tail &nbsp;&#8212; end</div></body></html>"),
+    )
+    stripped = text.strip_html(html)
+    return docs.select(
+        "doc_id",
+        F.length(stripped).cast("long").alias("n_chars"),
+        text.token_count(stripped).alias("n_tokens"),
+        F.substring(stripped, 1, 30).alias("head"),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.dsir, Xie et al. 2023): pick
     the 50 raw documents that look most like a small clean target slice
@@ -2737,6 +2762,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_lm_quality": q_lm_quality,
         "ns_dsir_select": q_dsir_select,
         "ns_random_projection": q_random_projection,
+        "ns_html_extract": q_html_extract,
         "ns_dup_spans": q_dup_spans,
         "ns_hard_negatives": q_hard_negatives,
         "ns_split_leakage_safe": q_split_leakage_safe,
@@ -4334,6 +4360,25 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT s.doc_id, s.pos, s.gram_key, d.n_docs
         FROM sel s JOIN dpg d USING (gram_key)
+    """
+    _html_wrap = (
+        "'<html><head><style>p{color:red}</style>"
+        "<script>var x = 1 < 2;</script></head><body><!-- c --><h1>Doc '"
+        " || CAST(doc_id AS VARCHAR) || '</h1><p>'"
+        " || regexp_replace(text, '&', '&amp;', 'g')"
+        " || '</p><br/><div>tail &nbsp;&#8212; end</div></body></html>'"
+    )
+    sql["ns_html_extract"] = f"""
+        WITH s AS (
+          SELECT doc_id, {text.html_strip_sql(_html_wrap)} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN trim(t) = '' THEN 0
+                    ELSE len(string_split_regex(trim(t), '\\s+')) END AS BIGINT)
+                 AS n_tokens,
+               substr(t, 1, 30) AS head
+        FROM s
     """
     _jl_exprs = vectors.random_project_sql("embedding", _JL_SIGNS)
     sql["ns_random_projection"] = "SELECT vec_id, " + ", ".join(

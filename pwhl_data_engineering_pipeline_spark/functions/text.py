@@ -180,6 +180,65 @@ def redact_pii(c: ColumnOrName) -> Column:
     return col
 
 
+#: (pattern, replacement) steps of the HTML stripper, in order. Module-level
+#: so the DuckDB oracle mirror (html_strip_sql) is generated from the SAME
+#: table — the two engines cannot drift. Every pattern is RE2-compatible
+#: (DuckDB) as well as java.util.regex-compatible (Spark): (?is) flags and
+#: non-greedy repetition are in both; no backreferences or lookaround.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),   # script bodies
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),     # style bodies
+    (r"(?s)<!--.*?-->", " "),                        # comments
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),                 # hard breaks
+    (r"(?i)</(?:p|div|li|tr|h[1-6]|blockquote)\s*>", "\n"),  # block ends
+    (r"(?s)<[^>]*>", " "),                           # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&[A-Za-z]{2,10};|&#[0-9]{1,7};", " "),        # undecoded entities
+    (r"[ \t\f\x0b]+", " "),                          # collapse spaces
+    (r" ?\n ?", "\n"),                               # trim around breaks
+    (r"\n{2,}", "\n"),                               # collapse blank lines
+    # edge trim INCLUDING newlines (both engines' trim() strips spaces only)
+    (r"^\s+|\s+$", ""),
+]
+
+
+def strip_html(c: ColumnOrName) -> Column:
+    """Markup → text: drop script/style/comment bodies, convert block-level
+    closers to newlines, strip every remaining tag, decode the common
+    named entities, blank undecoded ones, and normalize whitespace — the
+    text-extraction step of a web-crawl corpus as a pure JVM
+    regexp_replace chain (a DOM-aware extractor is an external artifact;
+    this is the distributable core that runs at scan speed). Finish with
+    ``trim``; the step table is shared verbatim with the SQL mirror."""
+    col = _col(c).cast("string")
+    for pattern, repl in HTML_STRIP_STEPS:
+        col = F.regexp_replace(col, pattern, repl)
+    return F.trim(col)
+
+
+def html_strip_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`strip_html`, generated from the SAME step
+    table (regexp_replace with the 'g' flag; same order, same patterns).
+    Newline replacements go through chr(10) — DuckDB's plain string
+    literals do not interpret backslash escapes."""
+    out = expr
+    for pattern, repl in HTML_STRIP_STEPS:
+        p = pattern.replace("'", "''")
+        if "\n" in repl:
+            assert repl == "\n", "only whole-newline replacements supported"
+            r = "chr(10)"
+        else:
+            r = "'" + repl.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r}, 'g')"
+    return f"trim({out})"
+
+
 def chunk_text(
     c: ColumnOrName, chunk_chars: int = 512, overlap: int = 64
 ) -> Column:

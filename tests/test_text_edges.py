@@ -62,3 +62,49 @@ def test_shingles_and_ngrams_short_input(spark):
     assert sh == ["ab"]  # shorter than k → whole string
     ng = _one(spark, text.word_ngrams(F.lit("one two"), 3))
     assert ng == ["one two"]  # fewer than n words → single partial gram
+
+
+def test_strip_html_semantics_and_sql_mirror(spark):
+    """functions.text.strip_html: script/style/comment bodies vanish, block
+    closers become newlines, named entities decode, unknown entities blank,
+    whitespace normalizes — and the DuckDB mirror generated from the SAME
+    step table produces the identical string for every case."""
+    import duckdb
+
+    from pwhl_data_engineering_pipeline_spark.functions import text as T
+
+    cases = [
+        (
+            "<html><head><style>p{color:red}</style>"
+            "<script>var x = 1 < 2;</script></head>"
+            "<body><!-- hidden -->"
+            "<h1>Title</h1><p>first para</p><p>second &amp; third</p>"
+            "<div>a &lt;tag&gt; literal &nbsp; here</div>"
+            "<ul><li>one</li><li>two</li></ul>"
+            "tail &#8212; with &bogus; entities</body></html>",
+            "Title\nfirst para\nsecond & third\na <tag> literal here\none\ntwo\ntail with entities",
+        ),
+        ("no markup at all", "no markup at all"),
+        ("<br><br><br>spaced", "spaced"),
+        ("", ""),
+        ("<p>only</p>", "only"),
+        ("a<b>bold</b>c", "a bold c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", T.strip_html("html").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, repr(got[i]))
+
+    con = duckdb.connect()
+    for i, (html, want) in enumerate(cases):
+        (dk,) = con.sql(
+            f"SELECT {T.html_strip_sql('h')} FROM (SELECT ? AS h)",
+            params=[html],
+        ).fetchone()
+        assert dk == want == got[i], (i, repr(dk))
+    con.close()
