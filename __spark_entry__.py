@@ -2212,6 +2212,27 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(docs, target, k=50, n_buckets=2048)
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff scoring (operators.lm, Brants et al. 2007):
+    the 25 worst documents by mean log-score under a top-20-unigram /
+    top-60-bigram model (small caps so the backoff and OOV paths are all
+    live on this corpus). Oracle via the adjacent bigram_backoff_sql
+    mirror — every score is a count ratio, so the whole model is
+    SQL-recomputable."""
+    docs = _t(spark, sf_dir, "documents")
+    s = lm.bigram_backoff_scores(docs, top_v=20, top_b=60)
+    return (
+        s.select(
+            "doc_id",
+            "n_tokens",
+            "bigram_hits",
+            pr("avg_logscore", 6).alias("avg_logscore"),
+        )
+        .orderBy(F.col("avg_logscore").asc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators.bpe): learn 16 merges from the corpus's
     distinct-word frequency table (Sennrich train loop — pair counts and
@@ -2760,6 +2781,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_epoch_mix": q_epoch_mix,
         "ns_quality_quantile": q_quality_quantile,
         "ns_lm_quality": q_lm_quality,
+        "ns_lm_bigram": q_lm_bigram,
         "ns_dsir_select": q_dsir_select,
         "ns_random_projection": q_random_projection,
         "ns_html_extract": q_html_extract,
@@ -4390,6 +4412,13 @@ def _all_oracle_sql() -> dict[str, str]:
         k=50,
         n_buckets=2048,
     )
+    sql["ns_lm_bigram"] = f"""
+        WITH scores AS ({lm.bigram_backoff_sql(docs_from="documents", top_v=20, top_b=60)})
+        SELECT doc_id, n_tokens, bigram_hits,
+               floor(avg_logscore * 1e6 + 0.5) / 1e6 AS avg_logscore
+        FROM scores
+        ORDER BY avg_logscore ASC, doc_id ASC LIMIT 25
+    """
     sql["ns_lm_quality"] = f"""
         WITH scores AS ({lm.unigram_logprob_sql(docs_from="documents", top_v=20)})
         SELECT doc_id, n_tokens, oov_tokens,

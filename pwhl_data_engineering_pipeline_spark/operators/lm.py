@@ -143,3 +143,158 @@ def unigram_logprob_sql(
         FROM toks t LEFT JOIN model m USING (token)
         GROUP BY t.doc_id
     """
+
+
+def bigram_backoff_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 50_000,
+    top_b: int = 200_000,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log-score under a bigram model with Stupid Backoff
+    (Brants et al., "Large Language Models in Machine Translation", 2007):
+
+        S(t_i | t_{i-1}) = count(t_{i-1}, t_i) / count(t_{i-1})   if the
+                           bigram is in the top-``top_b`` model
+                         = α · S_uni(t_i)                         otherwise
+        S_uni(t)         = count(t)/total  (top-``top_v``), 1/total OOV
+        first token      = S_uni(t_1)
+
+    The published web-scale recipe: no discounting to tune, every model
+    row is a plain count ratio, and backoff is a constant multiplier —
+    which also makes every score SQL-expressible for the oracle mirror.
+
+    Scale shape (same envelope as :func:`unigram_logprob_scores` plus one
+    bounded shuffle): the per-doc token ARRAYS are built once and
+    persisted (HOF-in-Generate pitfall, SCALING.md) and feed all three
+    derivations — unigram counts, bigram counts, and the scoring stream.
+    Both models are TakeOrdered top-K slices and BROADCAST; scoring is
+    two map-side joins and one doc_id aggregation. Returns
+    (doc_id, n_tokens, bigram_hits, avg_logscore) for docs with ≥ 1
+    token; callers own the cache via dedup.pin_handles/unpersist_pins."""
+    from .dedup import pin_handles
+
+    arr = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _text_tokens(F.lower(F.col(text_col))).alias("a"),
+        )
+        .filter(F.size("a") > 0)
+        .persist()
+    )
+    toks = arr.select("doc_id", F.explode("a").alias("token"))
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    uni = (
+        freq.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_v)
+        .crossJoin(F.broadcast(total))
+        .select("token", F.log(F.col("cnt") / F.col("total")).alias("logp_uni"))
+    )
+    pairs = arr.filter(F.size("a") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("a", 1, F.size("a") - 1),
+                F.slice("a", 2, F.size("a") - 1),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("pc"),
+    ).select("doc_id", "pc.prev", "pc.cur")
+    bfreq = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    bmodel = (
+        bfreq.orderBy(F.col("cb").desc(), F.col("prev").asc(), F.col("cur").asc())
+        .limit(top_b)
+        .join(freq.select(F.col("token").alias("prev"), F.col("cnt").alias("cprev")), "prev")
+        .select("prev", "cur", F.log(F.col("cb") / F.col("cprev")).alias("lb"))
+    )
+    first = arr.select(
+        "doc_id", F.lit(None).cast("string").alias("prev"),
+        F.element_at("a", 1).alias("cur"), F.lit(True).alias("is_first"),
+    )
+    stream = pairs.withColumn("is_first", F.lit(False)).unionByName(first)
+    scored = (
+        stream.join(F.broadcast(bmodel), ["prev", "cur"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("token", "cur")), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__uni", F.coalesce("logp_uni", -F.log(F.col("total"))))
+        .withColumn(
+            "lp",
+            F.when(F.col("is_first"), F.col("__uni"))
+            .when(F.col("lb").isNotNull(), F.col("lb"))
+            .otherwise(F.lit(float(__import__("math").log(alpha))) + F.col("__uni")),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((~F.col("is_first") & F.col("lb").isNotNull()).cast("long")).alias("bigram_hits"),
+        F.avg("lp").alias("avg_logscore"),
+    )
+    return pin_handles(out, arr)
+
+
+def bigram_backoff_sql(
+    *,
+    docs_from: str,
+    top_v: int,
+    top_b: int,
+    alpha: float = 0.4,
+) -> str:
+    """DuckDB mirror of :func:`bigram_backoff_scores` (adjacent so the
+    recipes cannot drift)."""
+    import math
+
+    ln_alpha = repr(math.log(alpha))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS a
+          FROM {docs_from} WHERE trim(text) <> ''
+        ),
+        toks AS (SELECT doc_id, unnest(a) AS token FROM t),
+        freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        uni AS (
+          SELECT token, ln(cnt * 1.0 / (SELECT total FROM total)) AS logp_uni
+          FROM freq ORDER BY cnt DESC, token ASC LIMIT {top_v}
+        ),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(a)),
+                        i -> {{'prev': a[i], 'cur': a[i + 1]}}),
+                        recursive := true)
+          FROM t WHERE len(a) >= 2
+        ),
+        bfreq AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY prev, cur),
+        bmodel AS (
+          SELECT b.prev, b.cur, ln(b.cb * 1.0 / f.cnt) AS lb
+          FROM (SELECT * FROM bfreq
+                ORDER BY cb DESC, prev ASC, cur ASC LIMIT {top_b}) b
+          JOIN freq f ON f.token = b.prev
+        ),
+        stream AS (
+          SELECT doc_id, prev, cur, FALSE AS is_first FROM pairs
+          UNION ALL
+          SELECT doc_id, NULL AS prev, a[1] AS cur, TRUE AS is_first FROM t
+        ),
+        scored AS (
+          SELECT s.doc_id, s.is_first, m.lb,
+                 coalesce(u.logp_uni, -ln((SELECT total FROM total))) AS uni_lp
+          FROM stream s
+          LEFT JOIN bmodel m ON m.prev = s.prev AND m.cur = s.cur
+          LEFT JOIN uni u ON u.token = s.cur
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN NOT is_first AND lb IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bigram_hits,
+               avg(CASE WHEN is_first THEN uni_lp
+                        WHEN lb IS NOT NULL THEN lb
+                        ELSE {ln_alpha} + uni_lp END) AS avg_logscore
+        FROM scored GROUP BY doc_id
+    """

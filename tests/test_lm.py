@@ -106,3 +106,60 @@ def test_vocab_tiebreak_deterministic(spark):
         rows = lm.unigram_logprob_scores(df, top_v=2).collect()
         # every doc has exactly one OOV token (cc) under the deterministic cut
         assert all(r["oov_tokens"] == 1 for r in rows)
+
+
+def test_bigram_backoff_matches_hand_model(spark):
+    """bigram_backoff_scores vs a from-scratch Python Stupid-Backoff model:
+    first-token unigram, bigram MLE on hits, α·unigram on misses, OOV
+    floor — small caps force every path live."""
+    import math
+
+    docs = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog"),
+        (4, "zq zq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    TOP_V, TOP_B, ALPHA = 3, 2, 0.4
+
+    counts: dict = {}
+    big: dict = {}
+    for _, t in docs:
+        toks = t.split()
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    total = sum(counts.values())
+    vocab = sorted(counts, key=lambda w: (-counts[w], w))[:TOP_V]
+    bmodel = dict(
+        sorted(big.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:TOP_B]
+    )
+
+    def uni(w):
+        return math.log(counts[w] / total) if w in vocab else math.log(1 / total)
+
+    exp = {}
+    for d, t in docs:
+        toks = t.split()
+        lps = [uni(toks[0])]
+        hits = 0
+        for a, b in zip(toks, toks[1:]):
+            if (a, b) in bmodel:
+                lps.append(math.log(bmodel[(a, b)] / counts[a]))
+                hits += 1
+            else:
+                lps.append(math.log(ALPHA) + uni(b))
+        exp[d] = (len(toks), hits, sum(lps) / len(lps))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.bigram_hits, r.avg_logscore)
+        for r in lm.bigram_backoff_scores(
+            df, top_v=TOP_V, top_b=TOP_B, alpha=ALPHA
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0] and got[d][1] == exp[d][1], d
+        assert abs(got[d][2] - exp[d][2]) < 1e-9, d
