@@ -131,13 +131,16 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     ns_dsir_select (two 1-row crossJoins of the target/raw gram-total
     scalars onto the ≤ n_buckets λ table — same scalar-subquery shape;
     the scoring join itself is asserted to be a broadcast HASH join in
-    test_dsir.py::test_plan_stays_broadcast_and_bounded)."""
+    test_dsir.py::test_plan_stays_broadcast_and_bounded);
+    ns_lm_bigram (the same 1-row total-token scalar crossJoins as
+    ns_lm_quality; the unigram/bigram model joins are broadcast hash)."""
     allow = {
         "j3_cross_join",
         "ns_embedding_neardup",
         "ns_ann_ivf",
         "ns_bm25_search",
         "ns_lm_quality",
+        "ns_lm_bigram",
         "ns_corpus_export",
         "ns_dsir_select",
     }
