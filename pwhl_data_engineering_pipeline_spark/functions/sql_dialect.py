@@ -332,10 +332,14 @@ def _strip_literals(s: str) -> str:
 
 def _sub_outside_literals(s: str, pattern: str, repl: str) -> str:
     """re.sub applied only to the segments of ``s`` outside string
-    literals (so an alias name inside '…' text is never rewritten)."""
+    literals (so an alias name inside '…' text is never rewritten). The
+    replacement is passed as a callable so ``repl`` is LITERAL text — a
+    backslash or $-sequence in an inlined SQL expression must never be
+    parsed as a regex template (re.error on '\\d', silent mangling on
+    '\\1')."""
     parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", s)
     return "".join(
-        p if i % 2 else re.sub(pattern, repl, p, flags=re.IGNORECASE)
+        p if i % 2 else re.sub(pattern, lambda _m: repl, p, flags=re.IGNORECASE)
         for i, p in enumerate(parts)
     )
 
@@ -368,6 +372,36 @@ def _top_level_matches(s: str, pattern: str) -> list[tuple[int, int]]:
                 continue
         i += 1
     return out
+
+
+#: trailing words that are part of the expression, never a bare alias
+_NOT_ALIAS = {
+    "AND", "OR", "NOT", "AS", "END", "CASE", "THEN", "ELSE", "WHEN",
+    "OVER", "BY", "ASC", "DESC", "NULLS", "FIRST", "LAST", "IN", "IS",
+    "NULL", "TRUE", "FALSE", "LIKE", "BETWEEN", "INTERVAL", "DAY",
+    "WEEK", "MONTH", "QUARTER", "YEAR",
+}
+
+
+def _select_item_alias(item: str) -> tuple[str, str] | None:
+    """(alias, expression) of a select-list item, handling both ``expr AS
+    alias`` and BigQuery's bare ``expr alias`` form. Bare aliases are
+    recognized only when the preceding token clearly terminates an
+    expression (a closing paren, identifier, or literal — never an
+    operator or keyword), so ``a + b`` keeps ``b`` as an operand."""
+    m = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", item, re.IGNORECASE)
+    if m:
+        return m.group(2), item[: m.start()].strip()
+    m = re.search(r"^(?P<expr>.*?[\w)'\"`])\s+(?P<alias>[A-Za-z_]\w*)\s*$", item, re.DOTALL)
+    if not m:
+        return None
+    expr, alias = m.group("expr").strip(), m.group("alias")
+    if alias.upper() in _NOT_ALIAS:
+        return None
+    last_tok = re.split(r"[\s(,]+", expr)[-1]
+    if last_tok.upper() in _NOT_ALIAS:
+        return None
+    return alias, expr
 
 
 def _rewrite_qualify(s: str) -> str:
@@ -426,12 +460,12 @@ def _rewrite_qualify(s: str) -> str:
     # BigQuery-equivalent form and sidesteps the limitation entirely.
     aliases: dict[str, str] = {}
     for item in _split_args(select_list):
-        m = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", item, re.IGNORECASE)
-        if m:
-            expr = item[: m.start()].strip()
+        found = _select_item_alias(item)
+        if found:
+            alias, expr = found
             for a, e in aliases.items():  # resolve alias-on-alias chains
                 expr = _sub_outside_literals(expr, rf"\b{re.escape(a)}\b", f"({e})")
-            aliases[m.group(2)] = expr
+            aliases[alias] = expr
     for a, e in aliases.items():
         pred = _sub_outside_literals(pred, rf"\b{re.escape(a)}\b", f"({e})")
     return (

@@ -192,14 +192,23 @@ HTML_STRIP_STEPS: list[tuple[str, str]] = [
     (r"(?i)<(?:br|hr)\s*/?>", "\n"),                 # hard breaks
     (r"(?i)</(?:p|div|li|tr|h[1-6]|blockquote)\s*>", "\n"),  # block ends
     (r"(?s)<[^>]*>", " "),                           # any remaining tag
+    # Entity decode. &amp; must resolve LAST or double-escaped entities
+    # double-decode ('&amp;lt;' means the literal text '&lt;'), yet the
+    # undecoded-entity blanking must not eat '&amp;' first — so &amp; is
+    # parked on a \x02 sentinel (cannot occur in text: stripped below if
+    # it somehow did), unknown entities are blanked, then the sentinel
+    # becomes the literal ampersand. RE2 has no lookahead, hence the
+    # sentinel rather than a (?!amp;) guard.
+    (r"\x02", " "),                                  # reserve the sentinel
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
     (r"&apos;", "'"),
+    (r"&amp;", "\x02"),
     (r"&[A-Za-z]{2,10};|&#[0-9]{1,7};", " "),        # undecoded entities
+    (r"\x02", "&"),
     (r"[ \t\f\x0b]+", " "),                          # collapse spaces
     (r" ?\n ?", "\n"),                               # trim around breaks
     (r"\n{2,}", "\n"),                               # collapse blank lines
@@ -230,10 +239,10 @@ def html_strip_sql(expr: str) -> str:
     out = expr
     for pattern, repl in HTML_STRIP_STEPS:
         p = pattern.replace("'", "''")
-        if "\n" in repl:
-            assert repl == "\n", "only whole-newline replacements supported"
-            r = "chr(10)"
+        if repl in ("\n", "\x02"):  # control chars: chr(), not a literal
+            r = f"chr({ord(repl)})"
         else:
+            assert all(ch >= " " for ch in repl), repl
             r = "'" + repl.replace("'", "''") + "'"
         out = f"regexp_replace({out}, '{p}', {r}, 'g')"
     return f"trim({out})"

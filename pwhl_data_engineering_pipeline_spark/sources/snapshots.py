@@ -178,19 +178,23 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
     cur = current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    best = None
-    for v in range(1, cur + 1):
+    # Walk DOWN from current and stop at the first qualifying manifest:
+    # committed_at is monotone by construction (the version chain is
+    # serialized by the atomic parent-pinned rename and stamped at commit
+    # time), so the first hit walking downward IS the latest — a recent
+    # timestamp on a long-lived streaming table costs O(1) manifest
+    # reads, not O(versions). Writer clock skew would bound the error by
+    # the skew itself, same as Delta's timestamp travel.
+    for v in range(cur, 0, -1):
         try:
             m = read_manifest(spark, path, v)
         except FileNotFoundError:
             continue  # vacuumed
         if m.get("committed_at", float("inf")) <= ts:
-            best = v
-    if best is None:
-        raise FileNotFoundError(
-            f"no snapshot at {path} committed at or before ts={ts}"
-        )
-    return best
+            return v
+    raise FileNotFoundError(
+        f"no snapshot at {path} committed at or before ts={ts}"
+    )
 
 
 def read_snapshot(

@@ -7,10 +7,12 @@ feeds GPUs from object storage at full bandwidth. This module turns a
 DataFrame of (shard, key, named payloads) into exactly that layout, and
 reads it back:
 
-- ``write_webdataset``: one task per shard (groupBy + applyInPandas over
-  the shard id — pair with ``operators.packing.shard_assign`` for
-  deterministic, size-balanced shards), building the tar IN MEMORY (a
-  shard is a few hundred MB by design — the knob is your shard count) and
+- ``write_webdataset``: shards are co-located one-task-per-shard-set
+  (repartition on the shard id + mapInPandas, accumulating the whole
+  partition before tarring — Arrow batch boundaries must never split a
+  shard; pair with ``operators.packing.shard_assign`` for deterministic,
+  size-balanced shards), building each tar IN MEMORY (a shard is a few
+  hundred MB by design — the knob is your shard count) and
   committing via write-to-temp + atomic ``os.rename``. Task retries and
   speculative attempts each write a unique temp file; the rename is
   last-wins atomic, so a shard file is always one complete attempt's
@@ -77,47 +79,56 @@ def write_webdataset(
     def _write(pdfs: Iterator) -> Iterator:
         import pandas as pd
 
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(key_col)
-            for shard, grp in pdf.groupby(shard_col):
-                buf = io.BytesIO()
-                n_members = 0
-                with tarfile.open(fileobj=buf, mode="w") as tar:
-                    for _, row in grp.iterrows():
-                        for ext in sorted(members):  # member asc within key
-                            payload = row[ext]
-                            if payload is None:
-                                continue
-                            data = (
-                                payload.encode("utf-8")
-                                if isinstance(payload, str)
-                                else bytes(payload)
-                            )
-                            info = tarfile.TarInfo(name=f"{row[key_col]}.{ext}")
-                            info.size = len(data)
-                            info.mtime = 0  # rerun-stable bytes
-                            tar.addfile(info, io.BytesIO(data))
-                            n_members += 1
-                blob = buf.getvalue()
-                fname = name_template.format(shard=int(shard))
-                tmp = os.path.join(path, "_tmp", f"{fname}.{uuid.uuid4().hex}")
-                with open(tmp, "wb") as fh:
-                    fh.write(blob)
-                final = os.path.join(path, fname)
-                os.rename(tmp, final)  # atomic last-wins commit
-                yield pd.DataFrame(
-                    [
-                        {
-                            "shard": int(shard),
-                            "path": final,
-                            "n_samples": len(grp),
-                            "n_members": n_members,
-                            "bytes": len(blob),
-                        }
-                    ]
-                )
+        # Accumulate the WHOLE partition before tarring: mapInPandas feeds
+        # Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch,
+        # default 10k rows), so one shard's rows can arrive as several
+        # pdfs — tarring per batch would rename the same shard file
+        # repeatedly, last-wins, silently dropping every earlier batch's
+        # samples. The partition's rows are one-or-more complete shards by
+        # construction (repartition on the shard column), and a shard is
+        # sized to fit a task by design, so this holds shard-count × shard
+        # bytes — the same envelope the tar build needs anyway.
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True).sort_values(key_col)
+        for shard, grp in whole.groupby(shard_col):
+            buf = io.BytesIO()
+            n_members = 0
+            with tarfile.open(fileobj=buf, mode="w") as tar:
+                for _, row in grp.iterrows():
+                    for ext in sorted(members):  # member asc within key
+                        payload = row[ext]
+                        if payload is None:
+                            continue
+                        data = (
+                            payload.encode("utf-8")
+                            if isinstance(payload, str)
+                            else bytes(payload)
+                        )
+                        info = tarfile.TarInfo(name=f"{row[key_col]}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0  # rerun-stable bytes
+                        tar.addfile(info, io.BytesIO(data))
+                        n_members += 1
+            blob = buf.getvalue()
+            fname = name_template.format(shard=int(shard))
+            tmp = os.path.join(path, "_tmp", f"{fname}.{uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            final = os.path.join(path, fname)
+            os.rename(tmp, final)  # atomic last-wins commit
+            yield pd.DataFrame(
+                [
+                    {
+                        "shard": int(shard),
+                        "path": final,
+                        "n_samples": len(grp),
+                        "n_members": n_members,
+                        "bytes": len(blob),
+                    }
+                ]
+            )
 
     manifest = (
         df.repartition(F.col(shard_col))
@@ -144,8 +155,11 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in pdfs:
-            rows = []
+            # yield per TAR FILE: a batch can hold several few-hundred-MB
+            # shards, and accumulating all their expanded members alongside
+            # the raw tar bytes would double-buffer the whole batch
             for _, r in pdf.iterrows():
+                rows = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(r["content"]))) as tar:
                     for m in tar.getmembers():
                         if not m.isfile():
@@ -159,8 +173,8 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                                 "payload": tar.extractfile(m).read(),
                             }
                         )
-            if rows:
-                yield pd.DataFrame(rows)
+                if rows:
+                    yield pd.DataFrame(rows)
 
     return (
         spark.read.format("binaryFile")

@@ -357,3 +357,36 @@ def test_qualify_property_vs_duckdb_native(spark, rows, fn, k, direction, use_al
     exp = con.sql(sql).fetchall()
     con.close()
     assert got_set == sorted(tuple(r) for r in exp)
+
+
+def test_qualify_bare_alias_and_backslash_expressions(spark):
+    """Review findings: (a) BigQuery's bare-alias form (SELECT SUM(v) tot)
+    must inline into window predicates exactly like AS-aliases; (b) an
+    aliased expression containing regex-special text (backslashes,
+    $-groups) must inline literally, not crash re.sub or mangle bytes."""
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id INT, g STRING, v INT"
+    ).createOrReplaceTempView("qb_t")
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT g, SUM(v) tot FROM qb_t GROUP BY g "
+            "QUALIFY row_number() OVER (ORDER BY tot DESC) = 1"
+        )
+    ).collect()
+    assert [(r.g, r.tot) for r in rows] == [("a", 30)]
+    # operand after an operator is NOT a bare alias
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            "SELECT id, v + id AS s FROM qb_t QUALIFY rank() OVER (ORDER BY s DESC) <= 1"
+        )
+    ).collect()
+    assert [r.id for r in rows] == [2]
+    # backslash-bearing alias expression inlines literally
+    spark.createDataFrame([(1, "x12y"), (2, "nope")], "id INT, t STRING").createOrReplaceTempView("qb_r")
+    rows = spark.sql(
+        sql_dialect.translate_statement(
+            r"SELECT id, regexp_extract(t, '\\d+', 0) AS num FROM qb_r "
+            "QUALIFY row_number() OVER (ORDER BY num DESC) = 1"
+        )
+    ).collect()
+    assert [r.id for r in rows] == [1]

@@ -89,6 +89,12 @@ def test_strip_html_semantics_and_sql_mirror(spark):
         ("", ""),
         ("<p>only</p>", "only"),
         ("a<b>bold</b>c", "a bold c"),
+        # double-escaped entities decode exactly ONE level (review
+        # finding: &amp; must resolve last, but before that the unknown-
+        # entity blanking must not eat it)
+        ("use &amp;lt; and &amp;copy; here", "use &lt; and &copy; here"),
+        ("5 &amp; 6 &amp;amp; 7", "5 & 6 &amp; 7"),
+        ("stray \x02 sentinel &amp; ok", "stray sentinel & ok"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"

@@ -97,3 +97,27 @@ def test_packing_shard_assign_composes(spark, tmp_path, sf_dir):
     manifest = wd.write_webdataset(sharded, out)
     assert manifest.count() == 4
     assert wd.read_webdataset(spark, out).count() == 200
+
+
+def test_shard_spanning_multiple_arrow_batches_not_truncated(spark, tmp_path):
+    """Regression (review finding): mapInPandas delivers a partition as
+    MULTIPLE Arrow batches once rows exceed maxRecordsPerBatch — tarring
+    per batch renamed the same shard file repeatedly (last-wins) and
+    silently dropped every earlier batch's samples. Force 50-row batches
+    against a 300-row shard: all samples must land, once, in one tar."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        df = spark.createDataFrame(
+            [(0, f"{i:06d}", f"sample {i}") for i in range(300)],
+            "shard long, key string, txt string",
+        )
+        out = str(tmp_path / "wds_big")
+        manifest = wd.write_webdataset(df, out).collect()
+        assert len(manifest) == 1
+        assert manifest[0]["n_samples"] == 300 and manifest[0]["n_members"] == 300
+        back = wd.read_webdataset(spark, out)
+        assert back.count() == 300
+        assert back.select("key").distinct().count() == 300
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
