@@ -137,6 +137,10 @@ def main() -> None:
         # round 4: DSIR importance resampling — two bounded-key shuffles +
         # broadcast λ + doc agg; the corpus-scale data-selection operator.
         "ns_dsir_select",
+        # round 4: HTML text extraction (pure regexp chain at scan speed)
+        # and bigram Stupid-Backoff scoring (broadcast count models).
+        "ns_html_extract",
+        "ns_lm_bigram",
         # ns_semdedup is deliberately NOT headline: its two heavy stages are
         # already timed through ivf_topk_pruned (centroid index + probe) and
         # ns_dedup_cluster_kit (connected-components closure); adding the

@@ -802,3 +802,16 @@ def test_forged_giant_dimensions_refused():
     # and the cap is a parameter: a small legitimate image under a tiny cap
     assert J.decode_jpeg_pixels(blob, max_pixels=16) is None
     assert J.decode_jpeg_pixels(blob) is not None
+
+
+def test_stdlib_features_progressive_jpeg_decodes_as_image():
+    """The multimodal feature extractor must treat a progressive JPEG as a
+    REAL image (tag 1, true dims, pixel means) now that SOF2 decodes —
+    before round 4 it fell to the hash-fallback path (tag 0)."""
+    from pwhl_data_engineering_pipeline_spark.operators import multimodal as mm
+
+    img = np.full((8, 16), 130, dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, q=1, dc_al=1, ac_al=1)
+    feats = mm.stdlib_media_features(blob, dim=16)
+    assert feats[0] == 1.0 and feats[1] == 16.0 and feats[2] == 8.0
+    assert abs(feats[3] - 130 / 255) < 0.01
