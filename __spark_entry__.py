@@ -2581,6 +2581,85 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ADC search (operators.pq, Jégou et al. 2011):
+    train m=8/k=64 codebooks on the embeddings, encode, ADC top-10 for 8
+    probe queries — emitted as per-query invariants validated in-job
+    (oracle: literal TRUE):
+    - recall_floor_ok: hits@10 vs exact L2 brute force ≥ 2, the measured
+      deterministic floor on the near-uniform testdata at every sf
+      (uniform data is PQ's documented worst case — per-query minima
+      3/2/2 at sf0.001/0.01/0.1; on clustered data test_pq.py pins
+      0.6-0.9 recall).
+    - reencode_identical: re-encoding each query's RECONSTRUCTED vector
+      reproduces its codes exactly — a theorem (a codeword is its own
+      unique nearest codeword), so any train/encode drift flips it."""
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pqm.pq_train(emb, m=8, k=64, iters=5)
+    codes = pqm.pq_encode(emb, books)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    top = pqm.pq_topk(codes, books, queries, k=10)
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries], "query_id long, qvec array<double>"
+    )
+    l2 = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select("query_id", "vec_id", pr(l2, 6).alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        top.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    # theorem leg: reconstructed query vectors re-encode to identical codes
+    m, k_eff, dsub = books.shape
+    code_map = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in codes.filter(F.col("vec_id") < 8).collect()
+    }
+    reenc_ok = {}
+    for qid, _ in queries:
+        cs = code_map[qid]
+        rec = np.concatenate([books[j][cs[j]] for j in range(m)])
+        again = [
+            int(((books[j] - rec[j * dsub : (j + 1) * dsub]) ** 2).sum(-1).argmin())
+            for j in range(m)
+        ]
+        reenc_ok[qid] = again == cs
+    flags = spark.createDataFrame(
+        [(qid, bool(reenc_ok[qid])) for qid, _ in queries],
+        "query_id long, reencode_identical boolean",
+    )
+    n_res = top.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        n_res.join(hits, "query_id")
+        .join(flags, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            (F.col("h") >= 2).alias("recall_floor_ok"),
+            "reencode_identical",
+        )
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact all-pairs cosine threshold on a bounded block."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
@@ -2798,6 +2877,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_simhash_pairs_full": q_simhash_pairs_full,
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
+        "ns_ann_pq": q_ann_pq,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -4031,6 +4111,13 @@ def _all_oracle_sql() -> dict[str, str]:
                    TRUE AS exhaustive_matches_bf,
                    TRUE AS recall_monotone,
                    TRUE AS recall_floor_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
+        "ns_ann_pq": """
+            SELECT vec_id AS query_id,
+                   CAST(10 AS BIGINT) AS n_results,
+                   TRUE AS recall_floor_ok,
+                   TRUE AS reencode_identical
             FROM embeddings WHERE vec_id < 8
         """,
         # Deterministic slices of the LSH dedup pipelines (planted exact

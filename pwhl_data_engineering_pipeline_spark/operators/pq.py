@@ -1,0 +1,203 @@
+"""Product quantization for billion-scale ANN (Jégou, Douze, Schmid,
+"Product quantization for nearest neighbor search", TPAMI 2011).
+
+The missing compression stage of the IVF-PQ architecture (operators/
+similarity.py ships the IVF inverted file): split each D-dim vector into
+``m`` subvectors, vector-quantize every subspace against its own
+``k``-entry codebook, and store ``m`` small codes per vector — dim-64
+float32 (256 B) becomes 8 bytes at m=8/k=256, a 32× corpus shrink that is
+the difference between RAM-resident and disk-bound search at 100 TB.
+Search uses Asymmetric Distance Computation (ADC): per query, one
+(m × k) lookup table of exact subspace distances to every codebook entry,
+then each stored vector scores as ``m`` table lookups — no float math per
+corpus vector.
+
+Engine mapping:
+- **Training** is a bounded-sample driver computation (deterministic
+  hash-ordered sample, default 50k vectors — MBs at any corpus size),
+  running seeded Lloyd k-means per subspace in numpy. Same cost envelope
+  as the IVF centroid collect; the codebooks are m·k·(D/m) doubles.
+- **Encoding** is one Arrow-batched pass (`mapInPandas`): per batch, an
+  argmin over each subspace's codebook — no shuffle, codes append to the
+  corpus row.
+- **ADC search** mirrors brute_force_topk_arrow's pre-reduction: every
+  batch scores its rows against the broadcast LUTs (pure numpy gather +
+  sum) and emits only its LOCAL top-k per query, so the shuffle carries
+  ≤ partitions × |Q| × k rows regardless of corpus size.
+
+Exactness property used by the tests: a vector that IS a concatenation of
+codebook entries reconstructs losslessly, so ADC distances equal exact
+distances and PQ top-k equals brute force — a deterministic end-to-end
+check that needs no recall tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train per-subspace codebooks → numpy array (m, k, D/m).
+
+    Deterministic: the training sample is hash-ordered (a pure function of
+    ids and ``seed``) and k-means initializes from the first k distinct
+    sample rows per subspace, so identical inputs give identical
+    codebooks on any cluster layout."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__r", F.pmod(F.xxhash64(F.col("__id").cast("string"), F.lit(seed)), 1_000_000_000))
+        .orderBy("__r", "__id")
+        .limit(sample)
+        .select("__v")
+        .collect()
+    )
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k_eff = min(k, n)
+    books = np.empty((m, k_eff, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # init: first k distinct rows in the (hash-ordered) sample
+        _, first_idx = np.unique(S, axis=0, return_index=True)
+        init = S[np.sort(first_idx)[:k_eff]]
+        if len(init) < k_eff:  # fewer distinct subvectors than k: pad by cycling
+            init = np.concatenate([init, S[: k_eff - len(init)]])
+        C = init.copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its m subspace code indices →
+    (id, codes: array<int>). One Arrow pass, no shuffle."""
+    import numpy as np
+
+    m, k_eff, dsub = codebooks.shape
+    books = codebooks  # captured; broadcast with the task closure (KBs)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _enc(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["__id"].values, "codes": list(codes.tolist())}
+            )
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .mapInPandas(_enc, schema=out_schema)
+        .withColumnRenamed("vec_id", id_col)
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: ``queries`` is a list of (query_id, vector). Per batch,
+    distances are m table lookups per row (numpy gather + sum over the
+    per-query LUTs); each batch emits only its local top-k per query, the
+    global merge is a tiny TakeOrdered. Returns
+    (query_id, vec_id, adc_dist, rank) — squared-L2 ADC distances rounded
+    to 6dp before ranking, (dist asc, vec_id) tiebreak."""
+    import numpy as np
+
+    m, k_eff, dsub = codebooks.shape
+    luts = []  # (query_id, (m, k_eff) float64)
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        lut = np.empty((m, k_eff))
+        for j in range(m):
+            lut[j] = ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+        luts.append((qid, lut))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf["__id"].values
+            frames = []
+            for qid, lut in luts:
+                # gather: dist[i] = sum_j lut[j, codes[i, j]]
+                dist = lut[np.arange(m)[None, :], codes].sum(1)
+                dist = np.floor(dist * 1e6 + 0.5) / 1e6
+                top = np.argsort(dist, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": ids[top],
+                            "adc_dist": dist[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = codes_df.select(
+        F.col(id_col).alias("__id"), F.col("codes")
+    ).mapInPandas(_score, schema=out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

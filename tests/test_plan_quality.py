@@ -143,6 +143,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ns_lm_bigram",
         "ns_corpus_export",
         "ns_dsir_select",
+        # ns_ann_pq: same bounded crossJoin of the 8-row broadcast query
+        # frame as ns_ann_ivf (exact-BF validation leg)
+        "ns_ann_pq",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
