@@ -201,3 +201,110 @@ def pq_topk(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_topk_scoped(
+    scoped_codes: DataFrame,
+    codebooks,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PRE-SCOPED (query_id, vec_id, codes) rows — each row
+    is scored against exactly its query's LUT (the IVF-PQ inner loop,
+    where every query sees only its probed cells). Same local-top-k
+    pre-reduction as :func:`pq_topk`."""
+    import numpy as np
+
+    m, k_eff, dsub = codebooks.shape
+    luts = {}
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        lut = np.empty((m, k_eff))
+        for j in range(m):
+            lut[j] = ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+        luts[qid] = lut
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts.get(qid)
+                if lut is None:
+                    continue
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                dist = lut[np.arange(m)[None, :], codes].sum(1)
+                dist = np.floor(dist * 1e6 + 0.5) / 1e6
+                top = np.argsort(dist, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": grp["__id"].values[top],
+                            "adc_dist": dist[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    local = scoped_codes.select(
+        "query_id", F.col(id_col).alias("__id"), "codes"
+    ).mapInPandas(_score, schema=out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    codes_df: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the full Jégou et al. architecture — each query probes its
+    ``n_probe`` nearest IVF cells (L2 over the collected, driver-tiny
+    centroid table) and ADC-scores ONLY the PQ codes of those cells.
+    ``assigned`` is ivf_index/ivf_assign's (vec_id, centroid_id) output;
+    at warehouse scale both it and ``codes_df`` are the same
+    centroid_id-partitioned table, so the scope join becomes a
+    partition-pruned scan. With n_probe = #cells the scope is the whole
+    corpus and the result EQUALS :func:`pq_topk` exactly (tested)."""
+    import numpy as np
+
+    cent_rows = centroids.collect()
+    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
+    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
+    probes = []
+    for qid, vec in queries:
+        d = ((C - np.asarray(vec, dtype=np.float64)) ** 2).sum(1)
+        for i in np.argsort(d, kind="stable")[:n_probe]:
+            probes.append((qid, int(cids[i])))
+    spark = codes_df.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
+    scoped = (
+        assigned.select(id_col, "centroid_id")
+        .join(F.broadcast(probe_df), "centroid_id")
+        .join(codes_df, id_col)
+        .select("query_id", id_col, "codes")
+    )
+    return pq_topk_scoped(scoped, codebooks, queries, k, id_col)

@@ -101,3 +101,41 @@ def test_compression_arithmetic_and_bad_dims(spark, grid_corpus):
     assert len(row["codes"]) == M  # m codes per vector vs D floats
     with pytest.raises(ValueError):
         pq.pq_train(df, m=5, k=K)  # 16 % 5 != 0
+
+
+def test_ivf_pq_exhaustive_probe_equals_flat_pq(spark):
+    """IVF-PQ with n_probe = all cells must EQUAL flat PQ search exactly
+    (the same exhaustive-equality theorem the IVF query uses), and with a
+    narrow probe it returns k results per query from the probed scope."""
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=5.0, size=(6, D))
+    X = np.concatenate([c + rng.normal(scale=0.5, size=(50, D)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq.pq_train(df, m=M, k=64, iters=8)
+    codes = pq.pq_encode(df, books)
+    cent, assigned = similarity.ivf_index(df, n_centroids=6, refine_iterations=1)
+    n_cells = cent.count()
+    queries = [(900 + qi, [float(x) for x in X[qi * 29]]) for qi in range(4)]
+
+    flat = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.pq_topk(codes, books, queries, k=8).collect()
+    )
+    full_probe = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.ivf_pq_topk(
+            codes, assigned, cent, books, queries, k=8, n_probe=n_cells
+        ).collect()
+    )
+    assert flat == full_probe
+
+    narrow = pq.ivf_pq_topk(codes, assigned, cent, books, queries, k=8, n_probe=2)
+    per_q = {r["query_id"] for r in narrow.collect()}
+    assert per_q == {900, 901, 902, 903}
+    counts = narrow.groupBy("query_id").count().collect()
+    assert all(r["count"] == 8 for r in counts)
