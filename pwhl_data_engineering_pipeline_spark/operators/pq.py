@@ -308,3 +308,142 @@ def ivf_pq_topk(
         .select("query_id", id_col, "codes")
     )
     return pq_topk_scoped(scoped, codebooks, queries, k, id_col)
+
+
+def _residuals(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, residual) — each vector minus its IVF cell center
+    (broadcast centroid join + zip_with, map-side)."""
+    cent = centroids.select("centroid_id", F.col("centroid_vec").alias("__c"))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__x"))
+        .join(assigned.select(id_col, "centroid_id"), id_col)
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("__x", "__c", lambda a, b: a.cast("double") - b).alias("residual"),
+        )
+    )
+
+
+def pq_train_residual(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kw,
+):
+    """Codebooks over IVF RESIDUALS — the paper's IVFADC: quantizing
+    x − centroid(cell(x)) spends the codebook's resolution on the
+    within-cell structure the coarse quantizer already localized, which
+    is where the neighbors live."""
+    res = _residuals(corpus, assigned, centroids, vec_col, id_col)
+    return pq_train(res, m=m, k=k, vec_col="residual", id_col=id_col, **kw)
+
+
+def pq_encode_residual(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, codes) — residual codes plus the cell id the ADC
+    search needs to pick the right per-(query, cell) lookup table."""
+    res = _residuals(corpus, assigned, centroids, vec_col, id_col)
+    codes = pq_encode(res, codebooks, vec_col="residual", id_col=id_col)
+    return codes.join(assigned.select(id_col, "centroid_id"), id_col)
+
+
+def ivf_adc_topk(
+    res_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVFADC search: every (query, probed cell) gets its OWN
+    lookup table built from the query's residual against that cell's
+    center — m·k·n_probe distances per query, driver-tiny — and each
+    scoped row scores as m gathers from its (query, cell) LUT. Returns
+    (query_id, vec_id, adc_dist, rank)."""
+    import numpy as np
+
+    m, k_eff, dsub = codebooks.shape
+    cent_rows = centroids.collect()
+    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
+    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
+    luts = {}  # (query_id, centroid_id) -> (m, k_eff)
+    probes = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        d = ((C - q) ** 2).sum(1)
+        for i in np.argsort(d, kind="stable")[:n_probe]:
+            cid = int(cids[i])
+            probes.append((qid, cid))
+            r = q - C[i]  # query residual against THIS cell's center
+            lut = np.empty((m, k_eff))
+            for j in range(m):
+                lut[j] = ((codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+            luts[(qid, cid)] = lut
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _score(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            frames = []
+            for (qid, cid), grp in pdf.groupby(["query_id", "centroid_id"]):
+                lut = luts.get((qid, int(cid)))
+                if lut is None:
+                    continue
+                codes = np.array(grp["codes"].tolist(), dtype=np.int64)
+                dist = lut[np.arange(m)[None, :], codes].sum(1)
+                dist = np.floor(dist * 1e6 + 0.5) / 1e6
+                top = np.argsort(dist, kind="stable")[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": grp["__id"].values[top],
+                            "adc_dist": dist[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    spark = res_codes.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
+    scoped = (
+        res_codes.join(F.broadcast(probe_df), "centroid_id")
+        .select("query_id", "centroid_id", F.col(id_col).alias("__id"), "codes")
+    )
+    local = scoped.mapInPandas(_score, schema=out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

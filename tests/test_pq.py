@@ -139,3 +139,100 @@ def test_ivf_pq_exhaustive_probe_equals_flat_pq(spark):
     assert per_q == {900, 901, 902, 903}
     counts = narrow.groupBy("query_id").count().collect()
     assert all(r["count"] == 8 for r in counts)
+
+
+def test_residual_ivfadc_lossless_and_better_than_plain(spark):
+    """Residual IVFADC (the paper's actual architecture): (a) vectors
+    constructed as centroid + codeword-concatenation reconstruct
+    losslessly, so exhaustive-probe IVFADC must rank EXACTLY like exact
+    L2 brute force; (b) on clustered gaussian data, residual encoding at
+    the same (m, k) must not lose to plain PQ (the paper's point: the
+    codebook spends its bits on within-cell structure)."""
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+
+    # (a) lossless construction around 4 KNOWN well-separated centers:
+    # centroids are provided explicitly (ivf_assign), so residuals are
+    # exactly the shared grid values, the k=8 codebooks converge to the
+    # grid, and reconstruction is lossless by construction
+    rng = np.random.default_rng(9)
+    # orthogonal centers: ivf_assign routes by COSINE, and random dense
+    # centers can alias by angle — orthogonality makes routing exact
+    centers = np.zeros((4, D))
+    for ci in range(4):
+        centers[ci, ci * 4 : ci * 4 + 4] = 50.0
+    # dyadic grid values (k/16): center+residual−center is then EXACT in
+    # float64, so every cell sees bit-identical residuals and the k=8
+    # codebooks can converge to the grid precisely
+    grid = rng.integers(-8, 9, size=(M, 8, DSUB)) / 16.0
+    rows = []
+    for i in range(160):
+        c = centers[rng.integers(0, 4)]
+        res = np.concatenate([grid[j][rng.integers(0, 8)] for j in range(M)])
+        rows.append((i, [float(x) for x in (c + res)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(ci + 1, [float(x) for x in centers[ci]]) for ci in range(4)],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    assigned = similarity.ivf_assign(df, cent)
+    n_cells = 4
+    books = pq.pq_train_residual(df, assigned, cent, m=M, k=8, iters=25)
+    rcodes = pq.pq_encode_residual(df, assigned, cent, books)
+    X = np.array([v for _, v in rows])
+    queries = [(500 + qi, [float(x) for x in X[qi * 31]]) for qi in range(3)]
+    got = {
+        qid: [r["vec_id"] for r in rs]
+        for qid, rs in __import__("itertools").groupby(
+            sorted(
+                pq.ivf_adc_topk(rcodes, cent, books, queries, k=5, n_probe=n_cells).collect(),
+                key=lambda r: (r["query_id"], r["rank"]),
+            ),
+            key=lambda r: r["query_id"],
+        )
+    }
+    # Lossless ⇔ the refined IVF centers plus residual codebooks span the
+    # construction. Lloyd may not land exactly on `centers`, so assert the
+    # strong-but-robust form: top-5 sets match exact brute force sets.
+    for qi in range(3):
+        q = X[qi * 31]
+        d = ((X - q) ** 2).sum(1)
+        exact5 = set(np.argsort(d, kind="stable")[:5].tolist())
+        order5 = sorted(range(len(X)), key=lambda i: (np.floor(d[i] * 1e6 + 0.5) / 1e6, i))[:5]
+        assert got[500 + qi] == order5, (qi, got[500 + qi], order5)
+
+    # (b) clustered data: residual recall >= plain recall at same budget
+    centers2 = rng.normal(scale=5.0, size=(8, D))
+    Y = np.concatenate([c + rng.normal(scale=0.4, size=(40, D)) for c in centers2])
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in Y[i]]) for i in range(len(Y))],
+        "vec_id long, embedding array<double>",
+    )
+    cent2, assigned2 = similarity.ivf_index(df2, n_centroids=8, refine_iterations=2)
+    n2 = cent2.count()
+    kk = 16
+    plain_books = pq.pq_train(df2, m=M, k=kk, iters=10)
+    plain_codes = pq.pq_encode(df2, plain_books)
+    res_books = pq.pq_train_residual(df2, assigned2, cent2, m=M, k=kk, iters=10)
+    res_codes = pq.pq_encode_residual(df2, assigned2, cent2, res_books)
+    queries2 = [(800 + qi, [float(x) for x in Y[qi * 37]]) for qi in range(5)]
+
+    def recall(topk_rows):
+        by_q: dict = {}
+        for r in topk_rows:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        total = 0
+        for qi in range(5):
+            q = Y[qi * 37]
+            exact = set(np.argsort(((Y - q) ** 2).sum(1))[:10].tolist())
+            total += len(by_q[800 + qi] & exact)
+        return total / 50
+
+    plain = recall(pq.pq_topk(plain_codes, plain_books, queries2, k=10).collect())
+    resid = recall(
+        pq.ivf_adc_topk(res_codes, cent2, res_books, queries2, k=10, n_probe=n2).collect()
+    )
+    assert resid >= plain, (resid, plain)
+    # absolute level is budget-bound (m=4, k=16 over dim 16); exactness
+    # evidence lives in the lossless leg above — this leg pins the
+    # residual-vs-plain ORDERING the paper claims, deterministically
+    assert resid >= 0.5, resid
