@@ -447,3 +447,77 @@ def ivf_adc_topk(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_write(
+    res_codes: DataFrame,
+    path: str,
+    codebooks,
+    centroids: DataFrame,
+) -> None:
+    """Persist a residual-PQ index with its physical layout: codes written
+    **partitioned by centroid_id** (the on-disk inverted file — probes
+    scan only routed cells, same as similarity.ivf_write) plus a
+    ``_pq_meta`` sidecar holding the codebooks and centroid table
+    (underscore dir: invisible to data discovery). At 100 TB the data
+    dirs hold m bytes per vector; the sidecar is KBs."""
+    spark = res_codes.sparkSession
+    res_codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    m, k_eff, dsub = codebooks.shape
+    flat = [
+        (int(j), int(c), [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(k_eff)
+    ]
+    spark.createDataFrame(
+        flat, "subspace int, code int, entry array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_meta/books")
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_pq_meta/centroids"
+    )
+
+
+def pq_read_meta(spark, path: str):
+    """(codebooks ndarray, centroids DataFrame) from a pq_write index."""
+    import numpy as np
+
+    rows = spark.read.parquet(path.rstrip("/") + "/_pq_meta/books").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k_eff = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["entry"])
+    books = np.empty((m, k_eff, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["entry"]
+    cent = spark.read.parquet(path.rstrip("/") + "/_pq_meta/centroids")
+    return books, cent
+
+
+def ivf_adc_topk_pruned(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVFADC against a PERSISTED pq_write index: routes each
+    query to its n_probe cells and scans ONLY those partitions (the
+    centroid_id filter reaches the parquet scan as a partition filter —
+    the build-once-probe-many deployment shape). Returns
+    (query_id, vec_id, adc_dist, rank)."""
+    books, cent = pq_read_meta(spark, path)
+    import numpy as np
+
+    cent_rows = cent.collect()
+    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
+    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
+    needed = set()
+    for _, vec in queries:
+        d = ((C - np.asarray(vec, dtype=np.float64)) ** 2).sum(1)
+        for i in np.argsort(d, kind="stable")[:n_probe]:
+            needed.add(int(cids[i]))
+    codes = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(sorted(needed))  # partition-pruned scan
+    )
+    cent_needed = cent.filter(F.col("centroid_id").isin(sorted(needed)))
+    return ivf_adc_topk(codes, cent_needed, books, queries, k, n_probe, id_col)

@@ -236,3 +236,42 @@ def test_residual_ivfadc_lossless_and_better_than_plain(spark):
     # evidence lives in the lossless leg above — this leg pins the
     # residual-vs-plain ORDERING the paper claims, deterministically
     assert resid >= 0.5, resid
+
+
+def test_persisted_pq_index_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """pq_write/ivf_adc_topk_pruned: the probe must (a) return exactly what
+    the in-memory IVFADC returns, and (b) reach the parquet scan with a
+    centroid_id PARTITION filter — only routed cells are read (the
+    build-once-probe-many deployment shape)."""
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=5.0, size=(6, D))
+    X = np.concatenate([c + rng.normal(scale=0.4, size=(30, D)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    cent, assigned = similarity.ivf_index(df, n_centroids=6, refine_iterations=1)
+    books = pq.pq_train_residual(df, assigned, cent, m=M, k=16, iters=8)
+    rcodes = pq.pq_encode_residual(df, assigned, cent, books)
+    path = str(tmp_path / "pq_idx")
+    pq.pq_write(rcodes, path, books, cent)
+
+    queries = [(700 + qi, [float(x) for x in X[qi * 41]]) for qi in range(3)]
+    mem = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.ivf_adc_topk(rcodes, cent, books, queries, k=5, n_probe=2).collect()
+    )
+    pruned_df = pq.ivf_adc_topk_pruned(spark, path, queries, k=5, n_probe=2)
+    got = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in pruned_df.collect())
+    assert got == mem
+
+    # round-trip of the meta sidecar
+    books2, cent2 = pq.pq_read_meta(spark, path)
+    assert (books2 == books).all()
+    assert cent2.count() == cent.count()
+
+    # the scan must carry a centroid_id partition filter
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
