@@ -1,29 +1,37 @@
 """Product quantization for billion-scale ANN (Jégou, Douze, Schmid,
 "Product quantization for nearest neighbor search", TPAMI 2011).
 
-The missing compression stage of the IVF-PQ architecture (operators/
-similarity.py ships the IVF inverted file): split each D-dim vector into
-``m`` subvectors, vector-quantize every subspace against its own
-``k``-entry codebook, and store ``m`` small codes per vector — dim-64
-float32 (256 B) becomes 8 bytes at m=8/k=256, a 32× corpus shrink that is
-the difference between RAM-resident and disk-bound search at 100 TB.
-Search uses Asymmetric Distance Computation (ADC): per query, one
-(m × k) lookup table of exact subspace distances to every codebook entry,
-then each stored vector scores as ``m`` table lookups — no float math per
-corpus vector.
+The compression stage of the IVF-PQ architecture (operators/similarity.py
+ships the IVF inverted file): split each D-dim vector into ``m``
+subvectors, vector-quantize every subspace against its own ``k``-entry
+codebook, and store ``m`` small codes per vector — dim-64 float32 (256 B)
+becomes 8 bytes at m=8/k=256, a 32× corpus shrink that is the difference
+between RAM-resident and disk-bound search at 100 TB. Search uses
+Asymmetric Distance Computation (ADC): per query, one (m × k) lookup
+table of exact subspace distances to every codebook entry, then each
+stored vector scores as ``m`` table lookups — no float math per corpus
+vector.
 
 Engine mapping:
 - **Training** is a bounded-sample driver computation (deterministic
   hash-ordered sample, default 50k vectors — MBs at any corpus size),
-  running seeded Lloyd k-means per subspace in numpy. Same cost envelope
-  as the IVF centroid collect; the codebooks are m·k·(D/m) doubles.
+  running seeded Lloyd k-means per subspace in numpy via the
+  ``‖x‖² + ‖c‖² − 2·x·cᵀ`` identity (the (n, k, dsub) broadcast form
+  would transiently cost ~GBs at the defaults).
 - **Encoding** is one Arrow-batched pass (`mapInPandas`): per batch, an
   argmin over each subspace's codebook — no shuffle, codes append to the
   corpus row.
 - **ADC search** mirrors brute_force_topk_arrow's pre-reduction: every
-  batch scores its rows against the broadcast LUTs (pure numpy gather +
-  sum) and emits only its LOCAL top-k per query, so the shuffle carries
-  ≤ partitions × |Q| × k rows regardless of corpus size.
+  batch scores its rows against the broadcast LUTs (numpy gather + sum)
+  and emits only its LOCAL top-k per query, selected under the SAME
+  (adc_dist, vec_id) total order the global merge uses (ties are
+  pervasive — equal code tuples give equal distances — so a plain
+  argsort cut would drop the wrong rows at the k boundary). The shuffle
+  carries ≤ partitions × |Q| × k rows regardless of corpus size.
+- **Cell routing is cosine**, matching ``similarity.ivf_assign`` exactly
+  (same 9dp rounding, same centroid-id tiebreak): probing with a
+  different metric than the one that stored the vectors can miss even
+  exact-duplicate neighbors on unnormalized embeddings.
 
 Exactness property used by the tests: a vector that IS a concatenation of
 codebook entries reconstructs losslessly, so ADC distances equal exact
@@ -36,6 +44,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .windows import top_k_per_group
+
+
+def _sq_dists(S, C):
+    """(n, dsub) × (k, dsub) → (n, k) squared L2 via the matmul identity —
+    peak temporary is (n, k), not (n, k, dsub)."""
+    import numpy as np
+
+    d2 = (S * S).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (S @ C.T)
+    return np.maximum(d2, 0.0)  # identity can go epsilon-negative
 
 
 def pq_train(
@@ -80,8 +99,7 @@ def pq_train(
             init = np.concatenate([init, S[: k_eff - len(init)]])
         C = init.copy()
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
+            assign = _sq_dists(S, C).argmin(1)
             for c in range(k_eff):
                 members = S[assign == c]
                 if len(members):
@@ -119,8 +137,7 @@ def pq_encode(
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 S = X[:, j * dsub : (j + 1) * dsub]
-                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)
+                codes[:, j] = _sq_dists(S, books[j]).argmin(1)
             yield pd.DataFrame(
                 {"vec_id": pdf["__id"].values, "codes": list(codes.tolist())}
             )
@@ -132,6 +149,83 @@ def pq_encode(
     )
 
 
+# -- shared ADC search kernels ----------------------------------------------
+
+_ADC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc_dist", T.DoubleType()),
+    ]
+)
+
+
+def _build_lut(codebooks, vec):
+    """(m, k) squared-L2 lookup table of ``vec`` against every codebook
+    entry — the per-query (or per query-cell residual) ADC table."""
+    import numpy as np
+
+    m, k_eff, dsub = codebooks.shape
+    q = np.asarray(vec, dtype=np.float64)
+    lut = np.empty((m, k_eff))
+    for j in range(m):
+        lut[j] = ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
+    return lut
+
+
+def _adc_local_topk(lut, codes, ids, qid, k):
+    """Score one group against its LUT and keep the local top-k under the
+    SAME (adc_dist asc, vec_id asc) total order as the global merge —
+    ties are the norm in ADC (equal code tuples ⇒ equal distances), and a
+    bare argsort cut at the k boundary would keep arbitrary join-order
+    rows the global window would have evicted."""
+    import numpy as np
+    import pandas as pd
+
+    m = lut.shape[0]
+    dist = lut[np.arange(m)[None, :], codes].sum(1)
+    dist = np.floor(dist * 1e6 + 0.5) / 1e6
+    top = np.lexsort((ids, dist))[:k]
+    return pd.DataFrame(
+        {"query_id": qid, "vec_id": ids[top], "adc_dist": dist[top]}
+    )
+
+
+def _rank_global(local: DataFrame, k: int) -> DataFrame:
+    return top_k_per_group(
+        local,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("vec_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def _route_cells(centroids_np, cids_np, vec, n_probe):
+    """Query → its n_probe cells by COSINE — the same metric, 9dp
+    rounding, and centroid-id tiebreak as similarity.ivf_assign, so a
+    probe always lands where assignment stored the neighbors."""
+    import numpy as np
+
+    q = np.asarray(vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    cn = np.sqrt((centroids_np * centroids_np).sum(1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(cn * qn > 0, centroids_np @ q / (cn * qn), -np.inf)
+    cos9 = np.floor(cos * 1e9 + 0.5) / 1e9
+    order = np.lexsort((cids_np, -cos9))
+    return [int(c) for c in cids_np[order[:n_probe]]]
+
+
+def _collect_centroids(centroids: DataFrame):
+    import numpy as np
+
+    rows = centroids.collect()
+    cids = np.array([int(r["centroid_id"]) for r in rows])
+    C = np.array([list(r["centroid_vec"]) for r in rows], dtype=np.float64)
+    return cids, C
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks,
@@ -139,30 +233,13 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC top-k: ``queries`` is a list of (query_id, vector). Per batch,
-    distances are m table lookups per row (numpy gather + sum over the
-    per-query LUTs); each batch emits only its local top-k per query, the
-    global merge is a tiny TakeOrdered. Returns
+    """Flat ADC top-k: ``queries`` is a list of (query_id, vector); every
+    row scores against every query's LUT. Returns
     (query_id, vec_id, adc_dist, rank) — squared-L2 ADC distances rounded
     to 6dp before ranking, (dist asc, vec_id) tiebreak."""
     import numpy as np
 
-    m, k_eff, dsub = codebooks.shape
-    luts = []  # (query_id, (m, k_eff) float64)
-    for qid, vec in queries:
-        q = np.asarray(vec, dtype=np.float64)
-        lut = np.empty((m, k_eff))
-        for j in range(m):
-            lut[j] = ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
-        luts.append((qid, lut))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("adc_dist", T.DoubleType()),
-        ]
-    )
+    luts = [(qid, _build_lut(codebooks, vec)) for qid, vec in queries]
 
     def _score(pdfs):
         import pandas as pd
@@ -170,37 +247,16 @@ def pq_topk(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
             ids = pdf["__id"].values
-            frames = []
-            for qid, lut in luts:
-                # gather: dist[i] = sum_j lut[j, codes[i, j]]
-                dist = lut[np.arange(m)[None, :], codes].sum(1)
-                dist = np.floor(dist * 1e6 + 0.5) / 1e6
-                top = np.argsort(dist, kind="stable")[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": ids[top],
-                            "adc_dist": dist[top],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+            frames = [_adc_local_topk(lut, codes, ids, qid, k) for qid, lut in luts]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     local = codes_df.select(
         F.col(id_col).alias("__id"), F.col("codes")
-    ).mapInPandas(_score, schema=out_schema)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    ).mapInPandas(_score, schema=_ADC_SCHEMA)
+    return _rank_global(local, k)
 
 
 def pq_topk_scoped(
@@ -212,26 +268,10 @@ def pq_topk_scoped(
 ) -> DataFrame:
     """ADC top-k over PRE-SCOPED (query_id, vec_id, codes) rows — each row
     is scored against exactly its query's LUT (the IVF-PQ inner loop,
-    where every query sees only its probed cells). Same local-top-k
-    pre-reduction as :func:`pq_topk`."""
+    where every query sees only its probed cells)."""
     import numpy as np
 
-    m, k_eff, dsub = codebooks.shape
-    luts = {}
-    for qid, vec in queries:
-        q = np.asarray(vec, dtype=np.float64)
-        lut = np.empty((m, k_eff))
-        for j in range(m):
-            lut[j] = ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
-        luts[qid] = lut
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("adc_dist", T.DoubleType()),
-        ]
-    )
+    luts = {qid: _build_lut(codebooks, vec) for qid, vec in queries}
 
     def _score(pdfs):
         import pandas as pd
@@ -245,30 +285,14 @@ def pq_topk_scoped(
                 if lut is None:
                     continue
                 codes = np.array(grp["codes"].tolist(), dtype=np.int64)
-                dist = lut[np.arange(m)[None, :], codes].sum(1)
-                dist = np.floor(dist * 1e6 + 0.5) / 1e6
-                top = np.argsort(dist, kind="stable")[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": grp["__id"].values[top],
-                            "adc_dist": dist[top],
-                        }
-                    )
-                )
+                frames.append(_adc_local_topk(lut, codes, grp["__id"].values, qid, k))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     local = scoped_codes.select(
         "query_id", F.col(id_col).alias("__id"), "codes"
-    ).mapInPandas(_score, schema=out_schema)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    ).mapInPandas(_score, schema=_ADC_SCHEMA)
+    return _rank_global(local, k)
 
 
 def ivf_pq_topk(
@@ -281,24 +305,20 @@ def ivf_pq_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-PQ: the full Jégou et al. architecture — each query probes its
-    ``n_probe`` nearest IVF cells (L2 over the collected, driver-tiny
-    centroid table) and ADC-scores ONLY the PQ codes of those cells.
-    ``assigned`` is ivf_index/ivf_assign's (vec_id, centroid_id) output;
-    at warehouse scale both it and ``codes_df`` are the same
-    centroid_id-partitioned table, so the scope join becomes a
-    partition-pruned scan. With n_probe = #cells the scope is the whole
-    corpus and the result EQUALS :func:`pq_topk` exactly (tested)."""
-    import numpy as np
-
-    cent_rows = centroids.collect()
-    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
-    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
-    probes = []
-    for qid, vec in queries:
-        d = ((C - np.asarray(vec, dtype=np.float64)) ** 2).sum(1)
-        for i in np.argsort(d, kind="stable")[:n_probe]:
-            probes.append((qid, int(cids[i])))
+    """IVF-PQ over FLAT codes: each query probes its ``n_probe`` cells
+    (cosine routing — the assignment metric) and ADC-scores only those
+    cells' codes. ``assigned`` is ivf_index/ivf_assign's
+    (vec_id, centroid_id) output; at warehouse scale both it and
+    ``codes_df`` are the same centroid_id-partitioned table, so the scope
+    join becomes a partition-pruned scan. With n_probe = #cells the scope
+    is the whole corpus and the result EQUALS :func:`pq_topk` exactly
+    (tested)."""
+    cids, C = _collect_centroids(centroids)
+    probes = [
+        (qid, cid)
+        for qid, vec in queries
+        for cid in _route_cells(C, cids, vec, n_probe)
+    ]
     spark = codes_df.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
     scoped = (
@@ -308,6 +328,9 @@ def ivf_pq_topk(
         .select("query_id", id_col, "codes")
     )
     return pq_topk_scoped(scoped, codebooks, queries, k, id_col)
+
+
+# -- residual IVFADC (the paper's full architecture) ------------------------
 
 
 def _residuals(
@@ -365,6 +388,25 @@ def pq_encode_residual(
     return codes.join(assigned.select(id_col, "centroid_id"), id_col)
 
 
+def _residual_probes(centroids: DataFrame, codebooks, queries, n_probe):
+    """Shared routing for the residual searchers: per (query, probed cell),
+    the LUT built from the query's residual against that cell's center.
+    Returns (probe pairs, {(qid, cid): lut}). m·k·n_probe driver-side
+    distances per query — tiny."""
+    import numpy as np
+
+    cids, C = _collect_centroids(centroids)
+    by_cid = {int(c): i for i, c in enumerate(cids)}
+    probes = []
+    luts = {}
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        for cid in _route_cells(C, cids, vec, n_probe):
+            probes.append((qid, cid))
+            luts[(qid, cid)] = _build_lut(codebooks, q - C[by_cid[cid]])
+    return probes, luts
+
+
 def ivf_adc_topk(
     res_codes: DataFrame,
     centroids: DataFrame,
@@ -373,38 +415,18 @@ def ivf_adc_topk(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    _probes_luts=None,
 ) -> DataFrame:
     """Residual IVFADC search: every (query, probed cell) gets its OWN
     lookup table built from the query's residual against that cell's
-    center — m·k·n_probe distances per query, driver-tiny — and each
-    scoped row scores as m gathers from its (query, cell) LUT. Returns
-    (query_id, vec_id, adc_dist, rank)."""
+    center; each scoped row scores as m gathers from its (query, cell)
+    LUT. Returns (query_id, vec_id, adc_dist, rank)."""
     import numpy as np
 
-    m, k_eff, dsub = codebooks.shape
-    cent_rows = centroids.collect()
-    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
-    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
-    luts = {}  # (query_id, centroid_id) -> (m, k_eff)
-    probes = []
-    for qid, vec in queries:
-        q = np.asarray(vec, dtype=np.float64)
-        d = ((C - q) ** 2).sum(1)
-        for i in np.argsort(d, kind="stable")[:n_probe]:
-            cid = int(cids[i])
-            probes.append((qid, cid))
-            r = q - C[i]  # query residual against THIS cell's center
-            lut = np.empty((m, k_eff))
-            for j in range(m):
-                lut[j] = ((codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(-1)
-            luts[(qid, cid)] = lut
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("adc_dist", T.DoubleType()),
-        ]
+    probes, luts = (
+        _probes_luts
+        if _probes_luts is not None
+        else _residual_probes(centroids, codebooks, queries, n_probe)
     )
 
     def _score(pdfs):
@@ -419,34 +441,20 @@ def ivf_adc_topk(
                 if lut is None:
                     continue
                 codes = np.array(grp["codes"].tolist(), dtype=np.int64)
-                dist = lut[np.arange(m)[None, :], codes].sum(1)
-                dist = np.floor(dist * 1e6 + 0.5) / 1e6
-                top = np.argsort(dist, kind="stable")[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": grp["__id"].values[top],
-                            "adc_dist": dist[top],
-                        }
-                    )
-                )
+                frames.append(_adc_local_topk(lut, codes, grp["__id"].values, qid, k))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     spark = res_codes.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
-    scoped = (
-        res_codes.join(F.broadcast(probe_df), "centroid_id")
-        .select("query_id", "centroid_id", F.col(id_col).alias("__id"), "codes")
+    scoped = res_codes.join(F.broadcast(probe_df), "centroid_id").select(
+        "query_id", "centroid_id", F.col(id_col).alias("__id"), "codes"
     )
-    local = scoped.mapInPandas(_score, schema=out_schema)
-    from pyspark.sql import Window
+    local = scoped.mapInPandas(_score, schema=_ADC_SCHEMA)
+    return _rank_global(local, k)
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+# -- persisted index --------------------------------------------------------
 
 
 def pq_write(
@@ -501,23 +509,17 @@ def ivf_adc_topk_pruned(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Residual IVFADC against a PERSISTED pq_write index: routes each
-    query to its n_probe cells and scans ONLY those partitions (the
-    centroid_id filter reaches the parquet scan as a partition filter —
-    the build-once-probe-many deployment shape). Returns
-    (query_id, vec_id, adc_dist, rank)."""
+    query ONCE (the same probes/LUTs feed both the partition filter and
+    the scoring pass) and scans only the routed cells — centroid_id
+    reaches the parquet scan as a partition filter, the
+    build-once-probe-many deployment shape."""
     books, cent = pq_read_meta(spark, path)
-    import numpy as np
-
-    cent_rows = cent.collect()
-    cids = np.array([int(r["centroid_id"]) for r in cent_rows])
-    C = np.array([list(r["centroid_vec"]) for r in cent_rows], dtype=np.float64)
-    needed = set()
-    for _, vec in queries:
-        d = ((C - np.asarray(vec, dtype=np.float64)) ** 2).sum(1)
-        for i in np.argsort(d, kind="stable")[:n_probe]:
-            needed.add(int(cids[i]))
+    probes, luts = _residual_probes(cent, books, queries, n_probe)
+    needed = sorted({cid for _, cid in probes})
     codes = spark.read.parquet(path).filter(
-        F.col("centroid_id").isin(sorted(needed))  # partition-pruned scan
+        F.col("centroid_id").isin(needed)  # partition-pruned scan
     )
-    cent_needed = cent.filter(F.col("centroid_id").isin(sorted(needed)))
-    return ivf_adc_topk(codes, cent_needed, books, queries, k, n_probe, id_col)
+    return ivf_adc_topk(
+        codes, cent, books, queries, k, n_probe, id_col,
+        _probes_luts=(probes, luts),
+    )

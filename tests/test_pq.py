@@ -275,3 +275,28 @@ def test_persisted_pq_index_prunes_partitions_and_matches_memory(spark, tmp_path
     # the scan must carry a centroid_id partition filter
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_tie_break_and_empty_queries(spark, grid_corpus):
+    """Review findings: (a) local top-k must cut ties by (dist, vec_id) —
+    30 identical vectors in one partition must yield the SMALLEST ids,
+    not batch-order survivors; (b) an empty query list returns an empty
+    frame instead of crashing pd.concat."""
+    df, _ = grid_corpus
+    books = pq.pq_train(df, m=M, k=K, iters=5)
+
+    same = spark.createDataFrame(
+        [(i, [float(x) for x in np.ones(D)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    codes = pq.pq_encode(same, books)
+    got = [
+        r["vec_id"]
+        for r in pq.pq_topk(codes, books, [(7, [1.0] * D)], k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [0, 1, 2, 3, 4], got
+
+    empty = pq.pq_topk(codes, books, [], k=5)
+    assert empty.count() == 0
