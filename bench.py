@@ -141,6 +141,9 @@ def main() -> None:
         # and bigram Stupid-Backoff scoring (broadcast count models).
         "ns_html_extract",
         "ns_lm_bigram",
+        # round 4: product quantization — train + encode + ADC search +
+        # in-job brute-force validation (the compressed-ANN path).
+        "ns_ann_pq",
         # ns_semdedup is deliberately NOT headline: its two heavy stages are
         # already timed through ivf_topk_pruned (centroid index + probe) and
         # ns_dedup_cluster_kit (connected-components closure); adding the
