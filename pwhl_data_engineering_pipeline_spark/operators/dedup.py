@@ -401,11 +401,28 @@ def minhash_incremental_pairs(
     if probe_cap == "scan":
         idx = _cap_buckets(idx, max_bucket)
     elif probe_cap == "sidecar":
-        try:
-            hot = spark.read.parquet(_hot_sidecar_path(index_path))
+        # Existence is checked explicitly: only a genuinely MISSING sidecar
+        # (pre-sidecar index) falls back to uncapped probing, and loudly. A
+        # sidecar that exists but can't be read (corrupt footer, permission
+        # denied) raises — silently probing uncapped is the quadratic
+        # fanout the sidecar exists to prevent (round-4 advice).
+        sidecar = _hot_sidecar_path(index_path)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(sidecar)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            hot = spark.read.parquet(sidecar)
             idx = idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
-        except Exception:  # no sidecar yet (pre-sidecar index): uncapped
-            pass
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash index %s has no _hot_buckets sidecar: probing "
+                "UNCAPPED against accumulated buckets. Run "
+                "refresh_hot_sidecar(spark, index_path, max_bucket) once "
+                "(or probe_cap='scan' for a one-off).",
+                index_path,
+            )
     elif probe_cap is not None:
         raise ValueError(f"probe_cap must be 'sidecar', 'scan', or None: {probe_cap!r}")
     idx = idx.withColumnRenamed(id_col, "__corpus_id")
