@@ -132,15 +132,33 @@ def split_statements(sql_text: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
+_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of every string literal in ``s`` — used to skip
+    rewrite matches that START inside quoted text. A call whose ARGUMENTS
+    contain literals is unaffected (its match starts outside them)."""
+    return [m.span() for m in _LITERAL_RE.finditer(s)]
+
+
 def _find_calls(s: str, fname: str):
     """Yield (start, open_paren, close_paren) index triples for every
-    ``fname( ... )`` call with BALANCED parens, quote-aware."""
+    ``fname( ... )`` call with BALANCED parens, quote-aware. Matches whose
+    start falls INSIDE a string literal are skipped — ``SELECT 'see
+    DATE_ADD(d, INTERVAL 1 DAY)'`` must round-trip byte-identical, never
+    have its literal contents rewritten (the module's "never silently
+    wrong" contract applies to output TEXT too)."""
     pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    spans = _literal_spans(s)
     pos = 0
     while True:
         m = pat.search(s, pos)
         if not m:
             return
+        if any(a <= m.start() < b for a, b in spans):
+            pos = m.end()
+            continue
         depth, i = 1, m.end()
         while i < len(s) and depth:
             c = s[i]
@@ -551,18 +569,33 @@ def translate_statement(
             s = _CVIEW_RE.sub(rf"CREATE OR REPLACE TEMPORARY VIEW {cv.group(1)} AS", s)
 
     # day-spine rewrite FIRST: it consumes the one supported UNNEST form,
-    # so the unsupported-construct detector below only sees leftovers
-    s = _DATE_ARRAY_RE.sub(
-        r"(SELECT explode(sequence(to_date(\1), to_date(\2), interval 1 day)) AS \3)", s
-    )
+    # so the unsupported-construct detector below only sees leftovers.
+    # The match CONTAINS quoted date args, so literal-splitting would break
+    # it — instead skip only matches that START inside a literal.
+    spans = _literal_spans(s)
+    out, pos = [], 0
+    for m in _DATE_ARRAY_RE.finditer(s):
+        if m.start() < pos or any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(s[pos : m.start()])
+        out.append(
+            f"(SELECT explode(sequence(to_date({m.group(1)}), "
+            f"to_date({m.group(2)}), interval 1 day)) AS {m.group(3)})"
+        )
+        pos = m.end()
+    out.append(s[pos:])
+    s = "".join(out)
     s = _rewrite_calls(s, "FORMAT_DATE", _format_date)
     s = _rewrite_calls(s, "EXTRACT", _extract)
     s = _rewrite_calls(s, "DATE_DIFF", _date_diff)
     s = _rewrite_calls(s, "DATE_ADD", lambda a: _date_addsub(a, "", "date_add"))
     s = _rewrite_calls(s, "DATE_SUB", lambda a: _date_addsub(a, "-", "date_sub"))
-    s = re.sub(r"\bSAFE_CAST\b", "try_cast", s, flags=re.IGNORECASE)
-    s = re.sub(r"\bSAFE_DIVIDE\b", "try_divide", s, flags=re.IGNORECASE)
-    s = re.sub(r"\bCOUNTIF\b", "count_if", s, flags=re.IGNORECASE)
+    # keyword renames go through the literal-splitting sub: a bare word
+    # never spans a quote boundary, so segment-wise substitution is exact
+    # and text inside '…' survives untouched
+    s = _sub_outside_literals(s, r"\bSAFE_CAST\b", "try_cast")
+    s = _sub_outside_literals(s, r"\bSAFE_DIVIDE\b", "try_divide")
+    s = _sub_outside_literals(s, r"\bCOUNTIF\b", "count_if")
     s = _rewrite_qualify(s)
     _reject_unsupported(s)
 

@@ -390,3 +390,68 @@ def test_qualify_bare_alias_and_backslash_expressions(spark):
         )
     ).collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_rewrites_never_touch_string_literals(spark):
+    """VERDICT r5 #1: rewriters must be literal-aware. A statement whose
+    STRING LITERALS mention rewritable constructs round-trips with those
+    literals byte-identical, while the same constructs OUTSIDE literals
+    still translate. Before the fix, ``_find_calls`` and the keyword
+    ``re.sub``s rewrote quoted text, silently altering output values."""
+    stmt = (
+        "SELECT "
+        "'COUNTIF(x)' AS lit_countif, "
+        "'SAFE_DIVIDE is safe' AS lit_sdiv, "
+        "'use SAFE_CAST here' AS lit_scast, "
+        "'see DATE_ADD(d, INTERVAL 1 DAY) for details' AS lit_dadd, "
+        "'EXTRACT(YEAR FROM d) notes' AS lit_extract, "
+        "'UNNEST(GENERATE_DATE_ARRAY(\\'2020-01-01\\', \\'2020-01-05\\', "
+        "INTERVAL 1 DAY)) AS day' AS lit_unnest, "
+        "COUNTIF(flag) AS n_true, "
+        "SAFE_DIVIDE(10, 0) AS sdiv, "
+        "SAFE_CAST('nope' AS INT) AS scast, "
+        "DATE_ADD(DATE '2025-01-01', INTERVAL 1 DAY) AS nxt "
+        "FROM (SELECT true AS flag)"
+    )
+    out = sql_dialect.translate_statement(stmt)
+    # literal spans byte-identical in the translated text
+    assert "'COUNTIF(x)'" in out
+    assert "'SAFE_DIVIDE is safe'" in out
+    assert "'use SAFE_CAST here'" in out
+    assert "'see DATE_ADD(d, INTERVAL 1 DAY) for details'" in out
+    assert "'EXTRACT(YEAR FROM d) notes'" in out
+    assert "GENERATE_DATE_ARRAY(\\'2020-01-01\\'" in out
+    # the real calls still rewrote
+    assert "count_if(flag)" in out
+    assert "try_divide(10, 0)" in out
+    assert "try_cast('nope' AS INT)" in out
+    assert "date_add" in out
+    # and the statement executes with literal VALUES unaltered
+    row = spark.sql(out).collect()[0]
+    assert row["lit_countif"] == "COUNTIF(x)"
+    assert row["lit_sdiv"] == "SAFE_DIVIDE is safe"
+    assert row["lit_scast"] == "use SAFE_CAST here"
+    assert row["lit_dadd"] == "see DATE_ADD(d, INTERVAL 1 DAY) for details"
+    assert row["lit_extract"] == "EXTRACT(YEAR FROM d) notes"
+    assert row["n_true"] == 1
+    assert row["sdiv"] is None
+    assert row["scast"] is None
+    assert str(row["nxt"]) == "2025-01-02"
+
+
+def test_day_spine_rewrite_skips_literal_but_fires_outside(spark):
+    """The one supported UNNEST(GENERATE_DATE_ARRAY(...)) form still
+    rewrites outside quotes while an embedded copy inside a literal in the
+    SAME statement survives verbatim."""
+    stmt = (
+        "SELECT day, 'UNNEST(GENERATE_DATE_ARRAY(\\'2020-01-01\\', "
+        "\\'2020-01-02\\', INTERVAL 1 DAY)) AS d' AS note "
+        "FROM UNNEST(GENERATE_DATE_ARRAY('2025-03-01', '2025-03-03', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    out = sql_dialect.translate_statement(stmt)
+    assert "explode(sequence(to_date('2025-03-01')" in out
+    assert "GENERATE_DATE_ARRAY(\\'2020-01-01\\'" in out  # literal intact
+    rows = spark.sql(out).collect()
+    assert [str(r["day"]) for r in rows] == ["2025-03-01", "2025-03-02", "2025-03-03"]
+    assert rows[0]["note"].startswith("UNNEST(GENERATE_DATE_ARRAY(")
