@@ -406,10 +406,10 @@ def minhash_incremental_pairs(
         # sidecar that exists but can't be read (corrupt footer, permission
         # denied) raises — silently probing uncapped is the quadratic
         # fanout the sidecar exists to prevent (round-4 advice).
+        from ..fsutil import hadoop_fs
+
         sidecar = _hot_sidecar_path(index_path)
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(sidecar)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, hpath, _ = hadoop_fs(spark, sidecar)
         if fs.exists(hpath):
             hot = spark.read.parquet(sidecar)
             idx = idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
@@ -1106,10 +1106,15 @@ def ngram_containment_pairs(
 
     Emits DIRECTIONAL rows (contained_id, container_id, containment), one
     per direction that clears the threshold. Same inverted-index +
-    stop-gram-cutoff plan as ngram_jaccard_pairs; the ``max_gram_df``
-    (``"auto"`` = 2·√n_docs cap) and ``sum_df2_budget`` knobs carry over,
-    as does the cutoff caveat (a containment is missed only if every
-    shared gram is a stop-gram)."""
+    stop-gram-cutoff plan as ngram_jaccard_pairs, and the ``max_gram_df``
+    and ``sum_df2_budget`` knobs carry over with the SAME semantics —
+    ``"auto"`` derives the document-frequency cutoff from the corpus's df
+    histogram: the largest X whose cumulative Σ_{df≤X} df² stays within a
+    budget linear in the posting count, so the inverted-index join's
+    intermediate is bounded by construction (see ``ngram_jaccard_pairs``'s
+    parameter docs and the cost-model comment in ``_ngram_shared_counts``).
+    The cutoff caveat also carries over: a containment is missed only if
+    every shared gram is a stop-gram."""
     shared = _ngram_shared_counts(
         df, text_col, id_col, n, max_gram_df, sum_df2_budget
     )

@@ -42,10 +42,9 @@ _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath, jvm
+    from ..fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _write_text(spark: SparkSession, path: str, content: str) -> None:

@@ -120,13 +120,12 @@ def compact_parquet(
     """
     import math
 
-    from py4j.java_gateway import java_import
+    from ..fsutil import hadoop_fs
 
     df = spark.read.parquet(path)
-    jvm = spark.sparkContext._jvm
-    java_import(jvm, "org.apache.hadoop.fs.Path")
-    fs = jvm.Path(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    total = fs.getContentSummary(jvm.Path(path)).getLength()
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    _p = jvm.org.apache.hadoop.fs.Path
+    total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
 
     staging = path.rstrip("/") + "__compact_staging"
@@ -139,10 +138,10 @@ def compact_parquet(
     writer.parquet(staging)
 
     old = path.rstrip("/") + "__compact_old"
-    fs.delete(jvm.Path(old), True)  # leftover from a previous crashed swap
-    fs.rename(jvm.Path(path), jvm.Path(old))
-    fs.rename(jvm.Path(staging), jvm.Path(path))
-    fs.delete(jvm.Path(old), True)
+    fs.delete(_p(old), True)  # leftover from a previous crashed swap
+    fs.rename(hpath, _p(old))
+    fs.rename(_p(staging), hpath)
+    fs.delete(_p(old), True)
     return n_files
 
 

@@ -930,3 +930,37 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
     assert signs2 == signs
     # and a different seed yields a different matrix (sanity)
     assert V.projection_signs(64, 16, seed="other") != signs
+
+
+def test_minhash_missing_sidecar_warns_and_probes_uncapped(spark, tmp_path, caplog):
+    """ADVICE round 5: an index written WITHOUT a _hot_buckets sidecar
+    (pre-sidecar layout) must fall back to uncapped probing — loudly. The
+    warning names refresh_hot_sidecar; pairs still come back (the fallback
+    degrades protection, never results)."""
+    import logging
+    import shutil
+
+    idx = str(tmp_path / "mh_idx_nosidecar")
+    boiler = "identical boilerplate body repeated across daily batches forever"
+    cap = 8
+    for day in range(3):
+        batch = spark.createDataFrame(
+            [(day * 10 + i, boiler) for i in range(4)], "doc_id long, text string"
+        )
+        dedup.minhash_index_write(batch, idx, max_bucket=cap, mode="append")
+    shutil.rmtree(str(tmp_path / "mh_idx_nosidecar" / "_hot_buckets"))
+    probe = spark.createDataFrame([(999, boiler)], "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="pwhl_data_engineering_pipeline_spark.operators.dedup"):
+        cross, _ = dedup.minhash_incremental_pairs(
+            spark, probe, idx, max_bucket=cap, probe_cap="sidecar"
+        )
+        n = cross.count()
+    assert n == 12  # uncapped: every accumulated corpus id matches the probe
+    warnings = [r for r in caplog.records if "UNCAPPED" in r.getMessage()]
+    assert warnings and "refresh_hot_sidecar" in warnings[0].getMessage()
+    # refresh_hot_sidecar restores the capped behavior
+    assert dedup.refresh_hot_sidecar(spark, idx, max_bucket=cap) > 0
+    cross2, _ = dedup.minhash_incremental_pairs(
+        spark, probe, idx, max_bucket=cap, probe_cap="sidecar"
+    )
+    assert cross2.count() == 0
