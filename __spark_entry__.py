@@ -2255,6 +2255,111 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level BPE differential (VERDICT r5 #5 — graduates the BPE
+    train loop from rows-only to hash-green): emit the 16 learned merges
+    WITH their count-weighted selection frequencies, plus an encode census
+    (total BPE tokens over the corpus). The oracle re-implements the whole
+    train loop in DuckDB SQL — 16 unrolled rounds of adjacent-pair counting
+    over a wrapped-symbol string representation, argmax with the same
+    (count desc, a, b) tie-break, and a literal `replace` rewrite (SQL
+    replace is left-to-right non-overlapping, exactly the `_merge_fold`
+    scan semantics) — so a bug anywhere in pair counting, tie-breaking, the
+    fold rewrite, or iteration order flips the hash. The encode census is
+    mirrored by applying the SQL-learned merges in RANK order: provably
+    equivalent to the executor's lowest-rank-first loop because a merge's
+    parts are always tokens created by EARLIER merges (or chars), so later
+    merges can never create or destroy an earlier merge's adjacency."""
+    docs = _t(spark, sf_dir, "documents")
+    triples = bpe.bpe_train(
+        bpe.word_counts(docs), num_merges=16, checkpoint_every=8, return_counts=True
+    )
+    merge_df = spark.createDataFrame(
+        [("merge", i, a, b, n) for i, (a, b, n) in enumerate(triples)],
+        "leg string, rank long, a string, b string, val long",
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    enc = bpe.bpe_encode(docs.repartition(n_part), [(a, b) for a, b, _ in triples])
+    census = enc.agg(
+        F.sum(F.size("bpe_tokens")).cast("long").alias("val")
+    ).select(
+        F.lit("census").alias("leg"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        "val",
+    )
+    return merge_df.unionByName(census)
+
+
+def _bpe_merges_oracle(k: int = 16) -> str:
+    """SQL mirror generator for q_bpe_merges (adjacent so the recipe can't
+    drift). Symbols travel as chr(1)||sym||chr(2)-wrapped segments of one
+    VARCHAR (the corpus is asserted ASCII by the testdata generator):
+    whole-symbol boundaries make the pair pattern unambiguous, and DuckDB's
+    left-to-right non-overlapping `replace` then IS the classic BPE merge
+    scan (overlap case 'aaaa' + (a,a) -> 'aa aa', matching the fold).
+    MATERIALIZED is load-bearing: each round references the previous state
+     2-4 times, so default CTE inlining would expand w16 into ~2^16 scans."""
+    c1, c2 = "chr(1)", "chr(2)"
+    sym_re = f"{c1}||'([^'||{c2}||']*)'||{c2}"
+    ctes = [
+        # bpe.word_counts mirror: \s+ split of space-trimmed text, empty
+        # words dropped, NO lowercasing
+        """wc AS MATERIALIZED (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents)
+          WHERE w <> ''
+          GROUP BY w
+        )""",
+        # training state round 0: words with >= 2 symbols (bpe_train filter)
+        f"""w0 AS MATERIALIZED (
+          SELECT array_to_string(
+                   list_transform(string_split(word, ''), c -> {c1}||c||{c2}), '') AS s,
+                 cnt
+          FROM wc WHERE len(word) >= 2
+        )""",
+        # encode state round 0: ALL words (short words pass through encode)
+        f"""e0 AS MATERIALIZED (
+          SELECT array_to_string(
+                   list_transform(string_split(word, ''), c -> {c1}||c||{c2}), '') AS s,
+                 cnt
+          FROM wc
+        )""",
+    ]
+    for i in range(k):
+        pat = f"{c1}||(SELECT a FROM b{i})||{c2}||{c1}||(SELECT b FROM b{i})||{c2}"
+        repl = f"{c1}||(SELECT a FROM b{i})||(SELECT b FROM b{i})||{c2}"
+        ctes.append(f"""p{i} AS MATERIALIZED (
+          SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+          FROM (SELECT regexp_extract_all(s, {sym_re}, 1) AS l, cnt FROM w{i}),
+               LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) u
+          GROUP BY 1, 2
+        )""")
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT replace(s, {pat}, {repl}) AS s, cnt FROM w{i})"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT replace(s, {pat}, {repl}) AS s, cnt FROM e{i})"
+        )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS leg, CAST({i} AS BIGINT) AS rank, a, b, n AS val FROM b{i}"
+        for i in range(k)
+    )
+    census = (
+        f"SELECT 'census' AS leg, CAST(NULL AS BIGINT) AS rank, "
+        f"CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b, "
+        f"CAST(sum(cnt * (len(s) - len(replace(s, chr(1), '')))) AS BIGINT) AS val "
+        f"FROM e{k}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + merge_rows + "\nUNION ALL\n" + census
+
+
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing (quality.quarantine): lineitem split by
     three CHECK-style rules; output is the per-violation-set census (bad
@@ -2870,6 +2975,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_token_budget": q_token_budget,
         "ns_corpus_export": q_corpus_export,
         "ns_bpe_tokens": q_bpe_tokens,
+        "ns_bpe_merges": q_bpe_merges,
         "v_quarantine": q_quarantine,
         "ns_semdedup": q_semdedup,
         "ns_semdedup_full": q_semdedup_full,
@@ -4650,6 +4756,7 @@ def _all_oracle_sql() -> dict[str, str]:
         sql[kit_name] = _kit_legs_sql(
             [(leg, sql[_KIT_FN_TO_ORACLE[fn]], gc, vc) for leg, fn, gc, vc in spec]
         )
+    sql["ns_bpe_merges"] = _bpe_merges_oracle()
     return sql
 
 

@@ -104,7 +104,8 @@ def bpe_train(
     count_col: str = "count",
     min_count: int = 1,
     checkpoint_every: int = 8,
-) -> list[tuple[str, str]]:
+    return_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from a (word, count) table.
 
     Driver loop by design — BPE is inherently sequential in its merge
@@ -116,6 +117,11 @@ def bpe_train(
 
     Determinism: ties broken by (count desc, first asc, second asc), so
     reruns and engine ports pick the same merge sequence.
+
+    ``return_counts=True`` yields (a, b, n) triples — the selected pair's
+    count-weighted frequency at selection time. That exposes the whole
+    per-iteration aggregation to value-level differential checks (the
+    extended oracle mirrors the train loop in SQL), not just the argmax.
     """
     syms_df = words.select(
         _chars(F.col(word_col).cast("string")).alias("syms"),
@@ -123,7 +129,7 @@ def bpe_train(
     ).filter(F.size("syms") >= 2)
     syms_df = syms_df.localCheckpoint(eager=False)
 
-    merges: list[tuple[str, str]] = []
+    merges: list = []
     for i in range(num_merges):
         pairs = (
             syms_df.select(
@@ -142,7 +148,7 @@ def bpe_train(
         if not top or top[0]["n"] < min_count:
             break
         a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        merges.append((a, b, int(top[0]["n"])) if return_counts else (a, b))
         syms_df = syms_df.select(
             _merge_fold(F.col("syms"), a, b).alias("syms"), "count"
         ).filter(F.size("syms") >= 2)
