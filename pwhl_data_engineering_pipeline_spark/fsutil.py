@@ -44,3 +44,25 @@ def hadoop_fs(spark: SparkSession, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath, jvm
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small UTF-8 text file (manifest-sized) through the Hadoop FS
+    — works on any scheme Spark's writers reach, unlike Python ``open``."""
+    fs, hpath, _ = hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small UTF-8 text file through the Hadoop FS; None if absent."""
+    fs, hpath, jvm = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")

@@ -137,6 +137,62 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+def _complete_rounds(spark, base: str) -> list[int]:
+    """Indices of round directories under ``base`` whose write COMMITTED
+    (``_SUCCESS`` present) — a crash mid-write leaves no marker, so a
+    partial round is never resumed from."""
+    import re as _re
+
+    from ..fsutil import hadoop_fs
+
+    fs, dpath, jvm = hadoop_fs(spark, base)
+    if not fs.exists(dpath):
+        return []
+    out = []
+    for st in fs.listStatus(dpath):
+        name = st.getPath().getName()
+        m = _re.match(r"^round_(\d{4})$", name)
+        if m and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _restore_or_init_rounds(spark, base, canon, state, persist_round):
+    """Resume the round log if it belongs to THIS edge set, else start it.
+
+    The manifest stores the input's (count, xor-hash) fingerprint: a
+    directory reused across different graphs must never be silently
+    resumed — stale rounds would yield confidently wrong labels. Returns
+    (current edge DataFrame, its signature) and leaves ``state['next']``
+    at the next round index to write.
+    """
+    import json
+    import logging
+
+    from ..fsutil import read_text, write_text
+
+    manifest_p = f"{base}/_cc_manifest.json"
+    input_sig = _signature(canon)
+    prev = read_text(spark, manifest_p)
+    rounds = _complete_rounds(spark, base)
+    if prev is not None and rounds:
+        saved = json.loads(prev).get("input_sig")
+        if saved is not None and tuple(saved) == input_sig:
+            last = rounds[-1]
+            state["next"] = last + 1
+            e = spark.read.parquet(f"{base}/round_{last:04d}")
+            # resumed state's own signature (≠ input_sig after round 0)
+            return e, (input_sig if last == 0 else _signature(e))
+        logging.getLogger(__name__).warning(
+            "checkpoint_dir %s holds rounds for a DIFFERENT edge set "
+            "(manifest fingerprint %s != input %s): starting fresh.",
+            base, saved, list(input_sig),
+        )
+    state["next"] = 0
+    write_text(spark, manifest_p, json.dumps({"input_sig": list(input_sig)}))
+    return persist_round(canon), input_sig
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -162,32 +218,52 @@ def connected_components(
     (None) uses ``localCheckpoint`` — blocks live in executor memory/disk
     only, which is the right local-mode trade but NOT fault-tolerant: on a
     real cluster one executor loss mid-iteration fails the job (no lineage
-    left to recompute). Pass an HDFS/S3A path to use RELIABLE
-    ``checkpoint()`` instead: each round's edge set persists to the shared
-    filesystem, so executor loss costs a re-read, not the job. Labels are
-    identical either way (asserted in tests/test_graph.py); the cost is one
-    distributed write per round of an edge list that star-contraction is
-    actively shrinking.
+    left to recompute). Pass an HDFS/S3A path to persist each round's edge
+    set as a PARQUET ROUND LOG (``round_0000``, ``round_0001``, ... plus a
+    ``_cc_manifest.json`` fingerprinting the input): executor loss costs a
+    re-read, and — unlike Spark's opaque reliable ``checkpoint()`` files —
+    the rounds are plain parquet a FRESH session can resume from. Calling
+    again with the same directory and the same edge set restarts the
+    fixpoint loop from the latest complete round (``_SUCCESS``-marked)
+    instead of round 0; a directory holding rounds for a DIFFERENT edge
+    set (manifest mismatch) is started fresh with a warning, never
+    silently resumed. Labels are identical across local / reliable /
+    resumed paths (asserted in tests/test_graph.py). Cost: one distributed
+    write per round of an edge list star-contraction is actively
+    shrinking, plus one extra pass over the input to fingerprint it.
     """
+    spark = edges.sparkSession
+    canon = _canon(edges, src, dst)
+
     if checkpoint_dir is not None:
-        sc = edges.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        base = checkpoint_dir.rstrip("/")
+        state = {"next": 0}
+
+        def _persist_round(df: DataFrame) -> DataFrame:
+            p = f"{base}/round_{state['next']:04d}"
+            state["next"] += 1
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
 
         def _truncate(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=False)
+            return _persist_round(df)
+
+        e, sig = _restore_or_init_rounds(spark, base, canon, state, _persist_round)
+        nodes_src = spark.read.parquet(f"{base}/round_0000")
     else:
         def _truncate(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
 
-    # Lazy (local)checkpoint: the signature action is the FIRST compute of
-    # each round's edge set, so it materializes the checkpoint as a side
-    # effect — one job per round instead of eager-checkpoint + probe.
-    e = _truncate(_canon(edges, src, dst))
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct()
+        # Lazy localCheckpoint: the signature action is the FIRST compute
+        # of each round's edge set, so it materializes the checkpoint as a
+        # side effect — one job per round instead of eager + probe.
+        e = _truncate(canon)
+        sig = _signature(e)
+        nodes_src = e
 
-    sig = _signature(e)
+    nodes = nodes_src.select(F.col("u").alias("node")).union(
+        nodes_src.select(F.col("v").alias("node"))
+    ).distinct()
     if sig[0] == 0:
         # Empty edge set: no components to find. Short-circuit instead of
         # paying star rounds + a labels join on empty frames (a pair

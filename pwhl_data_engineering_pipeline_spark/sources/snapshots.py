@@ -48,22 +48,15 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _write_text(spark: SparkSession, path: str, content: str) -> None:
-    fs, hpath, _ = _fs(spark, path)
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
+    from ..fsutil import write_text
+
+    write_text(spark, path, content)
 
 
 def _read_text(spark: SparkSession, path: str) -> str | None:
-    fs, hpath, jvm = _fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
-    return bytes(baos.toByteArray()).decode("utf-8")
+    from ..fsutil import read_text
+
+    return read_text(spark, path)
 
 
 def _meta_dir(path: str) -> str:
