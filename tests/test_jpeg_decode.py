@@ -815,3 +815,86 @@ def test_stdlib_features_progressive_jpeg_decodes_as_image():
     feats = mm.stdlib_media_features(blob, dim=16)
     assert feats[0] == 1.0 and feats[1] == 16.0 and feats[2] == 8.0
     assert abs(feats[3] - 130 / 255) < 0.01
+
+
+def test_stock_codec_progressive_jpeg_cross_check(spark):
+    """VERDICT r5 #2: validate the progressive decoder against a STOCK
+    encoder, not just this suite's own SOF2 encoder (a shared T.81
+    misreading would cancel there). The JDK's ImageIO JPEG codec — reached
+    through the Spark JVM, no external libs — encodes a test card twice
+    (baseline SOF0 and progressive SOF2, identical quant tables). Checks:
+
+    1. the stock progressive stream really is SOF2 and we decode it;
+    2. our progressive decode is BIT-IDENTICAL to our baseline decode of
+       the stock baseline stream — the two streams carry the same
+       quantized coefficients, so any progressive-path bug (spectral
+       selection, successive approximation, EOB runs) shows up as a
+       pixel difference;
+    3. luma closeness to ImageIO's own decode of the same bytes (the
+       normative IDCT path; chroma gets a looser bound because T.81
+       leaves the chroma UPSAMPLING filter to the decoder — the JDK uses
+       a triangle filter, this decoder replicates, and the divergence is
+       confined to chroma edges).
+    """
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators.jpeg import decode_jpeg_pixels
+
+    jvm = spark._jvm
+    w, h = 48, 32
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (
+                (x * 255) // (w - 1),
+                (y * 255) // (h - 1),
+                ((x + y) * 255) // (w + h - 2),
+            )
+    img[8:16, 8:24, 0] = 200
+    img[8:16, 8:24, 1] = 30
+
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in img[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+
+    def imageio_encode(progressive: bool) -> bytes:
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        param = writer.getDefaultWriteParam()
+        if progressive:
+            param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        out = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(out)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        out.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    prog, base = imageio_encode(True), imageio_encode(False)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base  # SOF2 vs SOF0
+    assert b"\xff\xc0" in base
+
+    ours_prog = decode_jpeg_pixels(prog)
+    ours_base = decode_jpeg_pixels(base)
+    assert ours_prog is not None and ours_prog.shape == (h, w, 3)
+    # same coefficients, different entropy layout -> identical pixels
+    assert np.array_equal(ours_prog, ours_base)
+
+    im = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(prog))
+    truth = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = im.getRGB(x, y)
+            truth[y, x] = ((v >> 16) & 255, (v >> 8) & 255, v & 255)
+
+    wts = np.array([0.299, 0.587, 0.114])
+    luma_diff = np.abs(ours_prog.astype(float) @ wts - truth.astype(float) @ wts)
+    assert luma_diff.max() <= 3.0, luma_diff.max()
+    full_diff = np.abs(ours_prog.astype(int) - truth.astype(int))
+    assert full_diff.mean() <= 5.0, full_diff.mean()
+    # and both decoders land near the source image (end-to-end sanity)
+    assert np.abs(ours_prog.astype(int) - img.astype(int)).mean() <= 6.0
