@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Measure the RELATIONAL headline queries' wall-clock scaling one decade
+up (default 10x of sf0.1 ~= sf1), the same harness that produced
+SCALING.md's north-star 10x table.
+
+The replica re-keys each copy so the scaled tables are valid TPC-H-ish
+data, not degenerate duplicates:
+
+- lineitem/orders: ``*_orderkey + i * 10_000_000`` per copy i — foreign
+  keys stay consistent, order grain grows 10x over the same dimensions
+  (the realistic shape: more facts, same customers/parts/suppliers).
+- events: ``user_id + i * 10_000_000`` and re-keyed event ids — each copy
+  is an independent user population, so sessionization's per-user gap
+  structure is preserved (un-keyed replication would stack 10 identical
+  events on every timestamp and CHANGE the session count, measuring a
+  different query).
+- dimensions (region/nation/customer/supplier/part) and
+  documents/embeddings copy unchanged.
+
+Timing protocol mirrors bench.py: warm every query at sf0.001 first
+(codegen + parquet footers + the Arrow worker pool), then min-of-2 at
+each scale through the noop sink.
+
+Usage: python tools/scale_bench.py [--factor 10] [--base /root/testdata/sf0.1]
+           [--out /tmp/sf1_replica] [--queries q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q18",
+    "flagship_priority_revenue",
+    "a_stats_kit",
+    "w_sessionization",
+    "s_snapshot_kit",
+]
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+
+
+def build_replica(spark, base: str, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_AS_IS:
+        read_testdata(spark, base, t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    orders = read_testdata(spark, base, "orders")
+    lineitem = read_testdata(spark, base, "lineitem")
+    events = read_testdata(spark, base, "events")
+    o_parts, l_parts, e_parts = [], [], []
+    for i in range(factor):
+        okey = i * 10_000_000
+        o_parts.append(orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(okey)))
+        l_parts.append(lineitem.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(okey)))
+        e_parts.append(
+            events.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        )
+
+    def union_all(parts):
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    union_all(o_parts).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    union_all(l_parts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    union_all(e_parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf1_replica")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from pwhl_data_engineering_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    queries = em.extended_queries()
+    names = [q for q in args.queries.split(",") if q]
+
+    if not args.skip_build:
+        t0 = time.monotonic()
+        build_replica(spark, args.base, args.out, args.factor)
+        print(f"replica built in {time.monotonic() - t0:.1f}s -> {args.out}", file=sys.stderr)
+
+    def run_once(name: str, sf_dir: str) -> float:
+        t0 = time.monotonic()
+        df = queries[name](spark, sf_dir)
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            df.collect()
+        return time.monotonic() - t0
+
+    for name in names:  # warm: codegen, footers, worker pool
+        run_once(name, "/root/testdata/sf0.001")
+
+    results = {}
+    for name in names:
+        base_t = min(run_once(name, args.base) for _ in range(2))
+        big_t = min(run_once(name, args.out) for _ in range(2))
+        results[name] = {
+            "base_sec": round(base_t, 3),
+            f"x{args.factor}_sec": round(big_t, 3),
+            "ratio": round(big_t / base_t, 2),
+        }
+        print(name, results[name], file=sys.stderr)
+
+    print(json.dumps({"factor": args.factor, "base": args.base, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
