@@ -2237,8 +2237,9 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (operators.bpe): learn 16 merges from the corpus's
     distinct-word frequency table (Sennrich train loop — pair counts and
     symbol rewrites distributed, one corpus pass total), then encode every
-    document with the classic lowest-rank-first loop. Rows-only by design:
-    the merge loop is iterative/driver-sequenced, not SQL-expressible.
+    document with the classic lowest-rank-first loop. Hash-checked since
+    round 6 against the unrolled-SQL mirror (_bpe_tokens_oracle): per-doc
+    token counts AND the 12 leading token strings must match exactly.
     Output: per-doc whitespace vs BPE token counts + the leading tokens."""
     docs = _t(spark, sf_dir, "documents")
     merges = bpe.bpe_train(bpe.word_counts(docs), num_merges=16, checkpoint_every=8)
@@ -2292,17 +2293,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_df.unionByName(census)
 
 
-def _bpe_merges_oracle(k: int = 16) -> str:
-    """SQL mirror generator for q_bpe_merges (adjacent so the recipe can't
-    drift). Symbols travel as chr(1)||sym||chr(2)-wrapped segments of one
-    VARCHAR (the corpus is asserted ASCII by the testdata generator):
-    whole-symbol boundaries make the pair pattern unambiguous, and DuckDB's
-    left-to-right non-overlapping `replace` then IS the classic BPE merge
-    scan (overlap case 'aaaa' + (a,a) -> 'aa aa', matching the fold).
+_BPE_C1, _BPE_C2 = "chr(1)", "chr(2)"
+_BPE_SYM_RE = f"{_BPE_C1}||'([^'||{_BPE_C2}||']*)'||{_BPE_C2}"
+
+
+def _bpe_mirror_ctes(k: int = 16) -> list[str]:
+    """Shared CTE chain re-implementing the bpe.py train loop in DuckDB
+    (adjacent to the queries so the recipe can't drift). Symbols travel as
+    chr(1)||sym||chr(2)-wrapped segments of one VARCHAR (the corpus is
+    asserted ASCII by the testdata generator): whole-symbol boundaries
+    make the pair pattern unambiguous, and DuckDB's left-to-right
+    non-overlapping `replace` then IS the classic BPE merge scan (overlap
+    case 'aaaa' + (a,a) -> 'aa aa', matching the fold). The encode states
+    e0..ek apply the same merges in RANK order to EVERY word (provably
+    equivalent to the lowest-rank-first loop — see q_bpe_merges).
     MATERIALIZED is load-bearing: each round references the previous state
-     2-4 times, so default CTE inlining would expand w16 into ~2^16 scans."""
-    c1, c2 = "chr(1)", "chr(2)"
-    sym_re = f"{c1}||'([^'||{c2}||']*)'||{c2}"
+    2-4 times, so default CTE inlining would expand w16 into ~2^16 scans."""
+    c1, c2, sym_re = _BPE_C1, _BPE_C2, _BPE_SYM_RE
     ctes = [
         # bpe.word_counts mirror: \s+ split of space-trimmed text, empty
         # words dropped, NO lowercasing
@@ -2322,9 +2329,8 @@ def _bpe_merges_oracle(k: int = 16) -> str:
         )""",
         # encode state round 0: ALL words (short words pass through encode)
         f"""e0 AS MATERIALIZED (
-          SELECT array_to_string(
-                   list_transform(string_split(word, ''), c -> {c1}||c||{c2}), '') AS s,
-                 cnt
+          SELECT word, cnt, array_to_string(
+                   list_transform(string_split(word, ''), c -> {c1}||c||{c2}), '') AS s
           FROM wc
         )""",
     ]
@@ -2345,8 +2351,16 @@ def _bpe_merges_oracle(k: int = 16) -> str:
             f"w{i + 1} AS MATERIALIZED (SELECT replace(s, {pat}, {repl}) AS s, cnt FROM w{i})"
         )
         ctes.append(
-            f"e{i + 1} AS MATERIALIZED (SELECT replace(s, {pat}, {repl}) AS s, cnt FROM e{i})"
+            f"e{i + 1} AS MATERIALIZED (SELECT word, cnt, "
+            f"replace(s, {pat}, {repl}) AS s FROM e{i})"
         )
+    return ctes
+
+
+def _bpe_merges_oracle(k: int = 16) -> str:
+    """Oracle for q_bpe_merges: the k learned (rank, pair, count) rows
+    plus the corpus-total encode census."""
+    ctes = _bpe_mirror_ctes(k)
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS leg, CAST({i} AS BIGINT) AS rank, a, b, n AS val FROM b{i}"
         for i in range(k)
@@ -2358,6 +2372,43 @@ def _bpe_merges_oracle(k: int = 16) -> str:
         f"FROM e{k}"
     )
     return "WITH " + ",\n".join(ctes) + "\n" + merge_rows + "\nUNION ALL\n" + census
+
+
+def _bpe_tokens_oracle(k: int = 16) -> str:
+    """Oracle for q_bpe_tokens (graduates the per-document ENCODE output
+    to hash-green): per-word token lists come off the final encode state,
+    then each of the first-50 docs flattens its words' token lists in
+    word order — n_words, n_bpe_tokens, and the 12 leading tokens must
+    all match the executor's lowest-rank-first loop exactly."""
+    ctes = _bpe_mirror_ctes(k)
+    ctes.append(f"""wt AS MATERIALIZED (
+      SELECT word, regexp_extract_all(s, {_BPE_SYM_RE}, 1) AS toks FROM e{k}
+    )""")
+    ctes.append("""sel AS MATERIALIZED (
+      SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50
+    )""")
+    ctes.append("""dw AS MATERIALIZED (
+      SELECT doc_id, i AS wpos, words[i] AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM sel)),
+           LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) u
+      WHERE words[i] <> ''
+    )""")
+    ctes.append("""doc_tok AS MATERIALIZED (
+      SELECT dw.doc_id, flatten(list(wt.toks ORDER BY dw.wpos)) AS all_toks
+      FROM dw JOIN wt ON dw.w = wt.word
+      GROUP BY dw.doc_id
+    )""")
+    final = """
+      SELECT d.doc_id,
+             CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS n_words,
+             CAST(len(t.all_toks) AS BIGINT) AS n_bpe_tokens,
+             array_to_string(t.all_toks[1:12], ' ') AS head_tokens
+      FROM documents d JOIN doc_tok t ON d.doc_id = t.doc_id
+      WHERE d.doc_id IN (SELECT doc_id FROM sel)
+    """
+    return "WITH " + ",\n".join(ctes) + final
 
 
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4757,6 +4808,7 @@ def _all_oracle_sql() -> dict[str, str]:
             [(leg, sql[_KIT_FN_TO_ORACLE[fn]], gc, vc) for leg, fn, gc, vc in spec]
         )
     sql["ns_bpe_merges"] = _bpe_merges_oracle()
+    sql["ns_bpe_tokens"] = _bpe_tokens_oracle()
     return sql
 
 
