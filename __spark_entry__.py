@@ -1348,6 +1348,21 @@ def q_tpch_cond_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, sampling.weighted_sample_k): select exactly 50 docs
+    with per-row probability tracking n_chars — the "prefer longer/higher-
+    quality documents, reproducibly" primitive. The selection key is a
+    pure per-row md5-derived projection; global top-k runs as
+    TakeOrderedAndProject (plan-asserted in tests/test_sampling.py), so
+    the shuffle is k rows regardless of corpus size. Oracle mirrors the
+    key via sampling.es_sample_key_sql (adjacent generator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_k(
+        docs, 50, "n_chars", key_out="es_key"
+    ).select("doc_id", "n_chars", "es_key")
+
+
 def q_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + weighted corpus mixing
     (operators.sampling): md5-hash membership, pure map-side (no shuffle,
@@ -3024,6 +3039,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_hard_negatives": q_hard_negatives,
         "ns_split_leakage_safe": q_split_leakage_safe,
         "ns_token_budget": q_token_budget,
+        "ns_weighted_sample": q_weighted_sample,
         "ns_corpus_export": q_corpus_export,
         "ns_bpe_tokens": q_bpe_tokens,
         "ns_bpe_merges": q_bpe_merges,
@@ -4809,6 +4825,14 @@ def _all_oracle_sql() -> dict[str, str]:
         )
     sql["ns_bpe_merges"] = _bpe_merges_oracle()
     sql["ns_bpe_tokens"] = _bpe_tokens_oracle()
+    _es = sampling.es_sample_key_sql("doc_id", "n_chars")
+    sql["ns_weighted_sample"] = f"""
+        SELECT doc_id, n_chars, {_es} AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY es_key DESC, doc_id
+        LIMIT 50
+    """
     return sql
 
 

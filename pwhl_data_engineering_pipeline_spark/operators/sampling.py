@@ -131,6 +131,93 @@ def weighted_sample(
     return df.filter(keep)
 
 
+def es_sample_key(id_col: str, weight_col: str, seed: str = "wsk") -> Column:
+    """Efraimidis–Spirakis A-ES selection key for weight-proportional
+    sampling WITHOUT replacement (Efraimidis & Spirakis, IPL 2006): each
+    row draws u ~ U(0,1] and is ranked by u^(1/w) — the k largest keys are
+    a without-replacement sample where inclusion probability tracks weight.
+    Ranking by u^(1/w) is equivalent to ranking by ln(u)/w (monotone), so
+    the key is computed in log space (u^(1/w) underflows for tiny u/w).
+
+    Determinism & portability: u derives from md5('<seed>:<id>') — 13 hex
+    chars = 52 bits, (v+1)/2^52 ∈ (0,1], both EXACT in float64 — so the
+    same row draws the same u in any engine. The returned key is floored
+    to 9 decimals as exact integer micro-nanos: cross-engine ln() agrees
+    far beyond 9dp, so ordering (and the DuckDB oracle) is reproducible,
+    while a raw float key could flip near-ties on the last ULP.
+    """
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v.cast("double") + F.lit(1.0)) / F.lit(float(2**52))
+    return F.floor(F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)).cast(
+        "bigint"
+    )
+
+
+def es_sample_key_sql(id_expr: str, weight_expr: str, seed: str = "wsk") -> str:
+    """ANSI-SQL mirror of :func:`es_sample_key` (adjacent so the recipes
+    cannot drift). DuckDB ``ln`` == Spark single-arg ``log`` (natural)."""
+    u = (
+        f"((('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 13))"
+        f"::BIGINT + 1) / {float(2**52)!r})"
+    )
+    return f"CAST(floor(ln({u}) / ({weight_expr}) * 1e9) AS BIGINT)"
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsk",
+    group_cols: Sequence[str] = (),
+    key_out: str | None = None,
+) -> DataFrame:
+    """Exactly-k weight-proportional sample WITHOUT replacement (A-ES).
+
+    ``weighted_sample`` mixes by per-SLICE rates; this picks an exact-size
+    sample where each ROW's chance tracks its own weight (quality score,
+    token count, dedup-cluster size...) — the standard primitive for
+    "select N documents, preferring high-quality ones, reproducibly".
+
+    Scale shape: the key is a pure per-row projection (map-side, zero
+    coordination); global selection is ``orderBy(key desc).limit(k)`` —
+    Spark's TakeOrderedAndProject, a per-partition top-k followed by a
+    k-row merge on the driver, NEVER a full sort shuffle (plan-asserted in
+    tests). With ``group_cols``, selection is a window rank per group: one
+    shuffle on the group key, state bounded by k per group.
+
+    Rows with weight <= 0 or NULL are excluded (they have zero selection
+    probability in the A-ES scheme; a NULL weight silently winning ties
+    would be a correctness bug, not a feature). Ties (identical floored
+    keys) break by ``id_col`` for rerun stability.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    key = es_sample_key(id_col, weight_col, seed)
+    out_col = key_out or "__es_key"
+    cand = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(out_col, key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(out_col).desc(), F.col(id_col)
+        )
+        cand = (
+            cand.withColumn("__es_rn", F.row_number().over(w))
+            .filter(F.col("__es_rn") <= k)
+            .drop("__es_rn")
+        )
+    else:
+        cand = cand.orderBy(F.col(out_col).desc(), F.col(id_col)).limit(k)
+    return cand if key_out else cand.drop(out_col)
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -248,3 +248,100 @@ def test_corpus_pipeline_v2_stages_and_integrity(spark, sf_dir):
     # lm gate skip path degrades to quality-only
     res2 = run_corpus_pipeline_v2(docs, lm_floor=None)
     assert [s.name for s in res2.orchestrator.results if s.skipped] == ["lm_gate"]
+
+
+def _es_key_ref(seed: str, key: object, w: float) -> int:
+    """Pure-python reference of es_sample_key: md5 -> u in (0,1] -> floored
+    ln(u)/w nanos. Independent of both the Spark column and the SQL mirror."""
+    import math
+
+    v = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:13], 16)
+    u = (v + 1) / 2**52
+    return math.floor(math.log(u) / w * 1e9)
+
+
+def test_weighted_sample_k_matches_reference(spark):
+    """A-ES selection equals a pure-python reference on (key, ordering,
+    selected ids): weight-proportional without-replacement sampling is
+    row-autonomous and engine-portable."""
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sampling.weighted_sample_k(df, 25, "w", key_out="es")
+    got_rows = {r["doc_id"]: r["es"] for r in got.collect()}
+    ref = sorted(
+        ((_es_key_ref("wsk", i, w), -i) for i, w in rows), reverse=True
+    )[:25]
+    ref_ids = {-neg_i for _, neg_i in ref}
+    assert set(got_rows) == ref_ids
+    for i, w in rows:
+        if i in got_rows:
+            assert got_rows[i] == _es_key_ref("wsk", i, w)
+
+
+def test_weighted_sample_k_sql_mirror_agrees(spark):
+    """es_sample_key_sql (the oracle recipe) computes the identical key."""
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(100)], "doc_id long, w double"
+    )
+    spark_keys = {
+        r["doc_id"]: r["es"]
+        for r in df.select(
+            "doc_id", sampling.es_sample_key("doc_id", "w").alias("es")
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, float(1 + i % 7)) for i in range(100)])
+    sql_keys = dict(
+        con.sql(
+            f"SELECT doc_id, {sampling.es_sample_key_sql('doc_id', 'w')} FROM t"
+        ).fetchall()
+    )
+    assert spark_keys == sql_keys
+
+
+def test_weighted_sample_k_statistics_and_guards(spark):
+    """A 1000x-weight row must win k=1 for (almost) any seed; zero/NULL
+    weights are excluded; k<=0 raises."""
+    rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 30)] + [(99, 0.0), (98, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    wins = sum(
+        sampling.weighted_sample_k(df, 1, "w", seed=f"s{j}").collect()[0]["doc_id"] == 0
+        for j in range(12)
+    )
+    assert wins >= 11  # P(miss) ~ 1/1000 per seed
+    ids = {r["doc_id"] for r in sampling.weighted_sample_k(df, 40, "w").collect()}
+    assert 99 not in ids and 98 not in ids and len(ids) == 30
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_k(df, 0, "w")
+
+
+def test_weighted_sample_k_plan_is_take_ordered(spark):
+    """Global selection must be TakeOrderedAndProject (per-partition top-k
+    + k-row driver merge), never a full sort shuffle."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).cast("double").alias("w")
+    )
+    out = sampling.weighted_sample_k(df, 10, "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_k_grouped(spark):
+    """group_cols: exactly k per group, each group's picks equal the
+    reference restricted to that group."""
+    rows = [(i, ["en", "fr"][i % 2], float(1 + (i * 3) % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = sampling.weighted_sample_k(df, 7, "w", group_cols=["lang"])
+    by_lang: dict[str, set] = {}
+    for r in got.collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert sorted(len(v) for v in by_lang.values()) == [7, 7]
+    for lang, ids in by_lang.items():
+        ref = sorted(
+            ((_es_key_ref("wsk", i, w), -i) for i, lg, w in rows if lg == lang),
+            reverse=True,
+        )[:7]
+        assert ids == {-n for _, n in ref}, lang
