@@ -315,3 +315,25 @@ def test_rest_source_over_real_http_loopback(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_fsutil_roundtrip_and_connect_guard(spark, tmp_path):
+    """fsutil: text round-trip through the Hadoop FS, missing-file None,
+    and the named error on sessions without a JVM handle (Spark Connect
+    has no spark._jvm — the guard must beat py4j's AttributeError)."""
+    import pytest as _pytest
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    p = str(tmp_path / "nested" / "manifest.json")
+    fsutil.write_text(spark, p, '{"k": 1}')
+    assert fsutil.read_text(spark, p) == '{"k": 1}'
+    assert fsutil.read_text(spark, str(tmp_path / "absent.json")) is None
+    fs, hpath, _ = fsutil.hadoop_fs(spark, p)
+    assert fs.exists(hpath)
+
+    class _FakeConnectSession:
+        _jvm = None
+
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.hadoop_fs(_FakeConnectSession(), "/tmp/x")
