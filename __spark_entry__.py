@@ -2009,6 +2009,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, qdf, k=10)
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a PERSISTED partition-pruned inverted index
+    (search.bm25_index_write / bm25_search_index) — the build-once /
+    probe-many production shape: postings and stats land partitioned by
+    pmod(xxhash64(term), n_buckets), so a probe reads only its query
+    terms' bucket directories (plan-asserted in tests/test_fuzzy_search).
+    Results are IDENTICAL to the one-shot bm25_topk, so the oracle is the
+    same bm25_sql mirror."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_idx_") + "/index"
+    search.bm25_index_write(docs, idx, n_buckets=32)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-match over distinct normalized part names
     (operators.fuzzy): Levenshtein <= 2 within first-character blocks, with
@@ -3026,6 +3043,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_sample_k": q_sample_k,
         "ns_quantize": q_quantize,
         "ns_bm25_search": q_bm25_search,
+        "ns_bm25_indexed": q_bm25_indexed,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
@@ -4434,6 +4452,8 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["ns_bm25_search"] = search.bm25_sql(
         docs_from="documents", queries_values=_bm25_values, k=10
     )
+    # the persisted-index probe returns IDENTICAL rows by construction
+    sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

@@ -222,3 +222,147 @@ def bm25_sql(
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted index for build-once / probe-many search — the
+    production shape: tokenizing 100 TB once per QUERY BATCH (what
+    ``bm25_topk`` does) is the cost ceiling; tokenizing once per CORPUS
+    VERSION and probing a layout-optimized index is the floor.
+
+    Layout: ``postings/`` (doc_id, term, tf, doc_len) and ``stats/``
+    (term, df), both written PARTITIONED BY ``bucket =
+    pmod(xxhash64(term), n_buckets)`` — a probe computes its query terms'
+    buckets driver-side and reads ONLY those partitions (directory-level
+    pruning, no footer reads for the rest of the corpus — the same
+    partition-pruned-probe design as the IVF centroid index). Corpus
+    scalars (n_docs, avg_len — exact dyadic-safe sums, not a float avg)
+    land in ``_scalars.json`` so probes pay zero corpus-sized work.
+    """
+    postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
+    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
+    postings.select("doc_id", "term", "tf", "doc_len", bucket).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    stats.select("term", "df", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/stats")
+    spark = docs.sparkSession
+    row = (
+        spark.read.parquet(f"{path}/postings")
+        .select("doc_id", "doc_len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("len_sum"),
+        )
+        .first()
+    )
+    import json as _json
+
+    from ..fsutil import write_text
+
+    write_text(
+        spark,
+        f"{path}/_scalars.json",
+        _json.dumps(
+            {
+                "n_docs": int(row["n_docs"]),
+                "len_sum": int(row["len_sum"]),
+                "n_buckets": n_buckets,
+            }
+        ),
+    )
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` per query against a :func:`bm25_index_write` index.
+
+    Identical scores/ranks to ``bm25_topk`` on the same corpus (asserted
+    in tests): same idf/tf formula, same floor-to-6dp-before-ranking, same
+    (score desc, doc_id) tiebreak. The probe's cost profile is what
+    changes: query terms and their xxhash64 buckets are computed from the
+    (tiny, driver-collectable) query set, and BOTH index reads carry
+    ``bucket IN (...)`` filters that prune at the PARTITION level — the
+    scan touches |query-term buckets| directories out of ``n_buckets``,
+    independent of corpus size (plan-asserted in tests). Everything the
+    posting stream joins against is a broadcast; the only shuffle is the
+    (query, doc) partial-score sum, bounded by matched postings.
+    """
+    import json as _json
+
+    from ..fsutil import read_text
+
+    meta = _json.loads(read_text(spark, f"{path}/_scalars.json"))
+    n_docs, avg_len = meta["n_docs"], meta["len_sum"] / meta["n_docs"]
+    n_buckets = meta["n_buckets"]
+
+    qterms = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(F.array_distinct(_tokens(F.col(query_text)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
+    )
+    buckets = sorted({r["bucket"] for r in qterms.select("bucket").distinct().collect()})
+    if not buckets:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+
+    stats = spark.read.parquet(f"{path}/stats").filter(F.col("bucket").isin(buckets))
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    qstats = stats.join(F.broadcast(qterms), ["term", "bucket"]).select(
+        "query_id", "term", "df"
+    )
+    scored = (
+        postings.join(F.broadcast(qstats), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_len))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("raw"))
+        .withColumn("score", F.floor(F.col("raw") * 1e6 + F.lit(0.5)) / 1e6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

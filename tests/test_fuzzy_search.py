@@ -283,3 +283,40 @@ def test_duplicate_spans_no_false_positives(spark):
         "doc_id long, text string",
     )
     assert _dedup.duplicate_spans(df, n=10, winnow_w=None).count() == 0
+
+
+def test_bm25_persisted_index_probe_equals_oneshot(spark, docs_df, tmp_path):
+    """bm25_search_index against a bm25_index_write index returns the
+    IDENTICAL (query, doc, score, rank) rows as the one-shot bm25_topk —
+    same formula, same floor-to-6dp-before-rank, same tiebreak."""
+    idx = str(tmp_path / "bm25_idx")
+    search.bm25_index_write(docs_df, idx, n_buckets=16)
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    oneshot = sorted(map(tuple, search.bm25_topk(docs_df, qdf, k=10).collect()))
+    probed = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    assert probed == oneshot and len(probed) > 0
+
+
+def test_bm25_index_probe_is_partition_pruned(spark, docs_df, tmp_path):
+    """The probe's posting scan must prune at the PARTITION level: the
+    bucket IN (...) filter reaches the scan as a PartitionFilter, so only
+    |query-term buckets| of the n_buckets directories are read."""
+    idx = str(tmp_path / "bm25_idx_prune")
+    search.bm25_index_write(docs_df, idx, n_buckets=16)
+    qdf = spark.createDataFrame([("q1", "spark")], "query_id string, query_text string")
+    out = search.bm25_search_index(spark, idx, qdf, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters and any("bucket" in f for f in filters), plan[:2000]
+
+
+def test_bm25_index_probe_empty_query_terms(spark, docs_df, tmp_path):
+    idx = str(tmp_path / "bm25_idx_empty")
+    search.bm25_index_write(docs_df, idx, n_buckets=8)
+    qdf = spark.createDataFrame([("q1", "   ")], "query_id string, query_text string")
+    assert search.bm25_search_index(spark, idx, qdf).count() == 0
