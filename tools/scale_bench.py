@@ -81,6 +81,58 @@ def build_replica(spark, base: str, out: str, factor: int) -> None:
     union_all(e_parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
+def build_docs_replica(spark, base: str, out: str, factor: int) -> None:
+    """Documents/embeddings replica for north-star ops: re-id'd AND
+    text-perturbed (a per-copy suffix token) so replicas are distinct
+    documents, not exact dups — the same convention as SCALING.md's
+    round-4 north-star measurements."""
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    os.makedirs(out, exist_ok=True)
+    docs = read_testdata(spark, base, "documents")
+    emb = read_testdata(spark, base, "embeddings")
+    d_parts, e_parts = [], []
+    for i in range(factor):
+        d_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+        )
+        e_parts.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000)))
+
+    def union_all(parts):
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    union_all(d_parts).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    union_all(e_parts).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def bm25_probe_timer(spark, sf_dir: str, workdir: str):
+    """Build the persisted BM25 index for ``sf_dir`` once (untimed), return
+    a thunk timing ONLY the probe — the steady-state cost the partition-
+    pruned layout is designed to bound."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import __spark_entry__ as em
+    from pwhl_data_engineering_pipeline_spark.operators import search
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    idx = f"{workdir}/bm25_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    search.bm25_index_write(read_testdata(spark, sf_dir, "documents"), idx, n_buckets=64)
+    qdf = spark.createDataFrame(em._BM25_QUERIES, "query_id string, query_text string")
+
+    def probe() -> float:
+        t0 = time.monotonic()
+        search.bm25_search_index(spark, idx, qdf, k=10).collect()
+        return time.monotonic() - t0
+
+    return probe
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -88,6 +140,14 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1_replica")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--mode",
+        choices=["relational", "docs", "bm25-probe"],
+        default="relational",
+        help="relational: re-keyed fact tables; docs: perturbed documents/"
+        "embeddings replicas; bm25-probe: probe-only timing against "
+        "persisted indexes built untimed at both scales",
+    )
     args = ap.parse_args()
 
     from pwhl_data_engineering_pipeline_spark.session import get_spark
@@ -100,9 +160,25 @@ def main() -> None:
     queries = em.extended_queries()
     names = [q for q in args.queries.split(",") if q]
 
+    if args.mode == "bm25-probe":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor)
+        results = {}
+        for label, d in [("base", args.base), (f"x{args.factor}", args.out)]:
+            probe = bm25_probe_timer(spark, d, args.out)
+            probe()  # warm
+            results[label] = round(min(probe() for _ in range(2)), 3)
+        results["ratio"] = round(results[f"x{args.factor}"] / results["base"], 2)
+        print(json.dumps({"mode": "bm25-probe", "factor": args.factor, "results": results}))
+        return
+
     if not args.skip_build:
         t0 = time.monotonic()
-        build_replica(spark, args.base, args.out, args.factor)
+        if args.mode == "docs":
+            build_docs_replica(spark, args.base, args.out, args.factor)
+        else:
+            build_replica(spark, args.base, args.out, args.factor)
         print(f"replica built in {time.monotonic() - t0:.1f}s -> {args.out}", file=sys.stderr)
 
     def run_once(name: str, sf_dir: str) -> float:
