@@ -1270,8 +1270,20 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-dedup over a candidate-pair table (produced by
     LSH bucketing — see operators.similarity.lsh_buckets — or any blocking
-    scheme). Verifies cosine ≥ threshold, drops the higher id."""
-    v = df.select(F.col(id_col), F.col(vec_col))
+    scheme). Verifies cosine ≥ threshold, drops the higher id.
+
+    Same candidate-prune shape as ``minhash_verified_pairs`` (round 6):
+    embedding VECTORS join only for ids that appear in a candidate pair —
+    the semi-join keeps the big array frames proportional to the
+    candidate set, not the corpus. ``pairs`` now has two consumers, so it
+    is persisted; release via ``unpersist_pins`` on the result."""
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    v = df.join(cand_ids, id_col, "left_semi").select(F.col(id_col), F.col(vec_col))
     j = (
         pairs.join(v.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"), "id_a")
         .join(v.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"), "id_b")
@@ -1279,7 +1291,7 @@ def dedup_embedding_cosine(
         .filter(F.col("cos") >= threshold)
     )
     to_drop = j.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(to_drop, id_col, "left_anti")
+    return pin_handles(df.join(to_drop, id_col, "left_anti"), pairs)
 
 
 def semantic_pairs(
