@@ -627,7 +627,17 @@ def minhash_verified_pairs(
     the semi-join at runtime when it is small (the normal case). The
     candidate frame is persisted because two consumers derive from it
     (the id prune + the final join) — the pin is handed to the caller
-    via ``pin_handles``."""
+    via ``pin_handles``.
+
+    ``num_bands="auto"`` resolves the banding from
+    :func:`banding_for_threshold` — the S-curve midpoint lands at THIS
+    call's verification threshold, the right default when the corpus may
+    be dense in sub-threshold similarity (see that helper's measured
+    candidate-flood example)."""
+    if kw.get("num_bands") == "auto":
+        kw["num_bands"] = banding_for_threshold(
+            kw.get("num_hashes", 32), jaccard_threshold
+        )[0]
     pairs = minhash_candidate_pairs(df, text_col, id_col, **kw).persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))

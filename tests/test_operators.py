@@ -1005,3 +1005,25 @@ def test_minhash_verified_pairs_prunes_before_shingles(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
     assert getattr(kept, "_spark_graft_pins", [])
     dedup.unpersist_pins(kept)
+
+
+def test_minhash_auto_banding_resolves_from_threshold(spark):
+    """num_bands='auto' picks the MMDS banding for the call's threshold;
+    exact duplicates still verify at any banding (they collide in every
+    band regardless)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "nothing shared with the others at all here")],
+        "doc_id long, text string",
+    )
+    ver = dedup.minhash_verified_pairs(
+        docs, jaccard_threshold=0.9, num_hashes=64, num_bands="auto"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in ver.collect()}
+    assert got == {(1, 2)}
+    explicit = dedup.minhash_verified_pairs(
+        docs, jaccard_threshold=0.9, num_hashes=64,
+        num_bands=dedup.banding_for_threshold(64, 0.9)[0],
+    )
+    assert {(r["id_a"], r["id_b"]) for r in explicit.collect()} == got
