@@ -433,6 +433,25 @@ def minhash_incremental_pairs(
         minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,
     )
+    from ..fsutil import hadoop_fs
+
+    fs0, ipath, _ = hadoop_fs(spark, index_path)
+    if not fs0.exists(ipath):
+        # Bootstrap: no corpus indexed yet (day one of a continuous-ingest
+        # pipeline). Cross pairs are definitionally empty; within-batch
+        # pairs still compute, and the caller's survivor append CREATES
+        # the index.
+        from pyspark.sql import types as T
+
+        idt = new_docs.schema[id_col].dataType
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField("new_id", idt), T.StructField("corpus_id", idt)]
+            ),
+        )
+        within0 = pairs_from_buckets(nb, ["band", "band_hash"], id_col, max_bucket=max_bucket)
+        return empty, within0
     idx = spark.read.parquet(index_path)
     if probe_cap == "scan":
         idx = _cap_buckets(idx, max_bucket)

@@ -269,3 +269,56 @@ def test_streaming_hll_sketch_maintenance(spark, tmp_path):
     # time travel: the v1 sketch table still answers with the old counts
     old = sk.hll_table_estimate(spark, table, ["day"], version=v1).collect()
     assert {str(r["day"]): r["n_rows"] for r in old}["2025-01-02"] == 300
+
+
+def test_streaming_neardup_ingest_end_to_end(spark, tmp_path):
+    """LSH near-dup-suppressed continuous ingestion: batch one bootstraps
+    the index from nothing; batch two's exact copies of admitted docs are
+    dropped at the door; a full replay (fresh checkpoint, same epochs) is
+    a data no-op (exactly-once snapshot commits); survivors' buckets are
+    actually indexed (the index file set grows)."""
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+
+    landing = str(tmp_path / "nd_landing")
+    index = str(tmp_path / "nd_index")
+    table = str(tmp_path / "nd_table")
+
+    day1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),   # in-batch dup
+         (3, "a completely different document about stream state stores")],
+        "doc_id long, text string",
+    )
+    day1.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(day1.schema).parquet(landing)
+        q = sdedup.streaming_neardup_ingest(
+            stream, index, table, str(tmp_path / ckpt),
+            num_hashes=64, num_bands=8,
+        )
+        q.awaitTermination(120)
+
+    run("nd_ck")
+    admitted = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert admitted == {1, 3}  # 2 deduped within batch one (bootstrap path)
+
+    day2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (11, "a fresh unseen document mentioning watermarks and joins")],
+        "doc_id long, text string",
+    )
+    day2.coalesce(1).write.mode("append").parquet(landing)
+    run("nd_ck")  # same checkpoint: only the new file is consumed
+    admitted = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert admitted == {1, 3, 11}  # 10 dropped against the persisted index
+
+    # full replay with a FRESH checkpoint re-reads all input files but the
+    # snapshot table's epoch ledger makes both commits no-ops
+    run("nd_ck_replay")
+    admitted2 = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert admitted2 == {1, 3, 11}
+    # buckets for all three admitted docs are in the index
+    idx = spark.read.parquet(index)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {1, 3, 11}
