@@ -23,6 +23,13 @@ each scale through the noop sink.
 
 Usage: python tools/scale_bench.py [--factor 10] [--base /root/testdata/sf0.1]
            [--out /tmp/sf1_replica] [--queries q1,q2,...]
+           [--mode relational|docs|bm25-probe] [--perturb suffix|translate]
+
+Modes: ``relational`` (default) builds the re-keyed fact replica and
+times the headline queries; ``docs`` builds perturbed documents/
+embeddings replicas for north-star ops (pick --perturb per operator
+family — see build_docs_replica); ``bm25-probe`` times ONLY the probe
+against persisted BM25 indexes built untimed at both scales.
 """
 
 from __future__ import annotations
