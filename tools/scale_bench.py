@@ -135,9 +135,25 @@ def build_docs_replica(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000))
             .withColumn("text", text)
         )
-        e_parts.append(
-            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
-        )
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+        if perturb == "translate" and i > 0:
+            # vector analog of the alphabet bijection: ROTATE dimensions by
+            # i — norms and all within-copy pairwise cosines are exactly
+            # preserved (a coordinate permutation is orthogonal), while a
+            # copy's vector is no longer identical to its original, so
+            # ANN/semantic-dedup measure 10x scale, not 10x exact-dup
+            # density (un-perturbed replication makes every vector a
+            # 10-member exact-dup cluster)
+            dim = len(emb.select("embedding").first()["embedding"])
+            r = i % dim
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", r + 1, dim - r),
+                    F.slice("embedding", 1, r),
+                ),
+            )
+        e_parts.append(e)
 
     def union_all(parts):
         df = parts[0]
