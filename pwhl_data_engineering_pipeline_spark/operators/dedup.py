@@ -1382,12 +1382,13 @@ def semantic_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iterations: int = 1,
     max_cluster: int | None = 100_000,
+    target_cell: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup end to end: k-means-cluster the embedding space
     (operators.similarity.ivf_index — same index, same Lloyd refinement),
@@ -1403,9 +1404,24 @@ def semantic_dedup(
     layer); a near-duplicate pair is missed only when k-means separates it
     across cells — the published SemDeDup trade-off, tuned by
     ``n_centroids``/``refine_iterations``.
+
+    ``n_centroids="auto"`` sets ``ceil(count / target_cell)`` cells (one
+    count job) — pair cost is Σ cell², so the cell count MUST grow with
+    the corpus to keep per-cell size bounded. Measured (SCALING.md): at
+    10× data a frozen 16-cell setting costs 10× wall-clock (100× pair
+    work absorbed by idle cores); scaling cells with the corpus costs
+    2.9×. A fixed default is a foot-gun on growing corpora — "auto" is
+    the right setting for unattended pipelines.
     """
     from .graph import dedup_connected
     from .similarity import ivf_index
+
+    if n_centroids == "auto":
+        import math
+
+        n_centroids = max(1, math.ceil(corpus.count() / target_cell))
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto': {n_centroids!r}")
 
     _, assigned = ivf_index(
         corpus,

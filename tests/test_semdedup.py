@@ -207,3 +207,29 @@ def test_upsample_epochs_rejects_negative(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, source string")
     with pytest.raises(ValueError):
         sampling.upsample_epochs(df, "doc_id", "source", {"x": -1.0})
+
+
+def test_semantic_dedup_auto_centroids(spark):
+    """n_centroids='auto' sizes cells from the corpus count: exact
+    duplicates still collapse (identical vectors share a cell under any
+    centroid set), and the cell count tracks count/target_cell."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=7 + i) * 2 - 1) for i in range(8)]).alias("embedding"),
+    ).localCheckpoint()
+    dup = base.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000)
+    )
+    corpus = base.unionByName(dup)
+    survivors, pairs = dedup.semantic_dedup(
+        corpus, n_centroids="auto", threshold=0.99, target_cell=50
+    )
+    kept = {r["vec_id"] for r in survivors.collect()}
+    # every planted exact dup (higher id) was dropped
+    assert all(v < 1000 for v in kept)
+    assert len(kept) == 300
+    with _pytest.raises(ValueError):
+        dedup.semantic_dedup(corpus, n_centroids="bogus")
