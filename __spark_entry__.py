@@ -3,9 +3,16 @@
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2 — key
 names carry the §2 operator IDs) as (spark, sf_dir) callables built on
 ``pwhl_data_engineering_pipeline_spark``; ``oracle_sql()`` carries the
-DuckDB-ANSI equivalent for every SQL-expressible entry. Non-SQL-expressible
-operators (hash-seeded MinHash/SimHash/LSH, mapInPandas multimodal) are
-rows-only by design.
+DuckDB-ANSI equivalent for every entry — ALL 50 driver-window queries are
+value-hash-checked. Hash-seeded operators (MinHash/SimHash/LSH, k-means
+SemDeDup, the incremental index) are checked through their
+theorem-deterministic planted-duplicate slices (identical input ⇒
+identical signature/cell under ANY seeding, so the machinery is
+hash-verified even though organic candidate recall is probabilistic);
+iterative BPE is checked against an unrolled-SQL mirror of its train
+loop. The only rows-only entries left, in ``extended_queries()``, are
+the four ``*_full`` production shapes whose outputs genuinely depend on
+seeded LSH recall — each has a hash-green deterministic-slice twin.
 """
 
 from __future__ import annotations
