@@ -231,6 +231,10 @@ def connected_components(
     resumed paths (asserted in tests/test_graph.py). Cost: one distributed
     write per round of an edge list star-contraction is actively
     shrinking, plus one extra pass over the input to fingerprint it.
+    Re-invoking on an already-converged log appends one more
+    fixpoint-confirming round per call (convergence is detected by
+    comparing the NEW round's signature); delete the directory once
+    labels are extracted if that accumulation matters.
     """
     spark = edges.sparkSession
     canon = _canon(edges, src, dst)

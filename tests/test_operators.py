@@ -1027,3 +1027,19 @@ def test_minhash_auto_banding_resolves_from_threshold(spark):
         num_bands=dedup.banding_for_threshold(64, 0.9)[0],
     )
     assert {(r["id_a"], r["id_b"]) for r in explicit.collect()} == got
+
+
+@pytest.mark.parametrize("num_hashes", [16, 32, 64, 128])
+def test_banding_for_threshold_is_minimal_over_divisors(num_hashes):
+    """Property: the returned (b, r) has the minimal |midpoint - t| among
+    ALL divisor pairs of num_hashes, across a threshold grid."""
+    for t10 in range(1, 10):
+        t = t10 / 10
+        b, r = dedup.banding_for_threshold(num_hashes, t)
+        assert b * r == num_hashes
+        best = min(
+            abs((1.0 / bb) ** (1.0 / (num_hashes // bb)) - t)
+            for bb in range(1, num_hashes + 1)
+            if num_hashes % bb == 0
+        )
+        assert abs((1.0 / b) ** (1.0 / r) - t) == best
