@@ -1370,6 +1370,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "es_key")
 
 
+def q_weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped A-ES sampling: exactly 10 docs per language, probability ∝
+    n_chars within each group — the per-slice balanced variant (window
+    rank over the es key, state bounded by k per group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_k(
+        docs, 10, "n_chars", group_cols=["lang"], key_out="es_key"
+    ).select("lang", "doc_id", "n_chars", "es_key")
+
+
 def q_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split + weighted corpus mixing
     (operators.sampling): md5-hash membership, pure map-side (no shuffle,
@@ -3065,6 +3075,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_split_leakage_safe": q_split_leakage_safe,
         "ns_token_budget": q_token_budget,
         "ns_weighted_sample": q_weighted_sample,
+        "ns_weighted_sample_grouped": q_weighted_sample_grouped,
         "ns_corpus_export": q_corpus_export,
         "ns_bpe_tokens": q_bpe_tokens,
         "ns_bpe_merges": q_bpe_merges,
@@ -4859,6 +4870,15 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE n_chars IS NOT NULL AND n_chars > 0
         ORDER BY es_key DESC, doc_id
         LIMIT 50
+    """
+    sql["ns_weighted_sample_grouped"] = f"""
+        SELECT lang, doc_id, n_chars, es_key FROM (
+          SELECT lang, doc_id, n_chars, {_es} AS es_key,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {_es} DESC, doc_id) AS rn
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) WHERE rn <= 10
     """
     return sql
 

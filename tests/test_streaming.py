@@ -322,3 +322,46 @@ def test_streaming_neardup_ingest_end_to_end(spark, tmp_path):
     # buckets for all three admitted docs are in the index
     idx = spark.read.parquet(index)
     assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {1, 3, 11}
+
+
+def test_streaming_neardup_ingest_boilerplate_skew(spark, tmp_path):
+    """Boilerplate-heavy batch (300 byte-identical docs): with the default
+    small hot-bucket cap the viral bucket is DROPPED — the job completes
+    with no quadratic pair fanout at the documented cost of admitting the
+    copies (exact dups belong to streaming_dedup_content upstream; the cap
+    protects against the quadratic case). With the cap widened to cover
+    the cluster, within-batch suppression keeps exactly the min-id copy."""
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+
+    boiler = "identical boilerplate body repeated across the whole crawl frontier"
+    distinct = [
+        "a treatise on broadcast hash joins and adaptive query execution",
+        "completely different prose describing parquet footer statistics",
+        "notes about python arrow batches crossing the jvm boundary fast",
+        "an essay on watermark state eviction in structured streaming",
+        "benchmark methodology for shuffle partition sizing at scale",
+    ]
+    rows = [(i, boiler) for i in range(300)] + [
+        (1000 + i, t) for i, t in enumerate(distinct)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(tag, cap):
+        landing = str(tmp_path / f"sk_landing_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(landing)
+        stream = spark.readStream.schema(df.schema).parquet(landing)
+        q = sdedup.streaming_neardup_ingest(
+            stream, str(tmp_path / f"sk_index_{tag}"), str(tmp_path / f"sk_table_{tag}"),
+            str(tmp_path / f"sk_ck_{tag}"), num_hashes=64, num_bands=8, max_bucket=cap,
+        )
+        q.awaitTermination(180)
+        return sorted(
+            r["doc_id"]
+            for r in read_snapshot(spark, str(tmp_path / f"sk_table_{tag}")).collect()
+        )
+
+    # capped: completes fast, viral bucket dropped -> all docs admitted
+    assert run("capped", 16) == sorted(i for i, _ in rows)
+    # cap sized for the cluster: min-id copy survives, copies suppressed
+    assert run("wide", 512) == [0] + [1000 + i for i in range(5)]
