@@ -33,7 +33,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "dedup_connected"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "dedup_connected",
+    "round_log_vacuum",
+]
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -157,14 +162,53 @@ def _complete_rounds(spark, base: str) -> list[int]:
     return sorted(out)
 
 
+def _clear_round_log(spark, base: str) -> None:
+    """Delete every round_* directory AND the manifest under ``base``.
+
+    Fresh starts must not leave rounds from a previous (different) edge
+    set behind: if the new graph converges in fewer rounds than the old
+    log held, a later resume would find a matching manifest and
+    `_complete_rounds` would pick the stale highest round — silently
+    resuming from ANOTHER graph's edges (ADVICE r6 high). Deleting first
+    also makes the crash story clean: any interruption before the new
+    manifest is written leaves a directory with no manifest, which the
+    next call treats as a fresh start again."""
+    import re as _re
+
+    from ..fsutil import hadoop_fs
+
+    fs, dpath, jvm = hadoop_fs(spark, base)
+    if not fs.exists(dpath):
+        return
+    for st in fs.listStatus(dpath):
+        name = st.getPath().getName()
+        if _re.match(r"^round_\d{4}$", name) or name == "_cc_manifest.json":
+            fs.delete(st.getPath(), True)
+
+
 def _restore_or_init_rounds(spark, base, canon, state, persist_round):
     """Resume the round log if it belongs to THIS edge set, else start it.
 
     The manifest stores the input's (count, xor-hash) fingerprint: a
     directory reused across different graphs must never be silently
-    resumed — stale rounds would yield confidently wrong labels. Returns
-    (current edge DataFrame, its signature) and leaves ``state['next']``
-    at the next round index to write.
+    resumed — stale rounds would yield confidently wrong labels. On a
+    fresh start, stale round directories are DELETED before anything is
+    written, and the manifest is written only AFTER round_0000 commits
+    (crash between the two leaves no manifest → fresh start again, never
+    a new fingerprint pointing at old data).
+
+    Once the fixpoint loop converges, the manifest additionally records
+    ``converged_round`` and that round's own signature. A later call
+    with the same input short-circuits: if the recorded round is present
+    and its signature still matches, its edges ARE the fixpoint and no
+    confirming round needs to be appended (VERDICT r6 #3 — previously
+    every re-invocation on a stable corpus grew the log by one round).
+    A signature mismatch (doctored/corrupted round) falls back to the
+    normal resume loop, which re-verifies convergence the hard way.
+
+    Returns ``(edges, signature, converged)``; ``signature`` is None on
+    the converged path (no caller needs it). Leaves ``state['next']`` at
+    the next round index to write.
     """
     import json
     import logging
@@ -176,21 +220,87 @@ def _restore_or_init_rounds(spark, base, canon, state, persist_round):
     prev = read_text(spark, manifest_p)
     rounds = _complete_rounds(spark, base)
     if prev is not None and rounds:
-        saved = json.loads(prev).get("input_sig")
+        mf = json.loads(prev)
+        saved = mf.get("input_sig")
         if saved is not None and tuple(saved) == input_sig:
+            conv = mf.get("converged_round")
+            if conv is not None and conv in rounds:
+                e = spark.read.parquet(f"{base}/round_{conv:04d}")
+                conv_sig = mf.get("converged_sig")
+                if conv_sig is not None and tuple(conv_sig) == _signature(e):
+                    state["next"] = conv + 1
+                    return e, None, True
+                # round bytes no longer match what convergence recorded:
+                # resume the loop from it rather than trust it blindly
             last = rounds[-1]
             state["next"] = last + 1
             e = spark.read.parquet(f"{base}/round_{last:04d}")
             # resumed state's own signature (≠ input_sig after round 0)
-            return e, (input_sig if last == 0 else _signature(e))
+            return e, (input_sig if last == 0 else _signature(e)), False
         logging.getLogger(__name__).warning(
             "checkpoint_dir %s holds rounds for a DIFFERENT edge set "
             "(manifest fingerprint %s != input %s): starting fresh.",
             base, saved, list(input_sig),
         )
+    _clear_round_log(spark, base)
     state["next"] = 0
+    e = persist_round(canon)  # round_0000 commits (_SUCCESS) first...
     write_text(spark, manifest_p, json.dumps({"input_sig": list(input_sig)}))
-    return persist_round(canon), input_sig
+    return e, input_sig, False
+
+
+def _mark_converged(spark, base: str, round_idx: int, sig: tuple) -> None:
+    """Record in the manifest that ``round_NNNN`` is the star fixpoint
+    (with its signature, so a later short-circuit can verify the bytes
+    it is about to trust). Overwrites atomically via fsutil."""
+    import json
+
+    from ..fsutil import read_text, write_text
+
+    manifest_p = f"{base}/_cc_manifest.json"
+    prev = read_text(spark, manifest_p)
+    mf = json.loads(prev) if prev else {}
+    mf["converged_round"] = round_idx
+    mf["converged_sig"] = list(sig)
+    write_text(spark, manifest_p, json.dumps(mf))
+
+
+def round_log_vacuum(spark, checkpoint_dir: str) -> list[str]:
+    """Delete round directories a converged log no longer needs.
+
+    Keeps ``round_0000`` (the canonicalized input — the node universe a
+    resume/labels pass reads) and the manifest's ``converged_round``;
+    deletes every other round, including intermediates and any
+    fixpoint-confirming rounds appended by pre-r7 re-invocations. A log
+    with no ``converged_round`` recorded is left untouched (it may be
+    mid-fixpoint; deleting its latest round would discard progress).
+
+    Returns the deleted directory names (for logging/tests).
+    """
+    import json
+    import re as _re
+
+    from ..fsutil import hadoop_fs, read_text
+
+    base = checkpoint_dir.rstrip("/")
+    prev = read_text(spark, f"{base}/_cc_manifest.json")
+    if prev is None:
+        return []
+    conv = json.loads(prev).get("converged_round")
+    if conv is None:
+        return []
+    keep = {0, conv}
+    fs, dpath, _ = hadoop_fs(spark, base)
+    if not fs.exists(dpath):
+        return []
+    deleted = []
+    for st in fs.listStatus(dpath):
+        name = st.getPath().getName()
+        m = _re.match(r"^round_(\d{4})$", name)
+        if m and int(m.group(1)) not in keep:
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    return sorted(deleted)
 
 
 def connected_components(
@@ -231,13 +341,17 @@ def connected_components(
     resumed paths (asserted in tests/test_graph.py). Cost: one distributed
     write per round of an edge list star-contraction is actively
     shrinking, plus one extra pass over the input to fingerprint it.
-    Re-invoking on an already-converged log appends one more
-    fixpoint-confirming round per call (convergence is detected by
-    comparing the NEW round's signature); delete the directory once
-    labels are extracted if that accumulation matters.
+    Once converged, the manifest records the fixpoint round (and its
+    signature): re-invoking on an already-converged log verifies that
+    signature and reads labels straight off the recorded round — no
+    confirming round is appended, so the log size is stable under
+    repeated invocation (e.g. a scheduled pipeline on a stable corpus).
+    ``round_log_vacuum(spark, checkpoint_dir)`` reclaims intermediate
+    rounds once converged (keeps round_0000 + the fixpoint round).
     """
     spark = edges.sparkSession
     canon = _canon(edges, src, dst)
+    converged = False
 
     if checkpoint_dir is not None:
         base = checkpoint_dir.rstrip("/")
@@ -252,7 +366,9 @@ def connected_components(
         def _truncate(df: DataFrame) -> DataFrame:
             return _persist_round(df)
 
-        e, sig = _restore_or_init_rounds(spark, base, canon, state, _persist_round)
+        e, sig, converged = _restore_or_init_rounds(
+            spark, base, canon, state, _persist_round
+        )
         nodes_src = spark.read.parquet(f"{base}/round_0000")
     else:
         def _truncate(df: DataFrame) -> DataFrame:
@@ -268,6 +384,14 @@ def connected_components(
     nodes = nodes_src.select(F.col("u").alias("node")).union(
         nodes_src.select(F.col("v").alias("node"))
     ).distinct()
+    if converged:
+        # Verified fixpoint read off the round log: every edge is already
+        # child→root(min). Skip the loop AND the driver short-circuit —
+        # the labels join below is the cheapest remaining path.
+        labels = e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+        return nodes.join(labels, "node", "left").select(
+            F.col("node"), F.coalesce("root", "node").alias("cluster_id")
+        )
     if sig[0] == 0:
         # Empty edge set: no components to find. Short-circuit instead of
         # paying star rounds + a labels join on empty frames (a pair
@@ -290,6 +414,8 @@ def connected_components(
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
+            if checkpoint_dir is not None:
+                _mark_converged(spark, base, state["next"] - 1, sig2)
             break
         sig = sig2
     else:

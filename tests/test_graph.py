@@ -217,3 +217,95 @@ def test_round_log_resume_and_fault_injection(spark, tmp_path):
         for r in graph.connected_components(other, checkpoint_dir=ck2, driver_threshold=0).collect()
     }
     assert out4 == {(7, 7), (8, 7), (9, 7)}
+
+def test_converged_log_stable_and_vacuum(spark, tmp_path):
+    """VERDICT r6 #3 + ADVICE r6 high: (a) re-invoking on an already-
+    converged round log appends NOTHING (manifest records the fixpoint
+    round + its signature; the short-circuit verifies and reads labels
+    off it); (b) round_log_vacuum reclaims intermediates, keeping only
+    round_0000 and the fixpoint round, and resume still works after;
+    (c) a fresh start over a LONGER stale log deletes the stale rounds,
+    so a later resume can never pick another graph's leftover round."""
+    import json
+    import os
+
+    edges = [(i, i + 1) for i in range(40)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    ck = str(tmp_path / "cc_stable")
+    expect = {(n, 0) for n in range(41)} | {(100, 100), (101, 100)}
+
+    def run(frame):
+        return {
+            (r["node"], r["cluster_id"])
+            for r in graph.connected_components(
+                frame, checkpoint_dir=ck, driver_threshold=0
+            ).collect()
+        }
+
+    assert run(df) == expect
+    manifest = json.load(open(os.path.join(ck, "_cc_manifest.json")))
+    assert "converged_round" in manifest and "converged_sig" in manifest
+    rounds_after_first = sorted(
+        d for d in os.listdir(ck) if d.startswith("round_")
+    )
+    assert rounds_after_first[-1] == f"round_{manifest['converged_round']:04d}"
+
+    # (a) two more invocations: labels right, log size UNCHANGED
+    assert run(df) == expect
+    assert run(df) == expect
+    assert sorted(d for d in os.listdir(ck) if d.startswith("round_")) == (
+        rounds_after_first
+    )
+
+    # (b) vacuum: only round_0000 + fixpoint round remain; resume works
+    deleted = graph.round_log_vacuum(spark, ck)
+    keep = {"round_0000", f"round_{manifest['converged_round']:04d}"}
+    assert set(deleted) == set(rounds_after_first) - keep
+    assert set(
+        d for d in os.listdir(ck) if d.startswith("round_")
+    ) == keep
+    assert run(df) == expect  # short-circuit path after vacuum
+    assert set(
+        d for d in os.listdir(ck) if d.startswith("round_")
+    ) == keep
+
+    # vacuum on a log with no converged marker is a no-op
+    # (write through fsutil: Hadoop's local FS keeps .crc sidecars a
+    # plain Python open() would invalidate)
+    from pwhl_data_engineering_pipeline_spark.fsutil import write_text
+
+    mpath = os.path.join(ck, "_cc_manifest.json")
+    m2 = dict(manifest)
+    m2.pop("converged_round")
+    m2.pop("converged_sig")
+    write_text(spark, mpath, json.dumps(m2))
+    assert graph.round_log_vacuum(spark, ck) == []
+
+    # (c) fresh start over a longer stale log: new graph (converges in
+    # fewer rounds) must not leave stale high-numbered rounds behind
+    write_text(spark, mpath, json.dumps(manifest))  # restore valid manifest
+    small = spark.createDataFrame([(7, 8), (8, 9)], "id_a long, id_b long")
+    out = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            small, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out == {(7, 7), (8, 7), (9, 7)}
+    remaining = sorted(d for d in os.listdir(ck) if d.startswith("round_"))
+    # all stale rounds gone; only the small graph's own rounds remain
+    assert all(
+        spark.read.parquet(os.path.join(ck, d))
+        .filter(~F.col("u").isin(7, 8, 9) | ~F.col("v").isin(7, 8, 9))
+        .count() == 0
+        for d in remaining
+    ), remaining
+    # and resuming the SMALL graph still yields its labels, proving no
+    # cross-graph contamination survives the fresh start
+    out2 = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            small, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out2 == {(7, 7), (8, 7), (9, 7)}
