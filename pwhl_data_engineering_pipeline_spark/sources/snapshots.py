@@ -393,10 +393,15 @@ def commit_stream_batch(
         dirs = list(pm["dirs"])
     dirs.append(_write_data(batch_df, path))
     epochs[stream_id] = epoch_id
+    # stream_id is stamped alongside epoch_id so a replayed epoch's own
+    # commit can be FOUND again by walking the parent chain (the streaming
+    # near-dup sink re-reads that epoch's admitted rows to make its index
+    # append idempotent — see streaming.dedup.streaming_neardup_ingest)
     return _commit(
         spark, path, dirs, "stream-append", parent,
         batch_df.schema.json(),
-        extra={"epoch_id": epoch_id, "stream_epochs": epochs},
+        extra={"epoch_id": epoch_id, "stream_id": stream_id,
+               "stream_epochs": epochs},
     )
 
 

@@ -365,3 +365,120 @@ def test_streaming_neardup_ingest_boilerplate_skew(spark, tmp_path):
     assert run("capped", 16) == sorted(i for i, _ in rows)
     # cap sized for the cluster: min-id copy survives, copies suppressed
     assert run("wide", 512) == [0] + [1000 + i for i in range(5)]
+
+def test_streaming_neardup_crash_between_commit_and_index(spark, tmp_path, monkeypatch):
+    """ADVICE r6 medium + VERDICT r6 #2: a crash AFTER the exactly-once
+    data commit but BEFORE (or during) the index append must be fully
+    repaired by the replay — previously the replay skipped the append
+    entirely, leaving the crashed batch's survivors permanently
+    unindexed, so later copies of them were admitted forever.
+
+    Injects the crash by patching minhash_index_write to raise, simulates
+    a PARTIAL pre-crash append (doc 1's buckets only), replays, and then
+    proves (a) the index holds FULL buckets for every admitted doc,
+    (b) later exact copies of the crashed batch's survivors are caught,
+    (c) index_compact reclaims the at-least-once duplicate rows and the
+    compacted index still answers probes."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup as bdedup
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+
+    landing = str(tmp_path / "cr_landing")
+    index = str(tmp_path / "cr_index")
+    table = str(tmp_path / "cr_table")
+    ck = str(tmp_path / "cr_ck")
+
+    day1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),   # in-batch dup
+         (3, "a completely different document about stream state stores")],
+        "doc_id long, text string",
+    )
+    day1.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    def run(extra_ck=None):
+        stream = spark.readStream.schema(day1.schema).parquet(landing)
+        q = sdedup.streaming_neardup_ingest(
+            stream, index, table, extra_ck or ck, num_hashes=64, num_bands=8,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    # ---- crash injection: index append dies after the data commit
+    real_write = bdedup.minhash_index_write
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between commit and index append")
+
+    monkeypatch.setattr(bdedup, "minhash_index_write", boom)
+    q = run()
+    assert q.exception() is not None  # the batch really died mid-protocol
+    admitted = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert admitted == {1, 3}  # data side committed exactly-once
+    import os
+    assert not os.path.exists(index)  # ...but nothing was indexed
+
+    # ---- simulate the worse variant: the crash happened MID-append and
+    # doc 1's buckets (only) made it in
+    monkeypatch.setattr(bdedup, "minhash_index_write", real_write)
+    real_write(
+        day1.filter(F.col("doc_id") == 1), index,
+        num_hashes=64, num_bands=8, mode="overwrite",
+    )
+
+    # ---- replay with the SAME checkpoint: data commit is a no-op, and
+    # the repair re-appends the epoch's ADMITTED rows in full
+    q2 = run()
+    assert q2.exception() is None
+    idx = spark.read.parquet(index)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {1, 3}
+    # doc 1 was appended twice (partial sim + repair): at-least-once rows
+    assert idx.count() > idx.distinct().count()
+    # every admitted doc has its FULL band set (8 bands each)
+    per_doc = {
+        r["doc_id"]: r["nb"]
+        for r in idx.groupBy("doc_id").agg(
+            F.countDistinct("band").alias("nb")
+        ).collect()
+    }
+    assert per_doc == {1: 8, 3: 8}
+
+    # ---- the ADVICE failure mode is closed: later copies of the crashed
+    # batch's survivors are now dropped at the door
+    day2 = spark.createDataFrame(
+        [(12, "the quick brown fox jumps over the lazy dog today"),     # copy of 1
+         (13, "a completely different document about stream state stores"),  # copy of 3
+         (14, "a genuinely novel document about catalyst optimizer rules")],
+        "doc_id long, text string",
+    )
+    day2.coalesce(1).write.mode("append").parquet(landing)
+    q3 = run()
+    assert q3.exception() is None
+    admitted = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert admitted == {1, 3, 14}
+
+    # ---- compaction reclaims the duplicate rows; compacted index probes
+    compact_out = str(tmp_path / "cr_index_compact")
+    stats = sdedup.index_compact(spark, index, compact_out)
+    assert stats["rows_out"] < stats["rows_in"]
+    cidx = spark.read.parquet(compact_out)
+    assert cidx.count() == cidx.distinct().count()
+    assert {r["doc_id"] for r in cidx.select("doc_id").distinct().collect()} == {1, 3, 14}
+    # a probe against the compacted index still drops a copy of doc 3
+    probe = spark.createDataFrame(
+        [(99, "a completely different document about stream state stores")],
+        "doc_id long, text string",
+    )
+    surv = bdedup.dedup_minhash_incremental(
+        spark, probe, compact_out, num_hashes=64, num_bands=8,
+        append_survivors=False,
+    )
+    assert surv.count() == 0
+
+    # idempotence: compacting the compacted index changes nothing
+    compact_out2 = str(tmp_path / "cr_index_compact2")
+    stats2 = sdedup.index_compact(spark, compact_out, compact_out2)
+    assert stats2["rows_in"] == stats2["rows_out"] == stats["rows_out"]
