@@ -323,9 +323,26 @@ def bm25_search_index(
     )
     buckets = sorted({r["bucket"] for r in qterms.select("bucket").distinct().collect()})
     if not buckets:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id long, score double, rank int"
+        # Empty-result schema must match the normal path's exactly
+        # (ADVICE r6 low: a hardcoded 'doc_id long' diverges on string/int
+        # corpora and breaks unions/joins downstream): doc_id's type comes
+        # from the index's postings schema (footer-only read), query_id's
+        # from the caller's query frame.
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id].dataType),
+                T.StructField(
+                    "doc_id",
+                    spark.read.parquet(f"{path}/postings").schema["doc_id"].dataType,
+                ),
+                T.StructField("score", T.DoubleType()),
+                # row_number() is non-nullable on the normal path
+                T.StructField("rank", T.IntegerType(), nullable=False),
+            ]
         )
+        return spark.createDataFrame([], schema)
 
     stats = spark.read.parquet(f"{path}/stats").filter(F.col("bucket").isin(buckets))
     postings = spark.read.parquet(f"{path}/postings").filter(

@@ -320,3 +320,41 @@ def test_bm25_index_probe_empty_query_terms(spark, docs_df, tmp_path):
     search.bm25_index_write(docs_df, idx, n_buckets=8)
     qdf = spark.createDataFrame([("q1", "   ")], "query_id string, query_text string")
     assert search.bm25_search_index(spark, idx, qdf).count() == 0
+
+def test_bm25_index_empty_probe_schema_matches_normal_path(spark, tmp_path):
+    """ADVICE r6 low: the empty-query-terms early return must inherit the
+    index's doc_id type (and the caller's query_id type), not hardcode
+    'doc_id long' — on a string-id corpus the two paths previously
+    returned different schemas, breaking unions of probe results."""
+    docs = spark.createDataFrame(
+        [("doc-a", "spark window functions and aggregates"),
+         ("doc-b", "parquet column pruning at the scan")],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "bm25_idx_strid")
+    search.bm25_index_write(docs, idx, n_buckets=8)
+    normal = search.bm25_search_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [("q1", "spark window")], "query_id string, query_text string"
+        ),
+    )
+    empty = search.bm25_search_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [("q2", "   ")], "query_id string, query_text string"
+        ),
+    )
+    assert empty.schema == normal.schema
+    assert empty.count() == 0
+    # the union a downstream consumer would build now works
+    assert normal.unionByName(empty).count() == normal.count()
+    # int query ids follow the caller's type the same way
+    empty_int = search.bm25_search_index(
+        spark,
+        idx,
+        spark.createDataFrame([(7, "   ")], "query_id int, query_text string"),
+    )
+    assert empty_int.schema["query_id"].dataType.simpleString() == "int"
