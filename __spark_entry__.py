@@ -2043,6 +2043,25 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (search.bm25_index_append,
+    VERDICT r6 #5): build the persisted index over HALF the corpus, append
+    the other half WITHOUT re-tokenizing the first, then probe. Postings
+    append per bucket, df segments sum per term at probe time, and the
+    additive corpus scalars commit as a new atomic version — so the
+    result is IDENTICAL to indexing the full corpus at once, and the
+    oracle is the same full-corpus bm25_sql mirror (build(A)+append(B) ≡
+    build(A∪B) is the tested differential guarantee)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_inc_") + "/index"
+    search.bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=32)
+    search.bm25_index_append(docs.filter(F.col("doc_id") % 2 != 0), idx)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-match over distinct normalized part names
     (operators.fuzzy): Levenshtein <= 2 within first-character blocks, with
@@ -3061,6 +3080,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_quantize": q_quantize,
         "ns_bm25_search": q_bm25_search,
         "ns_bm25_indexed": q_bm25_indexed,
+        "ns_bm25_incremental": q_bm25_incremental,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
@@ -4470,8 +4490,10 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["ns_bm25_search"] = search.bm25_sql(
         docs_from="documents", queries_values=_bm25_values, k=10
     )
-    # the persisted-index probe returns IDENTICAL rows by construction
+    # the persisted-index probe returns IDENTICAL rows by construction,
+    # and so does build(half)+append(half) (differential-tested)
     sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
+    sql["ns_bm25_incremental"] = sql["ns_bm25_search"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

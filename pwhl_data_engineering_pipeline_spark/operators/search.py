@@ -224,6 +224,61 @@ def bm25_sql(
     """
 
 
+def _read_scalars(spark, path: str) -> dict:
+    """Current corpus scalars for a persisted BM25 index: the highest
+    committed version under ``{path}/_scalars/`` (the append-capable
+    layout), falling back to the legacy single-file ``_scalars.json``
+    (treated as version 0). The returned dict carries ``_version`` so an
+    appender can commit version+1 with an explicit-conflict rename."""
+    import json as _json
+    import re as _re
+
+    from ..fsutil import hadoop_fs, read_text
+
+    fs, d, _ = hadoop_fs(spark, f"{path}/_scalars")
+    best_v, best_name = -1, None
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            m = _re.match(r"^v(\d{8})\.json$", st.getPath().getName())
+            if m and int(m.group(1)) > best_v:
+                best_v, best_name = int(m.group(1)), st.getPath().getName()
+    if best_name is not None:
+        meta = _json.loads(read_text(spark, f"{path}/_scalars/{best_name}"))
+        meta["_version"] = best_v
+        return meta
+    txt = read_text(spark, f"{path}/_scalars.json")
+    if txt is None:
+        raise FileNotFoundError(f"no BM25 index scalars at {path}")
+    meta = _json.loads(txt)
+    meta["_version"] = 0
+    return meta
+
+
+def _commit_scalars(spark, path: str, meta: dict, parent_version: int) -> int:
+    """Atomically commit a new scalars version (the snapshot-table commit
+    pattern: temp write + rename-to-new-path IS the commit — readers see
+    the old or the new scalars, never a torn file, and two racing
+    appenders conflict explicitly on the rename)."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..fsutil import hadoop_fs, write_text
+
+    version = parent_version + 1
+    tmp = f"{path}/_scalars/.v{version:08d}.{_uuid.uuid4().hex}.tmp"
+    write_text(spark, tmp, _json.dumps({k: v for k, v in meta.items() if k != "_version"}))
+    fs, _, jvm = hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    final = P(f"{path}/_scalars/v{version:08d}.json")
+    if fs.exists(final) or not fs.rename(P(tmp), final):
+        fs.delete(P(tmp), False)
+        raise IOError(
+            f"BM25 scalars v{version} commit conflict at {path} "
+            "(concurrent appender?) — retry from the new current version"
+        )
+    return version
+
+
 def bm25_index_write(
     docs: DataFrame,
     path: str,
@@ -264,21 +319,97 @@ def bm25_index_write(
         )
         .first()
     )
-    import json as _json
+    # full rebuild: clear any previous scalars history (postings/stats
+    # were just overwritten; a stale higher scalars version must not win)
+    from ..fsutil import hadoop_fs
 
-    from ..fsutil import write_text
-
-    write_text(
+    fs, _, jvm = hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for stale in (f"{path}/_scalars", f"{path}/_scalars.json"):
+        sp = P(stale)
+        if fs.exists(sp):
+            fs.delete(sp, True)
+    _commit_scalars(
         spark,
-        f"{path}/_scalars.json",
-        _json.dumps(
-            {
-                "n_docs": int(row["n_docs"]),
-                "len_sum": int(row["len_sum"]),
-                "n_buckets": n_buckets,
-            }
-        ),
+        path,
+        {
+            "n_docs": int(row["n_docs"] or 0),
+            "len_sum": int(row["len_sum"] or 0),
+            "n_buckets": n_buckets,
+        },
+        parent_version=0,
     )
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append a new-docs batch to a persisted BM25 index WITHOUT
+    re-tokenizing the corpus (VERDICT r6 #5) — the incremental-ingest
+    twin of ``minhash_index_write(mode='append')``.
+
+    Mechanics, in commit order:
+
+    1. The batch tokenizes once; its postings append into the existing
+       ``bucket=`` partition directories (new files per bucket, existing
+       files untouched — probe-side partition pruning is unchanged).
+    2. Its per-term document frequencies append as NEW SEGMENT ROWS in
+       ``stats/`` — df is additive across disjoint doc batches, and the
+       probe sums segments per term after pruning to the query buckets,
+       so stats stay append-only (no read-modify-write of corpus data).
+    3. Corpus scalars (n_docs, len_sum — both additive) commit as a new
+       version under ``_scalars/`` via the snapshot-table pattern (temp
+       write + atomic rename): readers see old or new scalars, never
+       torn; racing appenders conflict explicitly.
+
+    A crash between (1)/(2) and (3) leaves the new postings visible under
+    the OLD scalars: scores are computed with a slightly-stale n_docs /
+    avg_len — ranking degrades gracefully, nothing breaks — and re-running
+    the append would double the batch's postings, so the repair is a full
+    ``bm25_index_write`` rebuild (or re-append with a fresh batch id after
+    compaction). Assumes batch doc ids are disjoint from the indexed
+    corpus (the same contract as the MinHash incremental index); df and
+    n_docs additivity both rely on it.
+
+    Differential guarantee (tested): build(A) then append(B) returns
+    IDENTICAL probe results to build(A ∪ B).
+
+    Returns {"n_docs_added", "version"} for observability.
+    """
+    spark = new_docs.sparkSession
+    meta = _read_scalars(spark, path)
+    n_buckets = meta["n_buckets"]
+    postings, _stats = build_index(new_docs, text_col, id_col, checkpoint=True)
+    bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
+    postings.select("doc_id", "term", "tf", "doc_len", bucket).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    _stats.select("term", "df", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/stats")
+    row = (
+        postings.select("doc_id", "doc_len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("len_sum"),
+        )
+        .first()
+    )
+    version = _commit_scalars(
+        spark,
+        path,
+        {
+            "n_docs": meta["n_docs"] + int(row["n_docs"] or 0),
+            "len_sum": meta["len_sum"] + int(row["len_sum"] or 0),
+            "n_buckets": n_buckets,
+        },
+        parent_version=meta["_version"],
+    )
+    return {"n_docs_added": int(row["n_docs"] or 0), "version": version}
 
 
 def bm25_search_index(
@@ -305,11 +436,7 @@ def bm25_search_index(
     posting stream joins against is a broadcast; the only shuffle is the
     (query, doc) partial-score sum, bounded by matched postings.
     """
-    import json as _json
-
-    from ..fsutil import read_text
-
-    meta = _json.loads(read_text(spark, f"{path}/_scalars.json"))
+    meta = _read_scalars(spark, path)
     n_docs, avg_len = meta["n_docs"], meta["len_sum"] / meta["n_docs"]
     n_buckets = meta["n_buckets"]
 
@@ -344,7 +471,16 @@ def bm25_search_index(
         )
         return spark.createDataFrame([], schema)
 
-    stats = spark.read.parquet(f"{path}/stats").filter(F.col("bucket").isin(buckets))
+    # Sum df across append SEGMENTS per term (bm25_index_append writes
+    # new stats rows instead of rewriting; df is additive over disjoint
+    # batches). Runs over the bucket-pruned slice only — on a never-
+    # appended index it's a no-op aggregation over one row per term.
+    stats = (
+        spark.read.parquet(f"{path}/stats")
+        .filter(F.col("bucket").isin(buckets))
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"))
+    )
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
     )

@@ -358,3 +358,76 @@ def test_bm25_index_empty_probe_schema_matches_normal_path(spark, tmp_path):
         spark.createDataFrame([(7, "   ")], "query_id int, query_text string"),
     )
     assert empty_int.schema["query_id"].dataType.simpleString() == "int"
+
+def test_bm25_index_append_differential(spark, docs_df, tmp_path):
+    """VERDICT r6 #5: build(A) + append(B) must return IDENTICAL probe
+    results to build(A ∪ B) — postings append per bucket, df segments sum
+    per term, scalars (n_docs/len_sum) are additive and commit as a new
+    atomic version. Also: the probe stays partition-pruned after an
+    append, and a second append (three segments) still agrees."""
+    rows = docs_df.collect()
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], docs_df.schema)
+    b = spark.createDataFrame(rows[half:], docs_df.schema)
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+
+    full_idx = str(tmp_path / "bm25_full")
+    search.bm25_index_write(docs_df, full_idx, n_buckets=16)
+    want = sorted(map(tuple, search.bm25_search_index(spark, full_idx, qdf, k=10).collect()))
+    assert want  # fixture produces hits
+
+    inc_idx = str(tmp_path / "bm25_inc")
+    search.bm25_index_write(a, inc_idx, n_buckets=16)
+    stats = search.bm25_index_append(b, inc_idx)
+    assert stats["n_docs_added"] == len(rows) - half
+    assert stats["version"] == 2
+    got = sorted(map(tuple, search.bm25_search_index(spark, inc_idx, qdf, k=10).collect()))
+    assert got == want
+
+    # probe cost shape unchanged: partition pruning still reaches the scan
+    plan = (
+        search.bm25_search_index(spark, inc_idx, qdf, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+    filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters and any("bucket" in f for f in filters), plan[:2000]
+
+    # a term present in BOTH halves now has two stats segments; the probe
+    # must see the SUMMED df (already proven by `got == want`, but assert
+    # the segmentation is real so this test can't pass vacuously)
+    seg = (
+        spark.read.parquet(f"{inc_idx}/stats")
+        .groupBy("term").count().filter(F.col("count") > 1).count()
+    )
+    assert seg > 0
+
+    # three segments: append in two pieces ≡ one piece
+    rows_b = b.collect()
+    b1 = spark.createDataFrame(rows_b[:1], docs_df.schema)
+    b2 = spark.createDataFrame(rows_b[1:], docs_df.schema)
+    inc2 = str(tmp_path / "bm25_inc2")
+    search.bm25_index_write(a, inc2, n_buckets=16)
+    search.bm25_index_append(b1, inc2)
+    stats2 = search.bm25_index_append(b2, inc2)
+    assert stats2["version"] == 3
+    got2 = sorted(map(tuple, search.bm25_search_index(spark, inc2, qdf, k=10).collect()))
+    assert got2 == want
+
+
+def test_bm25_index_rebuild_clears_scalars_history(spark, docs_df, tmp_path):
+    """A full bm25_index_write over an appended index must not leave a
+    stale higher scalars version winning over the rebuild's v1."""
+    idx = str(tmp_path / "bm25_rebuild")
+    rows = docs_df.collect()
+    a = spark.createDataFrame(rows[:2], docs_df.schema)
+    search.bm25_index_write(a, idx, n_buckets=8)
+    search.bm25_index_append(spark.createDataFrame(rows[2:], docs_df.schema), idx)
+    # rebuild from scratch over only `a`
+    search.bm25_index_write(a, idx, n_buckets=8)
+    meta = search._read_scalars(spark, idx)
+    assert meta["_version"] == 1
+    assert meta["n_docs"] == 2
