@@ -10,9 +10,12 @@ theorem-deterministic planted-duplicate slices (identical input ⇒
 identical signature/cell under ANY seeding, so the machinery is
 hash-verified even though organic candidate recall is probabilistic);
 iterative BPE is checked against an unrolled-SQL mirror of its train
-loop. The only rows-only entries left, in ``extended_queries()``, are
-the four ``*_full`` production shapes whose outputs genuinely depend on
-seeded LSH recall — each has a hash-green deterministic-slice twin.
+loop; and the four ``*_full`` production shapes (whose raw outputs
+genuinely depend on seeded LSH recall) are checked through
+INVARIANT CENSUSES — (leg, metric) rows mixing SQL-recomputable corpus
+stats with violation counts that are theorems of each pipeline and must
+be exactly 0 (VERDICT r6 #1). Every entry, driver window and extended,
+is value-hash-checked.
 """
 
 from __future__ import annotations
@@ -1950,16 +1953,70 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_leg.unionByName(census_leg)
 
 
+def _census_leg(name: str, one_row_agg: DataFrame) -> DataFrame:
+    """(leg, metric) row from a 1-row aggregate whose column is ``metric``.
+    The invariant-census pattern (VERDICT r6 #1): hash-seeded LSH decisions
+    aren't SQL-mirrorable, but counts that are THEOREMS of the pipeline
+    (violation counts that must be 0) and corpus stats (SQL-computable)
+    are — so the production shapes become value-hash-checkable the same
+    way a_approx_aggs oracles HLL through deterministic tolerances. Legs
+    union instead of crossJoin so no nested-loop join enters the plan."""
+    return one_row_agg.select(
+        F.lit(name).alias("leg"), F.col("metric").cast("long").alias("metric")
+    )
+
+
 def q_minhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dedup shape (threshold 0.8, organic corpus, no
-    text-equality projection): surviving doc ids. Hash-seeded candidate
-    recall → rows-only check; the deterministic slice is hash-checked by
-    ns_minhash_dedup."""
+    text-equality projection), graduated from rows-only to an
+    INVARIANT-CENSUS oracle: the hash-seeded survivor set itself is not
+    SQL-mirrorable (organic near-dup candidacy depends on the hash
+    family), but these in-job censuses are — two corpus stats DuckDB
+    recomputes, and three violation counts that are theorems of the
+    pipeline (identical text ⇒ identical signature ⇒ candidate in every
+    band ⇒ verified at J=1 ⇒ larger id suppressed; survivors are a
+    subset of the corpus with unique ids), so each must be exactly 0.
+    At sf0.1 the corpus has 8 organic duplicate-text groups, so the
+    zero-legs have real bite there, not just vacuous truth. A banding/
+    verification/suppression bug that drops the wrong doc or fabricates
+    a survivor flips the value hash. The deterministic planted slice
+    stays hash-checked pairwise by ns_minhash_dedup."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
-    return dedup.dedup_minhash(
-        docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8
-    ).select("doc_id")
+    surv = (
+        dedup.dedup_minhash(docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    cnt = F.count(F.lit(1)).alias("metric")
+    dup_groups = (
+        docs.groupBy("text").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    )
+    legs = [
+        _census_leg("n_corpus", docs.agg(cnt)),
+        _census_leg("n_dup_text_groups", dup_groups.agg(cnt)),
+        _census_leg(
+            "survivors_outside_corpus",
+            surv.join(docs.select("doc_id"), "doc_id", "left_anti").agg(cnt),
+        ),
+        _census_leg(
+            "survivor_id_dups",
+            surv.agg(
+                (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("metric")
+            ),
+        ),
+        _census_leg(
+            "dup_text_groups_multi_survivor",
+            surv.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(cnt),
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2563,21 +2620,75 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semdedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production SemDeDup shape: cells → exact within-cell cosine
-    pairs → connected-components closure → min-id survivors. Rows-only
-    (k-means init is hash-seeded; centroid floats aren't
-    SQL-reproducible) — survivorship properties are pinned in
-    tests/test_semdedup.py against brute-force ground truth; the
-    deterministic slice is hash-checked by ns_semdedup."""
+    """The production SemDeDup shape (cells → exact within-cell cosine
+    pairs → connected-components closure → min-id survivors), graduated
+    from rows-only to an INVARIANT-CENSUS oracle. The survivor set is
+    hash-seeded (k-means init decides which near-pairs share a cell) and
+    stays un-mirrored; the censuses are exact: the corpus count DuckDB
+    recomputes, plus four violation counts that are theorems of the
+    pipeline — survivors are a unique-id subset of the corpus; every
+    DROPPED vector appears in at least one emitted pair (a vector with
+    no pair is its own CC cluster and must survive); every emitted
+    pair's recorded cosine matches a recompute from the raw embeddings
+    within 1e-6 (validates the cell self-join carried the right
+    vectors) and pairs are canonical id_a < id_b. Survivorship against
+    brute-force ground truth is separately pinned in
+    tests/test_semdedup.py; the deterministic planted slice is
+    hash-checked by ns_semdedup. threshold 0.5 (not ~0.95): the
+    synthetic embeddings are near-orthogonal, so a production threshold
+    would trivially keep everything."""
     emb = _t(spark, sf_dir, "embeddings")
-    # threshold 0.5 (not the usual ~0.95): the synthetic embeddings are
-    # near-orthogonal (max pairwise cosine ≈ 0.5), so a production-grade
-    # threshold would trivially keep everything — this setting makes the
-    # whole pipeline (cells → pairs → closure → survivors) observable.
-    survivors, _ = dedup.semantic_dedup(
+    survivors, pairs = dedup.semantic_dedup(
         emb, n_centroids=16, threshold=0.5, refine_iterations=1
     )
-    return survivors.select("vec_id")
+    surv = survivors.select("vec_id").localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False)
+    vecs = emb.select("vec_id", "embedding")
+    with_vecs = pairs.join(
+        vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")),
+        "id_b",
+    )
+    endpoints = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    dropped = emb.select("vec_id").join(surv, "vec_id", "left_anti")
+    cnt = F.count(F.lit(1)).alias("metric")
+    legs = [
+        _census_leg("n_corpus", emb.agg(cnt)),
+        _census_leg(
+            "survivors_outside_corpus",
+            surv.join(emb.select("vec_id"), "vec_id", "left_anti").agg(cnt),
+        ),
+        _census_leg(
+            "survivor_id_dups",
+            surv.agg(
+                (F.count(F.lit(1)) - F.countDistinct("vec_id")).alias("metric")
+            ),
+        ),
+        _census_leg(
+            "dropped_without_pair",
+            dropped.join(endpoints, "vec_id", "left_anti").agg(cnt),
+        ),
+        _census_leg(
+            "pair_cos_mismatch",
+            with_vecs.filter(
+                F.abs(vectors.cosine("__va", "__vb") - F.col("cos")) > 1e-6
+            ).agg(cnt),
+        ),
+        _census_leg(
+            "non_canonical_pairs",
+            pairs.filter(F.col("id_a") >= F.col("id_b")).agg(cnt),
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2626,21 +2737,56 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production incremental shape (LSH-only decision, survivors of
-    the organic batch). Hash-seeded collisions → rows-only check; the
-    deterministic slice is hash-checked by ns_dedup_incremental."""
+    """The production incremental shape (LSH-only decision against a
+    persisted index), graduated from rows-only to an INVARIANT-CENSUS
+    oracle. The batch is the organic next-250 docs PLUS planted exact
+    copies of indexed docs (the redelivery case incremental ingest
+    exists for): organic survivorship is hash-seeded (LSH-only
+    collisions against the corpus are common — measured 235/250 at
+    sf0.001) and stays un-mirrored, but the censuses are exact — two
+    batch stats DuckDB recomputes, and two violation counts that are
+    theorems (a planted copy shares its original's signature, collides
+    in EVERY band through the index write → parquet round-trip →
+    sidecar anti-join → probe join, so zero planted docs may survive;
+    survivors are a subset of the batch). The deterministic slice is
+    hash-checked pairwise by ns_dedup_incremental."""
     import tempfile
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
     mid = 250
     corpus = docs.filter(F.col("doc_id") < mid)
-    batch = docs.filter((F.col("doc_id") >= mid) & (F.col("doc_id") < 2 * mid))
+    planted = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    organic = docs.filter((F.col("doc_id") >= mid) & (F.col("doc_id") < 2 * mid))
+    batch = organic.unionByName(planted)
     idx = tempfile.mkdtemp(prefix="mh_idx_")
     dedup.minhash_index_write(corpus, idx, num_hashes=64, num_bands=8)
-    return dedup.dedup_minhash_incremental(
-        spark, batch, idx, num_hashes=64, num_bands=8, append_survivors=False
-    ).select("doc_id")
+    surv = (
+        dedup.dedup_minhash_incremental(
+            spark, batch, idx, num_hashes=64, num_bands=8, append_survivors=False
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cnt = F.count(F.lit(1)).alias("metric")
+    legs = [
+        _census_leg("n_batch_organic", organic.agg(cnt)),
+        _census_leg("n_planted", planted.agg(cnt)),
+        _census_leg(
+            "survivors_outside_batch",
+            surv.join(batch.select("doc_id"), "doc_id", "left_anti").agg(cnt),
+        ),
+        _census_leg(
+            "planted_survivors",
+            surv.filter(F.col("doc_id") >= F.lit(_PLANT_OFFSET)).agg(cnt),
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,12 +2828,68 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production SimHash shape (organic corpus, all pairs at
-    hamming ≤ 12): hash-seeded banding → rows-only check; the deterministic
-    slice is hash-checked by ns_simhash_pairs."""
+    """The production SimHash shape (organic corpus, hamming ≤ 12,
+    production bucket cap), graduated from rows-only to an
+    INVARIANT-CENSUS oracle. Which near-pairs the banding finds is
+    hash-seeded (and the cap can drop even exact pairs in hot bands —
+    the documented production trade), so the pair SET stays un-mirrored;
+    the censuses are exact: two corpus stats DuckDB recomputes (count;
+    ground-truth identical-text pairs C(c,2) summed over dup groups) and
+    three violation counts that are theorems of signature/banding/verify
+    (pairs are canonical id_a < id_b; hamming within [0, 12]; a found
+    pair with identical texts MUST verify at hamming 0 because identical
+    text ⇒ identical signature). At sf0.1 the corpus has 8 organic
+    identical-text pairs of which the capped production run surfaces 7 —
+    all at hamming 0, which is the leg with bite. The deterministic
+    uncapped slice is hash-checked pairwise by ns_simhash_pairs; bench
+    times the raw pair stage via its own callable (bench.py)."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
-    return dedup.simhash_near_pairs(docs, max_hamming=12, n_bands=4, method="arrow")
+    pairs = dedup.simhash_near_pairs(
+        docs, max_hamming=12, n_bands=4, method="arrow"
+    ).localCheckpoint(eager=False)
+    texts = docs.select("doc_id", "text")
+    tagged = pairs.join(
+        texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")),
+        "id_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")),
+        "id_b",
+    )
+    cnt = F.count(F.lit(1)).alias("metric")
+    legs = [
+        _census_leg("n_docs", docs.agg(cnt)),
+        _census_leg(
+            "gt_exact_pairs",
+            docs.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("metric")
+            ),
+        ),
+        _census_leg(
+            "non_canonical_pairs",
+            pairs.filter(F.col("id_a") >= F.col("id_b")).agg(cnt),
+        ),
+        _census_leg(
+            "hamming_out_of_range",
+            pairs.filter((F.col("hamming") < 0) | (F.col("hamming") > 12)).agg(cnt),
+        ),
+        _census_leg(
+            "exact_text_pairs_nonzero_hamming",
+            tagged.filter(
+                (F.col("__ta") == F.col("__tb")) & (F.col("hamming") != 0)
+            ).agg(cnt),
+        ),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
 
 
 def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4435,6 +4637,49 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(sum(id_a + id_b) AS BIGINT) AS id_b,
                    CAST(0 AS INTEGER) AS hamming
             FROM pair
+        """,
+        # -- invariant censuses for the four *_full production shapes
+        # (VERDICT r6 #1): corpus stats DuckDB recomputes + violation
+        # counts that are pipeline theorems, so they must be exactly 0.
+        "ns_minhash_dedup_full": """
+            SELECT 'n_corpus' AS leg, CAST(count(*) AS BIGINT) AS metric
+            FROM documents
+            UNION ALL
+            SELECT 'n_dup_text_groups', CAST(count(*) AS BIGINT) FROM
+              (SELECT text FROM documents GROUP BY text HAVING count(*) > 1)
+            UNION ALL SELECT 'survivors_outside_corpus', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'survivor_id_dups', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'dup_text_groups_multi_survivor', CAST(0 AS BIGINT)
+        """,
+        "ns_dedup_incremental_full": """
+            SELECT 'n_batch_organic' AS leg, CAST(count(*) AS BIGINT) AS metric
+            FROM documents WHERE doc_id >= 250 AND doc_id < 500
+            UNION ALL
+            SELECT 'n_planted', CAST(count(*) AS BIGINT)
+            FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0
+            UNION ALL SELECT 'survivors_outside_batch', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'planted_survivors', CAST(0 AS BIGINT)
+        """,
+        "ns_simhash_pairs_full": """
+            SELECT 'n_docs' AS leg, CAST(count(*) AS BIGINT) AS metric
+            FROM documents
+            UNION ALL
+            SELECT 'gt_exact_pairs',
+                   CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM documents GROUP BY text
+               HAVING count(*) > 1)
+            UNION ALL SELECT 'non_canonical_pairs', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'hamming_out_of_range', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'exact_text_pairs_nonzero_hamming', CAST(0 AS BIGINT)
+        """,
+        "ns_semdedup_full": """
+            SELECT 'n_corpus' AS leg, CAST(count(*) AS BIGINT) AS metric
+            FROM embeddings
+            UNION ALL SELECT 'survivors_outside_corpus', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'survivor_id_dups', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'dropped_without_pair', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'pair_cos_mismatch', CAST(0 AS BIGINT)
+            UNION ALL SELECT 'non_canonical_pairs', CAST(0 AS BIGINT)
         """,
     }
     # Composed entries built from other oracles / the operators' own SQL

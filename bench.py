@@ -58,9 +58,20 @@ def main() -> None:
     queries["ns_minhash_pairs"] = _minhash_pairs
 
     # ns_simhash_pairs: the queries() entry became the planted-duplicate
-    # deterministic form (round 4); bench the production shape under the
-    # original name so r1→r4 timings stay comparable.
-    queries["ns_simhash_pairs"] = queries["ns_simhash_pairs_full"]
+    # deterministic form (round 4), and ns_simhash_pairs_full grew
+    # invariant-census legs (round 7) — bench the RAW production pair
+    # stage as its own callable so r1→r7 timings stay comparable.
+    def _simhash_pairs(spark, sf_dir):
+        from pwhl_data_engineering_pipeline_spark.operators import dedup
+        from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
+        return dedup.simhash_near_pairs(
+            docs, max_hamming=12, n_bands=4, method="arrow"
+        )
+
+    queries["ns_simhash_pairs"] = _simhash_pairs
 
     # ivf_topk_pruned: bench-only callable exercising the partition-pruned
     # probe path against a PERSISTED index (the queries() entry ns_ann_ivf
