@@ -14,10 +14,14 @@ Timing protocol (outlier-proof):
   first-compile latency (codegen, parquet footer reading, Python worker
   spawn — measured ~4s for 32 concurrent pandas imports) never lands in a
   timed run.
-- Each query is then timed twice at the target SF and the MIN is reported
-  (a stray GC pause, a reaped Python worker pool, or CPU contention from a
-  co-tenant process inflates one run, not both). Per-run values are kept in
-  the JSON under "runs" so variance stays auditable.
+- Each query is then timed THREE times at the target SF (VERDICT r6 #6:
+  min-of-2 was thin on a contended box — in-session variance hit 2.09×).
+  The reported per-query value stays the MIN (robust to one-sided
+  contention noise and continuous with prior rounds); the compact line
+  additionally carries the per-query-MEDIAN total so round-over-round
+  comparisons can use the statistic that ignores a single outlier run in
+  EITHER direction. Per-run values and max/min variance are kept in
+  BENCH_full.json so contention stays auditable.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_RUNS = 2
+N_RUNS = 3
 
 
 def main() -> None:
@@ -194,6 +198,8 @@ def main() -> None:
 
     timings = {name: min(vals) for name, vals in runs.items()}
     total = round(sum(timings.values()), 3)
+    medians = {name: sorted(vals)[len(vals) // 2] for name, vals in runs.items()}
+    median_total = round(sum(medians.values()), 3)
     # Like-for-like tracker: the round-1 headline set (18 queries). The full
     # headline grew 18 → 25 → 33 across rounds, so `value` totals are NOT
     # round-comparable; this subset is.
@@ -220,6 +226,8 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "variance_max_over_min": variance,
+        "median_queries": medians,
+        "median_total_sec": median_total,
         "r1_subset_total_sec": r1_subset,
         "n_queries": len(timings),
         "sf": sf,
@@ -238,6 +246,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median_total_sec": median_total,
                 "r1_subset_total_sec": r1_subset,
                 "n_queries": len(timings),
                 "sf": sf,

@@ -11,17 +11,60 @@ resolution) — a Python `os.path` check would silently disagree on
 `s3a://` paths.
 
 This helper centralizes the `jvm / Path / getFileSystem` idiom (ADVICE
-r5: it was re-derived inline in three modules) and fails LOUD on
-sessions without a JVM handle: `spark._jvm` / `spark._jsc` are classic
-py4j attributes absent under Spark Connect, where driver-side Hadoop FS
-access is not available at all — callers must run on a classic session
-(documented requirement), and an `AttributeError` deep inside py4j is a
-worse failure than a named error here.
+r5: it was re-derived inline in three modules).
+
+Spark Connect (VERDICT r6 #7): `spark._jvm` / `spark._jsc` are classic
+py4j attributes absent under Connect, where driver-side Hadoop FS access
+is unavailable. The small-text helpers (:func:`read_text`,
+:func:`write_text`, :func:`exists`) fall back to plain Python IO when
+the path is LOCAL (no scheme, or ``file:``) — on a Connect session
+against a local warehouse (tests, laptops, single-node), manifest-level
+features (snapshot tables' metadata, the CC round-log manifest, BM25
+scalars) keep working. Remote schemes (``hdfs:``, ``s3a:``, ...) and the
+raw :func:`hadoop_fs` handle (listing, rename, delete — true FS-metadata
+ops the fallback cannot express faithfully) still fail LOUD with a named
+error: an `AttributeError` deep inside py4j is a worse failure. Note the
+degraded envelope: snapshot COMMITS (atomic rename), vacuum/compaction,
+and the minhash sidecar's existence check go through `hadoop_fs` and
+remain classic-session-only; a Connect session can READ manifests it can
+reach locally, not commit new versions.
+
+Mixed-session caveat: Hadoop's local FS keeps `.crc` sidecars; the
+Python fallback removes a stale sidecar when it overwrites a file so a
+later classic-session read does not fail checksum verification.
 """
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import SparkSession
+
+
+def _has_jvm(spark) -> bool:
+    return getattr(spark, "_jvm", None) is not None
+
+
+def _local_path(path: str) -> str | None:
+    """The plain filesystem path when ``path`` is local (no scheme or
+    ``file:``); None for remote schemes. Windows drive letters are not a
+    deployment target here (single-char schemes are treated as local)."""
+    p = urlparse(path)
+    if p.scheme in ("", "file") or len(p.scheme) == 1:
+        return p.path if p.scheme == "file" else path
+    return None
+
+
+def _connect_error(op: str) -> RuntimeError:
+    return RuntimeError(
+        f"driver-side Hadoop FileSystem access ({op}) requires a classic "
+        "(non-Connect) SparkSession: spark._jvm is unavailable, and the "
+        "path is not local so the Python fallback cannot serve it. "
+        "Snapshot table commits, compaction, and incremental-index "
+        "sidecars need a classic session (local-path manifest reads/"
+        "writes fall back to Python IO)."
+    )
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -31,14 +74,18 @@ def hadoop_fs(spark: SparkSession, path: str):
     scheme, the path as a `org.apache.hadoop.fs.Path`, and the py4j JVM
     view (for callers needing extra classes, e.g. `IOUtils`).
 
-    Raises ``RuntimeError`` on Spark Connect sessions (no `_jvm`).
+    Raises ``RuntimeError`` on Spark Connect sessions (no `_jvm`):
+    listing/rename/delete semantics cannot be faithfully emulated, so
+    callers that need them are classic-session-only by design. The
+    small-text helpers below degrade gracefully on LOCAL paths instead.
     """
-    if not hasattr(spark, "_jvm") or spark._jvm is None:
+    if not _has_jvm(spark):
         raise RuntimeError(
             "driver-side Hadoop FileSystem access requires a classic "
             "(non-Connect) SparkSession: spark._jvm is unavailable. "
             "Snapshot tables, compaction, and incremental-index sidecars "
-            "need a classic session."
+            "need a classic session (read_text/write_text/exists fall "
+            "back to Python IO on local paths)."
         )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -46,9 +93,27 @@ def hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
+def _drop_stale_crc(local: str) -> None:
+    crc = os.path.join(
+        os.path.dirname(local), "." + os.path.basename(local) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def write_text(spark: SparkSession, path: str, content: str) -> None:
     """Write a small UTF-8 text file (manifest-sized) through the Hadoop FS
-    — works on any scheme Spark's writers reach, unlike Python ``open``."""
+    — works on any scheme Spark's writers reach, unlike Python ``open``.
+    On a Connect session, local paths fall back to Python IO."""
+    if not _has_jvm(spark):
+        local = _local_path(path)
+        if local is None:
+            raise _connect_error(f"write_text({path})")
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        _drop_stale_crc(local)
+        with open(local, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        return
     fs, hpath, _ = hadoop_fs(spark, path)
     out = fs.create(hpath, True)
     try:
@@ -58,7 +123,16 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:
-    """Read a small UTF-8 text file through the Hadoop FS; None if absent."""
+    """Read a small UTF-8 text file through the Hadoop FS; None if absent.
+    On a Connect session, local paths fall back to Python IO."""
+    if not _has_jvm(spark):
+        local = _local_path(path)
+        if local is None:
+            raise _connect_error(f"read_text({path})")
+        if not os.path.exists(local):
+            return None
+        with open(local, encoding="utf-8") as fh:
+            return fh.read()
     fs, hpath, jvm = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
@@ -66,3 +140,15 @@ def read_text(spark: SparkSession, path: str) -> str | None:
     baos = jvm.java.io.ByteArrayOutputStream()
     jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
     return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    """File/directory existence through the Hadoop FS; Connect sessions
+    fall back to ``os.path`` on local paths."""
+    if not _has_jvm(spark):
+        local = _local_path(path)
+        if local is None:
+            raise _connect_error(f"exists({path})")
+        return os.path.exists(local)
+    fs, hpath, _ = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))

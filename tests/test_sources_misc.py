@@ -337,3 +337,46 @@ def test_fsutil_roundtrip_and_connect_guard(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="classic"):
         fsutil.hadoop_fs(_FakeConnectSession(), "/tmp/x")
+
+def test_fsutil_connect_fallback_local_paths(spark, tmp_path):
+    """VERDICT r6 #7: on a Connect-like session (no spark._jvm) the
+    small-text helpers serve LOCAL paths via Python IO — round-trip,
+    missing-file None, exists() — and classic sessions read back what
+    the fallback wrote (including after an overwrite of a
+    Hadoop-written file, where the stale .crc sidecar must not trip
+    checksum verification). Remote schemes stay loud."""
+    import pytest as _pytest
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    class _FakeConnectSession:
+        _jvm = None
+
+    fake = _FakeConnectSession()
+    p = str(tmp_path / "cx" / "manifest.json")
+    fsutil.write_text(fake, p, '{"v": 1}')
+    assert fsutil.read_text(fake, p) == '{"v": 1}'
+    assert fsutil.exists(fake, p)
+    assert fsutil.read_text(fake, str(tmp_path / "cx" / "absent.json")) is None
+    assert not fsutil.exists(fake, str(tmp_path / "cx" / "absent.json"))
+    # file: scheme resolves to the same local file
+    assert fsutil.read_text(fake, "file://" + p) == '{"v": 1}'
+
+    # classic session reads what the fallback wrote
+    assert fsutil.read_text(spark, p) == '{"v": 1}'
+
+    # hadoop-written file overwritten by the fallback: stale .crc removed,
+    # classic read-back passes checksum verification
+    q = str(tmp_path / "cx" / "swap.json")
+    fsutil.write_text(spark, q, "old")
+    fsutil.write_text(fake, q, "new")
+    assert fsutil.read_text(spark, q) == "new"
+
+    # remote schemes: still the named loud error on Connect
+    for fn in (fsutil.read_text, fsutil.exists):
+        with _pytest.raises(RuntimeError, match="classic"):
+            fn(fake, "s3a://bucket/key.json")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.write_text(fake, "hdfs://nn/x.json", "x")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.hadoop_fs(fake, str(tmp_path / "cx"))
