@@ -55,6 +55,25 @@ DEFAULT_QUERIES = [
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
 
 
+def _op_queries() -> dict:
+    """Operator-level callables for scale rows whose extended_queries()
+    entries are deliberately id-bounded (they cap pair-join inputs so the
+    ORACLE sweep stays cheap): the scale measurement must consume the
+    FULL replica, so it calls the operator directly — same parameters as
+    the north-star 10× table rows."""
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    def ngram_jaccard_auto(spark, sf_dir):
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
+        return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df="auto")
+
+    return {"op_ngram_jaccard_auto": ngram_jaccard_auto}
+
+
 def build_replica(spark, base: str, out: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -110,6 +129,16 @@ def build_docs_replica(
       5-char shingles with its original, giving every cross-copy pair
       Jaccard ~0.4 and flooding banded LSH with sub-threshold
       candidates — measured round 6, see SCALING.md.)
+
+    ``translate`` at factor > 26: the alphabet admits only 26 distinct
+    rotations, so copies i and i+26 are byte-identical texts — a
+    factor-100 replica carries ~4-member exact-duplicate clusters
+    (≈ 3 duplicate partners per doc). That is a REALISTIC shape for a
+    100× crawl (true duplicates exist at scale and are exactly what
+    dedup is for), and the extra candidate/verify volume is linear in
+    the corpus (clusters are size-4, never quadratic); the 100× rows in
+    SCALING.md note it. The embedding rotation has period dim (e.g. 64),
+    with the same reading.
     """
     from pyspark.sql import functions as F
 
@@ -220,6 +249,7 @@ def main() -> None:
     import __spark_entry__ as em
 
     queries = em.extended_queries()
+    queries.update(_op_queries())
     names = [q for q in args.queries.split(",") if q]
 
     if args.mode == "bm25-probe":
