@@ -1980,7 +1980,17 @@ def q_minhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-legs have real bite there, not just vacuous truth. A banding/
     verification/suppression bug that drops the wrong doc or fabricates
     a survivor flips the value hash. The deterministic planted slice
-    stays hash-checked pairwise by ns_minhash_dedup."""
+    stays hash-checked pairwise by ns_minhash_dedup.
+
+    PRECONDITION (ADVICE r7 low): dup_text_groups_multi_survivor is a
+    theorem only while each identical-text group keeps at least one band
+    bucket under dedup_minhash's max_bucket=64 hot-bucket cap (the cap
+    drops exact pairs inside hot buckets — the documented production
+    trade, acknowledged for the simhash census). The observable proxy is
+    group size ≤ 64: the dup_text_groups_over_cap guard leg counts groups
+    exceeding it, DuckDB-recomputed, so on a data shape where the cap CAN
+    bite, a nonzero guard diagnoses any multi-survivor count as data
+    shape, not a pipeline bug. 0 at every tested SF."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = _t(spark, sf_dir, "documents").repartition(n_part)
     surv = (
@@ -2010,6 +2020,13 @@ def q_minhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv.groupBy("text")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") > 1)
+            .agg(cnt),
+        ),
+        _census_leg(
+            "dup_text_groups_over_cap",
+            docs.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 64)
             .agg(cnt),
         ),
     ]
@@ -2749,7 +2766,15 @@ def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     in EVERY band through the index write → parquet round-trip →
     sidecar anti-join → probe join, so zero planted docs may survive;
     survivors are a subset of the batch). The deterministic slice is
-    hash-checked pairwise by ns_dedup_incremental."""
+    hash-checked pairwise by ns_dedup_incremental.
+
+    PRECONDITION (ADVICE r7 low): planted_survivors is a theorem only
+    while the planted original's band buckets survive the index's
+    max_bucket=64 hot-bucket cap (a capped bucket drops the collision the
+    leg relies on). The planted_over_cap_docs guard leg counts planted
+    docs whose corpus text group exceeds the cap — DuckDB-recomputed, so
+    a data shape where the cap can bite diagnoses itself instead of
+    reading as a pipeline bug. 0 at every tested SF."""
     import tempfile
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -2781,6 +2806,17 @@ def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         _census_leg(
             "planted_survivors",
             surv.filter(F.col("doc_id") >= F.lit(_PLANT_OFFSET)).agg(cnt),
+        ),
+        _census_leg(
+            "planted_over_cap_docs",
+            planted.join(
+                corpus.groupBy("text")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 64)
+                .select("text"),
+                "text",
+                "left_semi",
+            ).agg(cnt),
         ),
     ]
     out = legs[0]
@@ -4650,6 +4686,13 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'survivors_outside_corpus', CAST(0 AS BIGINT)
             UNION ALL SELECT 'survivor_id_dups', CAST(0 AS BIGINT)
             UNION ALL SELECT 'dup_text_groups_multi_survivor', CAST(0 AS BIGINT)
+            -- guard leg (ADVICE r7 low): multi_survivor is a theorem only
+            -- while dup groups stay under the max_bucket=64 cap; DuckDB
+            -- recomputes the over-cap count so a violating data shape
+            -- diagnoses itself instead of reading as a pipeline bug
+            UNION ALL
+            SELECT 'dup_text_groups_over_cap', CAST(count(*) AS BIGINT) FROM
+              (SELECT text FROM documents GROUP BY text HAVING count(*) > 64)
         """,
         "ns_dedup_incremental_full": """
             SELECT 'n_batch_organic' AS leg, CAST(count(*) AS BIGINT) AS metric
@@ -4659,6 +4702,15 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0
             UNION ALL SELECT 'survivors_outside_batch', CAST(0 AS BIGINT)
             UNION ALL SELECT 'planted_survivors', CAST(0 AS BIGINT)
+            -- guard leg (ADVICE r7 low): planted_survivors assumes the
+            -- planted original's buckets beat the max_bucket=64 cap;
+            -- count planted docs whose corpus text group exceeds it
+            UNION ALL
+            SELECT 'planted_over_cap_docs', CAST(count(*) AS BIGINT)
+            FROM documents
+            WHERE doc_id < 250 AND doc_id % 7 = 0 AND text IN (
+              SELECT text FROM documents WHERE doc_id < 250
+              GROUP BY text HAVING count(*) > 64)
         """,
         "ns_simhash_pairs_full": """
             SELECT 'n_docs' AS leg, CAST(count(*) AS BIGINT) AS metric

@@ -145,19 +145,17 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 def _complete_rounds(spark, base: str) -> list[int]:
     """Indices of round directories under ``base`` whose write COMMITTED
     (``_SUCCESS`` present) — a crash mid-write leaves no marker, so a
-    partial round is never resumed from."""
+    partial round is never resumed from. Listing/existence go through
+    fsutil so the round log resumes on Connect sessions over local
+    checkpoints too (ADVICE r7 medium)."""
     import re as _re
 
-    from ..fsutil import hadoop_fs
+    from ..fsutil import exists, list_names
 
-    fs, dpath, jvm = hadoop_fs(spark, base)
-    if not fs.exists(dpath):
-        return []
     out = []
-    for st in fs.listStatus(dpath):
-        name = st.getPath().getName()
+    for name in list_names(spark, base):
         m = _re.match(r"^round_(\d{4})$", name)
-        if m and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+        if m and exists(spark, f"{base}/{name}/_SUCCESS"):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -175,15 +173,11 @@ def _clear_round_log(spark, base: str) -> None:
     next call treats as a fresh start again."""
     import re as _re
 
-    from ..fsutil import hadoop_fs
+    from ..fsutil import delete, list_names
 
-    fs, dpath, jvm = hadoop_fs(spark, base)
-    if not fs.exists(dpath):
-        return
-    for st in fs.listStatus(dpath):
-        name = st.getPath().getName()
+    for name in list_names(spark, base):
         if _re.match(r"^round_\d{4}$", name) or name == "_cc_manifest.json":
-            fs.delete(st.getPath(), True)
+            delete(spark, f"{base}/{name}", recursive=True)
 
 
 def _restore_or_init_rounds(spark, base, canon, state, persist_round):
@@ -208,19 +202,19 @@ def _restore_or_init_rounds(spark, base, canon, state, persist_round):
 
     Returns ``(edges, signature, converged)``; ``signature`` is None on
     the converged path (no caller needs it). Leaves ``state['next']`` at
-    the next round index to write.
+    the next round index to write. A torn manifest reads as absent
+    (fresh start with a warning — ADVICE r7 low), never an exception.
     """
     import json
     import logging
 
-    from ..fsutil import read_text, write_text
+    from ..fsutil import write_text
 
     manifest_p = f"{base}/_cc_manifest.json"
     input_sig = _signature(canon)
-    prev = read_text(spark, manifest_p)
+    mf = _read_manifest_tolerant(spark, manifest_p)
     rounds = _complete_rounds(spark, base)
-    if prev is not None and rounds:
-        mf = json.loads(prev)
+    if mf is not None and rounds:
         saved = mf.get("input_sig")
         if saved is not None and tuple(saved) == input_sig:
             conv = mf.get("converged_round")
@@ -249,20 +243,62 @@ def _restore_or_init_rounds(spark, base, canon, state, persist_round):
     return e, input_sig, False
 
 
+def _read_manifest_tolerant(spark, manifest_p: str) -> dict | None:
+    """The round-log manifest as a dict, or None when absent OR TORN.
+
+    A torn manifest (half-written JSON from a crash before the r8
+    atomic-publish fix, or a doctored file) must degrade to "no manifest"
+    — i.e. a fresh start with a warning — not poison every later
+    ``connected_components`` call with a JSONDecodeError until manual
+    cleanup (ADVICE r7 low)."""
+    import json
+    import logging
+
+    from ..fsutil import read_text
+
+    prev = read_text(spark, manifest_p)
+    if prev is None:
+        return None
+    try:
+        return json.loads(prev)
+    except json.JSONDecodeError:
+        logging.getLogger(__name__).warning(
+            "torn/corrupt CC manifest at %s: treating as absent "
+            "(fresh start / no converged short-circuit).", manifest_p,
+        )
+        return None
+
+
 def _mark_converged(spark, base: str, round_idx: int, sig: tuple) -> None:
     """Record in the manifest that ``round_NNNN`` is the star fixpoint
     (with its signature, so a later short-circuit can verify the bytes
-    it is about to trust). Overwrites atomically via fsutil."""
-    import json
+    it is about to trust).
 
-    from ..fsutil import read_text, write_text
+    Publication is temp-write + delete-old + rename (ADVICE r7 low: the
+    previous in-place ``write_text`` truncated first, so a crash mid-write
+    left a TORN manifest that failed every later call's json.loads). The
+    rename is the no-overwrite commit primitive; the crash window between
+    delete and rename leaves NO manifest — the next call starts fresh,
+    which is safe, merely un-memoized. Readers additionally tolerate a
+    torn file (:func:`_read_manifest_tolerant`) for logs written before
+    this fix."""
+    import json
+    import uuid
+
+    from ..fsutil import delete, rename_no_overwrite, write_text
 
     manifest_p = f"{base}/_cc_manifest.json"
-    prev = read_text(spark, manifest_p)
-    mf = json.loads(prev) if prev else {}
+    mf = _read_manifest_tolerant(spark, manifest_p) or {}
     mf["converged_round"] = round_idx
     mf["converged_sig"] = list(sig)
-    write_text(spark, manifest_p, json.dumps(mf))
+    tmp = f"{base}/._cc_manifest.{uuid.uuid4().hex}.tmp"
+    write_text(spark, tmp, json.dumps(mf))
+    delete(spark, manifest_p)
+    if not rename_no_overwrite(spark, tmp, manifest_p):
+        delete(spark, tmp)
+        raise IOError(
+            f"CC manifest publish conflict at {base} (concurrent writer?)"
+        )
 
 
 def round_log_vacuum(spark, checkpoint_dir: str) -> list[str]:
@@ -277,28 +313,21 @@ def round_log_vacuum(spark, checkpoint_dir: str) -> list[str]:
 
     Returns the deleted directory names (for logging/tests).
     """
-    import json
     import re as _re
 
-    from ..fsutil import hadoop_fs, read_text
+    from ..fsutil import delete, list_names
 
     base = checkpoint_dir.rstrip("/")
-    prev = read_text(spark, f"{base}/_cc_manifest.json")
-    if prev is None:
-        return []
-    conv = json.loads(prev).get("converged_round")
+    mf = _read_manifest_tolerant(spark, f"{base}/_cc_manifest.json")
+    conv = (mf or {}).get("converged_round")
     if conv is None:
-        return []
+        return []  # absent, torn, or mid-fixpoint: nothing safely deletable
     keep = {0, conv}
-    fs, dpath, _ = hadoop_fs(spark, base)
-    if not fs.exists(dpath):
-        return []
     deleted = []
-    for st in fs.listStatus(dpath):
-        name = st.getPath().getName()
+    for name in list_names(spark, base):
         m = _re.match(r"^round_(\d{4})$", name)
         if m and int(m.group(1)) not in keep:
-            fs.delete(st.getPath(), True)
+            delete(spark, f"{base}/{name}", recursive=True)
             deleted.append(name)
     return sorted(deleted)
 

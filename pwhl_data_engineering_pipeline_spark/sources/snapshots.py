@@ -22,9 +22,13 @@ never swept mid-write). Readers never see a partial commit. Object stores
 without atomic rename (raw S3) need a real table format's commit service;
 documented, not hidden.
 
-All metadata IO goes through the Hadoop FileSystem API (via the JVM
-gateway), so the store works on any filesystem Spark can reach — local,
-HDFS, S3A — not just the driver's local disk. Data IO is plain
+All metadata IO goes through fsutil (the Hadoop FileSystem API on classic
+sessions), so the store works on any filesystem Spark can reach — local,
+HDFS, S3A — not just the driver's local disk. On Spark CONNECT sessions,
+reads AND commits work for LOCAL warehouses via fsutil's Python-IO
+fallbacks (the no-overwrite commit rename maps to an ``os.link`` publish
+— VERDICT r7 #6); ``vacuum`` and ``snapshot_stats`` need modification
+times / recursive walks and stay classic-only. Data IO is plain
 ``spark.read/write.parquet`` on the manifest's directories, so scans keep
 pushdown/pruning and scale like any parquet read.
 """
@@ -69,15 +73,14 @@ def _manifest_path(path: str, version: int) -> str:
 
 def current_version(spark: SparkSession, path: str) -> int | None:
     """Latest committed version (highest manifest in one directory
-    listing), or None for a fresh path."""
-    fs, _, jvm = _fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    md = P(_meta_dir(path))
-    if not fs.exists(md):
-        return None
+    listing), or None for a fresh path. Listing goes through
+    ``fsutil.list_names`` so it works on Connect sessions over local
+    warehouses (ADVICE r7 medium)."""
+    from ..fsutil import list_names
+
     best = None
-    for st in fs.listStatus(md):
-        m = _MANIFEST_RE.match(st.getPath().getName())
+    for name in list_names(spark, _meta_dir(path)):
+        m = _MANIFEST_RE.match(name)
         if m:
             v = int(m.group(1))
             best = v if best is None or v > best else best
@@ -122,13 +125,16 @@ def _commit(
     }
     # temp write + rename-to-final IS the commit: atomic, and a concurrent
     # writer of the same version loses the rename (explicit conflict).
+    # fsutil.rename_no_overwrite expresses the same protocol on Connect
+    # sessions over local warehouses (os.link publish — VERDICT r7 #6),
+    # so commits are no longer classic-session-only there.
+    from ..fsutil import delete as _fs_delete
+    from ..fsutil import rename_no_overwrite
+
     tmp = f"{_meta_dir(path)}/.v{version:08d}.{uuid.uuid4().hex}.tmp"
     _write_text(spark, tmp, json.dumps(manifest))
-    fs, _, jvm = _fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    final = P(_manifest_path(path, version))
-    if fs.exists(final) or not fs.rename(P(tmp), final):
-        fs.delete(P(tmp), False)
+    if not rename_no_overwrite(spark, tmp, _manifest_path(path, version)):
+        _fs_delete(spark, tmp)
         raise IOError(
             f"snapshot v{version} commit conflict at {path} "
             "(concurrent writer?) — retry from the new current version"
@@ -509,16 +515,14 @@ def read_partitioned(
     silently returning partial data). ``merge_schema`` is passed through
     to each partition's read and relaxes the union to NULL-fill columns a
     partition lacks (additive drift across partitions)."""
-    fs, _, jvm = _fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    root = P(path.rstrip("/"))
-    if not fs.exists(root):
+    from ..fsutil import exists as _fs_exists
+    from ..fsutil import list_names
+
+    if not _fs_exists(spark, path.rstrip("/")):
         raise FileNotFoundError(f"no partitioned store at {path}")
     prefix = f"{part_col}="
     names = [
-        st.getPath().getName()
-        for st in fs.listStatus(root)
-        if st.getPath().getName().startswith(prefix)
+        n for n in list_names(spark, path.rstrip("/")) if n.startswith(prefix)
     ]
     if values is not None:
         wanted = {str(v) for v in values}

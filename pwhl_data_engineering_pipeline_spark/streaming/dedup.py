@@ -174,7 +174,12 @@ def _epoch_admitted_rows(spark, table_path: str, stream_id: str, epoch_id: int):
     stream-append writes exactly one new dir). Returns None when no such
     commit exists (a table written before stream_id stamping, or the
     data dir vacuumed away) — callers treat that as "nothing to repair".
+    The data directory is existence-checked before the parquet read
+    (ADVICE r7 low): a manifest that outlived its vacuumed/orphaned data
+    dir must return None per that contract, not raise AnalysisException
+    inside foreachBatch and kill the stream on every replay attempt.
     """
+    from ..fsutil import exists
     from ..sources.snapshots import current_version, read_manifest
 
     v = current_version(spark, table_path)
@@ -188,8 +193,10 @@ def _epoch_admitted_rows(spark, table_path: str, stream_id: str, epoch_id: int):
             and mf.get("stream_id") == stream_id
             and mf.get("epoch_id") == epoch_id
         ):
-            d = mf["dirs"][-1]
-            return spark.read.parquet(f"{table_path.rstrip('/')}/data/{d}")
+            d = f"{table_path.rstrip('/')}/data/{mf['dirs'][-1]}"
+            if not exists(spark, d):
+                return None  # data dir vacuumed/orphaned: nothing to repair
+            return spark.read.parquet(d)
         v = mf.get("parent")
     return None
 

@@ -309,3 +309,93 @@ def test_converged_log_stable_and_vacuum(spark, tmp_path):
         ).collect()
     }
     assert out2 == {(7, 7), (8, 7), (9, 7)}
+
+
+def test_torn_manifest_degrades_to_fresh_start(spark, tmp_path):
+    """ADVICE r7 low: a TORN _cc_manifest.json (half-written JSON) must
+    read as absent — fresh start with a warning — not raise
+    JSONDecodeError on every later call until manual cleanup. Also checks
+    the new atomic publish: a converged re-run rewrites the manifest via
+    temp+rename, and round_log_vacuum on a torn manifest is a no-op."""
+    import json
+    import os
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    ck = str(tmp_path / "cc_torn")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    out = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out == expect
+    mpath = os.path.join(ck, "_cc_manifest.json")
+    full = fsutil.read_text(spark, mpath)
+    assert json.loads(full)["converged_round"] is not None
+
+    # tear the manifest: truncate to half its bytes (invalid JSON)
+    fsutil.write_text(spark, mpath, full[: len(full) // 2])
+    # vacuum on a torn manifest: nothing safely deletable, no exception
+    assert graph.round_log_vacuum(spark, ck) == []
+    # connected_components degrades to a fresh start and is STILL correct,
+    # and convergence re-publishes a whole, parseable manifest
+    out2 = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out2 == expect
+    mf = json.loads(fsutil.read_text(spark, mpath))
+    assert mf["converged_round"] is not None
+    # no temp leftovers from the atomic publish
+    assert not [n for n in os.listdir(ck) if n.endswith(".tmp")]
+
+
+def test_round_log_on_connect_local(spark, tmp_path, monkeypatch):
+    """ADVICE r7 medium: the CC round log (resume listing, _SUCCESS gate,
+    manifest, converged short-circuit, vacuum) works on a Connect-like
+    session (no spark._jvm) over a local checkpoint_dir."""
+    import os
+
+    ck = str(tmp_path / "cc_cx")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    expect = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+
+    # patch fsutil's JVM gate, not spark._jvm (PySpark internals assert it)
+    from pwhl_data_engineering_pipeline_spark import fsutil as _fsu
+
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: False)
+    out = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out == expect
+    rounds_before = sorted(d for d in os.listdir(ck) if d.startswith("round_"))
+    # converged short-circuit on re-invocation: no new round appended
+    out2 = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out2 == expect
+    assert sorted(d for d in os.listdir(ck) if d.startswith("round_")) == rounds_before
+    # vacuum via the fallback listing/delete
+    deleted = graph.round_log_vacuum(spark, ck)
+    assert all(d.startswith("round_") for d in deleted)
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
+    # classic session can still read/resume the fallback-written log
+    out3 = {
+        (r["node"], r["cluster_id"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).collect()
+    }
+    assert out3 == expect

@@ -447,3 +447,65 @@ def test_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         S.version_at_timestamp(spark, path, t1)
     assert S.version_at_timestamp(spark, path, t2) == 2
+
+
+def test_snapshot_commits_on_connect_local(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #6: the full snapshot lifecycle — append, overwrite,
+    time travel, rollback, MERGE, stream-batch exactly-once, partitioned
+    merge/read — works on a Connect-like session (spark._jvm absent) over
+    a LOCAL warehouse: every metadata op routes through fsutil's Python-IO
+    fallbacks, including the atomic no-overwrite commit rename. A classic
+    session then reads the same table unchanged (mixed-session store)."""
+    path = str(tmp_path / "cx_tbl")
+
+    # Patch fsutil's JVM gate (nulling spark._jvm itself trips PySpark's
+    # internal call-origin assert): every fsutil call takes the Connect
+    # fallback while data IO (parquet read/write — server-side under real
+    # Connect) keeps working.
+    from pwhl_data_engineering_pipeline_spark import fsutil as _fsu
+
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: False)
+
+    v1 = S.snapshot_append(_df(spark, 0, 5), path)
+    v2 = S.snapshot_append(_df(spark, 5, 8), path)
+    v3 = S.snapshot_overwrite(_df(spark, 100, 102), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert S.current_version(spark, path) == 3
+    assert S.read_snapshot(spark, path, 2).count() == 8
+    v4 = S.snapshot_rollback(spark, path, 2)
+    assert v4 == 4 and S.read_snapshot(spark, path).count() == 8
+
+    # MERGE (upsert) — pins its parent via the fallback rename
+    upd = spark.createDataFrame([(0, 999), (50, 500)], "id long, v long")
+    S.snapshot_merge(upd, path, keys=["id"])
+    got = {r["id"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got[0] == 999 and got[50] == 500 and len(got) == 9
+
+    # commit conflict is still explicit on the fallback rename: a writer
+    # whose parent went stale (its target version already committed)
+    # must raise, not clobber the interloper's manifest
+    cur = S.current_version(spark, path)
+    with pytest.raises(IOError, match="conflict"):
+        S._commit(spark, path, [], "append", cur - 1, "{}")
+    assert S.current_version(spark, path) == cur  # nothing clobbered
+
+    # streaming epoch dedup: replayed epoch is a no-op on Connect too
+    b = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert S.commit_stream_batch(b, 7, path + "_st", "sid") is not None
+    assert S.commit_stream_batch(b, 7, path + "_st", "sid") is None
+
+    # partitioned store: per-partition merge + pruned read via list_names
+    pu = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)], "id long, day string, v long"
+    )
+    S.merge_partitioned(pu, path + "_part", keys=["id"], part_col="day")
+    assert S.read_partitioned(spark, path + "_part", "day", ["d1"]).count() == 1
+
+    # classic session sees the identical table state
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
+    assert S.current_version(spark, path) == 5
+    got2 = {r["id"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got2 == got
+    # and a classic commit on top of fallback-written history works
+    S.snapshot_append(_df(spark, 200, 201), path)
+    assert S.current_version(spark, path) == 6

@@ -380,3 +380,70 @@ def test_fsutil_connect_fallback_local_paths(spark, tmp_path):
         fsutil.write_text(fake, "hdfs://nn/x.json", "x")
     with _pytest.raises(RuntimeError, match="classic"):
         fsutil.hadoop_fs(fake, str(tmp_path / "cx"))
+
+
+def test_fsutil_listing_rename_delete_connect_fallback(spark, tmp_path):
+    """ADVICE r7 medium: the manifest-grain helpers that everything
+    versioned builds on — list_names / rename_no_overwrite / delete —
+    must serve LOCAL paths on Connect-like sessions (no spark._jvm), agree
+    with the classic Hadoop-FS view of the same directory, and stay LOUD
+    on remote schemes."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    class _FakeConnectSession:
+        _jvm = None
+
+    fake = _FakeConnectSession()
+    d = str(tmp_path / "lst")
+
+    # absent directory lists empty on BOTH session kinds
+    assert fsutil.list_names(fake, d) == []
+    assert fsutil.list_names(spark, d) == []
+
+    # classic writes (which leave .crc sidecars on the local FS) and
+    # fallback writes land in ONE listing, identical across session kinds
+    fsutil.write_text(spark, f"{d}/v00000001.json", "{}")
+    fsutil.write_text(fake, f"{d}/v00000002.json", "{}")
+    assert fsutil.list_names(fake, d) == ["v00000001.json", "v00000002.json"]
+    assert fsutil.list_names(spark, d) == ["v00000001.json", "v00000002.json"]
+
+    # no-overwrite rename: publishes to a new name, refuses an existing one
+    fsutil.write_text(fake, f"{d}/.tmp1", "new")
+    assert fsutil.rename_no_overwrite(fake, f"{d}/.tmp1", f"{d}/v00000003.json")
+    assert fsutil.read_text(spark, f"{d}/v00000003.json") == "new"
+    assert not _os.path.exists(f"{d}/.tmp1")
+    fsutil.write_text(fake, f"{d}/.tmp2", "loser")
+    assert not fsutil.rename_no_overwrite(fake, f"{d}/.tmp2", f"{d}/v00000003.json")
+    assert fsutil.read_text(fake, f"{d}/v00000003.json") == "new"  # not clobbered
+    # classic side honors the same contract
+    fsutil.write_text(spark, f"{d}/.tmp3", "x")
+    assert not fsutil.rename_no_overwrite(spark, f"{d}/.tmp3", f"{d}/v00000003.json")
+
+    # delete: file, recursive dir, absent-is-False — on the fallback
+    assert fsutil.delete(fake, f"{d}/.tmp2")
+    assert not fsutil.delete(fake, f"{d}/.tmp2")
+    sub = str(tmp_path / "lst" / "subdir")
+    fsutil.write_text(fake, f"{sub}/a.txt", "a")
+    with _pytest.raises(OSError, match="not empty"):
+        fsutil.delete(fake, sub)
+    assert fsutil.delete(fake, sub, recursive=True)
+    assert fsutil.list_names(spark, sub) == []
+
+    # deleting a classic-written file via the fallback removes its .crc
+    # sidecar too, so a later same-name classic write round-trips clean
+    fsutil.delete(fake, f"{d}/v00000001.json")
+    assert not _os.path.exists(f"{d}/.v00000001.json.crc")
+    fsutil.write_text(spark, f"{d}/v00000001.json", "again")
+    assert fsutil.read_text(spark, f"{d}/v00000001.json") == "again"
+
+    # remote schemes: loud named error on every new helper
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.list_names(fake, "s3a://bucket/dir")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.delete(fake, "s3a://bucket/key")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.rename_no_overwrite(fake, "hdfs://nn/a", "hdfs://nn/b")

@@ -482,3 +482,34 @@ def test_streaming_neardup_crash_between_commit_and_index(spark, tmp_path, monke
     compact_out2 = str(tmp_path / "cr_index_compact2")
     stats2 = sdedup.index_compact(spark, compact_out, compact_out2)
     assert stats2["rows_in"] == stats2["rows_out"] == stats["rows_out"]
+
+def test_epoch_admitted_rows_vacuumed_data_dir_returns_none(spark, tmp_path):
+    """ADVICE r7 low: when an epoch's stream-append MANIFEST survives but
+    its data directory was vacuumed/orphaned away, _epoch_admitted_rows
+    must honor its documented 'nothing to repair' contract (None) — not
+    raise AnalysisException inside foreachBatch and kill the stream on
+    every replay attempt."""
+    import shutil
+
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import (
+        commit_stream_batch, read_manifest,
+    )
+    from pwhl_data_engineering_pipeline_spark.streaming.dedup import (
+        _epoch_admitted_rows,
+    )
+
+    table = str(tmp_path / "vac_table")
+    b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    v = commit_stream_batch(b, 3, table, "sid")
+    assert v is not None
+
+    # intact: the admitted rows come back
+    got = _epoch_admitted_rows(spark, table, "sid", 3)
+    assert got is not None and got.count() == 1
+
+    # data dir gone, manifest intact → None, no exception
+    d = read_manifest(spark, table, v)["dirs"][-1]
+    shutil.rmtree(f"{table}/data/{d}")
+    assert _epoch_admitted_rows(spark, table, "sid", 3) is None
+    # unknown epoch still None (walks past without touching data)
+    assert _epoch_admitted_rows(spark, table, "sid", 99) is None
