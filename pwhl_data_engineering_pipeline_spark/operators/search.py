@@ -233,15 +233,13 @@ def _read_scalars(spark, path: str) -> dict:
     import json as _json
     import re as _re
 
-    from ..fsutil import hadoop_fs, read_text
+    from ..fsutil import list_names, read_text
 
-    fs, d, _ = hadoop_fs(spark, f"{path}/_scalars")
     best_v, best_name = -1, None
-    if fs.exists(d):
-        for st in fs.listStatus(d):
-            m = _re.match(r"^v(\d{8})\.json$", st.getPath().getName())
-            if m and int(m.group(1)) > best_v:
-                best_v, best_name = int(m.group(1)), st.getPath().getName()
+    for name in list_names(spark, f"{path}/_scalars"):
+        m = _re.match(r"^v(\d{8})\.json$", name)
+        if m and int(m.group(1)) > best_v:
+            best_v, best_name = int(m.group(1)), name
     if best_name is not None:
         meta = _json.loads(read_text(spark, f"{path}/_scalars/{best_name}"))
         meta["_version"] = best_v
@@ -262,16 +260,13 @@ def _commit_scalars(spark, path: str, meta: dict, parent_version: int) -> int:
     import json as _json
     import uuid as _uuid
 
-    from ..fsutil import hadoop_fs, write_text
+    from ..fsutil import delete, rename_no_overwrite, write_text
 
     version = parent_version + 1
     tmp = f"{path}/_scalars/.v{version:08d}.{_uuid.uuid4().hex}.tmp"
     write_text(spark, tmp, _json.dumps({k: v for k, v in meta.items() if k != "_version"}))
-    fs, _, jvm = hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    final = P(f"{path}/_scalars/v{version:08d}.json")
-    if fs.exists(final) or not fs.rename(P(tmp), final):
-        fs.delete(P(tmp), False)
+    if not rename_no_overwrite(spark, tmp, f"{path}/_scalars/v{version:08d}.json"):
+        delete(spark, tmp)
         raise IOError(
             f"BM25 scalars v{version} commit conflict at {path} "
             "(concurrent appender?) — retry from the new current version"
@@ -285,6 +280,7 @@ def bm25_index_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    batch_id: str = "base",
 ) -> None:
     """Persist the inverted index for build-once / probe-many search — the
     production shape: tokenizing 100 TB once per QUERY BATCH (what
@@ -296,17 +292,24 @@ def bm25_index_write(
     pmod(xxhash64(term), n_buckets)`` — a probe computes its query terms'
     buckets driver-side and reads ONLY those partitions (directory-level
     pruning, no footer reads for the rest of the corpus — the same
-    partition-pruned-probe design as the IVF centroid index). Corpus
-    scalars (n_docs, avg_len — exact dyadic-safe sums, not a float avg)
-    land in ``_scalars.json`` so probes pay zero corpus-sized work.
+    partition-pruned-probe design as the IVF centroid index) — and, one
+    level below, by ``batch``: every write stamps its rows with a batch
+    id recorded in the scalars' committed-``batches`` list, which is what
+    makes :func:`bm25_index_append` idempotent and crash-repairable
+    (VERDICT r7 #3 — probes read only committed batches, so a crashed
+    append's half-landed files are invisible, and re-appending the same
+    batch id purges + rewrites them). Corpus scalars (n_docs, len_sum —
+    exact dyadic-safe sums, not a float avg) commit as ``_scalars/``
+    versions so probes pay zero corpus-sized work.
     """
     postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings.select("doc_id", "term", "tf", "doc_len", bucket).write.mode(
+    batch = F.lit(batch_id).alias("batch")
+    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    stats.select("term", "df", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
+    ).partitionBy("bucket", "batch").parquet(f"{path}/postings")
+    stats.select("term", "df", bucket, batch).write.mode("overwrite").partitionBy(
+        "bucket", "batch"
     ).parquet(f"{path}/stats")
     spark = docs.sparkSession
     row = (
@@ -321,14 +324,10 @@ def bm25_index_write(
     )
     # full rebuild: clear any previous scalars history (postings/stats
     # were just overwritten; a stale higher scalars version must not win)
-    from ..fsutil import hadoop_fs
+    from ..fsutil import delete
 
-    fs, _, jvm = hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
     for stale in (f"{path}/_scalars", f"{path}/_scalars.json"):
-        sp = P(stale)
-        if fs.exists(sp):
-            fs.delete(sp, True)
+        delete(spark, stale, recursive=True)
     _commit_scalars(
         spark,
         path,
@@ -336,9 +335,63 @@ def bm25_index_write(
             "n_docs": int(row["n_docs"] or 0),
             "len_sum": int(row["len_sum"] or 0),
             "n_buckets": n_buckets,
+            "batches": [batch_id],
         },
         parent_version=0,
     )
+
+
+def _batch_dirs_present(spark, path: str) -> set[str]:
+    """Batch ids that have at least one partition directory on disk under
+    ``postings/`` or ``stats/`` — the physical side of the ledger whose
+    logical side is the scalars' committed-``batches`` list."""
+    from ..fsutil import list_names
+
+    present: set[str] = set()
+    for sub in ("postings", "stats"):
+        for b in list_names(spark, f"{path}/{sub}"):
+            if b.startswith("bucket="):
+                for c in list_names(spark, f"{path}/{sub}/{b}"):
+                    if c.startswith("batch="):
+                        present.add(c[len("batch="):])
+    return present
+
+
+def _purge_batch_dirs(spark, path: str, batch_id: str) -> int:
+    """Delete every ``batch=<batch_id>`` partition directory under both
+    index components. Metadata-only (one listing + one delete per bucket
+    that holds the batch); returns the number of directories removed."""
+    from ..fsutil import delete, list_names
+
+    n = 0
+    for sub in ("postings", "stats"):
+        for b in list_names(spark, f"{path}/{sub}"):
+            if b.startswith("bucket=") and delete(
+                spark, f"{path}/{sub}/{b}/batch={batch_id}", recursive=True
+            ):
+                n += 1
+    return n
+
+
+def bm25_index_repair(spark, path: str) -> dict:
+    """Delete data of batches that never committed (present on disk,
+    absent from the scalars' ``batches`` list) — the leftovers of appends
+    that crashed between their file writes and their scalars commit.
+    Probes never see such data (they filter to committed batches), so
+    this is storage reclamation, not a correctness fix; it is also what a
+    re-append of the same batch id does implicitly before rewriting.
+    Returns ``{"purged_batches": [...]}``."""
+    meta = _read_scalars(spark, path)
+    committed = set(meta.get("batches") or [])
+    if not committed:
+        raise RuntimeError(
+            f"BM25 index at {path} predates batch stamping — rebuild with "
+            "bm25_index_write to enable append repair"
+        )
+    orphans = sorted(_batch_dirs_present(spark, path) - committed)
+    for b in orphans:
+        _purge_batch_dirs(spark, path, b)
+    return {"purged_batches": orphans}
 
 
 def bm25_index_append(
@@ -346,6 +399,7 @@ def bm25_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: str | None = None,
 ) -> dict:
     """Append a new-docs batch to a persisted BM25 index WITHOUT
     re-tokenizing the corpus (VERDICT r6 #5) — the incremental-ingest
@@ -353,42 +407,73 @@ def bm25_index_append(
 
     Mechanics, in commit order:
 
-    1. The batch tokenizes once; its postings append into the existing
-       ``bucket=`` partition directories (new files per bucket, existing
-       files untouched — probe-side partition pruning is unchanged).
-    2. Its per-term document frequencies append as NEW SEGMENT ROWS in
-       ``stats/`` — df is additive across disjoint doc batches, and the
-       probe sums segments per term after pruning to the query buckets,
-       so stats stay append-only (no read-modify-write of corpus data).
-    3. Corpus scalars (n_docs, len_sum — both additive) commit as a new
-       version under ``_scalars/`` via the snapshot-table pattern (temp
-       write + atomic rename): readers see old or new scalars, never
-       torn; racing appenders conflict explicitly.
+    1. Any on-disk leftovers of THIS batch id are purged (metadata-only
+       directory deletes) — the self-repair that makes a re-run of a
+       crashed append safe.
+    2. The batch tokenizes once; its postings land as new
+       ``batch=<batch_id>`` partition directories under the existing
+       ``bucket=`` directories (existing files untouched — probe-side
+       bucket pruning is unchanged).
+    3. Its per-term document frequencies land as NEW SEGMENT ROWS in
+       ``stats/`` (same batch stamping) — df is additive across disjoint
+       doc batches, and the probe sums segments per term after pruning
+       to the query buckets, so stats stay append-only (no
+       read-modify-write of corpus data).
+    4. Corpus scalars (n_docs, len_sum — both additive) plus the
+       committed-``batches`` list commit as a new version under
+       ``_scalars/`` via the snapshot-table pattern (temp write + atomic
+       rename): readers see old or new scalars, never torn; racing
+       appenders conflict explicitly.
 
-    A crash between (1)/(2) and (3) leaves the new postings visible under
-    the OLD scalars: scores are computed with a slightly-stale n_docs /
-    avg_len — ranking degrades gracefully, nothing breaks — and re-running
-    the append would double the batch's postings, so the repair is a full
-    ``bm25_index_write`` rebuild (or re-append with a fresh batch id after
-    compaction). Assumes batch doc ids are disjoint from the indexed
-    corpus (the same contract as the MinHash incremental index); df and
-    n_docs additivity both rely on it.
+    Delivery semantics (VERDICT r7 #3 — the batch stamp closes the r7
+    crash window): the scalars commit is the ONE visibility switch.
+    Probes read only batches the current scalars list, so a crash
+    anywhere before (4) leaves files that are INVISIBLE to every probe —
+    scores stay exactly consistent with the committed corpus, never
+    stale. The repair is idempotent re-append of the SAME batch id (purge
+    + rewrite + commit; no corpus re-tokenization) or
+    :func:`bm25_index_repair` to just reclaim the orphan files; a
+    re-append of an already-COMMITTED batch id is a metadata no-op.
+    Assumes batch doc ids are disjoint from the indexed corpus (the same
+    contract as the MinHash incremental index); df and n_docs additivity
+    both rely on it.
 
     Differential guarantee (tested): build(A) then append(B) returns
     IDENTICAL probe results to build(A ∪ B).
 
-    Returns {"n_docs_added", "version"} for observability.
+    Returns {"n_docs_added", "version", "batch_id", "skipped"}.
     """
+    import uuid as _uuid
+
     spark = new_docs.sparkSession
     meta = _read_scalars(spark, path)
+    committed = meta.get("batches")
+    if committed is None:
+        raise RuntimeError(
+            f"BM25 index at {path} predates batch stamping (flat layout) — "
+            "rebuild with bm25_index_write before appending"
+        )
+    if batch_id is None:
+        # 'b' prefix keeps partition-value type inference at string even
+        # for an (astronomically unlikely) all-digit hex draw
+        batch_id = "b" + _uuid.uuid4().hex
+    if batch_id in committed:
+        return {
+            "n_docs_added": 0,
+            "version": meta["_version"],
+            "batch_id": batch_id,
+            "skipped": True,
+        }
+    _purge_batch_dirs(spark, path, batch_id)  # crashed-attempt leftovers
     n_buckets = meta["n_buckets"]
     postings, _stats = build_index(new_docs, text_col, id_col, checkpoint=True)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings.select("doc_id", "term", "tf", "doc_len", bucket).write.mode(
+    batch = F.lit(batch_id).alias("batch")
+    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).write.mode(
         "append"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    _stats.select("term", "df", bucket).write.mode("append").partitionBy(
-        "bucket"
+    ).partitionBy("bucket", "batch").parquet(f"{path}/postings")
+    _stats.select("term", "df", bucket, batch).write.mode("append").partitionBy(
+        "bucket", "batch"
     ).parquet(f"{path}/stats")
     row = (
         postings.select("doc_id", "doc_len")
@@ -406,10 +491,96 @@ def bm25_index_append(
             "n_docs": meta["n_docs"] + int(row["n_docs"] or 0),
             "len_sum": meta["len_sum"] + int(row["len_sum"] or 0),
             "n_buckets": n_buckets,
+            "batches": [*committed, batch_id],
         },
         parent_version=meta["_version"],
     )
-    return {"n_docs_added": int(row["n_docs"] or 0), "version": version}
+    return {
+        "n_docs_added": int(row["n_docs"] or 0),
+        "version": version,
+        "batch_id": batch_id,
+        "skipped": False,
+    }
+
+
+def bm25_index_compact(spark, path: str, out_path: str) -> dict:
+    """Rewrite an appended index in its one-batch form (VERDICT r7 #2 —
+    the append path's missing half): per-bucket posting files merge, df
+    segments collapse back to ONE row per (bucket, term), and the scalars
+    history collapses to a single v1 whose ``batches`` list is just the
+    compacted base. Probe results are IDENTICAL pre/post (differential-
+    tested): postings rows are per (doc, term) and batches hold disjoint
+    docs, so merging never needs arithmetic; stats sums exactly what the
+    probe's per-term segment sum computes on the fly.
+
+    Repeated ``bm25_index_append`` grows per-bucket file counts and
+    per-term df segments without bound — probe cost creeps with segment
+    count until compaction resets it (measured in SCALING.md). Uncommitted
+    (crashed-append) batches are EXCLUDED, so compaction doubles as
+    repair. Like ``minhash_index_compact`` and the streaming
+    ``index_compact``, output goes to a NEW path (in-place parquet
+    self-overwrite is unsafe mid-rewrite); swap paths at the orchestration
+    layer — the new index is complete and self-contained the moment its
+    scalars v1 commits (same temp+rename commit as every version here).
+
+    Returns file/segment observability counts.
+    """
+    meta = _read_scalars(spark, path)
+    committed = meta.get("batches")
+    if committed is None:
+        raise RuntimeError(
+            f"BM25 index at {path} predates batch stamping (flat layout) — "
+            "rebuild with bm25_index_write instead of compacting"
+        )
+
+    def _nfiles(p):
+        return (
+            spark.read.parquet(p)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("batch").isin(committed)
+    )
+    stats = spark.read.parquet(f"{path}/stats").filter(
+        F.col("batch").isin(committed)
+    )
+    obs = {
+        "posting_files_in": _nfiles(f"{path}/postings"),
+        "stats_rows_in": stats.count(),
+        "batches_in": len(committed),
+    }
+    base = F.lit("base").alias("batch")
+    # one shuffle-free coalesce target per bucket: repartition on the
+    # partition column so each bucket writes ONE file, the layout a
+    # probe wants (many tiny append files are exactly the creep being
+    # reclaimed)
+    postings.select(
+        "doc_id", "term", "tf", "doc_len", "bucket", base
+    ).repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket", "batch"
+    ).parquet(f"{out_path}/postings")
+    stats.groupBy("bucket", "term").agg(F.sum("df").alias("df")).select(
+        "term", "df", "bucket", base
+    ).repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket", "batch"
+    ).parquet(f"{out_path}/stats")
+    _commit_scalars(
+        spark,
+        out_path,
+        {
+            "n_docs": meta["n_docs"],
+            "len_sum": meta["len_sum"],
+            "n_buckets": meta["n_buckets"],
+            "batches": ["base"],
+        },
+        parent_version=0,
+    )
+    obs["posting_files_out"] = _nfiles(f"{out_path}/postings")
+    obs["stats_rows_out"] = spark.read.parquet(f"{out_path}/stats").count()
+    return obs
 
 
 def bm25_search_index(
@@ -439,6 +610,15 @@ def bm25_search_index(
     meta = _read_scalars(spark, path)
     n_docs, avg_len = meta["n_docs"], meta["len_sum"] / meta["n_docs"]
     n_buckets = meta["n_buckets"]
+    # committed-batch visibility (VERDICT r7 #3): only batches the current
+    # scalars list are scored, so a crashed append's half-landed files are
+    # invisible and scores always match the committed n_docs/avg_len.
+    # `batch` is a partition column — the isin prunes at directory level,
+    # same as bucket. None = legacy flat layout (no batch dirs to filter).
+    committed = meta.get("batches")
+
+    def _vis(df):
+        return df.filter(F.col("batch").isin(committed)) if committed else df
 
     qterms = (
         queries.select(
@@ -476,12 +656,12 @@ def bm25_search_index(
     # batches). Runs over the bucket-pruned slice only — on a never-
     # appended index it's a no-op aggregation over one row per term.
     stats = (
-        spark.read.parquet(f"{path}/stats")
+        _vis(spark.read.parquet(f"{path}/stats"))
         .filter(F.col("bucket").isin(buckets))
         .groupBy("term", "bucket")
         .agg(F.sum("df").alias("df"))
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
+    postings = _vis(spark.read.parquet(f"{path}/postings")).filter(
         F.col("bucket").isin(buckets)
     )
     qstats = stats.join(F.broadcast(qterms), ["term", "bucket"]).select(
