@@ -23,13 +23,19 @@ each scale through the noop sink.
 
 Usage: python tools/scale_bench.py [--factor 10] [--base /root/testdata/sf0.1]
            [--out /tmp/sf1_replica] [--queries q1,q2,...]
-           [--mode relational|docs|bm25-probe] [--perturb suffix|translate]
+           [--mode relational|docs|bm25-probe|bm25-append|cc-converged]
+           [--perturb suffix|translate]
 
 Modes: ``relational`` (default) builds the re-keyed fact replica and
 times the headline queries; ``docs`` builds perturbed documents/
 embeddings replicas for north-star ops (pick --perturb per operator
 family — see build_docs_replica); ``bm25-probe`` times ONLY the probe
-against persisted BM25 indexes built untimed at both scales.
+against persisted BM25 indexes built untimed at both scales;
+``bm25-append`` measures bm25_index_append along BOTH scaling axes
+(VERDICT r7 #4: cost must track BATCH size and stay flat in CORPUS
+size); ``cc-converged`` measures the connected-components converged
+short-circuit (re-invocation on a stable round log must cost a manifest
+read + input fingerprint, never a star round).
 """
 
 from __future__ import annotations
@@ -216,6 +222,143 @@ def bm25_probe_timer(spark, sf_dir: str, workdir: str):
     return probe
 
 
+def _rekey_docs(docs, offset: int):
+    """Disjoint-id copy of a docs frame (append batches must not collide
+    with indexed ids — the operator contract)."""
+    from pyspark.sql import functions as F
+
+    return docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+
+
+def bm25_append_bench(spark, base: str, big: str, factor: int) -> dict:
+    """VERDICT r7 #4 axis measurements for bm25_index_append.
+
+    - batch axis (same corpus): appending a factor-times-bigger batch to
+      the BASE index should cost ~factor× (append work is tokenize +
+      write of the batch itself).
+    - corpus axis (same batch): appending the SAME batch to the base
+      index vs the ``factor``× index should be ~flat — the append never
+      re-reads or re-tokenizes the corpus; only the scalars version and
+      the per-bucket directory metadata differ.
+
+    Indexes build untimed; each timing is min-of-2 with a fresh batch_id
+    per run (idempotence would no-op a reused id). Batches re-key with
+    disjoint offsets per run so df additivity's disjoint-ids contract
+    holds throughout.
+    """
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import search
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    base_docs = read_testdata(spark, base, "documents")
+    big_docs = read_testdata(spark, big, "documents")
+    small_batch = _rekey_docs(base_docs, 7_000_000_000)          # |base| docs
+    big_batch_parts = [
+        _rekey_docs(base_docs, 7_000_000_000 + i * 10_000_000)
+        for i in range(factor)
+    ]
+    big_batch = big_batch_parts[0]
+    for p in big_batch_parts[1:]:
+        big_batch = big_batch.unionByName(p)
+    big_batch = big_batch.localCheckpoint()                      # factor×|base|
+    small_batch = small_batch.localCheckpoint()
+
+    idx_base = tempfile.mkdtemp(prefix="sb_bm25_base_")
+    idx_big = tempfile.mkdtemp(prefix="sb_bm25_big_")
+    search.bm25_index_write(base_docs, idx_base, n_buckets=64)
+    search.bm25_index_write(big_docs, idx_big, n_buckets=64)
+
+    run_i = [0]
+
+    def t_append(batch, idx) -> float:
+        run_i[0] += 1
+        # fresh ids per run: disjoint from the index AND from prior runs
+        b = _rekey_docs(batch, run_i[0] * 100_000_000)
+        t0 = time.monotonic()
+        search.bm25_index_append(b, idx, batch_id=f"sb{run_i[0]}")
+        return time.monotonic() - t0
+
+    t_append(small_batch, idx_base)  # warm (codegen, worker pool)
+    small_on_base = round(min(t_append(small_batch, idx_base) for _ in range(2)), 3)
+    big_on_base = round(min(t_append(big_batch, idx_base) for _ in range(2)), 3)
+    small_on_big = round(min(t_append(small_batch, idx_big) for _ in range(2)), 3)
+    return {
+        "mode": "bm25-append",
+        "factor": factor,
+        "batch_axis": {
+            "small_batch_sec": small_on_base,
+            f"x{factor}_batch_sec": big_on_base,
+            "ratio": round(big_on_base / small_on_base, 2),
+        },
+        "corpus_axis": {
+            "base_corpus_sec": small_on_base,
+            f"x{factor}_corpus_sec": small_on_big,
+            "ratio": round(small_on_big / small_on_base, 2),
+        },
+    }
+
+
+def cc_converged_bench(spark, base: str, big: str) -> dict:
+    """Converged short-circuit cost (VERDICT r7 #4): on a 10× edge set
+    with a persisted round log, the first call pays the fixpoint rounds;
+    a re-invocation on the unchanged input must pay only the input
+    fingerprint + manifest read + recorded-round signature check — one
+    small job per signature, NO star round. Edges are a deterministic
+    function of the replica's doc ids (star-of-5 leaves + a bridge
+    between odd/even cluster roots = size-10, depth-2 components — the
+    shallow-cluster shape near-dup pair generators emit), so the edge
+    count scales 1:1 with the corpus (organic exact-dup pairs are too
+    sparse at these SFs to exercise rounds). driver_threshold=0 forces
+    the distributed fixpoint at both scales."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.operators import graph
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    def edges_for(sf_dir):
+        ids = read_testdata(spark, sf_dir, "documents").select("doc_id")
+        leaf = ids.filter(F.col("doc_id") % 5 != 0).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") - F.col("doc_id") % 5).alias("id_b"),
+        )
+        bridge = ids.filter(F.col("doc_id") % 10 == 5).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") - 5).alias("id_b"),
+        )
+        return leaf.unionByName(bridge)
+
+    out = {"mode": "cc-converged"}
+    for label, d in [("base", base), ("x10", big)]:
+        e = edges_for(d).localCheckpoint()
+        ck = tempfile.mkdtemp(prefix=f"sb_cc_{label}_")
+        t0 = time.monotonic()
+        graph.connected_components(
+            e, checkpoint_dir=ck, driver_threshold=0
+        ).write.format("noop").mode("overwrite").save()
+        first = time.monotonic() - t0
+        reinvokes = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            graph.connected_components(
+                e, checkpoint_dir=ck, driver_threshold=0
+            ).write.format("noop").mode("overwrite").save()
+            reinvokes.append(time.monotonic() - t0)
+        n_rounds = len(
+            [n for n in os.listdir(ck) if n.startswith("round_")]
+        )
+        out[label] = {
+            "n_edges": e.count(),
+            "first_sec": round(first, 3),
+            "reinvoke_sec": round(min(reinvokes), 3),
+            "speedup": round(first / min(reinvokes), 2),
+            "rounds_on_disk": n_rounds,
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -225,11 +368,13 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
         "--mode",
-        choices=["relational", "docs", "bm25-probe"],
+        choices=["relational", "docs", "bm25-probe", "bm25-append", "cc-converged"],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
         "embeddings replicas; bm25-probe: probe-only timing against "
-        "persisted indexes built untimed at both scales",
+        "persisted indexes built untimed at both scales; bm25-append: "
+        "append cost along batch-size and corpus-size axes; cc-converged: "
+        "connected-components re-invocation cost on a stable round log",
     )
     ap.add_argument(
         "--perturb",
@@ -263,6 +408,20 @@ def main() -> None:
             results[label] = round(min(probe() for _ in range(2)), 3)
         results["ratio"] = round(results[f"x{args.factor}"] / results["base"], 2)
         print(json.dumps({"mode": "bm25-probe", "factor": args.factor, "results": results}))
+        return
+
+    if args.mode == "bm25-append":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(bm25_append_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "cc-converged":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(cc_converged_bench(spark, args.base, args.out)))
         return
 
     if not args.skip_build:
