@@ -29,9 +29,10 @@ schemes (``hdfs:``, ``s3a:``, ...) and the raw :func:`hadoop_fs` handle
 (modification times, recursive file walks, content summaries — true
 FS-metadata ops the fallback cannot express faithfully) still fail LOUD
 with a named error: an `AttributeError` deep inside py4j is a worse
-failure. Remaining classic-only surface: ``snapshots.vacuum`` /
-``snapshot_stats`` (both need modification times / recursive listings)
-and the parquet compactors' `getContentSummary` sizing.
+failure. :func:`list_status` (mtimes) and :func:`walk_files` (recursive
+file counts/bytes) extend the fallback to the maintenance ops
+(``snapshots.vacuum`` / ``snapshot_stats``); the remaining classic-only
+surface is the parquet compactors' `getContentSummary` sizing.
 
 Mixed-session caveat: Hadoop's local FS keeps `.crc` sidecars; the
 Python fallback removes a stale sidecar when it overwrites a file so a
@@ -210,6 +211,77 @@ def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
     if not fs.exists(hpath):
         return False
     return bool(fs.delete(hpath, recursive))
+
+
+def list_status(spark: SparkSession, path: str) -> list[dict]:
+    """Child entries directly under ``path`` with the metadata the
+    maintenance ops need: ``{"name", "is_dir", "mtime_ms"}``, sorted by
+    name; [] when absent. The Connect-local fallback uses ``os.scandir``
+    (st_mtime in ms) and hides Hadoop ``.crc`` sidecars so both session
+    kinds agree — this is what un-gates ``snapshots.vacuum`` on Connect
+    sessions over local warehouses."""
+    if not _has_jvm(spark):
+        local = _local_path(path)
+        if local is None:
+            raise _connect_error(f"list_status({path})")
+        if not os.path.isdir(local):
+            return []
+        out = []
+        for e in sorted(os.scandir(local), key=lambda e: e.name):
+            if e.name.startswith(".") and e.name.endswith(".crc"):
+                continue
+            st = e.stat()
+            out.append(
+                {
+                    "name": e.name,
+                    "is_dir": e.is_dir(),
+                    "mtime_ms": st.st_mtime * 1000.0,
+                }
+            )
+        return out
+    fs, hpath, _ = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        (
+            {
+                "name": st.getPath().getName(),
+                "is_dir": bool(st.isDirectory()),
+                "mtime_ms": float(st.getModificationTime()),
+            }
+            for st in fs.listStatus(hpath)
+        ),
+        key=lambda d: d["name"],
+    )
+
+
+def walk_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Recursive ``(file_count, total_bytes)`` under ``path`` (0, 0 when
+    absent) — the ``snapshot_stats`` primitive. Fallback: ``os.walk``,
+    skipping ``.crc`` sidecars (Hadoop's recursive ``listFiles`` hides
+    them on the checksummed local FS, so the counts agree)."""
+    if not _has_jvm(spark):
+        local = _local_path(path)
+        if local is None:
+            raise _connect_error(f"walk_files({path})")
+        nfiles = nbytes = 0
+        for root, _dirs, files in os.walk(local):
+            for f in files:
+                if f.startswith(".") and f.endswith(".crc"):
+                    continue
+                nfiles += 1
+                nbytes += os.stat(os.path.join(root, f)).st_size
+        return nfiles, nbytes
+    fs, hpath, _ = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0, 0
+    nfiles = nbytes = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        nfiles += 1
+        nbytes += f.getLen()
+    return nfiles, nbytes
 
 
 def rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> bool:

@@ -24,13 +24,15 @@ documented, not hidden.
 
 All metadata IO goes through fsutil (the Hadoop FileSystem API on classic
 sessions), so the store works on any filesystem Spark can reach — local,
-HDFS, S3A — not just the driver's local disk. On Spark CONNECT sessions,
-reads AND commits work for LOCAL warehouses via fsutil's Python-IO
-fallbacks (the no-overwrite commit rename maps to an ``os.link`` publish
-— VERDICT r7 #6); ``vacuum`` and ``snapshot_stats`` need modification
-times / recursive walks and stay classic-only. Data IO is plain
-``spark.read/write.parquet`` on the manifest's directories, so scans keep
-pushdown/pruning and scale like any parquet read.
+HDFS, S3A — not just the driver's local disk. On Spark CONNECT sessions
+the ENTIRE lifecycle works for LOCAL warehouses via fsutil's Python-IO
+fallbacks: reads, commits (the no-overwrite commit rename maps to an
+``os.link`` publish — VERDICT r7 #6), and the maintenance ops (``vacuum``
+/ ``snapshot_stats`` via ``list_status``/``walk_files`` — os.scandir
+mtimes, os.walk byte counts, ``.crc`` sidecars hidden for parity with
+Hadoop's checksummed listing). Remote schemes on Connect stay loud. Data
+IO is plain ``spark.read/write.parquet`` on the manifest's directories,
+so scans keep pushdown/pruning and scale like any parquet read.
 """
 
 from __future__ import annotations
@@ -43,12 +45,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
-
-
-def _fs(spark: SparkSession, path: str):
-    from ..fsutil import hadoop_fs
-
-    return hadoop_fs(spark, path)
 
 
 def _write_text(spark: SparkSession, path: str, content: str) -> None:
@@ -260,6 +256,9 @@ def vacuum(
     or temp manifest is younger than the gate and survives — without the
     gate a concurrent vacuum would sweep a mid-write directory and the
     commit that follows would reference deleted files. Returns counts."""
+    from ..fsutil import delete as _fs_delete
+    from ..fsutil import list_status
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     cur = current_version(spark, path)
@@ -272,31 +271,27 @@ def vacuum(
             referenced.update(read_manifest(spark, path, v)["dirs"])
         except FileNotFoundError:
             continue
-    fs, _, jvm = _fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
     base = path.rstrip("/")
     cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     manifests_deleted = 0
-    md = P(_meta_dir(path))
-    for st in fs.listStatus(md):
-        name = st.getPath().getName()
+    for st in list_status(spark, _meta_dir(path)):
+        name = st["name"]
         m = _MANIFEST_RE.match(name)
-        stale_tmp = name.endswith(".tmp") and st.getModificationTime() < cutoff_ms
+        stale_tmp = name.endswith(".tmp") and st["mtime_ms"] < cutoff_ms
         old_manifest = (
             m is not None
             and int(m.group(1)) not in keep_versions
-            and st.getModificationTime() < cutoff_ms
+            and st["mtime_ms"] < cutoff_ms
         )
-        if (stale_tmp or old_manifest) and fs.delete(st.getPath(), False):
+        if (stale_tmp or old_manifest) and _fs_delete(
+            spark, f"{_meta_dir(path)}/{name}"
+        ):
             manifests_deleted += 1
     dirs_deleted = 0
-    data_root = P(f"{base}/data")
-    if fs.exists(data_root):
-        for st in fs.listStatus(data_root):
-            name = st.getPath().getName()
-            if name not in referenced and st.getModificationTime() < cutoff_ms:
-                if fs.delete(st.getPath(), True):
-                    dirs_deleted += 1
+    for st in list_status(spark, f"{base}/data"):
+        if st["name"] not in referenced and st["mtime_ms"] < cutoff_ms:
+            if _fs_delete(spark, f"{base}/data/{st['name']}", recursive=True):
+                dirs_deleted += 1
     return {"manifests_deleted": manifests_deleted, "dirs_deleted": dirs_deleted}
 
 
@@ -627,33 +622,26 @@ def snapshot_stats(spark: SparkSession, path: str) -> dict:
     live vs total data directories, file count and bytes (live = referenced
     by CURRENT; reclaimable = everything else, including crash orphans).
     One filesystem walk, no Spark jobs."""
+    from ..fsutil import list_names, walk_files
+
     cur = current_version(spark, path)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     live = set(read_manifest(spark, path, cur)["dirs"])
-    fs, _, jvm = _fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
     out = {
         "version": cur, "live_dirs": 0, "other_dirs": 0,
         "live_files": 0, "other_files": 0, "live_bytes": 0,
         "reclaimable_bytes": 0,
     }
-    data_root = P(f"{path.rstrip('/')}/data")
-    if fs.exists(data_root):
-        for st in fs.listStatus(data_root):
-            name = st.getPath().getName()
-            nbytes = nfiles = 0
-            it = fs.listFiles(st.getPath(), True)
-            while it.hasNext():
-                f = it.next()
-                nbytes += f.getLen()
-                nfiles += 1
-            if name in live:
-                out["live_dirs"] += 1
-                out["live_files"] += nfiles
-                out["live_bytes"] += nbytes
-            else:
-                out["other_dirs"] += 1
-                out["other_files"] += nfiles
-                out["reclaimable_bytes"] += nbytes
+    data_root = f"{path.rstrip('/')}/data"
+    for name in list_names(spark, data_root):
+        nfiles, nbytes = walk_files(spark, f"{data_root}/{name}")
+        if name in live:
+            out["live_dirs"] += 1
+            out["live_files"] += nfiles
+            out["live_bytes"] += nbytes
+        else:
+            out["other_dirs"] += 1
+            out["other_files"] += nfiles
+            out["reclaimable_bytes"] += nbytes
     return out

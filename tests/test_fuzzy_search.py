@@ -589,3 +589,31 @@ def test_bm25_index_compact_differential_and_growth(spark, docs_df, tmp_path):
     assert sorted(
         map(tuple, search.bm25_search_index(spark, out2, qdf, k=10).collect())
     ) == want
+
+
+def test_bm25_concurrent_append_conflict_is_explicit(spark, docs_df, tmp_path):
+    """Two appenders racing from the same parent scalars version must
+    conflict EXPLICITLY on the version rename (the loser raises IOError
+    and retries from the new current version) — never silently clobber
+    the winner's committed batches list."""
+    rows = docs_df.collect()
+    idx = str(tmp_path / "bm25_race")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    meta = search._read_scalars(spark, idx)  # both appenders read v1
+
+    # appender A lands v2
+    search.bm25_index_append(
+        spark.createDataFrame(rows[2:3], docs_df.schema), idx, batch_id="bA"
+    )
+    # appender B, still holding the v1 meta, tries to commit v2 too
+    with pytest.raises(IOError, match="conflict"):
+        search._commit_scalars(
+            spark, idx,
+            {k: v for k, v in meta.items() if k != "_version"},
+            parent_version=meta["_version"],
+        )
+    # the winner's commit is intact
+    cur = search._read_scalars(spark, idx)
+    assert cur["_version"] == 2 and "bA" in cur["batches"]

@@ -501,11 +501,27 @@ def test_snapshot_commits_on_connect_local(spark, tmp_path, monkeypatch):
     S.merge_partitioned(pu, path + "_part", keys=["id"], part_col="day")
     assert S.read_partitioned(spark, path + "_part", "day", ["d1"]).count() == 1
 
+    # maintenance ops on Connect-local too (r8): optimize commits a
+    # compacted rewrite; stats walks files via the fallback; vacuum
+    # age-gates on os.scandir mtimes and reclaims history + the conflict
+    # attempt's orphan data dir
+    v6 = S.snapshot_optimize(spark, path, n_files=2)
+    assert v6 == 6 and S.read_snapshot(spark, path).count() == 9
+    stats = S.snapshot_stats(spark, path)
+    assert stats["version"] == 6 and stats["live_files"] > 0
+    assert stats["other_dirs"] > 0
+    vac = S.vacuum(spark, path, keep_last=1, min_age_seconds=0.0)
+    assert vac["manifests_deleted"] > 0 and vac["dirs_deleted"] > 0
+    stats2 = S.snapshot_stats(spark, path)
+    assert stats2["other_dirs"] == 0 and stats2["reclaimable_bytes"] == 0
+    got_after = {r["id"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+    assert got_after == got  # maintenance preserved the table
+
     # classic session sees the identical table state
     monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
-    assert S.current_version(spark, path) == 5
+    assert S.current_version(spark, path) == 6
     got2 = {r["id"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
     assert got2 == got
     # and a classic commit on top of fallback-written history works
     S.snapshot_append(_df(spark, 200, 201), path)
-    assert S.current_version(spark, path) == 6
+    assert S.current_version(spark, path) == 7
