@@ -555,6 +555,8 @@ def test_bm25_index_compact_differential_and_growth(spark, docs_df, tmp_path):
         )
         filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", probe_plan())
         assert filters and any("bucket" in f for f in filters)
+        # committed-batch visibility prunes at the same directory grain
+        assert any("batch" in f for f in filters)
 
     want = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
     meta = search._read_scalars(spark, idx)

@@ -77,7 +77,25 @@ def _op_queries() -> dict:
         docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
         return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df="auto")
 
-    return {"op_ngram_jaccard_auto": ngram_jaccard_auto}
+    def minhash_pairs(spark, sf_dir):
+        # same parameters as bench.py's BENCH_ONLY ns_minhash_pairs stage
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
+        return dedup.minhash_candidate_pairs(docs, num_hashes=64, num_bands=8)
+
+    def simhash_pairs(spark, sf_dir):
+        # same parameters as bench.py's BENCH_ONLY ns_simhash_pairs stage
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
+        return dedup.simhash_near_pairs(
+            docs, max_hamming=12, n_bands=4, method="arrow"
+        )
+
+    return {
+        "op_ngram_jaccard_auto": ngram_jaccard_auto,
+        "op_minhash_pairs": minhash_pairs,
+        "op_simhash_pairs": simhash_pairs,
+    }
 
 
 def build_replica(spark, base: str, out: str, factor: int) -> None:
