@@ -29,10 +29,14 @@ schemes (``hdfs:``, ``s3a:``, ...) and the raw :func:`hadoop_fs` handle
 (modification times, recursive file walks, content summaries — true
 FS-metadata ops the fallback cannot express faithfully) still fail LOUD
 with a named error: an `AttributeError` deep inside py4j is a worse
-failure. :func:`list_status` (mtimes) and :func:`walk_files` (recursive
-file counts/bytes) extend the fallback to the maintenance ops
-(``snapshots.vacuum`` / ``snapshot_stats``); the remaining classic-only
-surface is the parquet compactors' `getContentSummary` sizing.
+failure. :func:`list_status` (mtimes), :func:`walk_files` (recursive
+file counts/bytes), and :func:`rename` (directory moves, the compactor
+swap) extend the fallback to the maintenance ops — as of r8, NO engine
+feature calls :func:`hadoop_fs` directly anymore, so the whole metadata
+surface (snapshot lifecycle incl. vacuum/stats, CC round log, BM25 +
+MinHash index sidecars, parquet compaction) works on Connect sessions
+over LOCAL warehouses; remote schemes on Connect remain the one loud
+refusal.
 
 Mixed-session caveat: Hadoop's local FS keeps `.crc` sidecars; the
 Python fallback removes a stale sidecar when it overwrites a file so a
@@ -282,6 +286,27 @@ def walk_files(spark: SparkSession, path: str) -> tuple[int, int]:
         nfiles += 1
         nbytes += f.getLen()
     return nfiles, nbytes
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Move a file OR DIRECTORY to a non-existent destination; False when
+    ``dst`` already exists or ``src`` is missing. The directory-capable
+    sibling of :func:`rename_no_overwrite` (whose ``os.link`` publish
+    cannot express directories) — the compactor's swap primitive.
+    Callers delete ``dst`` first when replacing."""
+    if not _has_jvm(spark):
+        lsrc, ldst = _local_path(src), _local_path(dst)
+        if lsrc is None or ldst is None:
+            raise _connect_error(f"rename({src} -> {dst})")
+        if os.path.lexists(ldst) or not os.path.lexists(lsrc):
+            return False
+        os.rename(lsrc, ldst)
+        return True
+    fs, hsrc, jvm = hadoop_fs(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(hdst) or not fs.exists(hsrc):
+        return False
+    return bool(fs.rename(hsrc, hdst))
 
 
 def rename_no_overwrite(spark: SparkSession, src: str, dst: str) -> bool:

@@ -433,10 +433,9 @@ def minhash_incremental_pairs(
         minhash_buckets(new_docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,
     )
-    from ..fsutil import hadoop_fs
+    from ..fsutil import exists as _fs_exists
 
-    fs0, ipath, _ = hadoop_fs(spark, index_path)
-    if not fs0.exists(ipath):
+    if not _fs_exists(spark, index_path):
         # Bootstrap: no corpus indexed yet (day one of a continuous-ingest
         # pipeline). Cross pairs are definitionally empty; within-batch
         # pairs still compute, and the caller's survivor append CREATES
@@ -461,11 +460,10 @@ def minhash_incremental_pairs(
         # sidecar that exists but can't be read (corrupt footer, permission
         # denied) raises — silently probing uncapped is the quadratic
         # fanout the sidecar exists to prevent (round-4 advice).
-        from ..fsutil import hadoop_fs
+        from ..fsutil import exists as _fs_exists2
 
         sidecar = _hot_sidecar_path(index_path)
-        fs, hpath, _ = hadoop_fs(spark, sidecar)
-        if fs.exists(hpath):
+        if _fs_exists2(spark, sidecar):
             hot = spark.read.parquet(sidecar)
             idx = idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
         else:

@@ -120,12 +120,10 @@ def compact_parquet(
     """
     import math
 
-    from ..fsutil import hadoop_fs
+    from ..fsutil import delete, rename, walk_files
 
     df = spark.read.parquet(path)
-    fs, hpath, jvm = hadoop_fs(spark, path)
-    _p = jvm.org.apache.hadoop.fs.Path
-    total = fs.getContentSummary(hpath).getLength()
+    _nf, total = walk_files(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))
 
     staging = path.rstrip("/") + "__compact_staging"
@@ -138,10 +136,10 @@ def compact_parquet(
     writer.parquet(staging)
 
     old = path.rstrip("/") + "__compact_old"
-    fs.delete(_p(old), True)  # leftover from a previous crashed swap
-    fs.rename(hpath, _p(old))
-    fs.rename(_p(staging), hpath)
-    fs.delete(_p(old), True)
+    delete(spark, old, recursive=True)  # leftover from a previous crashed swap
+    rename(spark, path.rstrip("/"), old)
+    rename(spark, staging, path.rstrip("/"))
+    delete(spark, old, recursive=True)
     return n_files
 
 

@@ -42,3 +42,29 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         assert got == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_parquet_on_connect_local(spark, tmp_path, monkeypatch):
+    """r8: the compactor's sizing (walk_files) and crash-safe directory
+    swap (delete + rename) run through fsutil's Connect-local fallbacks,
+    so small-file maintenance works without a JVM handle too."""
+    import os
+
+    from pwhl_data_engineering_pipeline_spark import fsutil as _fsu
+    from pwhl_data_engineering_pipeline_spark.sources import writers
+
+    path = str(tmp_path / "cx_frag")
+    spark.range(0, 20000).repartition(24).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 24
+
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: False)
+    n = writers.compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
+
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == n < before
+    assert spark.read.parquet(path).count() == 20000
+    # no swap leftovers
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_staging")

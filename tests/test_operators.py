@@ -1043,3 +1043,34 @@ def test_banding_for_threshold_is_minimal_over_divisors(num_hashes):
             if num_hashes % bb == 0
         )
         assert abs((1.0 / b) ** (1.0 / r) - t) == best
+
+
+def test_minhash_incremental_on_connect_local(spark, docs, tmp_path, monkeypatch):
+    """r8: the incremental probe's index/sidecar existence checks route
+    through fsutil, so the whole index→probe→append cycle (including the
+    day-one bootstrap path) works on a Connect-like session over a local
+    index path."""
+    from pwhl_data_engineering_pipeline_spark import fsutil as _fsu
+
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: False)
+    idx = str(tmp_path / "mh_idx_cx")
+
+    # day-one bootstrap: missing index is not an error; batch dedups
+    # within itself and its survivors CREATE the index
+    batch1 = spark.createDataFrame(
+        [(1, "a wholly novel document about streaming watermarks", "en"),
+         (2, "a wholly novel document about streaming watermarks", "en")],
+        "doc_id long, text string, lang string",
+    )
+    s1 = dedup.dedup_minhash_incremental(spark, batch1, idx)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1]
+
+    # tomorrow's copy probes the fallback-checked sidecar path and drops
+    batch2 = spark.createDataFrame(
+        [(3, "a wholly novel document about streaming watermarks", "en"),
+         (4, "entirely distinct content regarding bloom filters", "en")],
+        "doc_id long, text string, lang string",
+    )
+    s2 = dedup.dedup_minhash_incremental(spark, batch2, idx)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [4]
+    monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
