@@ -302,6 +302,7 @@ def bm25_index_write(
     exact dyadic-safe sums, not a float avg) commit as ``_scalars/``
     versions so probes pay zero corpus-sized work.
     """
+    _check_batch_id(batch_id)
     postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
@@ -339,6 +340,21 @@ def bm25_index_write(
         },
         parent_version=0,
     )
+
+
+def _check_batch_id(batch_id: str) -> str:
+    """Batch ids become partition DIRECTORY names (``batch=<id>``) that the
+    purge/repair paths reconstruct verbatim; Spark URL-escapes special
+    characters at write time but the reconstruction does not, so an id
+    containing e.g. ``=`` or ``/`` would write one name and purge another
+    — restrict to filesystem-literal characters instead of escaping."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", batch_id or ""):
+        raise ValueError(
+            f"batch_id must match [A-Za-z0-9_-]{{1,64}}: {batch_id!r}"
+        )
+    return batch_id
 
 
 def _batch_dirs_present(spark, path: str) -> set[str]:
@@ -457,6 +473,7 @@ def bm25_index_append(
         # 'b' prefix keeps partition-value type inference at string even
         # for an (astronomically unlikely) all-digit hex draw
         batch_id = "b" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
     if batch_id in committed:
         return {
             "n_docs_added": 0,

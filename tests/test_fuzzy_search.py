@@ -619,3 +619,23 @@ def test_bm25_concurrent_append_conflict_is_explicit(spark, docs_df, tmp_path):
     # the winner's commit is intact
     cur = search._read_scalars(spark, idx)
     assert cur["_version"] == 2 and "bA" in cur["batches"]
+
+
+def test_bm25_batch_id_validation(spark, docs_df, tmp_path):
+    """Batch ids become literal partition directory names the purge/repair
+    paths reconstruct verbatim — characters Spark would URL-escape at
+    write time ('=', '/', spaces) must be refused up front, not written
+    under one name and purged under another."""
+    idx = str(tmp_path / "bm25_valid")
+    rows = docs_df.collect()
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    b = spark.createDataFrame(rows[2:3], docs_df.schema)
+    for bad in ("a=b", "a/b", "a b", "", "x" * 65):
+        with pytest.raises(ValueError, match="batch_id"):
+            search.bm25_index_append(b, idx, batch_id=bad)
+    with pytest.raises(ValueError, match="batch_id"):
+        search.bm25_index_write(b, str(tmp_path / "w"), batch_id="a=b")
+    # auto-generated ids pass their own validation
+    assert search.bm25_index_append(b, idx)["skipped"] is False
