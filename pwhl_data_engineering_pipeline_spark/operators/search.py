@@ -520,28 +520,49 @@ def bm25_index_append(
     }
 
 
-def bm25_index_compact(spark, path: str, out_path: str) -> dict:
+def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
     """Rewrite an appended index in its one-batch form (VERDICT r7 #2 —
     the append path's missing half): per-bucket posting files merge, df
-    segments collapse back to ONE row per (bucket, term), and the scalars
-    history collapses to a single v1 whose ``batches`` list is just the
-    compacted base. Probe results are IDENTICAL pre/post (differential-
-    tested): postings rows are per (doc, term) and batches hold disjoint
-    docs, so merging never needs arithmetic; stats sums exactly what the
-    probe's per-term segment sum computes on the fly.
+    segments collapse back to ONE row per (bucket, term), and the
+    committed-``batches`` list collapses to the single compacted batch.
+    Probe results are IDENTICAL pre/post (differential-tested): postings
+    rows are per (doc, term) and batches hold disjoint docs, so merging
+    never needs arithmetic; stats sums exactly what the probe's per-term
+    segment sum computes on the fly.
 
     Repeated ``bm25_index_append`` grows per-bucket file counts and
     per-term df segments without bound — probe cost creeps with segment
     count until compaction resets it (measured in SCALING.md). Uncommitted
     (crashed-append) batches are EXCLUDED, so compaction doubles as
-    repair. Like ``minhash_index_compact`` and the streaming
-    ``index_compact``, output goes to a NEW path (in-place parquet
-    self-overwrite is unsafe mid-rewrite); swap paths at the orchestration
-    layer — the new index is complete and self-contained the moment its
-    scalars v1 commits (same temp+rename commit as every version here).
+    repair.
+
+    Two modes:
+
+    - ``out_path=None`` (default) — IN-PLACE, atomic-to-probes via the
+      batch visibility switch: the compacted data stages under
+      ``_compact_staging/`` as a NEW batch id, its per-bucket directories
+      move into the live tree with metadata renames (invisible — the id
+      is not committed), then ONE scalars commit flips ``batches`` to
+      just the compacted id (a probe reads entirely-old or entirely-new,
+      never a mix), and finally the old batches' directories are
+      reclaimed as orphans. A crash before the commit leaves invisible
+      staging/moved dirs (``bm25_index_repair`` sweeps them); a crash
+      after it leaves reclaimable orphans — never a torn index.
+    - ``out_path=<new root>`` — writes a fresh self-contained index
+      (scalars v1) like ``minhash_index_compact``; swap paths at the
+      orchestration layer.
+
+    Maintenance contract (same as every compactor here): do not run
+    concurrently with appends — reclamation treats any batch absent from
+    the committed list as an orphan, which an in-flight (not yet
+    committed) append is indistinguishable from.
 
     Returns file/segment observability counts.
     """
+    import uuid as _uuid
+
+    from ..fsutil import delete, list_names, rename
+
     meta = _read_scalars(spark, path)
     committed = meta.get("batches")
     if committed is None:
@@ -569,34 +590,71 @@ def bm25_index_compact(spark, path: str, out_path: str) -> dict:
         "stats_rows_in": stats.count(),
         "batches_in": len(committed),
     }
-    base = F.lit("base").alias("batch")
+
+    in_place = out_path is None
+    cid = "c" + _uuid.uuid4().hex if in_place else "base"
+    target = f"{path}/_compact_staging" if in_place else out_path
+    if in_place:
+        delete(spark, target, recursive=True)  # crashed-compaction leftovers
+    batch = F.lit(cid).alias("batch")
     # one shuffle-free coalesce target per bucket: repartition on the
     # partition column so each bucket writes ONE file, the layout a
     # probe wants (many tiny append files are exactly the creep being
     # reclaimed)
     postings.select(
-        "doc_id", "term", "tf", "doc_len", "bucket", base
+        "doc_id", "term", "tf", "doc_len", "bucket", batch
     ).repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket", "batch"
-    ).parquet(f"{out_path}/postings")
+    ).parquet(f"{target}/postings")
     stats.groupBy("bucket", "term").agg(F.sum("df").alias("df")).select(
-        "term", "df", "bucket", base
+        "term", "df", "bucket", batch
     ).repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket", "batch"
-    ).parquet(f"{out_path}/stats")
-    _commit_scalars(
-        spark,
-        out_path,
-        {
-            "n_docs": meta["n_docs"],
-            "len_sum": meta["len_sum"],
-            "n_buckets": meta["n_buckets"],
-            "batches": ["base"],
-        },
-        parent_version=0,
-    )
-    obs["posting_files_out"] = _nfiles(f"{out_path}/postings")
-    obs["stats_rows_out"] = spark.read.parquet(f"{out_path}/stats").count()
+    ).parquet(f"{target}/stats")
+
+    if in_place:
+        # metadata moves into the live tree: the staged batch id is not
+        # committed, so nothing is visible until the scalars flip below
+        for sub in ("postings", "stats"):
+            for b in list_names(spark, f"{target}/{sub}"):
+                if b.startswith("bucket="):
+                    rename(
+                        spark,
+                        f"{target}/{sub}/{b}/batch={cid}",
+                        f"{path}/{sub}/{b}/batch={cid}",
+                    )
+        delete(spark, target, recursive=True)
+        _commit_scalars(
+            spark,
+            path,
+            {
+                "n_docs": meta["n_docs"],
+                "len_sum": meta["len_sum"],
+                "n_buckets": meta["n_buckets"],
+                "batches": [cid],
+            },
+            parent_version=meta["_version"],
+        )
+        # old committed batches are now orphans by definition — reclaim
+        obs["purged_batches"] = len(
+            bm25_index_repair(spark, path)["purged_batches"]
+        )
+        final = path
+    else:
+        _commit_scalars(
+            spark,
+            out_path,
+            {
+                "n_docs": meta["n_docs"],
+                "len_sum": meta["len_sum"],
+                "n_buckets": meta["n_buckets"],
+                "batches": [cid],
+            },
+            parent_version=0,
+        )
+        final = out_path
+    obs["posting_files_out"] = _nfiles(f"{final}/postings")
+    obs["stats_rows_out"] = spark.read.parquet(f"{final}/stats").count()
     return obs
 
 

@@ -639,3 +639,86 @@ def test_bm25_batch_id_validation(spark, docs_df, tmp_path):
         search.bm25_index_write(b, str(tmp_path / "w"), batch_id="a=b")
     # auto-generated ids pass their own validation
     assert search.bm25_index_append(b, idx)["skipped"] is False
+
+
+def test_bm25_index_compact_in_place_atomic(spark, docs_df, tmp_path, monkeypatch):
+    """In-place compaction (out_path=None) is atomic-to-probes via the
+    batch visibility switch: (a) probe identity pre/post; (b) a crash
+    BEFORE the scalars flip leaves the probe exactly at the appended
+    state with only invisible staged dirs (repair sweeps them); (c) a
+    crash AFTER the flip but before reclamation leaves a compacted probe
+    plus reclaimable orphans; (d) counts collapse as in the new-path
+    mode."""
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_inplace")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    for i, r in enumerate(rows[2:]):
+        search.bm25_index_append(
+            spark.createDataFrame([r], docs_df.schema), idx, batch_id=f"seg{i}"
+        )
+    want = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    meta0 = search._read_scalars(spark, idx)
+
+    # ---- (b) crash before the scalars flip
+    real_commit = search._commit_scalars
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before compaction commit")
+
+    monkeypatch.setattr(search, "_commit_scalars", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        search.bm25_index_compact(spark, idx)
+    monkeypatch.setattr(search, "_commit_scalars", real_commit)
+    assert search._read_scalars(spark, idx)["_version"] == meta0["_version"]
+    assert sorted(
+        map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
+    ) == want
+    # the staged-then-moved compacted batch is an invisible orphan
+    orphans = search._batch_dirs_present(spark, idx) - set(meta0["batches"])
+    assert orphans and all(o.startswith("c") for o in orphans)
+    search.bm25_index_repair(spark, idx)
+
+    # ---- (c) crash after the flip, before reclamation
+    real_repair = search.bm25_index_repair
+    monkeypatch.setattr(
+        search, "bm25_index_repair",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected post-flip")),
+    )
+    with pytest.raises(RuntimeError, match="post-flip"):
+        search.bm25_index_compact(spark, idx)
+    monkeypatch.setattr(search, "bm25_index_repair", real_repair)
+    meta1 = search._read_scalars(spark, idx)
+    assert len(meta1["batches"]) == 1 and meta1["batches"][0].startswith("c")
+    assert meta1["n_docs"] == meta0["n_docs"]
+    # probe already fully compacted; old batches are reclaimable orphans
+    assert sorted(
+        map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
+    ) == want
+    purged = search.bm25_index_repair(spark, idx)["purged_batches"]
+    assert set(purged) == set(meta0["batches"])
+
+    # ---- (a)+(d) clean in-place compaction on a re-grown index
+    for i, r in enumerate(rows[:2]):
+        search.bm25_index_append(
+            spark.createDataFrame([r], docs_df.schema).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000)
+            ),
+            idx, batch_id=f"re{i}",
+        )
+    want2 = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    obs = search.bm25_index_compact(spark, idx)
+    assert obs["posting_files_out"] < obs["posting_files_in"]
+    assert obs["stats_rows_out"] <= obs["stats_rows_in"]
+    assert obs["purged_batches"] == 3  # cid + re0 + re1 collapsed to one
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    assert got == want2
+    st = spark.read.parquet(f"{idx}/stats")
+    assert st.count() == st.select("bucket", "term").distinct().count()
+    import os
+    assert not os.path.exists(f"{idx}/_compact_staging")
