@@ -91,10 +91,20 @@ def _op_queries() -> dict:
             docs, max_hamming=12, n_bands=4, method="arrow"
         )
 
+    def vector_mean_arrow(spark, sf_dir):
+        # the 100 TB centroid path (partial means, no ×dim explode) — the
+        # oracle-exact long form ns_vector_centroids measures the
+        # documented anti-pattern instead (5.9× at 10×, see SCALING.md)
+        from pwhl_data_engineering_pipeline_spark.operators import vector_agg
+
+        emb = read_testdata(spark, sf_dir, "embeddings")
+        return vector_agg.vector_mean_arrow(emb, ["label"], "embedding")
+
     return {
         "op_ngram_jaccard_auto": ngram_jaccard_auto,
         "op_minhash_pairs": minhash_pairs,
         "op_simhash_pairs": simhash_pairs,
+        "op_vector_mean_arrow": vector_mean_arrow,
     }
 
 
