@@ -1,0 +1,104 @@
+"""Streaming BM25 index maintenance — the search-side twin of
+streaming/dedup.py's near-dup ingestion.
+
+A retrieval corpus that grows continuously (crawl output, document feeds)
+needs its inverted index maintained without re-tokenizing what is already
+indexed. ``bm25_index_append`` (operators/search.py) is the batch
+primitive; this module wires it into Structured Streaming with
+EXACTLY-ONCE semantics on BOTH sides, which the r8 batch-visibility
+switch makes almost free to state:
+
+- **Data side**: each micro-batch commits into a snapshot table through
+  ``snapshots.commit_stream_batch`` — a replayed (stream_id, epoch) is a
+  metadata no-op.
+- **Index side**: the batch id is DERIVED from the epoch
+  (``{stream_id}-e{epoch}``), so the append itself is idempotent under
+  replay: a fully-committed epoch re-appends as a metadata no-op, a
+  crashed append purges its own half-landed files and rewrites, and
+  probes only ever score batches the committed scalars list — there is
+  no window where a probe sees a torn epoch. No manifest re-reading is
+  needed (unlike the near-dup repair in streaming/dedup.py, where the
+  recomputed survivor set could not be trusted): the batch content here
+  is exactly the replayed source micro-batch.
+
+Contract inherited from ``bm25_index_append``: epoch batches carry doc
+ids disjoint from everything already indexed (pure-append ingestion).
+Redelivered/duplicate DOCUMENTS are a dedup concern — compose
+``streaming_dedup_keys`` / ``streaming_dedup_content`` upstream.
+Segment growth is the documented creep; schedule
+``bm25_index_compact(spark, index_path)`` (in-place atomic) between
+stream runs — it is maintenance, not something to run under live
+appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.search import (
+    _check_batch_id,
+    _read_scalars,
+    bm25_index_append,
+    bm25_index_write,
+)
+
+
+def streaming_bm25_ingest(
+    stream: DataFrame,
+    index_path: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    trigger_once: bool = True,
+    stream_id: str = "bm25",
+):
+    """Continuous ingestion: every micro-batch lands exactly-once in a
+    snapshot table AND in the persisted BM25 index.
+
+    Day-one bootstrap: a missing (or scalars-less half-built) index is
+    (re)created with ``bm25_index_write`` from the first batch — the full
+    rebuild is idempotent, so a crash anywhere inside bootstrap replays
+    clean. Later epochs append under their epoch-derived batch id.
+
+    Returns the started StreamingQuery (``trigger_once=True`` uses
+    availableNow for batch-style catch-up runs).
+    """
+    from ..sources.snapshots import commit_stream_batch
+
+    _check_batch_id(f"{stream_id}-e0")  # fail at wiring time, not epoch time
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        commit_stream_batch(batch_df, epoch_id, table_path, stream_id)
+        # The index step runs on BOTH fresh and replayed epochs: the
+        # epoch-derived batch id makes it a no-op when already committed
+        # and a purge+rewrite repair when the previous attempt crashed.
+        try:
+            _read_scalars(spark, index_path)
+        except FileNotFoundError:
+            bm25_index_write(
+                batch_df,
+                index_path,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+                batch_id=f"{stream_id}-e{epoch_id}",
+            )
+            return
+        bm25_index_append(
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=f"{stream_id}-e{epoch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -513,3 +513,91 @@ def test_epoch_admitted_rows_vacuumed_data_dir_returns_none(spark, tmp_path):
     assert _epoch_admitted_rows(spark, table, "sid", 3) is None
     # unknown epoch still None (walks past without touching data)
     assert _epoch_admitted_rows(spark, table, "sid", 99) is None
+
+def test_streaming_bm25_ingest_exactly_once(spark, tmp_path, monkeypatch):
+    """streaming/search.py: continuous BM25 index maintenance. (a) the
+    ingested index answers probes IDENTICALLY to a batch rebuild over the
+    same docs; (b) a crash between the data commit and the index append
+    is repaired by the replay via the epoch-derived batch id (no manifest
+    walking needed — the r8 batch visibility switch), with no
+    double-counted data and no doubled postings; (c) each epoch lands as
+    exactly one committed batch."""
+    from pwhl_data_engineering_pipeline_spark.operators import search as bsearch
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import search as ssearch
+
+    landing = str(tmp_path / "bm_landing")
+    index = str(tmp_path / "bm_index")
+    table = str(tmp_path / "bm_table")
+    ck = str(tmp_path / "bm_ck")
+
+    day1 = spark.createDataFrame(
+        [(1, "spark shuffle join strategies"),
+         (2, "window aggregation state stores")],
+        "doc_id long, text string",
+    )
+    schema = day1.schema
+    day1.coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = ssearch.streaming_bm25_ingest(stream, index, table, ck, n_buckets=8)
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle"), ("q2", "window state")],
+        "query_id string, query_text string",
+    )
+
+    # ---- epoch 0: bootstrap creates the index
+    assert run().exception() is None
+    assert {r["doc_id"] for r in read_snapshot(spark, table).collect()} == {1, 2}
+    got = sorted(map(tuple, bsearch.bm25_search_index(spark, index, qdf, k=10).collect()))
+    ref_idx = str(tmp_path / "bm_ref1")
+    bsearch.bm25_index_write(day1, ref_idx, n_buckets=8)
+    assert got == sorted(map(tuple, bsearch.bm25_search_index(spark, ref_idx, qdf, k=10).collect()))
+
+    # ---- epoch 1 with an injected crash AFTER the data commit
+    day2 = spark.createDataFrame(
+        [(3, "broadcast join hints and skew"),
+         (4, "stream checkpoint recovery state")],
+        "doc_id long, text string",
+    )
+    day2.coalesce(1).write.mode("append").parquet(landing)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before index append")
+
+    monkeypatch.setattr(ssearch, "bm25_index_append", boom)
+    q = run()
+    assert q.exception() is not None  # the batch died mid-protocol
+    monkeypatch.undo()
+    # data committed exactly-once, index missing day2
+    assert {r["doc_id"] for r in read_snapshot(spark, table).collect()} == {1, 2, 3, 4}
+    assert len(bsearch._read_scalars(spark, index)["batches"]) == 1
+
+    # ---- replay with the SAME checkpoint repairs the index side
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 4  # no double data
+    meta = bsearch._read_scalars(spark, index)
+    assert meta["batches"] == ["bm25-e0", "bm25-e1"] and meta["n_docs"] == 4
+    full = day1.unionByName(day2)
+    ref2 = str(tmp_path / "bm_ref2")
+    bsearch.bm25_index_write(full, ref2, n_buckets=8)
+    want = sorted(map(tuple, bsearch.bm25_search_index(spark, ref2, qdf, k=10).collect()))
+    assert sorted(
+        map(tuple, bsearch.bm25_search_index(spark, index, qdf, k=10).collect())
+    ) == want
+    # no doubled postings anywhere
+    p = spark.read.parquet(f"{index}/postings")
+    assert p.count() == p.select("doc_id", "term").distinct().count()
+
+    # ---- one more run on the same checkpoint, fully caught up: no new
+    # epochs fire and both sides stay exactly where they were
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 4
+    assert bsearch._read_scalars(spark, index)["n_docs"] == 4
