@@ -2136,6 +2136,44 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance (streaming/search.py, r8): the
+    corpus arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
+    landing files — epoch 0 exercises the bootstrap index write, epoch 1
+    the epoch-derived batch-id append), committed exactly-once into a
+    snapshot table while the persisted index is maintained; then the
+    standard probe set runs against the maintained index. By the append
+    differential guarantee (build(A)+append(B) ≡ build(A∪B), and the
+    streaming path IS that append keyed by epoch), the result is
+    identical to one-shot BM25 over the full corpus — the same bm25_sql
+    mirror is the oracle."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.streaming import search as ssearch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_bm25_")
+    landing = f"{tmp}/landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(landing)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = ssearch.streaming_bm25_ingest(
+            stream, f"{tmp}/index", f"{tmp}/table", f"{tmp}/ck", n_buckets=32
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, f"{tmp}/index", qdf, k=10)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-match over distinct normalized part names
     (operators.fuzzy): Levenshtein <= 2 within first-character blocks, with
@@ -3319,6 +3357,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_search": q_bm25_search,
         "ns_bm25_indexed": q_bm25_indexed,
         "ns_bm25_incremental": q_bm25_incremental,
+        "st_bm25_ingest": q_streaming_bm25,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
@@ -4788,9 +4827,12 @@ def _all_oracle_sql() -> dict[str, str]:
         docs_from="documents", queries_values=_bm25_values, k=10
     )
     # the persisted-index probe returns IDENTICAL rows by construction,
-    # and so does build(half)+append(half) (differential-tested)
+    # and so does build(half)+append(half) (differential-tested), and so
+    # does the two-epoch STREAMING maintenance (epoch-keyed appends are
+    # the same differential, exercised through availableNow micro-batches)
     sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
     sql["ns_bm25_incremental"] = sql["ns_bm25_search"]
+    sql["st_bm25_ingest"] = sql["ns_bm25_search"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,
