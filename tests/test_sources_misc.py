@@ -447,3 +447,55 @@ def test_fsutil_listing_rename_delete_connect_fallback(spark, tmp_path):
         fsutil.delete(fake, "s3a://bucket/key")
     with _pytest.raises(RuntimeError, match="classic"):
         fsutil.rename_no_overwrite(fake, "hdfs://nn/a", "hdfs://nn/b")
+
+
+def test_fsutil_maintenance_helpers_parity(spark, tmp_path):
+    """r8: list_status / walk_files / rename must agree between the
+    classic (Hadoop FS) and Connect-local (Python IO) paths on the same
+    directory — the parity everything routed through them (vacuum, stats,
+    the compactor swap) relies on."""
+    import os as _os
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    class _Fake:
+        _jvm = None
+
+    fake = _Fake()
+    d = str(tmp_path / "par")
+    fsutil.write_text(spark, f"{d}/a.json", "aaaa")        # classic (+ .crc)
+    fsutil.write_text(fake, f"{d}/b.json", "bb")           # fallback
+    _os.makedirs(f"{d}/sub")
+    fsutil.write_text(spark, f"{d}/sub/c.txt", "cc")
+
+    # list_status: same names, same is_dir flags, sane mtimes, .crc hidden
+    for sess in (spark, fake):
+        st = fsutil.list_status(sess, d)
+        assert [(e["name"], e["is_dir"]) for e in st] == [
+            ("a.json", False), ("b.json", False), ("sub", True)
+        ]
+        assert all(e["mtime_ms"] > 1e12 for e in st)
+    assert fsutil.list_status(fake, f"{d}/absent") == []
+    assert fsutil.list_status(spark, f"{d}/absent") == []
+
+    # walk_files: identical recursive (count, bytes) — .crc sidecars hidden
+    assert fsutil.walk_files(spark, d) == fsutil.walk_files(fake, d) == (3, 8)
+    assert fsutil.walk_files(fake, f"{d}/absent") == (0, 0)
+
+    # rename: moves files AND directories; refuses existing dst / missing src
+    assert fsutil.rename(fake, f"{d}/b.json", f"{d}/b2.json")
+    assert fsutil.read_text(spark, f"{d}/b2.json") == "bb"
+    assert not fsutil.rename(fake, f"{d}/b2.json", f"{d}/a.json")  # dst exists
+    assert not fsutil.rename(fake, f"{d}/gone", f"{d}/x")          # src missing
+    assert fsutil.rename(spark, f"{d}/sub", f"{d}/sub2")           # dir move
+    assert fsutil.read_text(fake, f"{d}/sub2/c.txt") == "cc"
+    assert fsutil.rename(fake, f"{d}/sub2", f"{d}/sub3")           # fallback dir move
+    assert fsutil.read_text(spark, f"{d}/sub3/c.txt") == "cc"
+    assert not fsutil.rename(spark, f"{d}/gone", f"{d}/y")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.rename(fake, "s3a://b/x", "s3a://b/y")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.list_status(fake, "hdfs://nn/d")
+    with _pytest.raises(RuntimeError, match="classic"):
+        fsutil.walk_files(fake, "s3a://b/d")
