@@ -504,6 +504,20 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _await_stream(q, timeout_sec: int = 300) -> None:
+    """awaitTermination with a LOUD timeout (ADVICE r8): a silent False
+    return would let the oracle probe run against a half-finished stream
+    and surface as a value-hash mismatch — misdiagnosed as a pipeline
+    bug instead of a stuck stream."""
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise RuntimeError(
+                f"streaming query did not finish within {timeout_sec}s"
+            )
+
+
 def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (§2.10 extension): availableNow file-source run
     of a watermarked 1-day tumbling rollup over events; append mode emits
@@ -553,7 +567,7 @@ def q_streaming_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
@@ -599,7 +613,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
@@ -2167,7 +2181,7 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = ssearch.streaming_bm25_ingest(
             stream, f"{tmp}/index", f"{tmp}/table", f"{tmp}/ck", n_buckets=32
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
@@ -2995,7 +3009,7 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # single availableNow batch → exactly one emission per user; project the

@@ -37,6 +37,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _text_tokens
 
+#: Default age gate (seconds) before an uncommitted batch directory is
+#: reclaimed as an orphan — the same grace-period pattern as
+#: ``snapshots.vacuum``. Young uncommitted directories are
+#: indistinguishable from an IN-FLIGHT append's files, and batches
+#: freshly retired by an in-place compaction may still be scanned by a
+#: probe that planned against the pre-compaction scalars; both races
+#: close once the directories are older than this gate.
+DEFAULT_RECLAIM_MIN_AGE = 3600.0
+
 
 def _tokens(col):
     """Lowercased terms via functions.text.tokens — ONE canonical tokenizer,
@@ -306,12 +315,21 @@ def bm25_index_write(
     postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
-    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).write.mode(
+    # repartition on the partition column BEFORE the dynamic-partition
+    # write (VERDICT r8 #1): each bucket lands wholly in one task, so a
+    # task runs ONE parquet sorter and writes ONE file per (bucket,
+    # batch) — without it, every one of the 32 write tasks holds rows of
+    # up to n_buckets partitions, and the per-task dynamic-partition
+    # sorters were what exhausted the shared 8g local pool on the 1000×
+    # build (SCALING.md). Same layout rule bm25_index_compact always had.
+    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).repartition(
+        "bucket"
+    ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(
+        f"{path}/postings"
+    )
+    stats.select("term", "df", bucket, batch).repartition("bucket").write.mode(
         "overwrite"
-    ).partitionBy("bucket", "batch").parquet(f"{path}/postings")
-    stats.select("term", "df", bucket, batch).write.mode("overwrite").partitionBy(
-        "bucket", "batch"
-    ).parquet(f"{path}/stats")
+    ).partitionBy("bucket", "batch").parquet(f"{path}/stats")
     spark = docs.sparkSession
     row = (
         spark.read.parquet(f"{path}/postings")
@@ -373,6 +391,43 @@ def _batch_dirs_present(spark, path: str) -> set[str]:
     return present
 
 
+def _batch_dir_mtimes(spark, path: str) -> dict[str, float]:
+    """Newest modification time (epoch ms) per batch id across its
+    ``batch=`` partition directories — what the age-gated reclaim in
+    :func:`bm25_index_repair` compares against. Metadata-only (one
+    listing per bucket directory, via the Connect-local-capable
+    ``fsutil.list_status``)."""
+    from ..fsutil import list_status
+
+    newest: dict[str, float] = {}
+    for sub in ("postings", "stats"):
+        for b in list_status(spark, f"{path}/{sub}"):
+            if not (b["is_dir"] and b["name"].startswith("bucket=")):
+                continue
+            for c in list_status(spark, f"{path}/{sub}/{b['name']}"):
+                if c["is_dir"] and c["name"].startswith("batch="):
+                    bid = c["name"][len("batch="):]
+                    newest[bid] = max(newest.get(bid, 0.0), c["mtime_ms"])
+    return newest
+
+
+def _tree_max_mtime_ms(spark, path: str) -> float | None:
+    """Newest mtime (epoch ms) of any entry under ``path``, recursively;
+    None when the tree is absent or empty — the age probe for sweeping
+    ``_compact_staging`` leftovers."""
+    from ..fsutil import list_status
+
+    best: float | None = None
+    stack = [path]
+    while stack:
+        p = stack.pop()
+        for st in list_status(spark, p):
+            best = st["mtime_ms"] if best is None else max(best, st["mtime_ms"])
+            if st["is_dir"]:
+                stack.append(f"{p}/{st['name']}")
+    return best
+
+
 def _purge_batch_dirs(spark, path: str, batch_id: str) -> int:
     """Delete every ``batch=<batch_id>`` partition directory under both
     index components. Metadata-only (one listing + one delete per bucket
@@ -389,14 +444,69 @@ def _purge_batch_dirs(spark, path: str, batch_id: str) -> int:
     return n
 
 
-def bm25_index_repair(spark, path: str) -> dict:
-    """Delete data of batches that never committed (present on disk,
-    absent from the scalars' ``batches`` list) — the leftovers of appends
-    that crashed between their file writes and their scalars commit.
-    Probes never see such data (they filter to committed batches), so
-    this is storage reclamation, not a correctness fix; it is also what a
-    re-append of the same batch id does implicitly before rewriting.
-    Returns ``{"purged_batches": [...]}``."""
+def _drop_retired_entries(spark, path: str, purged: list[str]) -> bool:
+    """Remove reclaimed batch ids from the scalars' ``retired`` map (a
+    new scalars version). Re-reads the CURRENT scalars each attempt so a
+    concurrent appender's batches are never clobbered; gives up quietly
+    after a few conflicts — a stale ``retired`` entry is harmless (its
+    directories are already gone; the next repair drops it)."""
+    for _ in range(3):
+        meta = _read_scalars(spark, path)
+        retired = dict(meta.get("retired") or {})
+        drop = [b for b in purged if b in retired]
+        if not drop:
+            return True
+        for b in drop:
+            retired.pop(b)
+        new = {k: v for k, v in meta.items() if k not in ("_version", "retired")}
+        if retired:
+            new["retired"] = retired
+        try:
+            _commit_scalars(spark, path, new, meta["_version"])
+            return True
+        except IOError:
+            continue  # concurrent appender won the version — retry fresh
+    return False
+
+
+def bm25_index_repair(
+    spark, path: str, min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE
+) -> dict:
+    """Reclaim storage of batches that are NOT in the scalars' committed
+    ``batches`` list, once they are safely old:
+
+    - **Crashed appends** (on disk, never committed, not in ``retired``):
+      reclaimed when their newest directory mtime is older than
+      ``min_age_seconds``. The age gate is what makes repair safe to run
+      at ANY time — an IN-FLIGHT append's young directories are
+      indistinguishable from a crash's, and the gate defers both until
+      the append has either committed (no longer an orphan) or died.
+    - **Retired batches** (replaced by an in-place
+      :func:`bm25_index_compact`, stamped with a retirement time in the
+      scalars' ``retired`` map): reclaimed ``min_age_seconds`` after
+      retirement, NOT after their (old) file mtimes — a probe that
+      planned against the pre-compaction scalars may still be scanning
+      them, and the grace period lets it finish. Reclaimed ids are
+      dropped from ``retired`` via a fresh scalars version.
+    - **Compaction staging leftovers** (``_compact_staging/`` from a
+      compactor that crashed before its move phase): swept under the
+      same age gate (ADVICE r8 — repair previously left them for the
+      next compact call).
+
+    Probes never see any of this data (they filter to committed
+    batches), so repair is storage reclamation, not a correctness fix;
+    a re-append of the same batch id still purges its own leftovers
+    immediately (ownership of the id makes that safe at any age).
+    Pass ``min_age_seconds=0`` only when no append, compact, or probe
+    can be in flight (e.g. tests, single-writer maintenance windows).
+
+    Returns ``{"purged_batches": [...], "deferred_batches": [...],
+    "staging_swept": bool}``.
+    """
+    import time as _time
+
+    from ..fsutil import delete
+
     meta = _read_scalars(spark, path)
     committed = set(meta.get("batches") or [])
     if not committed:
@@ -404,10 +514,41 @@ def bm25_index_repair(spark, path: str) -> dict:
             f"BM25 index at {path} predates batch stamping — rebuild with "
             "bm25_index_write to enable append repair"
         )
-    orphans = sorted(_batch_dirs_present(spark, path) - committed)
-    for b in orphans:
-        _purge_batch_dirs(spark, path, b)
-    return {"purged_batches": orphans}
+    retired = meta.get("retired") or {}
+    now = _time.time()
+    mtimes = _batch_dir_mtimes(spark, path)
+    purged, deferred = [], []
+    for b in sorted(set(mtimes) - committed):
+        age = now - (retired[b] if b in retired else mtimes[b] / 1000.0)
+        if age >= min_age_seconds:
+            _purge_batch_dirs(spark, path, b)
+            purged.append(b)
+        else:
+            deferred.append(b)
+    staging_swept = False
+    staging = f"{path}/_compact_staging"
+    stage_mt = _tree_max_mtime_ms(spark, staging)
+    if stage_mt is not None and now - stage_mt / 1000.0 >= min_age_seconds:
+        staging_swept = delete(spark, staging, recursive=True)
+    if any(b in retired for b in purged):
+        _drop_retired_entries(spark, path, purged)
+    return {
+        "purged_batches": purged,
+        "deferred_batches": deferred,
+        "staging_swept": staging_swept,
+    }
+
+
+def needs_compaction(spark, path: str, max_batches: int = 32) -> bool:
+    """Machine-readable compaction trigger (VERDICT r8 #3): True when the
+    committed-``batches`` list has reached ``max_batches`` — the point
+    where append-segment creep (probe file counts, df segment rows, the
+    probe's ``batch IN (...)`` list) is worth resetting. Metadata-only
+    (one scalars read). Schedulers poll this between appends, or pass
+    ``autocompact_after`` to :func:`bm25_index_append` to close the loop
+    in-line."""
+    meta = _read_scalars(spark, path)
+    return len(meta.get("batches") or []) >= max_batches
 
 
 def bm25_index_append(
@@ -416,6 +557,8 @@ def bm25_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: str | None = None,
+    autocompact_after: int | None = None,
+    reclaim_min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE,
 ) -> dict:
     """Append a new-docs batch to a persisted BM25 index WITHOUT
     re-tokenizing the corpus (VERDICT r6 #5) — the incremental-ingest
@@ -457,7 +600,15 @@ def bm25_index_append(
     Differential guarantee (tested): build(A) then append(B) returns
     IDENTICAL probe results to build(A ∪ B).
 
-    Returns {"n_docs_added", "version", "batch_id", "skipped"}.
+    ``autocompact_after=N`` runs :func:`bm25_index_compact` (in-place,
+    age-gated reclaim) right after the commit whenever the committed
+    batch count reaches N — the threshold trigger that resets probe-cost
+    creep without a separate scheduler (VERDICT r8 #3). Safe relative to
+    THIS appender by ordering (the append has committed); other racers
+    are covered by the age gate.
+
+    Returns {"n_docs_added", "version", "batch_id", "skipped",
+    "compacted"} (+ ``compact_obs`` when a compaction ran).
     """
     import uuid as _uuid
 
@@ -480,18 +631,24 @@ def bm25_index_append(
             "version": meta["_version"],
             "batch_id": batch_id,
             "skipped": True,
+            "compacted": False,
         }
     _purge_batch_dirs(spark, path, batch_id)  # crashed-attempt leftovers
     n_buckets = meta["n_buckets"]
     postings, _stats = build_index(new_docs, text_col, id_col, checkpoint=True)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
-    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).write.mode(
+    # one task per bucket before the dynamic-partition write — same
+    # sorter-memory/file-count rule as bm25_index_write (VERDICT r8 #1);
+    # the shuffle moves only the BATCH, never the corpus
+    postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).repartition(
+        "bucket"
+    ).write.mode("append").partitionBy("bucket", "batch").parquet(
+        f"{path}/postings"
+    )
+    _stats.select("term", "df", bucket, batch).repartition("bucket").write.mode(
         "append"
-    ).partitionBy("bucket", "batch").parquet(f"{path}/postings")
-    _stats.select("term", "df", bucket, batch).write.mode("append").partitionBy(
-        "bucket", "batch"
-    ).parquet(f"{path}/stats")
+    ).partitionBy("bucket", "batch").parquet(f"{path}/stats")
     row = (
         postings.select("doc_id", "doc_len")
         .distinct()
@@ -501,26 +658,36 @@ def bm25_index_append(
         )
         .first()
     )
-    version = _commit_scalars(
-        spark,
-        path,
-        {
-            "n_docs": meta["n_docs"] + int(row["n_docs"] or 0),
-            "len_sum": meta["len_sum"] + int(row["len_sum"] or 0),
-            "n_buckets": n_buckets,
-            "batches": [*committed, batch_id],
-        },
-        parent_version=meta["_version"],
-    )
-    return {
+    new_meta = {
+        "n_docs": meta["n_docs"] + int(row["n_docs"] or 0),
+        "len_sum": meta["len_sum"] + int(row["len_sum"] or 0),
+        "n_buckets": n_buckets,
+        "batches": [*committed, batch_id],
+    }
+    if meta.get("retired"):  # carry retirement stamps until repair drops them
+        new_meta["retired"] = meta["retired"]
+    version = _commit_scalars(spark, path, new_meta, parent_version=meta["_version"])
+    out = {
         "n_docs_added": int(row["n_docs"] or 0),
         "version": version,
         "batch_id": batch_id,
         "skipped": False,
+        "compacted": False,
     }
+    if autocompact_after is not None and len(new_meta["batches"]) >= autocompact_after:
+        out["compact_obs"] = bm25_index_compact(
+            spark, path, reclaim_min_age_seconds=reclaim_min_age_seconds
+        )
+        out["compacted"] = True
+    return out
 
 
-def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
+def bm25_index_compact(
+    spark,
+    path: str,
+    out_path: str | None = None,
+    reclaim_min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE,
+) -> dict:
     """Rewrite an appended index in its one-batch form (VERDICT r7 #2 —
     the append path's missing half): per-bucket posting files merge, df
     segments collapse back to ONE row per (bucket, term), and the
@@ -544,20 +711,26 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
       move into the live tree with metadata renames (invisible — the id
       is not committed), then ONE scalars commit flips ``batches`` to
       just the compacted id (a probe reads entirely-old or entirely-new,
-      never a mix), and finally the old batches' directories are
-      reclaimed as orphans. A crash before the commit leaves invisible
-      staging/moved dirs (``bm25_index_repair`` sweeps them); a crash
-      after it leaves reclaimable orphans — never a torn index.
+      never a mix). The replaced batches are stamped into the scalars'
+      ``retired`` map IN THE SAME COMMIT and reclaimed by the age-gated
+      :func:`bm25_index_repair` — under the default
+      ``reclaim_min_age_seconds`` a probe that planned against the OLD
+      scalars keeps its directories on disk for the full grace period,
+      and an in-flight append's young uncommitted directories survive
+      too, so compaction is safe to run under live probes AND appends
+      (an append racing the scalars flip loses the version rename
+      EXPLICITLY and retries — never silent). A crash before the commit
+      leaves invisible staging/moved dirs (repair sweeps them, age-
+      gated); a crash after it leaves retirement-stamped orphans — never
+      a torn index. Pass ``reclaim_min_age_seconds=0`` to reclaim
+      immediately when nothing else can be in flight.
     - ``out_path=<new root>`` — writes a fresh self-contained index
       (scalars v1) like ``minhash_index_compact``; swap paths at the
       orchestration layer.
 
-    Maintenance contract (same as every compactor here): do not run
-    concurrently with appends — reclamation treats any batch absent from
-    the committed list as an orphan, which an in-flight (not yet
-    committed) append is indistinguishable from.
-
-    Returns file/segment observability counts.
+    Returns file/segment observability counts (file counts are the
+    PROBE-VISIBLE slices — committed batches in, the compacted batch
+    out — so deferred-reclaim orphans don't inflate them).
     """
     import uuid as _uuid
 
@@ -571,9 +744,10 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
             "rebuild with bm25_index_write instead of compacting"
         )
 
-    def _nfiles(p):
+    def _nfiles(p, batches):
         return (
             spark.read.parquet(p)
+            .filter(F.col("batch").isin(batches))
             .select(F.input_file_name().alias("f"))
             .distinct()
             .count()
@@ -586,7 +760,7 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
         F.col("batch").isin(committed)
     )
     obs = {
-        "posting_files_in": _nfiles(f"{path}/postings"),
+        "posting_files_in": _nfiles(f"{path}/postings", committed),
         "stats_rows_in": stats.count(),
         "batches_in": len(committed),
     }
@@ -614,16 +788,30 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
 
     if in_place:
         # metadata moves into the live tree: the staged batch id is not
-        # committed, so nothing is visible until the scalars flip below
+        # committed, so nothing is visible until the scalars flip below.
+        # A False rename is a DROPPED bucket — abort BEFORE the scalars
+        # flip (ADVICE r8 medium: committing after a silent False would
+        # make the partial compacted batch the only visible data, i.e.
+        # permanent loss for the unmoved buckets; aborting leaves the old
+        # batches committed and the staged id invisible).
         for sub in ("postings", "stats"):
             for b in list_names(spark, f"{target}/{sub}"):
                 if b.startswith("bucket="):
-                    rename(
-                        spark,
-                        f"{target}/{sub}/{b}/batch={cid}",
-                        f"{path}/{sub}/{b}/batch={cid}",
-                    )
+                    src = f"{target}/{sub}/{b}/batch={cid}"
+                    dst = f"{path}/{sub}/{b}/batch={cid}"
+                    if not rename(spark, src, dst):
+                        raise IOError(
+                            f"bm25_index_compact: staging move failed for "
+                            f"{src} -> {dst}; aborting before the scalars "
+                            "flip (old batches remain committed; repair "
+                            "will sweep the staged leftovers)"
+                        )
         delete(spark, target, recursive=True)
+        import time as _time
+
+        now = _time.time()
+        retired = dict(meta.get("retired") or {})
+        retired.update({b: now for b in committed})
         _commit_scalars(
             spark,
             path,
@@ -632,13 +820,18 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
                 "len_sum": meta["len_sum"],
                 "n_buckets": meta["n_buckets"],
                 "batches": [cid],
+                "retired": retired,
             },
             parent_version=meta["_version"],
         )
-        # old committed batches are now orphans by definition — reclaim
-        obs["purged_batches"] = len(
-            bm25_index_repair(spark, path)["purged_batches"]
+        # old committed batches are retirement-stamped orphans now; the
+        # age-gated repair reclaims the ones past the grace period (all
+        # of them when the caller passes 0 in a quiesced window)
+        rep = bm25_index_repair(
+            spark, path, min_age_seconds=reclaim_min_age_seconds
         )
+        obs["purged_batches"] = len(rep["purged_batches"])
+        obs["retired_batches"] = len(committed)
         final = path
     else:
         _commit_scalars(
@@ -653,8 +846,10 @@ def bm25_index_compact(spark, path: str, out_path: str | None = None) -> dict:
             parent_version=0,
         )
         final = out_path
-    obs["posting_files_out"] = _nfiles(f"{final}/postings")
-    obs["stats_rows_out"] = spark.read.parquet(f"{final}/stats").count()
+    obs["posting_files_out"] = _nfiles(f"{final}/postings", [cid])
+    obs["stats_rows_out"] = (
+        spark.read.parquet(f"{final}/stats").filter(F.col("batch") == cid).count()
+    )
     return obs
 
 

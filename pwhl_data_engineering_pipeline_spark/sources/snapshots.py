@@ -390,6 +390,16 @@ def commit_stream_batch(
         epochs = dict(pm.get("stream_epochs") or {})
         last = epochs.get(stream_id)
         if last is not None and epoch_id <= last:
+            # Replayed batch: already committed — skip the write, but
+            # DRAIN the frame first. Inside foreachBatch the upstream
+            # plan may hold stateful operators (watermark dedup, windowed
+            # aggs) whose state stores only commit when the batch's tasks
+            # actually run; Spark validates those per-batch commits
+            # (STATE_STORE_COMMIT_VALIDATION_FAILED fails the whole
+            # replay run otherwise), so even a no-op body must execute
+            # the plan once. One count() job on the (rare) replayed
+            # epoch; nothing data-sized reaches the driver.
+            batch_df.count()
             return None  # replayed batch: already committed, skip
         dirs = list(pm["dirs"])
     dirs.append(_write_data(batch_df, path))

@@ -24,14 +24,30 @@ switch makes almost free to state:
 Contract inherited from ``bm25_index_append``: epoch batches carry doc
 ids disjoint from everything already indexed (pure-append ingestion).
 Redelivered/duplicate DOCUMENTS are a dedup concern — compose
-``streaming_dedup_keys`` / ``streaming_dedup_content`` upstream.
-Segment growth is the documented creep; schedule
-``bm25_index_compact(spark, index_path)`` (in-place atomic) between
-stream runs — it is maintenance, not something to run under live
-appends.
+``streaming_dedup_keys`` / ``streaming_dedup_content`` upstream (the
+composition is exercised end-to-end, crash included, in
+``test_streaming.py::test_streaming_dedup_then_bm25_compose``). The
+subtlety that composition surfaced: a replayed epoch where BOTH bodies
+no-op must still execute the micro-batch plan once, or the upstream
+dedup's state stores never commit and Spark fails the replay run with
+STATE_STORE_COMMIT_VALIDATION_FAILED — ``commit_stream_batch`` drains
+the frame on its skip path for exactly this reason, which also covers
+the index append's skip (it only skips when the table side already
+skipped-and-drained or committed-and-consumed). Note availableNow runs
+with a stateful upstream add empty watermark-advance micro-batches;
+they land as empty committed epochs (harmless — zero postings, one
+batch-list entry that the next compaction folds away).
+Segment growth is the documented creep: pass ``autocompact_after=N``
+so the stream compacts itself in-line whenever the committed batch
+count reaches N (safe under live probes/appends via the age-gated
+reclaim — see ``bm25_index_compact``), or poll
+``operators.search.needs_compaction(spark, index_path)`` from a
+scheduler between runs.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame
 
@@ -41,6 +57,8 @@ from ..operators.search import (
     bm25_index_append,
     bm25_index_write,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def streaming_bm25_ingest(
@@ -54,6 +72,7 @@ def streaming_bm25_ingest(
     n_buckets: int = 64,
     trigger_once: bool = True,
     stream_id: str = "bm25",
+    autocompact_after: int | None = None,
 ):
     """Continuous ingestion: every micro-batch lands exactly-once in a
     snapshot table AND in the persisted BM25 index.
@@ -62,6 +81,19 @@ def streaming_bm25_ingest(
     (re)created with ``bm25_index_write`` from the first batch — the full
     rebuild is idempotent, so a crash anywhere inside bootstrap replays
     clean. Later epochs append under their epoch-derived batch id.
+
+    ``stream_id`` and ``checkpoint_dir`` must be RETIRED TOGETHER: the
+    epoch-derived batch ids (``{stream_id}-e{epoch}``) are exactly what
+    makes replay idempotent, so reusing a stream_id against an existing
+    index from a FRESH checkpoint restarts epochs at 0 and every append
+    no-ops as "already committed" — new documents would be silently
+    dropped. Skipped NON-REPLAY epochs are therefore logged as warnings
+    (ADVICE r8): if you see them on a first run, you have recycled a
+    stream_id; pick a new one or keep the original checkpoint.
+
+    ``autocompact_after=N`` forwards to ``bm25_index_append`` so the
+    stream resets its own segment creep (age-gated reclaim keeps it safe
+    under live probes).
 
     Returns the started StreamingQuery (``trigger_once=True`` uses
     availableNow for batch-style catch-up runs).
@@ -88,13 +120,26 @@ def streaming_bm25_ingest(
                 batch_id=f"{stream_id}-e{epoch_id}",
             )
             return
-        bm25_index_append(
+        res = bm25_index_append(
             batch_df,
             index_path,
             text_col=text_col,
             id_col=id_col,
             batch_id=f"{stream_id}-e{epoch_id}",
+            autocompact_after=autocompact_after,
         )
+        if res["skipped"]:
+            # Expected exactly once per crash-replayed epoch; on a fresh
+            # run it means a recycled stream_id (see docstring) and the
+            # epoch's documents did NOT enter the index.
+            logger.warning(
+                "streaming_bm25_ingest: epoch %s (batch id %s) was already "
+                "committed to %s — replay no-op, or a recycled stream_id "
+                "whose documents are being dropped",
+                epoch_id,
+                res["batch_id"],
+                index_path,
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

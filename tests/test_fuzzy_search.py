@@ -497,7 +497,13 @@ def test_bm25_append_idempotent_and_crash_repair(spark, docs_df, tmp_path, monke
             spark.createDataFrame(rows[:1], docs_df.schema), idx, batch_id="borphan"
         )
     monkeypatch.setattr(search, "_commit_scalars", real_commit)
-    assert search.bm25_index_repair(spark, idx) == {"purged_batches": ["borphan"]}
+    # default age gate DEFERS the young orphan (it could be an in-flight
+    # append); min_age_seconds=0 forces reclaim in this quiesced test
+    gated = search.bm25_index_repair(spark, idx)
+    assert gated["purged_batches"] == [] and gated["deferred_batches"] == ["borphan"]
+    assert "borphan" in search._batch_dirs_present(spark, idx)
+    forced = search.bm25_index_repair(spark, idx, min_age_seconds=0)
+    assert forced["purged_batches"] == ["borphan"]
     assert "borphan" not in search._batch_dirs_present(spark, idx)
     assert sorted(
         map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
@@ -682,7 +688,7 @@ def test_bm25_index_compact_in_place_atomic(spark, docs_df, tmp_path, monkeypatc
     # the staged-then-moved compacted batch is an invisible orphan
     orphans = search._batch_dirs_present(spark, idx) - set(meta0["batches"])
     assert orphans and all(o.startswith("c") for o in orphans)
-    search.bm25_index_repair(spark, idx)
+    search.bm25_index_repair(spark, idx, min_age_seconds=0)
 
     # ---- (c) crash after the flip, before reclamation
     real_repair = search.bm25_index_repair
@@ -700,8 +706,16 @@ def test_bm25_index_compact_in_place_atomic(spark, docs_df, tmp_path, monkeypatc
     assert sorted(
         map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
     ) == want
-    purged = search.bm25_index_repair(spark, idx)["purged_batches"]
+    # retirement-stamped by the flip: the default gate defers them (a
+    # probe planned against the old scalars may still be scanning)...
+    assert set(search._read_scalars(spark, idx).get("retired", {})) == set(
+        meta0["batches"]
+    )
+    assert search.bm25_index_repair(spark, idx)["purged_batches"] == []
+    # ...and min_age 0 reclaims them and drops the retirement stamps
+    purged = search.bm25_index_repair(spark, idx, min_age_seconds=0)["purged_batches"]
     assert set(purged) == set(meta0["batches"])
+    assert search._read_scalars(spark, idx).get("retired", {}) == {}
 
     # ---- (a)+(d) clean in-place compaction on a re-grown index
     for i, r in enumerate(rows[:2]):
@@ -712,13 +726,180 @@ def test_bm25_index_compact_in_place_atomic(spark, docs_df, tmp_path, monkeypatc
             idx, batch_id=f"re{i}",
         )
     want2 = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
-    obs = search.bm25_index_compact(spark, idx)
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
     assert obs["posting_files_out"] < obs["posting_files_in"]
     assert obs["stats_rows_out"] <= obs["stats_rows_in"]
     assert obs["purged_batches"] == 3  # cid + re0 + re1 collapsed to one
+    assert obs["retired_batches"] == 3
     got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
     assert got == want2
     st = spark.read.parquet(f"{idx}/stats")
     assert st.count() == st.select("bucket", "term").distinct().count()
     import os
     assert not os.path.exists(f"{idx}/_compact_staging")
+
+
+def test_bm25_age_gate_protects_inflight_append(spark, docs_df, tmp_path, monkeypatch):
+    """VERDICT r8 #2: compaction/repair are safe to run WHILE an append is
+    in flight — by the age-gate mechanism, not by the (now dropped)
+    don't-run-concurrently discipline clause. An append's files are on
+    disk but its scalars commit hasn't happened; at exactly that moment
+    (a) a default-gate repair must DEFER the young batch (it is
+    indistinguishable from a crash until it ages), and the append then
+    commits successfully in the same call; (b) a default-gate in-place
+    compact must likewise leave the young batch's directories untouched
+    — the racing append loses the scalars version rename EXPLICITLY
+    (IOError) and a retry of the same batch id lands clean with probe
+    results identical to a full rebuild."""
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_gate")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    real_commit = search._commit_scalars
+
+    # ---- (a) repair races the in-flight append's commit window
+    obs_a = {}
+
+    def repair_mid_append(spark_, path_, meta_, parent_version):
+        if "ran" not in obs_a:
+            obs_a["ran"] = True
+            obs_a["repair"] = search.bm25_index_repair(spark, idx)  # default gate
+            obs_a["survives"] = "inflight_a" in search._batch_dirs_present(spark, idx)
+        return real_commit(spark_, path_, meta_, parent_version)
+
+    monkeypatch.setattr(search, "_commit_scalars", repair_mid_append)
+    out = search.bm25_index_append(
+        spark.createDataFrame(rows[2:3], docs_df.schema), idx, batch_id="inflight_a"
+    )
+    monkeypatch.setattr(search, "_commit_scalars", real_commit)
+    assert obs_a["repair"]["purged_batches"] == []
+    assert obs_a["repair"]["deferred_batches"] == ["inflight_a"]
+    assert obs_a["survives"] is True
+    assert out["skipped"] is False and out["n_docs_added"] == 1
+    assert "inflight_a" in search._read_scalars(spark, idx)["batches"]
+
+    # ---- (b) in-place compact races the in-flight append's commit window
+    obs_b = {}
+
+    def compact_mid_append(spark_, path_, meta_, parent_version):
+        if "ran" not in obs_b:
+            obs_b["ran"] = True
+            # default reclaim gate: retired batches get stamped, nothing
+            # young is deleted; compact's own internal commits land for
+            # real through this same hook (flag already set)
+            obs_b["compact"] = search.bm25_index_compact(spark, idx)
+            obs_b["survives"] = "inflight_b" in search._batch_dirs_present(spark, idx)
+        return real_commit(spark_, path_, meta_, parent_version)
+
+    monkeypatch.setattr(search, "_commit_scalars", compact_mid_append)
+    with pytest.raises(IOError, match="conflict"):
+        search.bm25_index_append(
+            spark.createDataFrame(rows[3:4], docs_df.schema), idx,
+            batch_id="inflight_b",
+        )
+    monkeypatch.setattr(search, "_commit_scalars", real_commit)
+    assert obs_b["survives"] is True
+    assert obs_b["compact"]["purged_batches"] == 0  # all deferred by the gate
+    assert obs_b["compact"]["retired_batches"] == 2  # base + inflight_a
+    # the loser retries the SAME batch id from the new current version:
+    # purge-own-leftovers + rewrite + commit — never silent
+    out2 = search.bm25_index_append(
+        spark.createDataFrame(rows[3:4], docs_df.schema), idx, batch_id="inflight_b"
+    )
+    assert out2["skipped"] is False and out2["n_docs_added"] == 1
+    want_idx = str(tmp_path / "bm25_gate_full")
+    search.bm25_index_write(docs_df, want_idx, n_buckets=8)
+    want = sorted(
+        map(tuple, search.bm25_search_index(spark, want_idx, qdf, k=10).collect())
+    )
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    assert got == want
+    # no doubled postings from the raced first attempt
+    p = spark.read.parquet(f"{idx}/postings")
+    meta = search._read_scalars(spark, idx)
+    vis = p.filter(F.col("batch").isin(meta["batches"]))
+    assert vis.count() == vis.select("doc_id", "term").distinct().count()
+
+
+def test_bm25_autocompact_threshold_resets_creep(spark, docs_df, tmp_path):
+    """VERDICT r8 #3: the threshold-triggered compaction hint.
+    needs_compaction flips True exactly when the committed-batches list
+    reaches max_batches; bm25_index_append(autocompact_after=N) fires the
+    in-place compact at N and resets the creep — batches list back to
+    one, posting file count back to the fresh-build level — with probe
+    results identical to a one-shot build throughout."""
+    docs = [
+        (1, "spark shuffle join"),
+        (2, "spark spark spark window"),
+        (3, "window agg rollup"),
+        (4, "totally unrelated words here"),
+        (101, "shuffle join broadcast hints"),
+        (102, "window state store checkpoint"),
+        (103, "agg rollup cube grouping"),
+    ]
+    schema = "doc_id long, text string"
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_auto")
+    spark_docs = spark.createDataFrame(docs, schema)
+    search.bm25_index_write(
+        spark.createDataFrame(docs[:1], schema), idx, n_buckets=8
+    )
+    N = 4
+    fired = 0
+    for i, d in enumerate(docs[1:]):
+        before = len(search._read_scalars(spark, idx)["batches"])
+        # the scheduler-facing poll agrees with what the append will do
+        assert search.needs_compaction(spark, idx, max_batches=N) is (before >= N)
+        out = search.bm25_index_append(
+            spark.createDataFrame([d], schema), idx, batch_id=f"s{i}",
+            autocompact_after=N, reclaim_min_age_seconds=0,
+        )
+        after_meta = search._read_scalars(spark, idx)
+        if before + 1 >= N:
+            assert out["compacted"] is True and "compact_obs" in out
+            assert len(after_meta["batches"]) == 1  # creep reset
+            assert after_meta["batches"][0].startswith("c")
+            fired += 1
+        else:
+            assert out["compacted"] is False
+            assert len(after_meta["batches"]) == before + 1
+        # the in-line trigger keeps the index below the poll threshold
+        assert search.needs_compaction(spark, idx, max_batches=N) is False
+    assert fired == 2  # 2,3,4->compact(1), 2,3,4->compact(1)
+
+    def nfiles(p, batches):
+        return (
+            spark.read.parquet(p)
+            .filter(F.col("batch").isin(batches))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # probe cost back to fresh-build level: same visible file count as a
+    # one-shot build of the same corpus (one file per occupied bucket —
+    # the repartition('bucket') layout rule), and identical probe results
+    fresh = str(tmp_path / "bm25_auto_fresh")
+    search.bm25_index_write(spark_docs, fresh, n_buckets=8)
+    got_files = nfiles(
+        f"{idx}/postings", search._read_scalars(spark, idx)["batches"]
+    )
+    want_files = nfiles(f"{fresh}/postings", ["base"])
+    assert got_files == want_files
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    want = sorted(
+        map(tuple, search.bm25_search_index(spark, fresh, qdf, k=10).collect())
+    )
+    assert got == want
+    # corpus scalars survived the two compactions intact
+    meta = search._read_scalars(spark, idx)
+    assert meta["n_docs"] == len(docs)
+    assert meta.get("retired", {}) == {}  # min_age=0 reclaim dropped stamps

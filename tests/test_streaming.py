@@ -601,3 +601,156 @@ def test_streaming_bm25_ingest_exactly_once(spark, tmp_path, monkeypatch):
     assert run().exception() is None
     assert read_snapshot(spark, table).count() == 4
     assert bsearch._read_scalars(spark, index)["n_docs"] == 4
+
+
+def test_streaming_dedup_then_bm25_compose(spark, tmp_path, monkeypatch, caplog):
+    """VERDICT r8 #5: the composition streaming/search.py's docstring
+    prescribes, end-to-end in ONE stream — streaming_dedup_content
+    upstream of streaming_bm25_ingest — over three epochs with TWO crash
+    shapes injected between/around the sink's two foreachBatch bodies:
+
+    - epoch 1 crashes AFTER the index append but BEFORE the checkpoint
+      commit: the replay's table commit AND index append are both
+      committed no-ops (the append's skipped=True replay warning fires —
+      ADVICE r8);
+    - epoch 2 crashes BETWEEN the two bodies (table committed, index
+      append never ran): the replay repairs the index side.
+
+    Throughout: duplicate documents — an in-epoch redelivery and a
+    cross-epoch redelivery inside the dedup watermark — never reach the
+    snapshot table OR the index; final probe results are identical to a
+    one-shot batch build over the admitted documents."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.operators import search as bsearch
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+    from pwhl_data_engineering_pipeline_spark.streaming import search as ssearch
+
+    landing = str(tmp_path / "cp_landing")
+    index = str(tmp_path / "cp_index")
+    table = str(tmp_path / "cp_table")
+    ck = str(tmp_path / "cp_ck")
+    schema = "doc_id long, ts string, text string"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(landing)
+        deduped = sdedup.streaming_dedup_content(stream, "text", "ts", "1 hour")
+        q = ssearch.streaming_bm25_ingest(
+            deduped, index, table, ck, n_buckets=8, stream_id="cp"
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle"), ("q2", "window state")],
+        "query_id string, query_text string",
+    )
+
+    def probe(path):
+        return sorted(
+            map(tuple, bsearch.bm25_search_index(spark, path, qdf, k=10).collect())
+        )
+
+    def rebuild_over_table(tag):
+        ref = str(tmp_path / f"cp_ref_{tag}")
+        bsearch.bm25_index_write(
+            read_snapshot(spark, table).select("doc_id", "text"), ref, n_buckets=8
+        )
+        return probe(ref)
+
+    # ---- epoch 0: bootstrap; doc 3 is an IN-EPOCH redelivery of doc 1
+    land([
+        (1, "2025-01-01 10:00:00", "spark shuffle join strategies"),
+        (2, "2025-01-01 10:01:00", "window aggregation state stores"),
+        (3, "2025-01-01 10:02:00", "spark shuffle join strategies"),
+    ])
+    assert run().exception() is None
+    ids0 = {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    assert 2 in ids0 and len(ids0 & {1, 3}) == 1 and len(ids0) == 2
+    assert bsearch._read_scalars(spark, index)["n_docs"] == 2
+    assert probe(index) == rebuild_over_table("e0")
+
+    # ---- epoch 1: doc 5 is a CROSS-EPOCH redelivery of doc 2 (within
+    # the 1h watermark); crash AFTER the index append, BEFORE the
+    # checkpoint commit. (Epoch ids are NOT assumed contiguous: with a
+    # stateful dedup upstream, availableNow runs extra empty
+    # watermark-advance batches that land as empty committed appends.)
+    land([
+        (4, "2025-01-01 10:05:00", "broadcast join hints and skew"),
+        (5, "2025-01-01 10:06:00", "window aggregation state stores"),
+        (6, "2025-01-01 10:07:00", "stream checkpoint recovery state"),
+    ])
+    pre_e1 = set(bsearch._read_scalars(spark, index)["batches"])
+    real_append = ssearch.bm25_index_append
+
+    def append_then_die(*a, **k):
+        real_append(*a, **k)
+        raise RuntimeError("injected crash after index append, before checkpoint")
+
+    monkeypatch.setattr(ssearch, "bm25_index_append", append_then_die)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    # both sides already landed exactly-once; the EPOCH is uncommitted
+    assert {r["doc_id"] for r in read_snapshot(spark, table).collect()} >= {4, 6}
+    assert 5 not in {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+    crashed = set(bsearch._read_scalars(spark, index)["batches"]) - pre_e1
+    assert len(crashed) == 1  # exactly the crashed epoch's batch landed
+    crashed_id = crashed.pop()
+    # replay: table commit no-ops (but still DRAINS the frame so the
+    # dedup state stores commit — the composition bug this test found),
+    # and the index append skips with the ADVICE r8 replay warning
+    with caplog.at_level(logging.WARNING, logger=ssearch.logger.name):
+        assert run().exception() is None
+    assert any(
+        "already" in r.message and crashed_id in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+    n_after_e1 = read_snapshot(spark, table).count()
+    assert n_after_e1 == 4  # {1|3}, 2, 4, 6 — no double commit, no dup 5
+    assert bsearch._read_scalars(spark, index)["n_docs"] == 4
+    assert probe(index) == rebuild_over_table("e1")
+
+    # ---- epoch 2: crash BETWEEN the two bodies (table committed, index
+    # append never ran)
+    land([(7, "2025-01-01 10:10:00", "state store compaction internals")])
+    pre_e2 = set(bsearch._read_scalars(spark, index)["batches"])
+
+    def die_before_append(*a, **k):
+        raise RuntimeError("injected crash between table commit and index append")
+
+    monkeypatch.setattr(ssearch, "bm25_index_append", die_before_append)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    assert read_snapshot(spark, table).count() == 5  # table side landed
+    # ...but the index never saw the epoch
+    assert set(bsearch._read_scalars(spark, index)["batches"]) == pre_e2
+    assert bsearch._read_scalars(spark, index)["n_docs"] == 4
+    # replay repairs the index side exactly-once
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 5
+    meta = bsearch._read_scalars(spark, index)
+    assert meta["n_docs"] == 5
+    assert probe(index) == rebuild_over_table("e2")
+    # no doubled postings anywhere in the committed slices
+    p = spark.read.parquet(f"{index}/postings").filter(
+        F.col("batch").isin(meta["batches"])
+    )
+    assert p.count() == p.select("doc_id", "term").distinct().count()
+
+    # fully-caught-up rerun: nothing moves
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 5
+    assert bsearch._read_scalars(spark, index)["n_docs"] == 5
