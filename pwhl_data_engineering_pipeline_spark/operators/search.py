@@ -312,7 +312,13 @@ def bm25_index_write(
     versions so probes pay zero corpus-sized work.
     """
     _check_batch_id(batch_id)
-    postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
+    # tokenize ONCE into the posting store; stats and scalars then derive
+    # from the WRITTEN parquet instead of a pinned localCheckpoint of the
+    # postings (VERDICT r8 #1, second half: at the 1000× decade a ~200M-row
+    # checkpoint held storage memory the concurrent sort/write tasks
+    # needed as execution memory — disk-backed re-scans of columns we
+    # just wrote are the bounded-memory shape a 1000-executor build has)
+    postings, _ = build_index(docs, text_col, id_col, checkpoint=False)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
     # repartition on the partition column BEFORE the dynamic-partition
@@ -327,13 +333,17 @@ def bm25_index_write(
     ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(
         f"{path}/postings"
     )
-    stats.select("term", "df", bucket, batch).repartition("bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket", "batch").parquet(f"{path}/stats")
     spark = docs.sparkSession
+    written = spark.read.parquet(f"{path}/postings")
+    # df per term from the written postings (column-pruned scan of term +
+    # the bucket partition value — no re-tokenization, no pinned memory)
+    written.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).select("term", "df", "bucket", F.lit(batch_id).alias("batch")).repartition(
+        "bucket"
+    ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(f"{path}/stats")
     row = (
-        spark.read.parquet(f"{path}/postings")
-        .select("doc_id", "doc_len")
+        written.select("doc_id", "doc_len")
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -530,8 +540,16 @@ def bm25_index_repair(
     stage_mt = _tree_max_mtime_ms(spark, staging)
     if stage_mt is not None and now - stage_mt / 1000.0 >= min_age_seconds:
         staging_swept = delete(spark, staging, recursive=True)
-    if any(b in retired for b in purged):
-        _drop_retired_entries(spark, path, purged)
+    # drop stamps for what we just purged AND for retired batches whose
+    # directories are already gone (a prior repair purged them but lost
+    # the stamp-drop commit to version conflicts) — without the second
+    # set a dir-less stamp would survive every future repair
+    droppable = [
+        b for b in retired
+        if b in purged or (b not in mtimes and b not in committed)
+    ]
+    if droppable:
+        _drop_retired_entries(spark, path, droppable)
     return {
         "purged_batches": purged,
         "deferred_batches": deferred,
@@ -635,7 +653,11 @@ def bm25_index_append(
         }
     _purge_batch_dirs(spark, path, batch_id)  # crashed-attempt leftovers
     n_buckets = meta["n_buckets"]
-    postings, _stats = build_index(new_docs, text_col, id_col, checkpoint=True)
+    # tokenize once into the posting store; stats/scalars derive from the
+    # WRITTEN batch partition (directory-pruned re-scan) instead of a
+    # pinned localCheckpoint — same bounded-memory rule as
+    # bm25_index_write (VERDICT r8 #1, second half)
+    postings, _ = build_index(new_docs, text_col, id_col, checkpoint=False)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
     # one task per bucket before the dynamic-partition write — same
@@ -646,11 +668,16 @@ def bm25_index_append(
     ).write.mode("append").partitionBy("bucket", "batch").parquet(
         f"{path}/postings"
     )
-    _stats.select("term", "df", bucket, batch).repartition("bucket").write.mode(
-        "append"
-    ).partitionBy("bucket", "batch").parquet(f"{path}/stats")
+    written = spark.read.parquet(f"{path}/postings").filter(
+        F.col("batch") == batch_id
+    )
+    written.groupBy("bucket", "term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term", "df", "bucket", F.lit(batch_id).alias("batch")
+    ).repartition("bucket").write.mode("append").partitionBy(
+        "bucket", "batch"
+    ).parquet(f"{path}/stats")
     row = (
-        postings.select("doc_id", "doc_len")
+        written.select("doc_id", "doc_len")
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -903,3 +903,87 @@ def test_bm25_autocompact_threshold_resets_creep(spark, docs_df, tmp_path):
     meta = search._read_scalars(spark, idx)
     assert meta["n_docs"] == len(docs)
     assert meta.get("retired", {}) == {}  # min_age=0 reclaim dropped stamps
+
+
+def test_bm25_probe_batch_pruning_at_40_segments(spark, docs_df, tmp_path):
+    """VERDICT r8 #7: the probe's committed-batch visibility must stay
+    DIRECTORY-grain partition pruning at the segment counts where it
+    matters — the small-case plan assertion in the growth test can't see
+    a planner fallback (e.g. isin collapsing out of PartitionFilters)
+    that only shows up with a long committed list. 40 one-doc appends →
+    41 committed batches; the probe plan must carry BOTH bucket and
+    batch in PartitionFilters, every committed batch id must appear in
+    the scan's partition filter text, and results must equal a one-shot
+    rebuild over the same docs."""
+    import re as _re
+
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_seg40")
+    search.bm25_index_write(docs_df, idx, n_buckets=8)
+    batch_src = spark.createDataFrame(rows[:1], docs_df.schema)
+    for i in range(40):
+        search.bm25_index_append(
+            batch_src.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000 + i)
+            ),
+            idx, batch_id=f"seg{i:02d}",
+        )
+    committed = search._read_scalars(spark, idx)["batches"]
+    assert len(committed) == 41
+
+    # the default metadata string cap (100 chars) truncates a 41-entry
+    # INSET out of the rendered plan — raise it so the assertion sees
+    # the full PartitionFilters text
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = (
+            search.bm25_search_index(spark, idx, qdf, k=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+    filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters and any("bucket" in f for f in filters), plan[:2000]
+    batch_filters = [f for f in filters if "batch" in f]
+    assert batch_filters, plan[:2000]
+    # every committed id is in the pruning predicate (directory grain),
+    # and the uncommitted-future id obviously is not
+    assert all(
+        all(b in f for b in committed) for f in batch_filters
+    ), batch_filters[0][:2000]
+
+    # correctness at 41 segments: identical to the one-shot rebuild
+    full = docs_df
+    for i in range(40):
+        full = full.unionByName(
+            batch_src.withColumn("doc_id", F.col("doc_id") + F.lit(1000 + i))
+        )
+    ref = str(tmp_path / "bm25_seg40_ref")
+    search.bm25_index_write(full, ref, n_buckets=8)
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    want = sorted(map(tuple, search.bm25_search_index(spark, ref, qdf, k=10).collect()))
+    assert got == want
+
+
+def test_bm25_repair_drops_dirless_retired_stamps(spark, docs_df, tmp_path):
+    """A retired stamp whose batch directories are already gone (a prior
+    repair purged them but lost the stamp-drop commit to a version
+    conflict) must be dropped by the next repair — not survive forever
+    because only just-purged batches used to be eligible."""
+    rows = docs_df.collect()
+    idx = str(tmp_path / "bm25_stale_stamp")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    meta = search._read_scalars(spark, idx)
+    stale = {k: v for k, v in meta.items() if k != "_version"}
+    stale["retired"] = {"ghost": 12345.0}  # ancient stamp, no dirs anywhere
+    search._commit_scalars(spark, idx, stale, meta["_version"])
+    rep = search.bm25_index_repair(spark, idx)  # default gate is fine: no dirs
+    assert rep["purged_batches"] == [] and rep["deferred_batches"] == []
+    assert search._read_scalars(spark, idx).get("retired", {}) == {}

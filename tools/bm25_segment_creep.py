@@ -36,12 +36,29 @@ for i in range(40):
     b = batch_src.withColumn("doc_id", F.col("doc_id") + F.lit(7_000_000_000 + i * 10_000_000)).limit(125)
     search.bm25_index_append(b, idx, batch_id=f"seg{i}")
 appended = round(min(probe() for _ in range(3)), 3)
-nseg = len(search._read_scalars(spark, idx)["batches"])
+committed = search._read_scalars(spark, idx)["batches"]
+nseg = len(committed)
 
-out = tempfile.mkdtemp(prefix="bm25_seg_c_")
-obs = search.bm25_index_compact(spark, idx, out)
-idx = out
-probe()  # warm new path
+# VERDICT r8 #7: at 41 segments the probe must STILL prune at directory
+# grain — bucket AND the committed-batch isin both inside
+# PartitionFilters (also pinned in pytest:
+# test_bm25_probe_batch_pruning_at_40_segments)
+import re
+spark.conf.set("spark.sql.maxMetadataStringLength", "100000")  # un-truncate INSET
+plan = (search.bm25_search_index(spark, idx, qdf, k=10)
+        ._jdf.queryExecution().executedPlan().toString())
+filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+batch_filters = [f for f in filters if "batch" in f]
+pruned = bool(
+    filters and any("bucket" in f for f in filters) and batch_filters
+    and all(all(b in f for b in committed) for f in batch_filters)
+)
+assert pruned, plan[:3000]
+
+# in-place compact (the shipped maintenance path): min_age 0 is correct
+# here — single-writer window, no probe in flight
+obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+probe()  # warm new layout
 compacted = round(min(probe() for _ in range(3)), 3)
 print(json.dumps({
     "mode": "bm25-segment-creep",
@@ -49,5 +66,6 @@ print(json.dumps({
     "probe_40_segments_sec": appended,
     "probe_compacted_sec": compacted,
     "n_batches": nseg,
+    "pruned_at_41_segments": pruned,
     "compact_obs": obs,
 }))

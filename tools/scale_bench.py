@@ -173,6 +173,16 @@ def build_docs_replica(
     the corpus (clusters are size-4, never quadratic); the 100× rows in
     SCALING.md note it. The embedding rotation has period dim (e.g. 64),
     with the same reading.
+
+    - ``permute``: copy i>0 applies an INDEPENDENT seeded uniform
+      alphabet permutation (``random.Random(i)``) — still a character
+      bijection, so within-copy Jaccard is exactly preserved, but the
+      permutation space is 26! (and dim! for the embedding analog), so
+      distinct copies essentially never collide at ANY factor. This is
+      the honest pure-scale model for the THIRD decade (factor 1000),
+      where ``translate``'s period 26 would make ~38-member exact-dup
+      clusters and the measurement would track verified-pair OUTPUT
+      growth instead of corpus scale (VERDICT r8 #4).
     """
     from pyspark.sql import functions as F
 
@@ -181,6 +191,13 @@ def build_docs_replica(
     os.makedirs(out, exist_ok=True)
     docs = read_testdata(spark, base, "documents")
     emb = read_testdata(spark, base, "embeddings")
+    # one dim lookup for ALL copies (inside the loop it would be one
+    # Spark job per copy — 1000 jobs at the third decade)
+    dim = (
+        len(emb.select("embedding").first()["embedding"])
+        if perturb in ("translate", "permute")
+        else 0
+    )
     d_parts, e_parts = [], []
     for i in range(factor):
         if perturb == "translate" and i > 0:
@@ -188,6 +205,14 @@ def build_docs_replica(
 
             alpha = string.ascii_lowercase
             text = F.translate(F.col("text"), alpha, alpha[i % 26:] + alpha[:i % 26])
+        elif perturb == "permute" and i > 0:
+            import random
+            import string
+
+            alpha = string.ascii_lowercase
+            perm = list(alpha)
+            random.Random(i).shuffle(perm)
+            text = F.translate(F.col("text"), alpha, "".join(perm))
         else:
             text = F.concat(F.col("text"), F.lit(f" copytag{i}"))
         # offset 1e9 per copy: several queries PLANT duplicates re-keyed
@@ -199,7 +224,20 @@ def build_docs_replica(
             .withColumn("text", text)
         )
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
-        if perturb == "translate" and i > 0:
+        if perturb == "permute" and i > 0:
+            # embedding analog of the seeded alphabet permutation: a
+            # seeded DIMENSION permutation per copy (orthogonal, so norms
+            # and within-copy cosines are exactly preserved) — period
+            # dim! instead of the rotation's dim, so no exact-dup vector
+            # clusters at factor ≫ dim
+            import random
+
+            perm = list(range(dim))
+            random.Random(i).shuffle(perm)
+            e = e.withColumn(
+                "embedding", F.array(*[F.col("embedding")[j] for j in perm])
+            )
+        elif perturb == "translate" and i > 0:
             # vector analog of the alphabet bijection: ROTATE dimensions by
             # i — norms and all within-copy pairwise cosines are exactly
             # preserved (a coordinate permutation is orthogonal), while a
@@ -207,7 +245,6 @@ def build_docs_replica(
             # ANN/semantic-dedup measure 10x scale, not 10x exact-dup
             # density (un-perturbed replication makes every vector a
             # 10-member exact-dup cluster)
-            dim = len(emb.select("embedding").first()["embedding"])
             r = i % dim
             e = e.withColumn(
                 "embedding",
@@ -239,7 +276,18 @@ def bm25_probe_timer(spark, sf_dir: str, workdir: str):
     from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
 
     idx = f"{workdir}/bm25_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    t0 = time.monotonic()
     search.bm25_index_write(read_testdata(spark, sf_dir, "documents"), idx, n_buckets=64)
+    build_sec = round(time.monotonic() - t0, 3)
+    # fresh-build layout observability (VERDICT r8 #1: repartition('bucket')
+    # before the dynamic-partition write should land ~one file per
+    # occupied bucket, bounding writer-side sorter memory)
+    n_files = (
+        spark.read.parquet(f"{idx}/postings")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
     qdf = spark.createDataFrame(em._BM25_QUERIES, "query_id string, query_text string")
 
     def probe() -> float:
@@ -247,6 +295,8 @@ def bm25_probe_timer(spark, sf_dir: str, workdir: str):
         search.bm25_search_index(spark, idx, qdf, k=10).collect()
         return time.monotonic() - t0
 
+    probe.build_sec = build_sec
+    probe.n_posting_files = n_files
     return probe
 
 
@@ -406,11 +456,13 @@ def main() -> None:
     )
     ap.add_argument(
         "--perturb",
-        choices=["suffix", "translate"],
+        choices=["suffix", "translate", "permute"],
         default="suffix",
         help="docs-replica text perturbation: suffix = shared vocabulary "
         "(term-stats ops), translate = disjoint shingles across copies "
-        "(dedup/similarity ops; see build_docs_replica docstring)",
+        "(dedup/similarity ops; period 26 — dup clusters at factor > 26), "
+        "permute = independent seeded alphabet permutation per copy "
+        "(pure scale at any factor; see build_docs_replica docstring)",
     )
     args = ap.parse_args()
 
@@ -429,13 +481,21 @@ def main() -> None:
         os.makedirs(args.out, exist_ok=True)
         if not args.skip_build:
             build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
-        results = {}
+        results, layout = {}, {}
         for label, d in [("base", args.base), (f"x{args.factor}", args.out)]:
             probe = bm25_probe_timer(spark, d, args.out)
             probe()  # warm
             results[label] = round(min(probe() for _ in range(2)), 3)
+            layout[label] = {
+                "build_sec": probe.build_sec,
+                "n_posting_files": probe.n_posting_files,
+            }
         results["ratio"] = round(results[f"x{args.factor}"] / results["base"], 2)
-        print(json.dumps({"mode": "bm25-probe", "factor": args.factor, "results": results}))
+        print(json.dumps({
+            "mode": "bm25-probe", "factor": args.factor, "results": results,
+            "layout": layout,
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        }))
         return
 
     if args.mode == "bm25-append":
