@@ -283,6 +283,33 @@ def _commit_scalars(spark, path: str, meta: dict, parent_version: int) -> int:
     return version
 
 
+def _salt_width(df, n_buckets: int, target_bytes: int = 1 << 20, cap: int = 32) -> int:
+    """Sub-bucket salt width K for index writes: split each (bucket,
+    batch) partition into K size-bounded files. One file per bucket (the
+    first r9 layout) bounds writer fan-out but COLLAPSES probe-side read
+    parallelism once buckets grow past a task's worth of data — measured
+    at the 1000× decade, where hot-term buckets reached ~50 MB single
+    files and the probe went from flat to 11×. K scales with the INPUT's
+    plan-stat size (no extra scan: file sources know their bytes), so
+    small corpora keep one file per bucket and big ones get
+    size-bounded slices a probe fans out over; writer fan-out stays
+    bounded at n_buckets × K one-sorter tasks. Unknown sizes (the
+    Long.MaxValue sentinel non-file sources report, e.g. streaming
+    micro-batches) fall back to 1 — epoch batches are small and a wide
+    salt would explode their file counts."""
+    try:
+        bytes_in = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1
+    if bytes_in <= 0 or bytes_in >= (1 << 60):
+        return 1
+    import math as _math
+
+    return max(1, min(cap, _math.ceil(bytes_in / (n_buckets * target_bytes))))
+
+
 def bm25_index_write(
     docs: DataFrame,
     path: str,
@@ -321,15 +348,18 @@ def bm25_index_write(
     postings, _ = build_index(docs, text_col, id_col, checkpoint=False)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
-    # repartition on the partition column BEFORE the dynamic-partition
-    # write (VERDICT r8 #1): each bucket lands wholly in one task, so a
-    # task runs ONE parquet sorter and writes ONE file per (bucket,
-    # batch) — without it, every one of the 32 write tasks holds rows of
-    # up to n_buckets partitions, and the per-task dynamic-partition
-    # sorters were what exhausted the shared 8g local pool on the 1000×
-    # build (SCALING.md). Same layout rule bm25_index_compact always had.
+    # repartition on (bucket, size-bounded salt) BEFORE the dynamic-
+    # partition write (VERDICT r8 #1): each task holds one bucket slice,
+    # so it runs ONE parquet sorter and writes ONE size-bounded file —
+    # without it, every one of the 32 write tasks held rows of up to
+    # n_buckets partitions, which is what exhausted the shared 8g local
+    # pool on the 1000× build (SCALING.md); a bare repartition("bucket")
+    # overshot the other way (ONE giant file per bucket — probe
+    # parallelism collapsed at the 1000× decade, see _salt_width).
+    k = _salt_width(docs, n_buckets)
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
     postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).repartition(
-        "bucket"
+        F.col("bucket"), salt
     ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(
         f"{path}/postings"
     )
@@ -660,11 +690,14 @@ def bm25_index_append(
     postings, _ = build_index(new_docs, text_col, id_col, checkpoint=False)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
-    # one task per bucket before the dynamic-partition write — same
-    # sorter-memory/file-count rule as bm25_index_write (VERDICT r8 #1);
-    # the shuffle moves only the BATCH, never the corpus
+    # one task per (bucket, size-bounded salt) slice before the dynamic-
+    # partition write — same sorter-memory/file-count/probe-parallelism
+    # rule as bm25_index_write (VERDICT r8 #1, see _salt_width); the
+    # shuffle moves only the BATCH, never the corpus
+    k = _salt_width(new_docs, n_buckets)
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
     postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).repartition(
-        "bucket"
+        F.col("bucket"), salt
     ).write.mode("append").partitionBy("bucket", "batch").parquet(
         f"{path}/postings"
     )
@@ -798,13 +831,16 @@ def bm25_index_compact(
     if in_place:
         delete(spark, target, recursive=True)  # crashed-compaction leftovers
     batch = F.lit(cid).alias("batch")
-    # one shuffle-free coalesce target per bucket: repartition on the
-    # partition column so each bucket writes ONE file, the layout a
-    # probe wants (many tiny append files are exactly the creep being
-    # reclaimed)
+    # coalesce each bucket to K size-bounded files (K from the committed
+    # postings' plan-stat bytes — file-backed, so known): many tiny
+    # append files are exactly the creep being reclaimed, but ONE giant
+    # file per bucket collapses probe parallelism on big corpora (see
+    # _salt_width)
+    k = _salt_width(postings, meta["n_buckets"])
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
     postings.select(
         "doc_id", "term", "tf", "doc_len", "bucket", batch
-    ).repartition("bucket").write.mode("overwrite").partitionBy(
+    ).repartition(F.col("bucket"), salt).write.mode("overwrite").partitionBy(
         "bucket", "batch"
     ).parquet(f"{target}/postings")
     stats.groupBy("bucket", "term").agg(F.sum("df").alias("df")).select(
