@@ -2150,6 +2150,27 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_bm25_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list BM25 probe (search.bm25_champions_write +
+    bm25_search_index(champions_m), r9 — Manning/Raghavan/Schütze IIR
+    §7.1.3): each term's postings truncate to the top-m by static impact
+    tf/doc_len (doc_id tiebreak), and the probe scans ONLY that m-bounded
+    sidecar — the scale path for common-term probes, whose full-scan cost
+    is linear in matched candidates (34.8M rows at the 1000× decade,
+    SCALING.md r9). m=10 here is deliberately smaller than the corpus
+    dfs so the truncation semantics are what the oracle value-hashes
+    (bm25_champions_sql mirrors the selection exactly — correctly-rounded
+    division is monotone in the exact rational, ties break on doc_id)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_champ_") + "/index"
+    search.bm25_index_write(docs, idx, n_buckets=32)
+    search.bm25_champions_write(spark, idx, m=10)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
+
+
 def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (streaming/search.py, r8): the
     corpus arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
@@ -3371,6 +3392,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_search": q_bm25_search,
         "ns_bm25_indexed": q_bm25_indexed,
         "ns_bm25_incremental": q_bm25_incremental,
+        "ns_bm25_champions": q_bm25_champions,
         "st_bm25_ingest": q_streaming_bm25,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
@@ -4847,6 +4869,12 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
     sql["ns_bm25_incremental"] = sql["ns_bm25_search"]
     sql["st_bm25_ingest"] = sql["ns_bm25_search"]
+    # champion-list probe: same corpus-wide df/n_docs/avg_len, scored
+    # postings restricted to each term's top-m by tf/doc_len — the
+    # truncation IS the semantics being hashed (m=10 < the corpus dfs)
+    sql["ns_bm25_champions"] = search.bm25_champions_sql(
+        docs_from="documents", queries_values=_bm25_values, m=10, k=10
+    )
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

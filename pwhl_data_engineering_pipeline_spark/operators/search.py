@@ -916,6 +916,164 @@ def bm25_index_compact(
     return obs
 
 
+def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
+    """Impact-ordered champion lists (Manning/Raghavan/Schütze,
+    *Introduction to Information Retrieval* §7.1.3) — the scale path for
+    COMMON-TERM probes. Directory pruning bounds which bucket dirs a
+    probe LISTS, but the matched-candidate volume is linear in corpus
+    size for shared-vocabulary terms (measured: 34.8M scored posting
+    rows at the 1000× decade — SCALING.md r9). The champion sidecar caps
+    it: for each term, the top-``m`` postings by static impact
+    ``tf/doc_len`` (ties → doc_id asc) are copied WITH their (tf,
+    doc_len) under ``{path}/_champions/m=<m>/``, bucket-partitioned, so
+    a champion probe (``bm25_search_index(..., champions_m=m)``) reads
+    ONLY the sidecar plus the (tiny) stats/scalars — probe scan volume
+    is ≤ m rows per matched term at ANY corpus size.
+
+    Semantics — the standard champion-list approximation, deterministic
+    and oracle-mirrored (:func:`bm25_champions_sql`): candidates are
+    docs inside at least one matched term's champion list, and a
+    candidate's score sums only its champion-ranked term contributions.
+    IDENTICAL to the full probe whenever every matched term's df ≤ m
+    (tested); below that it is the documented recall trade. Selection is
+    cross-engine deterministic: correctly-rounded IEEE division is
+    monotone in the exact rational tf/doc_len, so Spark and the SQL
+    mirror rank identically, with doc_id breaking equal-impact ties.
+
+    Skew-safe selection: top-m runs in TWO bounded phases — per-slice
+    top-m over ``(term, slice)`` windows, then global top-m over the
+    ≤ m-per-slice survivors — so a hot term's postings never serialize
+    through one window partition (the global top-m is a subset of the
+    union of per-slice top-ms).
+
+    Staleness contract: the sidecar stamps the committed-``batches``
+    list it derived from, and the champion probe REFUSES an index whose
+    batches have since changed (append or compaction) — rebuild the
+    sidecar in the same maintenance window. The stamp publishes AFTER
+    the parquet write, so a crashed rebuild leaves no stamp (probe
+    refuses loudly) and a re-run is an idempotent overwrite.
+    """
+    import json as _json
+
+    from ..fsutil import delete, write_text
+
+    meta = _read_scalars(spark, path)
+    committed = meta.get("batches")
+    root = f"{path}/_champions/m={int(m)}"
+    delete(spark, f"{root}/stamp.json")  # unpublish before the rewrite
+    postings = spark.read.parquet(f"{path}/postings")
+    if committed:
+        postings = postings.filter(F.col("batch").isin(committed))
+    impact = F.col("tf").cast("double") / F.col("doc_len")
+    w_local = Window.partitionBy("term", "__slice").orderBy(
+        impact.desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        postings.withColumn("__slice", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= m)
+        .drop("__slice", "__r")
+    )
+    w_global = Window.partitionBy("term").orderBy(impact.desc(), F.col("doc_id").asc())
+    (
+        survivors.withColumn("__r", F.row_number().over(w_global))
+        .filter(F.col("__r") <= m)
+        .select("doc_id", "term", "tf", "doc_len", "bucket")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{root}/data")
+    )
+    n = spark.read.parquet(f"{root}/data").count()
+    write_text(
+        spark,
+        f"{root}/stamp.json",
+        _json.dumps(
+            {
+                "m": int(m),
+                "batches": committed or [],
+                "scalars_version": meta["_version"],
+            }
+        ),
+    )
+    return {"m": int(m), "rows": int(n), "version": meta["_version"]}
+
+
+def bm25_champions_sql(
+    *,
+    docs_from: str,
+    queries_values: str,
+    m: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ANSI/DuckDB mirror of the champion-list probe
+    (:func:`bm25_champions_write` + ``bm25_search_index(champions_m=m)``),
+    kept beside the implementation so the two recipes cannot drift: the
+    same top-m-by-``tf/doc_len`` selection (doc_id tiebreak) restricts
+    the scored postings; df/n_docs/avg_len stay corpus-wide."""
+    return f"""
+        WITH q(query_id, query_text) AS (VALUES {queries_values}),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(string_split_regex(lower(trim(query_text)), '\\s+')) AS term
+            FROM q
+          ) WHERE term <> ''
+        ),
+        toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM {docs_from}
+          ) WHERE term <> ''
+        ),
+        postings AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        lens AS (
+          SELECT doc_id, sum(tf) AS doc_len FROM postings GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT term, count(*) AS df FROM postings GROUP BY term
+        ),
+        scalars AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avg_len FROM lens
+        ),
+        champions AS (
+          SELECT doc_id, term, tf FROM (
+            SELECT p.doc_id, p.term, p.tf,
+                   row_number() OVER (
+                     PARTITION BY p.term
+                     ORDER BY CAST(p.tf AS DOUBLE) / l.doc_len DESC, p.doc_id
+                   ) AS r
+            FROM postings p JOIN lens l USING (doc_id)
+          ) WHERE r <= {int(m)}
+        ),
+        scored AS (
+          SELECT qt.query_id, p.doc_id,
+                 floor(sum(
+                   ln(1.0 + (s.n_docs - st.df + 0.5) / (st.df + 0.5))
+                   * (p.tf * {k1 + 1.0!r})
+                   / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.doc_len / s.avg_len))
+                 ) * 1e6 + 0.5) / 1e6 AS score
+          FROM champions p
+          JOIN qterms qt USING (term)
+          JOIN stats st USING (term)
+          JOIN lens l USING (doc_id)
+          CROSS JOIN scalars s
+          GROUP BY qt.query_id, p.doc_id
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def bm25_search_index(
     spark,
     path: str,
@@ -926,6 +1084,7 @@ def bm25_search_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    champions_m: int | None = None,
 ) -> DataFrame:
     """Top-``k`` per query against a :func:`bm25_index_write` index.
 
@@ -994,9 +1153,36 @@ def bm25_search_index(
         .groupBy("term", "bucket")
         .agg(F.sum("df").alias("df"))
     )
-    postings = _vis(spark.read.parquet(f"{path}/postings")).filter(
-        F.col("bucket").isin(buckets)
-    )
+    if champions_m is not None:
+        # champion-list probe (see bm25_champions_write): scan ONLY the
+        # m-bounded sidecar — flat in corpus size; df/n_docs/avg_len stay
+        # corpus-wide from stats/scalars. The stamp pins the committed-
+        # batches list the sidecar derived from; anything newer refuses.
+        import json as _json
+
+        from ..fsutil import read_text
+
+        root = f"{path}/_champions/m={int(champions_m)}"
+        txt = read_text(spark, f"{root}/stamp.json")
+        if txt is None:
+            raise RuntimeError(
+                f"no champion sidecar m={champions_m} at {path} — run "
+                "bm25_champions_write(spark, path, m) first"
+            )
+        if _json.loads(txt)["batches"] != (committed or []):
+            raise RuntimeError(
+                f"champion sidecar m={champions_m} at {path} is STALE: the "
+                "index's committed batches changed since bm25_champions_write "
+                "(append or compaction) — rebuild the sidecar, or probe "
+                "without champions_m"
+            )
+        postings = spark.read.parquet(f"{root}/data").filter(
+            F.col("bucket").isin(buckets)
+        )
+    else:
+        postings = _vis(spark.read.parquet(f"{path}/postings")).filter(
+            F.col("bucket").isin(buckets)
+        )
     qstats = stats.join(F.broadcast(qterms), ["term", "bucket"]).select(
         "query_id", "term", "df"
     )

@@ -987,3 +987,98 @@ def test_bm25_repair_drops_dirless_retired_stamps(spark, docs_df, tmp_path):
     rep = search.bm25_index_repair(spark, idx)  # default gate is fine: no dirs
     assert rep["purged_batches"] == [] and rep["deferred_batches"] == []
     assert search._read_scalars(spark, idx).get("retired", {}) == {}
+
+
+def test_bm25_champions_probe(spark, docs_df, tmp_path):
+    """Champion-list probe (r9): (a) with m ≥ every matched term's df the
+    champion probe is IDENTICAL to the full probe; (b) m=1 keeps exactly
+    each term's single highest-impact posting (tf/doc_len, doc_id
+    tiebreak) and the probe scores only those; (c) the champion probe's
+    scan reads ONLY the sidecar (no postings files in the plan) and
+    stays bucket-pruned; (d) an append after the sidecar build makes the
+    champion probe refuse LOUDLY until the sidecar is rebuilt; (e) a
+    missing sidecar refuses with a named error."""
+    import re as _re
+
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_champ")
+    search.bm25_index_write(docs_df, idx, n_buckets=8)
+
+    # ---- (e) no sidecar yet
+    with pytest.raises(RuntimeError, match="no champion sidecar"):
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=5).collect()
+
+    # ---- (a) m ≥ max df → identity with the full probe
+    obs = search.bm25_champions_write(spark, idx, m=100)
+    assert obs["rows"] > 0
+    full = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    champ = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=100).collect(),
+        )
+    )
+    assert champ == full
+
+    # ---- (b) m=1: sidecar holds exactly one (highest-impact) posting per
+    # term, matching a transparent single-window recomputation
+    search.bm25_champions_write(spark, idx, m=1)
+    side = spark.read.parquet(f"{idx}/_champions/m=1/data")
+    assert side.count() == side.select("term").distinct().count()
+    from pyspark.sql import Window as W
+
+    want_best = {
+        (r["term"], r["doc_id"])
+        for r in (
+            spark.read.parquet(f"{idx}/postings")
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    W.partitionBy("term").orderBy(
+                        (F.col("tf").cast("double") / F.col("doc_len")).desc(),
+                        F.col("doc_id").asc(),
+                    )
+                ),
+            )
+            .filter(F.col("r") == 1)
+            .collect()
+        )
+    }
+    got_best = {(r["term"], r["doc_id"]) for r in side.collect()}
+    assert got_best == want_best
+    got_m1 = search.bm25_search_index(spark, idx, qdf, k=10, champions_m=1)
+    assert got_m1.count() > 0  # scores exist, truncated semantics
+
+    # ---- (c) plan reads only the sidecar, bucket-pruned
+    plan = (
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = _re.findall(r"Location: [^\n]*", plan)
+    assert any("_champions" in s for s in scans), plan[:2000]
+    assert not any("/postings" in s for s in scans), scans
+    filters = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters and any("bucket" in f for f in filters)
+
+    # ---- (d) staleness: append → refuse → rebuild → identity again
+    search.bm25_index_append(
+        spark.createDataFrame(rows[:1], docs_df.schema).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(500)
+        ),
+        idx, batch_id="late",
+    )
+    with pytest.raises(RuntimeError, match="STALE"):
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=100).collect()
+    search.bm25_champions_write(spark, idx, m=100)
+    full2 = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    champ2 = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=100).collect(),
+        )
+    )
+    assert champ2 == full2 and full2 != full
