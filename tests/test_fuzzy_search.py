@@ -1082,3 +1082,72 @@ def test_bm25_champions_probe(spark, docs_df, tmp_path):
         )
     )
     assert champ2 == full2 and full2 != full
+
+
+def test_bm25_compact_under_live_probe_thread(spark, docs_df, tmp_path):
+    """ADVICE r8 medium, exercised LIVE rather than by directory-survival
+    assertions: a probe thread hammers the index while the main thread
+    runs an in-place compaction at the default age gate. In-place
+    compaction preserves probe results exactly, so every concurrent
+    probe must return EXACTLY the reference rows — never an exception
+    (FileNotFoundException on a reclaimed dir) and never empty/partial
+    scores. With the age gate, the batches a pre-flip probe planned
+    against stay on disk for the grace period, so both sides of the
+    scalars flip read a complete index."""
+    import threading
+
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_liveprobe")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    for i, r in enumerate(rows[2:]):
+        search.bm25_index_append(
+            spark.createDataFrame([r], docs_df.schema), idx, batch_id=f"seg{i}"
+        )
+    want = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+
+    stop = threading.Event()
+    results, errors = [], []
+
+    def prober():
+        while not stop.is_set():
+            try:
+                got = sorted(
+                    map(
+                        tuple,
+                        search.bm25_search_index(spark, idx, qdf, k=10).collect(),
+                    )
+                )
+                results.append(got)
+            except Exception as e:  # noqa: BLE001 - the assertion IS "no exception"
+                errors.append(repr(e))
+                break
+
+    t = threading.Thread(target=prober, daemon=True)
+    t.start()
+    try:
+        # a couple of probes land before, during, and after the flip
+        obs = search.bm25_index_compact(spark, idx)  # default age gate
+        # and a repair pass too — also claimed safe under live probes
+        search.bm25_index_repair(spark, idx)
+        # let the prober observe the post-flip state as well
+        for _ in range(2):
+            if stop.is_set():
+                break
+            search.bm25_search_index(spark, idx, qdf, k=10).collect()
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    assert len(results) >= 2  # the thread really probed concurrently
+    assert all(got == want for got in results), (results[-1], want)
+    assert obs["retired_batches"] == 3  # the flip really happened mid-probing
+    # post-compaction probe unchanged
+    assert sorted(
+        map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
+    ) == want
