@@ -337,6 +337,23 @@ def bm25_index_write(
     batch id purges + rewrites them). Corpus scalars (n_docs, len_sum —
     exact dyadic-safe sums, not a float avg) commit as ``_scalars/``
     versions so probes pay zero corpus-sized work.
+
+    Rebuild-over-existing is explicitly supported (the repair story says
+    "rebuild with bm25_index_write"), so the previous index's trees are
+    DELETED up front and both partitioned writes pin
+    ``partitionOverwriteMode=static`` (ADVICE r9 medium: under a session-
+    global ``spark.sql.sources.partitionOverwriteMode=dynamic``, a bare
+    ``mode('overwrite').partitionBy`` keeps any ``bucket=/batch=``
+    partition the new corpus doesn't touch — stale postings silently
+    inflate the read-back-derived df/n_docs/len_sum, and with the default
+    ``batch_id='base'`` the survivors are even committed-visible). The
+    stats/scalars derivation additionally filters the read-back to THIS
+    write's batch id as defense in depth. Deleting the old scalars first
+    also narrows the crash window: a rebuild that dies mid-write now
+    leaves a LOUD missing-scalars index, never old scalars silently
+    pointing at half-rewritten postings. Rebuilds are therefore not
+    atomic-to-probes — use :func:`bm25_index_compact` with ``out_path``
+    (plus a path swap) when probes must stay live.
     """
     _check_batch_id(batch_id)
     # tokenize ONCE into the posting store; stats and scalars then derive
@@ -345,6 +362,20 @@ def bm25_index_write(
     # checkpoint held storage memory the concurrent sort/write tasks
     # needed as execution memory — disk-backed re-scans of columns we
     # just wrote are the bounded-memory shape a 1000-executor build has)
+    spark = docs.sparkSession
+    # clear the previous index FIRST (trees + scalars): overwrite-mode
+    # alone is not a clean slate under partitionOverwriteMode=dynamic
+    # (ADVICE r9 medium), and old scalars surviving a mid-write crash
+    # would point at half-rewritten postings — absent scalars fail loud.
+    from ..fsutil import delete
+
+    for stale in (
+        f"{path}/postings",
+        f"{path}/stats",
+        f"{path}/_scalars",
+        f"{path}/_scalars.json",
+    ):
+        delete(spark, stale, recursive=True)
     postings, _ = build_index(docs, text_col, id_col, checkpoint=False)
     bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("bucket")
     batch = F.lit(batch_id).alias("batch")
@@ -360,18 +391,23 @@ def bm25_index_write(
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
     postings.select("doc_id", "term", "tf", "doc_len", bucket, batch).repartition(
         F.col("bucket"), salt
-    ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("bucket", "batch").parquet(
         f"{path}/postings"
     )
-    spark = docs.sparkSession
-    written = spark.read.parquet(f"{path}/postings")
+    written = spark.read.parquet(f"{path}/postings").filter(
+        F.col("batch") == batch_id
+    )
     # df per term from the written postings (column-pruned scan of term +
     # the bucket partition value — no re-tokenization, no pinned memory)
     written.groupBy("bucket", "term").agg(
         F.count(F.lit(1)).alias("df")
     ).select("term", "df", "bucket", F.lit(batch_id).alias("batch")).repartition(
         "bucket"
-    ).write.mode("overwrite").partitionBy("bucket", "batch").parquet(f"{path}/stats")
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("bucket", "batch").parquet(f"{path}/stats")
     row = (
         written.select("doc_id", "doc_len")
         .distinct()
@@ -381,12 +417,8 @@ def bm25_index_write(
         )
         .first()
     )
-    # full rebuild: clear any previous scalars history (postings/stats
-    # were just overwritten; a stale higher scalars version must not win)
-    from ..fsutil import delete
-
-    for stale in (f"{path}/_scalars", f"{path}/_scalars.json"):
-        delete(spark, stale, recursive=True)
+    # scalars history was cleared before the rebuild's writes, so this
+    # commit is v1 of a fresh lineage (a stale higher version must not win)
     _commit_scalars(
         spark,
         path,
@@ -429,6 +461,28 @@ def _batch_dirs_present(spark, path: str) -> set[str]:
                     if c.startswith("batch="):
                         present.add(c[len("batch="):])
     return present
+
+
+def _verify_batch_dirs(spark, path: str, batch_id: str) -> None:
+    """Fail LOUDLY when an in-flight append's batch directories vanished
+    between its file writes and its scalars commit (ADVICE r9 low: a
+    concurrent ``bm25_index_repair`` whose ``min_age_seconds`` is shorter
+    than the append's write phase — plausible at the 1000× decade, where
+    a write can outlast the default 1h gate — reclaims the young
+    uncommitted dirs as orphans; committing scalars afterwards would
+    reference deleted files and probes would silently score a corpus the
+    committed n_docs no longer describes). Metadata-only (one listing
+    sweep); raising here leaves the index exactly as the repair left it —
+    consistent, minus this batch — so the recovery is a plain re-append."""
+    if batch_id not in _batch_dirs_present(spark, path):
+        raise IOError(
+            f"bm25_index_append: batch={batch_id} directories at {path} were "
+            "reclaimed before the scalars commit (concurrent "
+            "bm25_index_repair/compact with min_age_seconds shorter than "
+            "this append's write phase?) — aborting the commit; re-append "
+            "the batch, and size the repair age gate above the worst-case "
+            "append duration"
+        )
 
 
 def _batch_dir_mtimes(spark, path: str) -> dict[str, float]:
@@ -510,7 +564,10 @@ def _drop_retired_entries(spark, path: str, purged: list[str]) -> bool:
 
 
 def bm25_index_repair(
-    spark, path: str, min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE
+    spark,
+    path: str,
+    min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE,
+    sweep_stale_champions: bool = False,
 ) -> dict:
     """Reclaim storage of batches that are NOT in the scalars' committed
     ``batches`` list, once they are safely old:
@@ -532,6 +589,27 @@ def bm25_index_repair(
       compactor that crashed before its move phase): swept under the
       same age gate (ADVICE r8 — repair previously left them for the
       next compact call).
+    - **Champion sidecars** (VERDICT r9 #7 / ADVICE r9 low — abandoned
+      ``_champions/m=*`` trees previously lived forever): UNSTAMPED
+      trees (a crashed :func:`bm25_champions_write`/``_refresh`` — no
+      probe can ever use them) are swept under the same age gate (young
+      unstamped trees are an in-flight rebuild's). STALE-stamped trees
+      are swept only with ``sweep_stale_champions=True``, because the
+      default posture is that they are REFRESHABLE — an O(new batch)
+      :func:`bm25_champions_refresh` beats deleting and rebuilding; pass
+      the flag when a sidecar's m value is abandoned for good.
+
+    The age gate has a named sizing rule (ADVICE r9 low):
+    ``min_age_seconds`` MUST exceed the worst-case append write phase —
+    an append whose file writes outlast the gate can have its young
+    uncommitted directories reclaimed mid-flight. The append defends
+    itself (it re-verifies its directories immediately before the
+    scalars commit and aborts LOUDLY if they were purged — see
+    ``_verify_batch_dirs``), so the failure is a retriable append error,
+    never silently wrong probes; but sizing the gate right avoids the
+    wasted work. At the measured 1000× decade an append's write phase is
+    minutes, not hours — the 1h default leaves wide margin; re-derive it
+    if batches grow beyond that scale.
 
     Probes never see any of this data (they filter to committed
     batches), so repair is storage reclamation, not a correctness fix;
@@ -541,7 +619,7 @@ def bm25_index_repair(
     can be in flight (e.g. tests, single-writer maintenance windows).
 
     Returns ``{"purged_batches": [...], "deferred_batches": [...],
-    "staging_swept": bool}``.
+    "staging_swept": bool, "champions_swept": [...]}``.
     """
     import time as _time
 
@@ -570,6 +648,30 @@ def bm25_index_repair(
     stage_mt = _tree_max_mtime_ms(spark, staging)
     if stage_mt is not None and now - stage_mt / 1000.0 >= min_age_seconds:
         staging_swept = delete(spark, staging, recursive=True)
+    # champion sidecars: unstamped = unusable (sweep once old enough);
+    # stale-stamped = refreshable (sweep only on the explicit flag)
+    import json as _json
+
+    from ..fsutil import list_names, read_text
+
+    champions_swept: list[str] = []
+    for name in list_names(spark, f"{path}/_champions"):
+        if not name.startswith("m="):
+            continue
+        root = f"{path}/_champions/{name}"
+        txt = read_text(spark, f"{root}/stamp.json")
+        if txt is None:
+            sweep = True  # crashed rebuild/refresh — no probe can use it
+        elif sweep_stale_champions:
+            sweep = _json.loads(txt).get("batches") != (meta.get("batches") or [])
+        else:
+            sweep = False
+        if not sweep:
+            continue
+        tree_mt = _tree_max_mtime_ms(spark, root)
+        if tree_mt is not None and now - tree_mt / 1000.0 >= min_age_seconds:
+            if delete(spark, root, recursive=True):
+                champions_swept.append(name)
     # drop stamps for what we just purged AND for retired batches whose
     # directories are already gone (a prior repair purged them but lost
     # the stamp-drop commit to version conflicts) — without the second
@@ -584,6 +686,7 @@ def bm25_index_repair(
         "purged_batches": purged,
         "deferred_batches": deferred,
         "staging_swept": staging_swept,
+        "champions_swept": champions_swept,
     }
 
 
@@ -607,6 +710,7 @@ def bm25_index_append(
     batch_id: str | None = None,
     autocompact_after: int | None = None,
     reclaim_min_age_seconds: float = DEFAULT_RECLAIM_MIN_AGE,
+    refresh_champions: bool = False,
 ) -> dict:
     """Append a new-docs batch to a persisted BM25 index WITHOUT
     re-tokenizing the corpus (VERDICT r6 #5) — the incremental-ingest
@@ -655,8 +759,27 @@ def bm25_index_append(
     THIS appender by ordering (the append has committed); other racers
     are covered by the age gate.
 
+    ``refresh_champions=True`` additionally runs
+    :func:`bm25_champions_refresh` for every published champion sidecar
+    under ``{path}/_champions`` right after the commit — O(new batch)
+    per sidecar (VERDICT r9 #1), so one append call keeps the postings,
+    the stats, AND the champion sidecars probe-fresh. It runs BEFORE any
+    autocompaction on purpose: the incremental merge needs the appended
+    batch ids to still be the committed list; compaction then re-stamps
+    the (now fresh) sidecars for free.
+
+    Failure posture around the scalars commit (ADVICE r9 lows): the
+    batch's directories are re-verified on disk immediately before the
+    commit (a concurrent repair with too small an age gate could have
+    reclaimed them — committing would publish scalars for purged files,
+    so the append aborts LOUDLY instead), and a version-rename conflict
+    with a racing committer is retried ONCE from the fresh scalars (the
+    batch files are already on disk; only the additive metadata commit
+    re-runs). A second consecutive conflict surfaces as IOError.
+
     Returns {"n_docs_added", "version", "batch_id", "skipped",
-    "compacted"} (+ ``compact_obs`` when a compaction ran).
+    "compacted"} (+ ``compact_obs`` when a compaction ran, ``champions``
+    per-m refresh results when ``refresh_champions``).
     """
     import uuid as _uuid
 
@@ -718,23 +841,75 @@ def bm25_index_append(
         )
         .first()
     )
-    new_meta = {
-        "n_docs": meta["n_docs"] + int(row["n_docs"] or 0),
-        "len_sum": meta["len_sum"] + int(row["len_sum"] or 0),
-        "n_buckets": n_buckets,
-        "batches": [*committed, batch_id],
-    }
-    if meta.get("retired"):  # carry retirement stamps until repair drops them
-        new_meta["retired"] = meta["retired"]
-    version = _commit_scalars(spark, path, new_meta, parent_version=meta["_version"])
+    n_added = int(row["n_docs"] or 0)
+    len_added = int(row["len_sum"] or 0)
+
+    def _additive_meta(base: dict) -> dict:
+        m = {
+            "n_docs": base["n_docs"] + n_added,
+            "len_sum": base["len_sum"] + len_added,
+            "n_buckets": n_buckets,
+            "batches": [*(base.get("batches") or []), batch_id],
+        }
+        if base.get("retired"):  # carry stamps until repair drops them
+            m["retired"] = base["retired"]
+        return m
+
+    # the batch's directories must still exist at commit time — a
+    # concurrent repair with an undersized age gate may have reclaimed
+    # them, and committing scalars for purged files would corrupt every
+    # future probe (ADVICE r9 low). A zero-row batch wrote no dirs;
+    # nothing to verify (its commit is a pure batch-id registration).
+    if n_added > 0:
+        _verify_batch_dirs(spark, path, batch_id)
+    try:
+        version = _commit_scalars(
+            spark, path, _additive_meta(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        # a racing committer (appender or compactor) won the version
+        # rename — the batch files are on disk and additive, so retry
+        # ONCE from the fresh scalars (ADVICE r9 low). A rival re-append
+        # of this same batch id may have committed it already.
+        fresh = _read_scalars(spark, path)
+        if batch_id in (fresh.get("batches") or []):
+            return {
+                "n_docs_added": 0,
+                "version": fresh["_version"],
+                "batch_id": batch_id,
+                "skipped": True,
+                "compacted": False,
+            }
+        if n_added > 0:
+            _verify_batch_dirs(spark, path, batch_id)
+        version = _commit_scalars(
+            spark, path, _additive_meta(fresh), parent_version=fresh["_version"]
+        )
     out = {
-        "n_docs_added": int(row["n_docs"] or 0),
+        "n_docs_added": n_added,
         "version": version,
         "batch_id": batch_id,
         "skipped": False,
         "compacted": False,
     }
-    if autocompact_after is not None and len(new_meta["batches"]) >= autocompact_after:
+    if refresh_champions:
+        # BEFORE autocompact: the incremental merge identifies the delta
+        # by batch id, which compaction would relabel (forcing a full
+        # rebuild); compaction re-stamps fresh sidecars afterwards.
+        from ..fsutil import list_names
+
+        champs = {}
+        for name in list_names(spark, f"{path}/_champions"):
+            if name.startswith("m="):
+                try:
+                    m_val = int(name[len("m="):])
+                except ValueError:
+                    continue
+                champs[m_val] = bm25_champions_refresh(spark, path, m=m_val)
+        out["champions"] = champs
+    if autocompact_after is not None and len(
+        _read_scalars(spark, path).get("batches") or []
+    ) >= autocompact_after:
         out["compact_obs"] = bm25_index_compact(
             spark, path, reclaim_min_age_seconds=reclaim_min_age_seconds
         )
@@ -779,11 +954,22 @@ def bm25_index_compact(
       and an in-flight append's young uncommitted directories survive
       too, so compaction is safe to run under live probes AND appends
       (an append racing the scalars flip loses the version rename
-      EXPLICITLY and retries — never silent). A crash before the commit
-      leaves invisible staging/moved dirs (repair sweeps them, age-
-      gated); a crash after it leaves retirement-stamped orphans — never
-      a torn index. Pass ``reclaim_min_age_seconds=0`` to reclaim
-      immediately when nothing else can be in flight.
+      EXPLICITLY — ``bm25_index_append`` then retries its metadata
+      commit once from the fresh scalars, and a second consecutive
+      conflict surfaces as IOError to ITS caller; inside
+      ``streaming_bm25_ingest`` that fails the micro-batch, and the
+      stream's restart replays it idempotently — never silent). A crash
+      before the commit leaves invisible staging/moved dirs (repair
+      sweeps them, age-gated); a crash after it leaves retirement-
+      stamped orphans — never a torn index. Champion sidecars whose
+      stamp matches the pre-compaction committed list are RE-STAMPED to
+      the compacted batch in place (compaction rewrites the same (doc,
+      term, tf, doc_len) rows under a new batch id, so the sidecar's
+      content-level top-m is untouched — an O(1) metadata refresh
+      instead of a forced rebuild); already-stale sidecars are left for
+      :func:`bm25_champions_refresh` / repair. Pass
+      ``reclaim_min_age_seconds=0`` to reclaim immediately when nothing
+      else can be in flight.
     - ``out_path=<new root>`` — writes a fresh self-contained index
       (scalars v1) like ``minhash_index_compact``; swap paths at the
       orchestration layer.
@@ -830,6 +1016,18 @@ def bm25_index_compact(
     target = f"{path}/_compact_staging" if in_place else out_path
     if in_place:
         delete(spark, target, recursive=True)  # crashed-compaction leftovers
+    else:
+        # a reused out_path must start clean — under a session-global
+        # partitionOverwriteMode=dynamic the overwrite below would keep
+        # its stale partitions (same hazard as bm25_index_write), and a
+        # leftover scalars lineage would conflict with the v1 commit
+        for stale in (
+            f"{out_path}/postings",
+            f"{out_path}/stats",
+            f"{out_path}/_scalars",
+            f"{out_path}/_scalars.json",
+        ):
+            delete(spark, stale, recursive=True)
     batch = F.lit(cid).alias("batch")
     # coalesce each bucket to K size-bounded files (K from the committed
     # postings' plan-stat bytes — file-backed, so known): many tiny
@@ -840,12 +1038,16 @@ def bm25_index_compact(
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
     postings.select(
         "doc_id", "term", "tf", "doc_len", "bucket", batch
-    ).repartition(F.col("bucket"), salt).write.mode("overwrite").partitionBy(
+    ).repartition(F.col("bucket"), salt).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy(
         "bucket", "batch"
     ).parquet(f"{target}/postings")
     stats.groupBy("bucket", "term").agg(F.sum("df").alias("df")).select(
         "term", "df", "bucket", batch
-    ).repartition("bucket").write.mode("overwrite").partitionBy(
+    ).repartition("bucket").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy(
         "bucket", "batch"
     ).parquet(f"{target}/stats")
 
@@ -875,7 +1077,7 @@ def bm25_index_compact(
         now = _time.time()
         retired = dict(meta.get("retired") or {})
         retired.update({b: now for b in committed})
-        _commit_scalars(
+        new_version = _commit_scalars(
             spark,
             path,
             {
@@ -887,6 +1089,34 @@ def bm25_index_compact(
             },
             parent_version=meta["_version"],
         )
+        # champion sidecars that were FRESH at flip time (stamp matches
+        # the pre-compaction committed list) stay content-exact — the
+        # compacted batch holds the identical (doc, term, tf, doc_len)
+        # rows — so re-stamping them to [cid] keeps them probe-usable
+        # for free (VERDICT r9 #1 wiring: one compact/autocompact call
+        # keeps postings AND sidecars fresh). Stale sidecars are left
+        # stamped as-is (refresh or repair handles them).
+        import json as _json
+
+        from ..fsutil import list_names as _list_names
+        from ..fsutil import read_text as _read_text
+        from ..fsutil import write_text as _write_text
+
+        restamped = 0
+        for name in _list_names(spark, f"{path}/_champions"):
+            if not name.startswith("m="):
+                continue
+            stamp_path = f"{path}/_champions/{name}/stamp.json"
+            txt = _read_text(spark, stamp_path)
+            if txt is None:
+                continue
+            stamp = _json.loads(txt)
+            if stamp.get("batches") == committed:
+                stamp["batches"] = [cid]
+                stamp["scalars_version"] = new_version
+                _write_text(spark, stamp_path, _json.dumps(stamp))
+                restamped += 1
+        obs["champions_restamped"] = restamped
         # old committed batches are retirement-stamped orphans now; the
         # age-gated repair reclaims the ones past the grace period (all
         # of them when the caller passes 0 in a quiesced window)
@@ -961,6 +1191,11 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
     committed = meta.get("batches")
     root = f"{path}/_champions/m={int(m)}"
     delete(spark, f"{root}/stamp.json")  # unpublish before the rewrite
+    # clean slate for the bucket-partitioned overwrite: under a session-
+    # global partitionOverwriteMode=dynamic, buckets the new top-m does
+    # not touch would otherwise survive from the previous sidecar (same
+    # hazard as bm25_index_write — ADVICE r9 medium)
+    delete(spark, f"{root}/data", recursive=True)
     postings = spark.read.parquet(f"{path}/postings")
     if committed:
         postings = postings.filter(F.col("batch").isin(committed))
@@ -981,6 +1216,7 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
         .select("doc_id", "term", "tf", "doc_len", "bucket")
         .repartition("bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
         .parquet(f"{root}/data")
     )
@@ -996,7 +1232,161 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
             }
         ),
     )
-    return {"m": int(m), "rows": int(n), "version": meta["_version"]}
+    return {"m": int(m), "rows": int(n), "version": meta["_version"], "mode": "full"}
+
+
+def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
+    """O(new-batch) maintenance of a champion sidecar after appends
+    (VERDICT r9 #1 — previously ANY append invalidated the sidecar and
+    the only recovery was a full O(corpus) :func:`bm25_champions_write`,
+    45.2s at the 1000× decade).
+
+    The merge is PROVABLY the true top-m: per term, the corpus-wide
+    top-m over (old batches ∪ new batches) is a subset of (the old
+    sidecar's top-m) ∪ (every new-batch posting) — an old-batch row that
+    ranks ≤ m globally ranks ≤ m among old-batch rows alone, so it is
+    already in the sidecar, and batches hold disjoint docs so old rows'
+    (tf, doc_len) never change. Union → re-rank by the same
+    ``tf/doc_len`` impact (doc_id tiebreak) → truncate to m therefore
+    reproduces :func:`bm25_champions_write` exactly (asserted row-
+    identical in tests). Cost: the old sidecar (≤ m rows/term) plus ONLY
+    the new batches' postings partitions (``batch`` is a partition
+    column — directory-pruned), flat in corpus size, linear in batch
+    size (measured in SCALING.md).
+
+    Modes (in the returned ``mode`` field):
+
+    - ``incremental`` — the stamp's batches are a strict subset of the
+      committed list (pure appends since the sidecar was built): the
+      O(new batch) merge above. Crash-consistent the same way as the
+      full rebuild: the stamp unpublishes first (probes refuse), the
+      merged data stages beside the live tree and swaps in with one
+      directory rename, and the stamp republishes last — a crash at any
+      point leaves an unstamped sidecar that the next refresh rebuilds.
+    - ``noop`` — the stamp already matches the committed list.
+    - ``rebuild`` — no incremental path exists (missing stamp after a
+      crashed rebuild, or a compaction relabelled the batches since the
+      stamp): falls back to a full :func:`bm25_champions_write`. Note
+      :func:`bm25_index_compact` re-stamps FRESH sidecars itself, so
+      this branch only fires when the sidecar was already stale at
+      compaction time.
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from ..fsutil import delete, read_text, rename, write_text
+
+    meta = _read_scalars(spark, path)
+    committed = meta.get("batches") or []
+    root = f"{path}/_champions/m={int(m)}"
+    txt = read_text(spark, f"{root}/stamp.json")
+    if txt is None:
+        out = bm25_champions_write(spark, path, m=m)
+        out["mode"] = "rebuild"
+        return out
+    old_batches = _json.loads(txt).get("batches") or []
+    if old_batches == committed:
+        return {
+            "m": int(m),
+            "rows": int(spark.read.parquet(f"{root}/data").count()),
+            "version": meta["_version"],
+            "mode": "noop",
+        }
+    if set(old_batches) - set(committed):
+        # batches the sidecar derived from are no longer committed (a
+        # compaction relabelled them, or a repair after one) — the delta
+        # is not identifiable by batch id, so rebuild from the corpus
+        out = bm25_champions_write(spark, path, m=m)
+        out["mode"] = "rebuild"
+        return out
+    new_batches = [b for b in committed if b not in set(old_batches)]
+    # unpublish first: from here to the final stamp write, probes refuse
+    # loudly and a crash leaves an unstamped sidecar (next refresh
+    # rebuilds) — same protocol as bm25_champions_write
+    delete(spark, f"{root}/stamp.json")
+    old = spark.read.parquet(f"{root}/data").select(
+        "doc_id", "term", "tf", "doc_len", "bucket"
+    )
+    new = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(new_batches))
+        .select("doc_id", "term", "tf", "doc_len", "bucket")
+    )
+    merged = old.unionByName(new)
+    impact = F.col("tf").cast("double") / F.col("doc_len")
+    # same two-phase skew-safe top-m as the full build: per-slice then
+    # global, so a hot term's rows never serialize through one window
+    w_local = Window.partitionBy("term", "__slice").orderBy(
+        impact.desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        merged.withColumn("__slice", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= m)
+        .drop("__slice", "__r")
+    )
+    w_global = Window.partitionBy("term").orderBy(impact.desc(), F.col("doc_id").asc())
+    final = (
+        survivors.withColumn("__r", F.row_number().over(w_global))
+        .filter(F.col("__r") <= m)
+        .select("doc_id", "term", "tf", "doc_len", "bucket")
+    )
+    # the merge READS {root}/data, so it cannot overwrite it in place —
+    # stage beside it and swap with one metadata rename
+    tmp = f"{root}/.refresh.{_uuid.uuid4().hex}"
+    final.repartition("bucket").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("bucket").parquet(tmp)
+    delete(spark, f"{root}/data", recursive=True)
+    if not rename(spark, tmp, f"{root}/data"):
+        raise IOError(
+            f"bm25_champions_refresh: staged-sidecar swap failed for {tmp} "
+            f"-> {root}/data (concurrent rebuild of the same m?) — the "
+            "sidecar is unstamped; re-run the refresh (it will rebuild)"
+        )
+    n = spark.read.parquet(f"{root}/data").count()
+    write_text(
+        spark,
+        f"{root}/stamp.json",
+        _json.dumps(
+            {
+                "m": int(m),
+                "batches": committed,
+                "scalars_version": meta["_version"],
+            }
+        ),
+    )
+    return {
+        "m": int(m),
+        "rows": int(n),
+        "version": meta["_version"],
+        "mode": "incremental",
+        "new_batches": len(new_batches),
+    }
+
+
+def champions_stale(spark, path: str) -> bool:
+    """True when ANY champion sidecar under ``{path}/_champions`` is not
+    probe-usable against the CURRENT committed batches — unstamped
+    (crashed rebuild) or stamped for a different batch list (appends or
+    an already-stale-at-compaction sidecar). The scheduler-facing twin of
+    :func:`needs_compaction` (VERDICT r9 #1): poll both between ingest
+    batches, answering staleness with :func:`bm25_champions_refresh`.
+    Metadata-only (one scalars read + one stamp read per sidecar); False
+    when no sidecars exist."""
+    import json as _json
+
+    from ..fsutil import list_names, read_text
+
+    meta = _read_scalars(spark, path)
+    committed = meta.get("batches") or []
+    for name in list_names(spark, f"{path}/_champions"):
+        if not name.startswith("m="):
+            continue
+        txt = read_text(spark, f"{path}/_champions/{name}/stamp.json")
+        if txt is None or _json.loads(txt).get("batches") != committed:
+            return True
+    return False
 
 
 def bm25_champions_sql(

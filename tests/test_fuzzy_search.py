@@ -748,9 +748,11 @@ def test_bm25_age_gate_protects_inflight_append(spark, docs_df, tmp_path, monkey
     indistinguishable from a crash until it ages), and the append then
     commits successfully in the same call; (b) a default-gate in-place
     compact must likewise leave the young batch's directories untouched
-    — the racing append loses the scalars version rename EXPLICITLY
-    (IOError) and a retry of the same batch id lands clean with probe
-    results identical to a full rebuild."""
+    — the racing append loses the scalars version rename EXPLICITLY and
+    (ADVICE r9 low) retries its metadata commit ONCE from the fresh
+    post-compaction scalars inside the same call (the batch files are
+    already on disk), landing with probe results identical to a full
+    rebuild."""
     rows = docs_df.collect()
     qdf = spark.createDataFrame(
         [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
@@ -797,21 +799,23 @@ def test_bm25_age_gate_protects_inflight_append(spark, docs_df, tmp_path, monkey
         return real_commit(spark_, path_, meta_, parent_version)
 
     monkeypatch.setattr(search, "_commit_scalars", compact_mid_append)
-    with pytest.raises(IOError, match="conflict"):
-        search.bm25_index_append(
-            spark.createDataFrame(rows[3:4], docs_df.schema), idx,
-            batch_id="inflight_b",
-        )
+    out_b = search.bm25_index_append(
+        spark.createDataFrame(rows[3:4], docs_df.schema), idx,
+        batch_id="inflight_b",
+    )
     monkeypatch.setattr(search, "_commit_scalars", real_commit)
     assert obs_b["survives"] is True
     assert obs_b["compact"]["purged_batches"] == 0  # all deferred by the gate
     assert obs_b["compact"]["retired_batches"] == 2  # base + inflight_a
-    # the loser retries the SAME batch id from the new current version:
-    # purge-own-leftovers + rewrite + commit — never silent
+    # the loser lost the first rename to the compactor's flip and RETRIED
+    # internally from the fresh scalars — same call, no error surfaced
+    assert out_b["skipped"] is False and out_b["n_docs_added"] == 1
+    assert "inflight_b" in search._read_scalars(spark, idx)["batches"]
+    # a manual re-append of the committed batch id is a metadata no-op
     out2 = search.bm25_index_append(
         spark.createDataFrame(rows[3:4], docs_df.schema), idx, batch_id="inflight_b"
     )
-    assert out2["skipped"] is False and out2["n_docs_added"] == 1
+    assert out2["skipped"] is True and out2["n_docs_added"] == 0
     want_idx = str(tmp_path / "bm25_gate_full")
     search.bm25_index_write(docs_df, want_idx, n_buckets=8)
     want = sorted(
@@ -1151,3 +1155,404 @@ def test_bm25_compact_under_live_probe_thread(spark, docs_df, tmp_path):
     assert sorted(
         map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
     ) == want
+
+
+# ------------------------------------------- r10: maintenance hardening ----
+
+
+def test_bm25_rebuild_under_dynamic_partition_overwrite(spark, docs_df, tmp_path):
+    """ADVICE r9 medium: a rebuild over an existing index must not inherit
+    stale partitions when the SESSION globally sets
+    spark.sql.sources.partitionOverwriteMode=dynamic. Worst case is the
+    default batch_id ('base'): dynamic overwrite keeps every bucket=/
+    batch=base directory the smaller new corpus doesn't touch, and since
+    'base' is committed those stale postings become PROBE-VISIBLE and the
+    read-back-derived df/n_docs/len_sum silently inflate. The fix deletes
+    the old trees up front and pins static overwrite, so the rebuilt
+    index must equal a from-scratch build exactly."""
+    rows = docs_df.collect()
+    qdf = spark.createDataFrame(
+        [("q1", "spark shuffle join"), ("q2", "window aggregate state")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_dyn")
+    search.bm25_index_write(docs_df, idx, n_buckets=8)  # full corpus, 'base'
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        small = spark.createDataFrame(rows[:2], docs_df.schema)
+        search.bm25_index_write(small, idx, n_buckets=8)  # same 'base' id
+    finally:
+        if old_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    meta = search._read_scalars(spark, idx)
+    assert meta["n_docs"] == 2 and meta["batches"] == ["base"]
+    # on-disk: nothing but the rebuild's own postings (no stale survivors)
+    assert (
+        spark.read.parquet(f"{idx}/postings").select("doc_id").distinct().count()
+        == 2
+    )
+    want_idx = str(tmp_path / "bm25_dyn_fresh")
+    search.bm25_index_write(spark.createDataFrame(rows[:2], docs_df.schema),
+                            want_idx, n_buckets=8)
+    want = sorted(
+        map(tuple, search.bm25_search_index(spark, want_idx, qdf, k=10).collect())
+    )
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect()))
+    assert got == want
+
+
+def test_bm25_append_aborts_when_batch_dirs_purged_mid_commit(
+    spark, docs_df, tmp_path, monkeypatch
+):
+    """ADVICE r9 low: an append whose write phase outlasts a concurrent
+    repair's age gate can have its young uncommitted directories
+    reclaimed; committing scalars afterwards would publish metadata for
+    purged files (probes then silently score a corpus the committed
+    n_docs no longer describes). The append re-verifies its directories
+    immediately before the scalars commit and must abort LOUDLY, leaving
+    the index consistent (minus the batch) so a plain re-append
+    recovers."""
+    rows = docs_df.collect()
+    idx = str(tmp_path / "bm25_purged")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:3], docs_df.schema), idx, n_buckets=8
+    )
+    real_verify = search._verify_batch_dirs
+
+    def purge_then_verify(spark_, path_, batch_id_):
+        # a rogue repair (undersized age gate) reclaims the batch right
+        # before the pre-commit verification runs
+        search._purge_batch_dirs(spark_, path_, batch_id_)
+        return real_verify(spark_, path_, batch_id_)
+
+    monkeypatch.setattr(search, "_verify_batch_dirs", purge_then_verify)
+    with pytest.raises(IOError, match="reclaimed before the scalars commit"):
+        search.bm25_index_append(
+            spark.createDataFrame(rows[3:], docs_df.schema), idx, batch_id="late"
+        )
+    monkeypatch.setattr(search, "_verify_batch_dirs", real_verify)
+    # nothing committed: scalars unchanged, index still probe-consistent
+    meta = search._read_scalars(spark, idx)
+    assert meta["batches"] == ["base"] and meta["n_docs"] == 3
+    # plain re-append recovers fully
+    out = search.bm25_index_append(
+        spark.createDataFrame(rows[3:], docs_df.schema), idx, batch_id="late"
+    )
+    assert out["skipped"] is False and out["n_docs_added"] == 1
+    qdf = spark.createDataFrame([("q", "spark window")],
+                                "query_id string, query_text string")
+    want_idx = str(tmp_path / "bm25_purged_full")
+    search.bm25_index_write(docs_df, want_idx, n_buckets=8)
+    assert sorted(
+        map(tuple, search.bm25_search_index(spark, idx, qdf, k=10).collect())
+    ) == sorted(
+        map(tuple, search.bm25_search_index(spark, want_idx, qdf, k=10).collect())
+    )
+
+
+def test_bm25_append_retries_scalars_conflict_against_rival_appender(
+    spark, docs_df, tmp_path, monkeypatch
+):
+    """ADVICE r9 low: a racing appender winning the version rename must
+    not fail THIS append — the batch files are already on disk, so the
+    metadata commit retries once from the fresh scalars, and the final
+    version carries BOTH appends' additive contributions."""
+    rows = docs_df.collect()
+    idx = str(tmp_path / "bm25_rival")
+    search.bm25_index_write(
+        spark.createDataFrame(rows[:2], docs_df.schema), idx, n_buckets=8
+    )
+    base = search._read_scalars(spark, idx)
+    real_commit = search._commit_scalars
+    state = {"raced": False}
+
+    def rival_wins_first(spark_, path_, meta_, parent_version):
+        if not state["raced"]:
+            state["raced"] = True
+            cur = search._read_scalars(spark_, path_)
+            rival = {k: v for k, v in cur.items() if k != "_version"}
+            rival["n_docs"] += 7
+            rival["len_sum"] += 70
+            rival["batches"] = [*rival["batches"], "rival"]
+            real_commit(spark_, path_, rival, cur["_version"])
+        return real_commit(spark_, path_, meta_, parent_version)
+
+    monkeypatch.setattr(search, "_commit_scalars", rival_wins_first)
+    out = search.bm25_index_append(
+        spark.createDataFrame(rows[2:3], docs_df.schema), idx, batch_id="mine"
+    )
+    monkeypatch.setattr(search, "_commit_scalars", real_commit)
+    assert out["skipped"] is False and out["n_docs_added"] == 1
+    meta = search._read_scalars(spark, idx)
+    assert set(meta["batches"]) == {"base", "rival", "mine"}
+    # additive over the RIVAL's committed state, not the stale snapshot
+    assert meta["n_docs"] == base["n_docs"] + 7 + 1
+    assert meta["len_sum"] == base["len_sum"] + 70 + 3  # doc 3 has 3 tokens
+    assert meta["_version"] == base["_version"] + 2
+
+
+# --------------------------------- r10: champion-sidecar maintenance -------
+
+CHAMP_DOCS_OLD = [
+    (1, "alpha alpha beta"),
+    (2, "alpha gamma gamma"),
+    (3, "alpha beta beta beta"),
+]
+CHAMP_DOCS_NEW = [
+    (4, "alpha"),              # impact 1.0 — displaces doc 2 from alpha's top-2
+    (5, "alpha delta"),
+]
+
+
+def test_bm25_champions_incremental_refresh_identity(spark, tmp_path):
+    """VERDICT r9 #1: append → champion probe refuses → O(new batch)
+    bm25_champions_refresh → sidecar rows AND probe results IDENTICAL to
+    a from-scratch bm25_champions_write; champions_stale tracks the
+    transitions. m=2 with alpha's df=5 makes the truncation real, and
+    doc 4 (impact 1.0) must DISPLACE an old champion — the merge is
+    union → re-rank → truncate, not append-only."""
+    schema = "doc_id long, text string"
+    old_df = spark.createDataFrame(CHAMP_DOCS_OLD, schema)
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q2", "gamma delta")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_champ_refresh")
+    search.bm25_index_write(old_df, idx, n_buckets=8)
+    search.bm25_champions_write(spark, idx, m=2)
+    assert search.champions_stale(spark, idx) is False
+
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW[:1], schema), idx, batch_id="n1"
+    )
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW[1:], schema), idx, batch_id="n2"
+    )
+    assert search.champions_stale(spark, idx) is True
+    with pytest.raises(RuntimeError, match="STALE"):
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect()
+
+    obs = search.bm25_champions_refresh(spark, idx, m=2)
+    assert obs["mode"] == "incremental" and obs["new_batches"] == 2
+    assert search.champions_stale(spark, idx) is False
+    got_side = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_champions/m=2/data").collect())
+    )
+    got_probe = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    # displacement really happened: doc 4 in, doc 2 out of alpha's list
+    alpha = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/_champions/m=2/data")
+        .filter(F.col("term") == "alpha")
+        .collect()
+    }
+    assert alpha == {4, 1}
+
+    # from-scratch rebuild must produce the identical sidecar and probe
+    search.bm25_champions_write(spark, idx, m=2)
+    want_side = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_champions/m=2/data").collect())
+    )
+    want_probe = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    assert got_side == want_side
+    assert got_probe == want_probe
+    # a second refresh is a metadata no-op
+    assert search.bm25_champions_refresh(spark, idx, m=2)["mode"] == "noop"
+
+
+def test_bm25_champions_refresh_rebuild_fallbacks(spark, tmp_path):
+    """bm25_champions_refresh falls back to a full rebuild exactly when no
+    incremental path exists: (a) missing stamp (crashed rebuild), (b) a
+    compaction relabelled batches while the sidecar was ALREADY stale —
+    and the fallback still lands a correct, probe-usable sidecar."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    old_df = spark.createDataFrame(CHAMP_DOCS_OLD, schema)
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta")], "query_id string, query_text string"
+    )
+    idx = str(tmp_path / "bm25_champ_fallback")
+    search.bm25_index_write(old_df, idx, n_buckets=8)
+    search.bm25_champions_write(spark, idx, m=2)
+
+    # (a) crashed rebuild: stamp gone → rebuild
+    fsutil.delete(spark, f"{idx}/_champions/m=2/stamp.json")
+    assert search.champions_stale(spark, idx) is True
+    obs = search.bm25_champions_refresh(spark, idx, m=2)
+    assert obs["mode"] == "rebuild"
+    assert search.champions_stale(spark, idx) is False
+
+    # (b) stale sidecar + compaction: batch ids relabelled → rebuild
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW, schema), idx, batch_id="late"
+    )  # sidecar now stale (stamp = ['base'])
+    search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    obs2 = search.bm25_champions_refresh(spark, idx, m=2)
+    assert obs2["mode"] == "rebuild"
+    got = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    # oracle: champions over the full corpus from scratch at a fresh path
+    want_idx = str(tmp_path / "bm25_champ_fallback_fresh")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD + CHAMP_DOCS_NEW, schema),
+        want_idx, n_buckets=8,
+    )
+    search.bm25_champions_write(spark, want_idx, m=2)
+    want = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(
+                spark, want_idx, qdf, k=10, champions_m=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_compact_restamps_fresh_champions(spark, tmp_path):
+    """A sidecar that is FRESH at compaction time survives the compaction
+    probe-usable: compaction rewrites the same content rows under a new
+    batch id, so bm25_index_compact re-stamps the sidecar in place (O(1)
+    metadata) instead of forcing a rebuild."""
+    schema = "doc_id long, text string"
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta")], "query_id string, query_text string"
+    )
+    idx = str(tmp_path / "bm25_champ_restamp")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW, schema), idx, batch_id="late"
+    )
+    search.bm25_champions_write(spark, idx, m=2)  # fresh: covers both batches
+    before = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs["champions_restamped"] == 1
+    assert search.champions_stale(spark, idx) is False
+    after = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    assert after == before
+
+
+def test_bm25_append_refresh_champions_one_call(spark, tmp_path):
+    """VERDICT r9 #1 wiring: ONE bm25_index_append call with
+    refresh_champions=True (+ autocompact) keeps postings, stats, AND
+    every champion sidecar probe-fresh — refresh runs BEFORE the
+    autocompaction (batch-id delta still identifiable), compaction then
+    re-stamps the freshened sidecars."""
+    schema = "doc_id long, text string"
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q2", "gamma delta")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_champ_onecall")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    out = search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW, schema),
+        idx,
+        batch_id="late",
+        refresh_champions=True,
+        autocompact_after=2,
+        reclaim_min_age_seconds=0,
+    )
+    assert out["champions"][2]["mode"] == "incremental"
+    assert out["compacted"] is True
+    assert out["compact_obs"]["champions_restamped"] == 1
+    assert search.champions_stale(spark, idx) is False
+    assert search.needs_compaction(spark, idx, max_batches=2) is False
+    got = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    want_idx = str(tmp_path / "bm25_champ_onecall_fresh")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD + CHAMP_DOCS_NEW, schema),
+        want_idx, n_buckets=8,
+    )
+    search.bm25_champions_write(spark, want_idx, m=2)
+    want = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(
+                spark, want_idx, qdf, k=10, champions_m=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_repair_sweeps_champion_sidecars(spark, tmp_path):
+    """VERDICT r9 #7 / ADVICE r9 low: repair reclaims abandoned champion
+    sidecars. Unstamped trees (crashed rebuilds — unusable by any probe)
+    sweep under the age gate unconditionally; STALE-stamped trees sweep
+    only with sweep_stale_champions=True (default keeps them — they are
+    refreshable in O(new batch)); young unstamped trees (an in-flight
+    rebuild) are deferred by the default gate."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm25_champ_sweep")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=5)
+    search.bm25_champions_write(spark, idx, m=3)
+    # m=3's rebuild "crashed": stamp never published
+    fsutil.delete(spark, f"{idx}/_champions/m=3/stamp.json")
+
+    # young unstamped tree is deferred by the default gate
+    rep0 = search.bm25_index_repair(spark, idx)
+    assert rep0["champions_swept"] == []
+    assert fsutil.exists(spark, f"{idx}/_champions/m=3/data")
+
+    # past the gate it sweeps; the stamped fresh m=5 is untouched
+    rep1 = search.bm25_index_repair(spark, idx, min_age_seconds=0)
+    assert rep1["champions_swept"] == ["m=3"]
+    assert not fsutil.exists(spark, f"{idx}/_champions/m=3")
+    assert fsutil.exists(spark, f"{idx}/_champions/m=5/stamp.json")
+
+    # stale-stamped: kept by default (refreshable), swept on the flag
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW, schema), idx, batch_id="late"
+    )
+    assert search.champions_stale(spark, idx) is True
+    rep2 = search.bm25_index_repair(spark, idx, min_age_seconds=0)
+    assert rep2["champions_swept"] == []
+    rep3 = search.bm25_index_repair(
+        spark, idx, min_age_seconds=0, sweep_stale_champions=True
+    )
+    assert rep3["champions_swept"] == ["m=5"]
+    assert not fsutil.exists(spark, f"{idx}/_champions/m=5")
