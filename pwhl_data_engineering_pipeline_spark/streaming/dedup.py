@@ -108,15 +108,162 @@ def streaming_neardup_ingest(
     Bootstrap: a missing index is day-one, not an error — batch one
     dedups within itself and its survivors CREATE the index.
     """
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        _neardup_epoch_step(
+            batch_df,
+            epoch_id,
+            index_path,
+            table_path,
+            stream_id,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            impl=impl,
+            max_bucket=max_bucket,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _neardup_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    table_path: str,
+    stream_id: str,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    seed: int,
+    impl: str,
+    max_bucket: int,
+):
+    """The whole per-epoch near-dup protocol (probe → exactly-once data
+    commit → complete-under-replay MinHash index append), factored out of
+    :func:`streaming_neardup_ingest` so the composed sink
+    :func:`streaming_neardup_bm25_ingest` runs the IDENTICAL body before
+    its BM25 step. Returns the frame of rows this epoch ADMITTED (the
+    survivors on a fresh epoch; the manifest-recovered admitted rows on a
+    replay), or None when there is nothing downstream steps should index
+    (pre-stamp table replay)."""
     from ..operators import dedup as batch_dedup
     from ..sources.snapshots import commit_stream_batch
 
+    spark = batch_df.sparkSession
+    survivors = batch_dedup.dedup_minhash_incremental(
+        spark,
+        batch_df,
+        index_path,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        impl=impl,
+        max_bucket=max_bucket,
+        append_survivors=False,
+    )
+    committed = commit_stream_batch(survivors, epoch_id, table_path, stream_id)
+    if committed is None:
+        # Replayed epoch: data already admitted exactly-once, but the
+        # pre-crash attempt may have died before (or during) its index
+        # append. Re-derive the epoch's admitted rows from the
+        # snapshot manifest chain and re-append their buckets — full
+        # repair of a partial append; at worst duplicate bucket rows.
+        to_index = _epoch_admitted_rows(spark, table_path, stream_id, epoch_id)
+        if to_index is None:
+            return None  # epoch commit not found (pre-stamp table): no-op
+    else:
+        to_index = survivors
+    batch_dedup.minhash_index_write(
+        to_index,
+        index_path,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        impl=impl,
+        max_bucket=max_bucket,
+        mode="append",
+    )
+    return to_index
+
+
+def streaming_neardup_bm25_ingest(
+    stream: DataFrame,
+    minhash_index_path: str,
+    bm25_index_path: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    impl: str = "arrow",
+    max_bucket: int = 64,
+    n_buckets: int = 64,
+    trigger_once: bool = True,
+    stream_id: str = "neardup",
+    autocompact_after: int | None = None,
+):
+    """ONE stream that near-dup-suppresses, commits, AND search-indexes
+    (VERDICT r9 #4 — the near-dup twin of the exact-dedup→BM25
+    composition): each micro-batch probes the persisted MinHash index,
+    commits only surviving documents into the snapshot table
+    (exactly-once by (stream_id, epoch)), appends the survivors' buckets
+    to the MinHash index (at-least-once per bucket row, COMPLETE under
+    replay via the manifest re-read — see
+    :func:`streaming_neardup_ingest`), and finally appends the SAME
+    admitted rows to a persisted BM25 index under the epoch-derived
+    batch id (exactly-once by the batch-visibility switch — see
+    ``streaming/search.py``).
+
+    Ordering is load-bearing: the BM25 step indexes ``to_index`` — the
+    epoch's ADMITTED rows, which on a replay are re-read from the
+    snapshot manifest rather than recomputed (a recomputed survivor set
+    cannot be trusted after a partial MinHash append: a survivor whose
+    buckets half-landed collides with itself and drops out, and the BM25
+    index would then permanently miss a document the table admitted).
+    The admitted-rows frame is identical across replay attempts, so the
+    BM25 append's purge+rewrite repair always rewrites the same content.
+    Near-dup suppression also guarantees the disjoint-doc-ids contract
+    ``bm25_index_append`` assumes.
+
+    Crash matrix (each asserted in
+    ``test_streaming.py::test_streaming_neardup_then_bm25_compose``):
+    die between the data commit and the MinHash append → replay re-reads
+    the admitted rows and repairs BOTH indexes; die between the MinHash
+    append and the BM25 append → replay re-appends MinHash buckets (dup
+    bucket rows, harmless) and the BM25 append lands its batch id
+    exactly once; die after everything but before the checkpoint commit
+    → the full replay is a pair of metadata no-ops. The snapshot table
+    never double-admits in any shape.
+    """
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        survivors = batch_dedup.dedup_minhash_incremental(
-            spark,
+        to_index = _neardup_epoch_step(
             batch_df,
-            index_path,
+            epoch_id,
+            minhash_index_path,
+            table_path,
+            stream_id,
             text_col=text_col,
             id_col=id_col,
             num_hashes=num_hashes,
@@ -125,34 +272,20 @@ def streaming_neardup_ingest(
             seed=seed,
             impl=impl,
             max_bucket=max_bucket,
-            append_survivors=False,
         )
-        committed = commit_stream_batch(survivors, epoch_id, table_path, stream_id)
-        if committed is None:
-            # Replayed epoch: data already admitted exactly-once, but the
-            # pre-crash attempt may have died before (or during) its index
-            # append. Re-derive the epoch's admitted rows from the
-            # snapshot manifest chain and re-append their buckets — full
-            # repair of a partial append; at worst duplicate bucket rows.
-            to_index = _epoch_admitted_rows(
-                spark, table_path, stream_id, epoch_id
-            )
-            if to_index is None:
-                return  # epoch commit not found (pre-stamp table): no-op
-        else:
-            to_index = survivors
-        batch_dedup.minhash_index_write(
+        if to_index is None:
+            return
+        from .search import bm25_index_epoch_step
+
+        bm25_index_epoch_step(
             to_index,
-            index_path,
+            epoch_id,
+            bm25_index_path,
             text_col=text_col,
             id_col=id_col,
-            num_hashes=num_hashes,
-            num_bands=num_bands,
-            shingle_k=shingle_k,
-            seed=seed,
-            impl=impl,
-            max_bucket=max_bucket,
-            mode="append",
+            n_buckets=n_buckets,
+            stream_id=stream_id,
+            autocompact_after=autocompact_after,
         )
 
     writer = stream.writeStream.foreachBatch(process).option(

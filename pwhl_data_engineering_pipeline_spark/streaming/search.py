@@ -103,43 +103,17 @@ def streaming_bm25_ingest(
     _check_batch_id(f"{stream_id}-e0")  # fail at wiring time, not epoch time
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         commit_stream_batch(batch_df, epoch_id, table_path, stream_id)
-        # The index step runs on BOTH fresh and replayed epochs: the
-        # epoch-derived batch id makes it a no-op when already committed
-        # and a purge+rewrite repair when the previous attempt crashed.
-        try:
-            _read_scalars(spark, index_path)
-        except FileNotFoundError:
-            bm25_index_write(
-                batch_df,
-                index_path,
-                text_col=text_col,
-                id_col=id_col,
-                n_buckets=n_buckets,
-                batch_id=f"{stream_id}-e{epoch_id}",
-            )
-            return
-        res = bm25_index_append(
+        bm25_index_epoch_step(
             batch_df,
+            epoch_id,
             index_path,
             text_col=text_col,
             id_col=id_col,
-            batch_id=f"{stream_id}-e{epoch_id}",
+            n_buckets=n_buckets,
+            stream_id=stream_id,
             autocompact_after=autocompact_after,
         )
-        if res["skipped"]:
-            # Expected exactly once per crash-replayed epoch; on a fresh
-            # run it means a recycled stream_id (see docstring) and the
-            # epoch's documents did NOT enter the index.
-            logger.warning(
-                "streaming_bm25_ingest: epoch %s (batch id %s) was already "
-                "committed to %s — replay no-op, or a recycled stream_id "
-                "whose documents are being dropped",
-                epoch_id,
-                res["batch_id"],
-                index_path,
-            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -147,3 +121,60 @@ def streaming_bm25_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bm25_index_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    stream_id: str = "bm25",
+    autocompact_after: int | None = None,
+) -> None:
+    """The index half of a foreachBatch body: bootstrap-or-append
+    ``batch_df`` into the persisted BM25 index under the epoch-derived
+    batch id ``{stream_id}-e{epoch_id}``. Factored out of
+    :func:`streaming_bm25_ingest` so composed sinks (e.g.
+    ``streaming_neardup_bm25_ingest`` in streaming/dedup.py, which must
+    run its OWN data-side protocol first) reuse the exact same
+    replay-idempotent step instead of re-deriving it. Runs on BOTH fresh
+    and replayed epochs: the batch id makes a committed epoch a no-op
+    (logged — see the stream_id-recycling warning in
+    :func:`streaming_bm25_ingest`'s docstring) and a crashed one a
+    purge+rewrite repair."""
+    spark = batch_df.sparkSession
+    try:
+        _read_scalars(spark, index_path)
+    except FileNotFoundError:
+        bm25_index_write(
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            batch_id=f"{stream_id}-e{epoch_id}",
+        )
+        return
+    res = bm25_index_append(
+        batch_df,
+        index_path,
+        text_col=text_col,
+        id_col=id_col,
+        batch_id=f"{stream_id}-e{epoch_id}",
+        autocompact_after=autocompact_after,
+    )
+    if res["skipped"]:
+        # Expected exactly once per crash-replayed epoch; on a fresh
+        # run it means a recycled stream_id (see docstring) and the
+        # epoch's documents did NOT enter the index.
+        logger.warning(
+            "streaming_bm25_ingest: epoch %s (batch id %s) was already "
+            "committed to %s — replay no-op, or a recycled stream_id "
+            "whose documents are being dropped",
+            epoch_id,
+            res["batch_id"],
+            index_path,
+        )

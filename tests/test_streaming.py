@@ -754,3 +754,189 @@ def test_streaming_dedup_then_bm25_compose(spark, tmp_path, monkeypatch, caplog)
     assert run().exception() is None
     assert read_snapshot(spark, table).count() == 5
     assert bsearch._read_scalars(spark, index)["n_docs"] == 5
+
+
+def test_streaming_neardup_then_bm25_compose(spark, tmp_path, monkeypatch, caplog):
+    """VERDICT r9 #4: the NEAR-dup twin of the exact-dedup→BM25
+    composition — streaming_neardup_bm25_ingest runs the full
+    streaming_neardup_ingest protocol (probe → exactly-once snapshot
+    commit → complete-under-replay MinHash append) and then the
+    epoch-derived BM25 append, in ONE foreachBatch body. Three crash
+    shapes, one per epoch:
+
+    - epoch 1 dies BETWEEN the data commit and the MinHash append: the
+      replay re-reads the epoch's admitted rows from the snapshot
+      manifest and repairs BOTH indexes;
+    - epoch 2 dies BETWEEN the MinHash append and the BM25 append: the
+      replay re-appends MinHash buckets (at-least-once rows — harmless,
+      documented) and the BM25 batch id lands exactly once;
+    - epoch 3 dies AFTER everything but BEFORE the checkpoint commit:
+      the replay is a pair of metadata no-ops (the BM25 skip warning
+      fires).
+
+    Throughout: the snapshot table never double-admits, near-duplicates
+    (in-epoch and cross-epoch) reach neither the table nor either index,
+    and the final BM25 probe is identical to a from-scratch batch build
+    over the admitted documents."""
+    import logging
+
+    from pwhl_data_engineering_pipeline_spark.operators import dedup as bdedup
+    from pwhl_data_engineering_pipeline_spark.operators import search as bsearch
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import dedup as sdedup
+    from pwhl_data_engineering_pipeline_spark.streaming import search as ssearch
+
+    landing = str(tmp_path / "nb_landing")
+    mh_index = str(tmp_path / "nb_mh_index")
+    bm_index = str(tmp_path / "nb_bm_index")
+    table = str(tmp_path / "nb_table")
+    ck = str(tmp_path / "nb_ck")
+    schema = "doc_id long, text string"
+
+    def land(rows, mode="append"):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(
+            landing
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = sdedup.streaming_neardup_bm25_ingest(
+            stream, mh_index, bm_index, table, ck,
+            num_hashes=64, num_bands=8, n_buckets=8, stream_id="nb",
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    qdf = spark.createDataFrame(
+        [("q1", "quick brown fox"), ("q2", "stream state stores")],
+        "query_id string, query_text string",
+    )
+
+    def probe(path):
+        return sorted(
+            map(tuple, bsearch.bm25_search_index(spark, path, qdf, k=10).collect())
+        )
+
+    def rebuild_over_table(tag):
+        ref = str(tmp_path / f"nb_ref_{tag}")
+        bsearch.bm25_index_write(
+            read_snapshot(spark, table).select("doc_id", "text"), ref, n_buckets=8
+        )
+        return probe(ref)
+
+    def admitted():
+        return {r["doc_id"] for r in read_snapshot(spark, table).collect()}
+
+    # ---- epoch 0: bootstrap both indexes; doc 2 is an IN-EPOCH near-dup
+    land([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "a completely different document about stream state stores"),
+    ], mode="overwrite")
+    assert run().exception() is None
+    assert admitted() == {1, 3}
+    assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 2
+    assert probe(bm_index) == rebuild_over_table("e0")
+
+    # ---- epoch 1: crash BETWEEN the data commit and the MinHash append
+    # (doc 10 is a cross-epoch near-dup of 1 — suppressed; 11 is fresh)
+    land([
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "a genuinely novel document about catalyst optimizer rules"),
+    ])
+    real_mh_write = bdedup.minhash_index_write
+
+    def mh_boom(*a, **k):
+        raise RuntimeError("injected crash between commit and minhash append")
+
+    monkeypatch.setattr(bdedup, "minhash_index_write", mh_boom)
+    assert run().exception() is not None
+    monkeypatch.setattr(bdedup, "minhash_index_write", real_mh_write)
+    assert admitted() == {1, 3, 11}  # data landed exactly-once
+    mh_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(mh_index).select("doc_id").distinct().collect()
+    }
+    assert 11 not in mh_docs  # ...but neither index saw the epoch
+    assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 2
+    # replay repairs BOTH indexes from the manifest-recovered admitted rows
+    assert run().exception() is None
+    assert admitted() == {1, 3, 11}
+    per_doc = {
+        r["doc_id"]: r["nb"]
+        for r in spark.read.parquet(mh_index)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").alias("nb"))
+        .collect()
+    }
+    assert per_doc == {1: 8, 3: 8, 11: 8}  # full band sets everywhere
+    assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 3
+    assert probe(bm_index) == rebuild_over_table("e1")
+
+    # ---- epoch 2: crash BETWEEN the MinHash append and the BM25 append
+    land([(20, "an essay on watermark state eviction in structured streaming")])
+    pre_batches = set(bsearch._read_scalars(spark, bm_index)["batches"])
+
+    def bm_boom(*a, **k):
+        raise RuntimeError("injected crash between minhash and bm25 append")
+
+    monkeypatch.setattr(ssearch, "bm25_index_append", bm_boom)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    assert admitted() == {1, 3, 11, 20}
+    mh_rows_mid = spark.read.parquet(mh_index)
+    assert {
+        r["doc_id"] for r in mh_rows_mid.select("doc_id").distinct().collect()
+    } == {1, 3, 11, 20}  # minhash side landed pre-crash
+    assert set(bsearch._read_scalars(spark, bm_index)["batches"]) == pre_batches
+    # replay: minhash re-appends (at-least-once rows), bm25 lands once
+    assert run().exception() is None
+    mh_rows = spark.read.parquet(mh_index)
+    assert mh_rows.count() > mh_rows.distinct().count()  # documented dup rows
+    meta = bsearch._read_scalars(spark, bm_index)
+    assert meta["n_docs"] == 4
+    assert len(set(meta["batches"]) - pre_batches) == 1
+    assert probe(bm_index) == rebuild_over_table("e2")
+
+    # ---- epoch 3: crash AFTER everything, BEFORE the checkpoint commit
+    # (doc 31 is a cross-epoch near-dup of 11 — suppressed)
+    land([
+        (30, "benchmark methodology for shuffle partition sizing at scale"),
+        (31, "a genuinely novel document about catalyst optimizer rules"),
+    ])
+    real_bm_append = ssearch.bm25_index_append
+
+    def bm_append_then_die(*a, **k):
+        real_bm_append(*a, **k)
+        raise RuntimeError("injected crash after bm25 append, before checkpoint")
+
+    monkeypatch.setattr(ssearch, "bm25_index_append", bm_append_then_die)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    assert admitted() == {1, 3, 11, 20, 30}
+    assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 5
+    # replay: pair of metadata no-ops; the bm25 skip warning names the batch
+    with caplog.at_level(logging.WARNING, logger=ssearch.logger.name):
+        assert run().exception() is None
+    assert any("already" in r.message for r in caplog.records), [
+        r.message for r in caplog.records
+    ]
+    assert admitted() == {1, 3, 11, 20, 30}
+    meta = bsearch._read_scalars(spark, bm_index)
+    assert meta["n_docs"] == 5
+    # no doubled postings among committed batches in the BM25 index
+    p = spark.read.parquet(f"{bm_index}/postings").filter(
+        F.col("batch").isin(meta["batches"])
+    )
+    assert p.count() == p.select("doc_id", "term").distinct().count()
+    assert probe(bm_index) == rebuild_over_table("e3")
+
+    # ---- steady state: a fully-caught-up rerun moves nothing, and the
+    # near-dup gate still works against everything admitted so far
+    land([(40, "benchmark methodology for shuffle partition sizing at scale")])
+    assert run().exception() is None
+    assert admitted() == {1, 3, 11, 20, 30}  # 40 suppressed at the door
+    assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 5
