@@ -907,6 +907,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_gram_df: int | str | None = "auto",
     sum_df2_budget: int | None = None,
+    gram_key: str = "text",
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index: explode n-grams, self-join
     on the n-gram (candidates = pairs sharing ≥1 n-gram), count shared grams,
@@ -939,9 +940,25 @@ def ngram_jaccard_pairs(
     ``ValueError`` if it exceeds the budget, instead of launching a join
     that would produce that many intermediate rows. Opt-in (None = off):
     the right shape for an unattended 100 TB job where a mis-tuned cap
-    should fail fast, not run for hours."""
+    should fail fast, not run for hours.
+
+    ``gram_key``: what the inverted index (and therefore the self-join's
+    shuffle) carries per posting. ``"text"`` (default) keeps the gram
+    string — exact, and what the DuckDB oracle mirrors. ``"hash"`` maps
+    each gram to its xxhash64 BEFORE the shuffle, shrinking the SMJ key
+    from a ~25-40-byte 3-word string to 8 bytes — the spill lever for
+    deep decades (VERDICT r9 #3: the 1000× run's gram SMJ spilled ~70 GB
+    of mostly gram text; measured savings in SCALING.md). Semantics are
+    identical up to 64-bit hash collisions between DISTINCT grams, which
+    can only (a) merge two grams' df toward the stop-gram cutoff or
+    (b) inflate one pair's intersection count by the collided gram —
+    with G distinct grams the expected number of colliding gram pairs is
+    G²/2⁶⁵ (≈ 0.002 at the 1000× decade's ~2·10⁸ grams), and a single
+    collision shifts one Jaccard by ~1/|gram set|. Exactness-critical
+    runs keep ``"text"``; at 100 TB the collision risk is the documented
+    trade for not shuffling the corpus's strings."""
     shared = _ngram_shared_counts(
-        df, text_col, id_col, n, max_gram_df, sum_df2_budget
+        df, text_col, id_col, n, max_gram_df, sum_df2_budget, gram_key
     )
     return pin_handles(
         shared.withColumn(
@@ -961,6 +978,7 @@ def _ngram_shared_counts(
     n: int,
     max_gram_df: int | str | None,
     sum_df2_budget: int | None = None,
+    gram_key: str = "text",
 ) -> DataFrame:
     """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
     surviving n-gram — the inverted-index core shared by the Jaccard
@@ -980,6 +998,14 @@ def _ngram_shared_counts(
     ).persist()
     sizes = grams.select(id_col, F.size("g").alias("sz"))
     inv = grams.select(id_col, F.explode("g").alias("gram"))
+    if gram_key == "hash":
+        # 8-byte SMJ/shuffle key instead of the gram string (see
+        # ngram_jaccard_pairs docstring for the collision-probability
+        # reading); computed map-side inside the explode stage, so the
+        # gram text never leaves the scan stage
+        inv = inv.select(id_col, F.xxhash64("gram").alias("gram"))
+    elif gram_key != "text":
+        raise ValueError(f"gram_key must be 'text' or 'hash': {gram_key!r}")
     if max_gram_df == "auto":
         # Corpus-stat-derived cutoff. The join's intermediate row count is
         # EXACTLY Σ df² over surviving grams, so "auto" picks the largest

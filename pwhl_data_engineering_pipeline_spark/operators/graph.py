@@ -336,7 +336,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
     checkpoint_dir: str | None = None,
     driver_threshold: int = 200_000,
 ) -> DataFrame:
@@ -349,9 +349,15 @@ def connected_components(
     Alternates large-star/small-star until the edge set reaches its star
     fixpoint (signature-stable), then reads labels straight off the final
     child→root edges. Raises ``RuntimeError`` if ``max_iter`` rounds do not
-    converge — at the published O(log^2 n) bound, 20 rounds covers any
-    realistic graph; non-convergence indicates corrupted input (e.g. NaN
-    ids), not a tuning problem.
+    converge. Round count tracks component DIAMETER, not graph size —
+    measured on path graphs (the adversarial family): diameter 10² → 8
+    rounds, 10³ → 11, 10⁴ → 15, 10⁵ → 18, 10⁶ → 21, i.e. rounds ≈
+    log₂(diameter) + 2 (SCALING.md r10; the earlier default of 20 rounds
+    was measured INSUFFICIENT at diameter ~10⁶ — a realistic dup-chain
+    length in a 100 TB crawl — which is exactly the "any realistic
+    graph" claim this docstring used to make). The default of 50 covers
+    diameter ~2⁴⁸; genuine non-convergence at that depth indicates
+    corrupted input (e.g. NaN ids), not a tuning problem.
 
     ``checkpoint_dir``: per-round lineage truncation strategy. Default
     (None) uses ``localCheckpoint`` — blocks live in executor memory/disk

@@ -1074,3 +1074,35 @@ def test_minhash_incremental_on_connect_local(spark, docs, tmp_path, monkeypatch
     s2 = dedup.dedup_minhash_incremental(spark, batch2, idx)
     assert sorted(r["doc_id"] for r in s2.collect()) == [4]
     monkeypatch.setattr(_fsu, "_has_jvm", lambda s: True)
+
+
+def test_ngram_hash_gram_key_matches_text(spark):
+    """gram_key="hash" (8-byte xxhash64 SMJ keys — the VERDICT r9 #3
+    spill lever) returns the identical pair set and jaccard values as the
+    default gram_key="text" across the cap modes (auto, pinned, None):
+    the hash substitutes 1:1 for the gram string in the df histogram, the
+    stop-gram anti-join, and the self-join, so only a 64-bit collision
+    between distinct grams (≈ G²/2⁶⁵) could diverge — absent here."""
+    rows = (
+        [(i, f"shared prefix words here document {i} tail {i * 3}") for i in range(40)]
+        + [(100, "the quick brown fox jumps over the lazy dog"),
+           (101, "the quick brown fox jumps over the lazy cat"),
+           (102, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in ("auto", 10, None):
+        text_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.05, max_gram_df=cap
+            ).collect()
+        }
+        hash_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.05, max_gram_df=cap, gram_key="hash"
+            ).collect()
+        }
+        assert hash_pairs == text_pairs and hash_pairs
+    with pytest.raises(ValueError, match="gram_key"):
+        dedup.ngram_jaccard_pairs(docs, gram_key="sha").count()

@@ -35,7 +35,22 @@ against persisted BM25 indexes built untimed at both scales;
 (VERDICT r7 #4: cost must track BATCH size and stay flat in CORPUS
 size); ``cc-converged`` measures the connected-components converged
 short-circuit (re-invocation on a stable round log must cost a manifest
-read + input fingerprint, never a star round).
+read + input fingerprint, never a star round); ``champions-refresh``
+measures bm25_champions_refresh along the same two axes as bm25-append
+(VERDICT r9 #1: flat in corpus size, linear in batch size, vs the
+O(corpus) full rebuild); ``cc-decade`` measures the distributed
+connected-components fixpoint — simhash-pair edges on the perturbed
+replica (round counts from the round log) PLUS a synthetic chain series
+whose diameter grows with n, the shape that actually drives the
+O(log² n) round bound (replica dup clusters have constant diameter, so
+their round count is flat by construction — the chains make round
+growth observable).
+
+Every mode stamps ``driver_mem`` into its JSON (VERDICT r9 #5: 24g-heap
+sessions run sf0.1 bases 2-4× slower than 8g ones, so scale ratios are
+only meaningful against an in-session same-heap base — which is what
+every mode here measures; the stamp makes cross-record comparisons
+auditable).
 """
 
 from __future__ import annotations
@@ -364,6 +379,7 @@ def bm25_append_bench(spark, base: str, big: str, factor: int) -> dict:
     return {
         "mode": "bm25-append",
         "factor": factor,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
         "batch_axis": {
             "small_batch_sec": small_on_base,
             f"x{factor}_batch_sec": big_on_base,
@@ -375,6 +391,167 @@ def bm25_append_bench(spark, base: str, big: str, factor: int) -> dict:
             "ratio": round(small_on_big / small_on_base, 2),
         },
     }
+
+
+def champions_refresh_bench(spark, base: str, big: str, factor: int) -> dict:
+    """VERDICT r9 #1 axis measurements for bm25_champions_refresh (m=1000,
+    matching champ1000.json):
+
+    - corpus axis: appending the SAME |base|-docs batch to the base index
+      vs the ``factor``× index, then refreshing the sidecar — refresh
+      reads the old sidecar (≤ m rows/term) + ONLY the new batch's
+      partitions, so it should be ~flat while the full rebuild it
+      replaces is O(corpus) (rebuild times recorded for the comparison).
+    - batch axis: refresh after a 1× batch vs a 10× batch on the base
+      index — should track batch size.
+
+    Each refresh timing is min-of-2 with a FRESH append before every run
+    (a refresh consumes its staleness; a second call is a noop). Batches
+    re-key with disjoint offsets (the append contract).
+    """
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import search
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    m = 1000
+    base_docs = read_testdata(spark, base, "documents")
+    batch10 = _rekey_docs(base_docs, 7_000_000_000)
+    for i in range(1, 10):
+        batch10 = batch10.unionByName(
+            _rekey_docs(base_docs, 7_000_000_000 + i * 10_000_000)
+        )
+
+    run_i = [0]
+
+    def timed_refresh(idx, batch) -> float:
+        run_i[0] += 1
+        b = _rekey_docs(batch, run_i[0] * 100_000_000)
+        search.bm25_index_append(b, idx, batch_id=f"cr{run_i[0]}")
+        t0 = time.monotonic()
+        obs = search.bm25_champions_refresh(spark, idx, m=m)
+        dt = time.monotonic() - t0
+        assert obs["mode"] == "incremental", obs
+        return dt
+
+    out = {"mode": "champions-refresh", "factor": factor, "m": m,
+           "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g")}
+    for label, d in [("base", base), (f"x{factor}", big)]:
+        idx = tempfile.mkdtemp(prefix=f"sb_champ_{label}_")
+        docs = read_testdata(spark, d, "documents")
+        t0 = time.monotonic()
+        search.bm25_index_write(docs, idx, n_buckets=64)
+        build_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        search.bm25_champions_write(spark, idx, m=m)
+        rebuild_sec = time.monotonic() - t0
+        timed_refresh(idx, base_docs)  # warm
+        refresh_sec = min(timed_refresh(idx, base_docs) for _ in range(2))
+        out[label] = {
+            "index_build_sec": round(build_sec, 3),
+            "sidecar_full_rebuild_sec": round(rebuild_sec, 3),
+            "refresh_1x_batch_sec": round(refresh_sec, 3),
+        }
+        if label == "base":
+            out[label]["refresh_10x_batch_sec"] = round(
+                min(timed_refresh(idx, batch10) for _ in range(2)), 3
+            )
+    out["corpus_axis_ratio"] = round(
+        out[f"x{factor}"]["refresh_1x_batch_sec"] / out["base"]["refresh_1x_batch_sec"], 2
+    )
+    out["batch_axis_ratio"] = round(
+        out["base"]["refresh_10x_batch_sec"] / out["base"]["refresh_1x_batch_sec"], 2
+    )
+    out["rebuild_vs_refresh_at_big"] = round(
+        out[f"x{factor}"]["sidecar_full_rebuild_sec"]
+        / out[f"x{factor}"]["refresh_1x_batch_sec"], 1
+    )
+    return out
+
+
+def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
+    """VERDICT r9 #2: the deep decade for the distributed connected-
+    components fixpoint, two complementary probes:
+
+    - ``replica``: simhash-pair edges over the perturbed documents
+      replica (same pair parameters as the north-star table), CC forced
+      distributed (driver_threshold=0) with a parquet round log so the
+      round count is observable. NOTE the expected shape: a permute
+      replica's duplicate clusters are COPY-LOCAL (constant size/
+      diameter), so edges grow ~linearly but rounds should stay FLAT —
+      that IS the O(log² n) story for this graph family (rounds track
+      component diameter, not corpus size).
+    - ``chain``: synthetic path graphs of length L (diameter = L), the
+      adversarial family where rounds must actually GROW — large-star/
+      small-star halves the depth per round, so rounds ~ log₂ L.
+      Measured at three L decades to expose the growth curve.
+
+    Pair-gen and CC are timed separately; edges materialize to parquet
+    (NOT a data-sized localCheckpoint — the r9 memory lesson) so the CC
+    timing starts from a disk-backed edge list at every scale.
+    """
+    from pyspark.sql import functions as F
+
+    from pwhl_data_engineering_pipeline_spark.operators import dedup, graph
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    out = {"mode": "cc-decade", "factor": factor,
+           "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+           "replica": {}, "chain": {}}
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def rounds_in(ck: str) -> int:
+        # round_0000 is the canonicalized input; star rounds start at 0001
+        return len([n for n in os.listdir(ck) if n.startswith("round_")]) - 1
+
+    for label, d in [("base", base), (f"x{factor}", big)]:
+        docs = read_testdata(spark, d, "documents").repartition(n_part)
+        edges_path = f"{workdir}/cc_edges_{label}"
+        t0 = time.monotonic()
+        dedup.simhash_near_pairs(
+            docs, max_hamming=12, n_bands=4, method="arrow"
+        ).write.mode("overwrite").parquet(edges_path)
+        pairs_sec = time.monotonic() - t0
+        edges = spark.read.parquet(edges_path)
+        ck = f"{workdir}/cc_rounds_{label}"
+        if os.path.exists(ck):
+            import shutil
+
+            shutil.rmtree(ck)
+        t0 = time.monotonic()
+        graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).write.format("noop").mode("overwrite").save()
+        cc_sec = time.monotonic() - t0
+        out["replica"][label] = {
+            "n_docs": docs.count(),
+            "n_edges": edges.count(),
+            "pairs_sec": round(pairs_sec, 3),
+            "cc_sec": round(cc_sec, 3),
+            "star_rounds": rounds_in(ck),
+        }
+
+    for L in (10_000, 100_000, 1_000_000):
+        chain = spark.range(L - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        ).repartition(n_part)
+        chain_path = f"{workdir}/cc_chain_{L}"
+        chain.write.mode("overwrite").parquet(chain_path)
+        edges = spark.read.parquet(chain_path)
+        ck = f"{workdir}/cc_chain_rounds_{L}"
+        if os.path.exists(ck):
+            import shutil
+
+            shutil.rmtree(ck)
+        t0 = time.monotonic()
+        graph.connected_components(
+            edges, checkpoint_dir=ck, driver_threshold=0
+        ).write.format("noop").mode("overwrite").save()
+        out["chain"][f"L{L}"] = {
+            "cc_sec": round(time.monotonic() - t0, 3),
+            "star_rounds": rounds_in(ck),
+        }
+    return out
 
 
 def cc_converged_bench(spark, base: str, big: str) -> dict:
@@ -408,7 +585,10 @@ def cc_converged_bench(spark, base: str, big: str) -> dict:
         )
         return leaf.unionByName(bridge)
 
-    out = {"mode": "cc-converged"}
+    out = {
+        "mode": "cc-converged",
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
     for label, d in [("base", base), ("x10", big)]:
         e = edges_for(d).localCheckpoint()
         ck = tempfile.mkdtemp(prefix=f"sb_cc_{label}_")
@@ -446,7 +626,10 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
         "--mode",
-        choices=["relational", "docs", "bm25-probe", "bm25-append", "cc-converged"],
+        choices=[
+            "relational", "docs", "bm25-probe", "bm25-append",
+            "cc-converged", "champions-refresh", "cc-decade",
+        ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
         "embeddings replicas; bm25-probe: probe-only timing against "
@@ -512,6 +695,20 @@ def main() -> None:
         print(json.dumps(cc_converged_bench(spark, args.base, args.out)))
         return
 
+    if args.mode == "champions-refresh":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(champions_refresh_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "cc-decade":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(cc_decade_bench(spark, args.base, args.out, args.factor, args.out)))
+        return
+
     if not args.skip_build:
         t0 = time.monotonic()
         if args.mode == "docs":
@@ -543,7 +740,12 @@ def main() -> None:
         }
         print(name, results[name], file=sys.stderr)
 
-    print(json.dumps({"factor": args.factor, "base": args.base, "results": results}))
+    print(json.dumps({
+        "factor": args.factor,
+        "base": args.base,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "results": results,
+    }))
 
 
 if __name__ == "__main__":
