@@ -2171,6 +2171,30 @@ def q_bm25_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
+def q_bm25_champions_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental champion-sidecar maintenance (search.bm25_champions_refresh,
+    r10 — VERDICT r9 #1): build the index and its m=10 sidecar over HALF
+    the corpus, append the other half (which stamps the sidecar STALE),
+    then refresh incrementally — the merge reads the old sidecar plus
+    ONLY the new batch's postings and is provably the true top-m (an
+    old-batch row in the global top-m ranks ≤ m among old rows alone, so
+    it is already in the sidecar). The probe result is therefore
+    IDENTICAL to a from-scratch bm25_champions_write over the full
+    corpus, and the oracle is the same full-corpus bm25_champions_sql
+    mirror — the refresh-exactness theorem value-hashed every round."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_champ_ref_") + "/index"
+    search.bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=32)
+    search.bm25_champions_write(spark, idx, m=10)
+    search.bm25_index_append(docs.filter(F.col("doc_id") % 2 != 0), idx)
+    obs = search.bm25_champions_refresh(spark, idx, m=10)
+    assert obs["mode"] == "incremental", obs  # the O(new batch) path, not a rebuild
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
+
+
 def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (streaming/search.py, r8): the
     corpus arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
@@ -3393,6 +3417,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_indexed": q_bm25_indexed,
         "ns_bm25_incremental": q_bm25_incremental,
         "ns_bm25_champions": q_bm25_champions,
+        "ns_bm25_champions_refresh": q_bm25_champions_refresh,
         "st_bm25_ingest": q_streaming_bm25,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
@@ -4875,6 +4900,11 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["ns_bm25_champions"] = search.bm25_champions_sql(
         docs_from="documents", queries_values=_bm25_values, m=10, k=10
     )
+    # incremental sidecar refresh (r10): build(half) + append(half) +
+    # refresh ≡ from-scratch champions over the full corpus (the merge-
+    # exactness theorem — see bm25_champions_refresh), so the oracle is
+    # the SAME full-corpus champion mirror
+    sql["ns_bm25_champions_refresh"] = sql["ns_bm25_champions"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,
