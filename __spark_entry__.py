@@ -2195,6 +2195,36 @@ def q_bm25_champions_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index with crash-consistent incremental append (r10:
+    similarity.ivf_write / ivf_append / ivf_topk_pruned — the batch-
+    visibility switch BM25 and MinHash already had, now on the ANN
+    index): build over the EVEN vec_ids, append the ODD half under a
+    committed batch id, probe the index EXHAUSTIVELY
+    (n_probe = n_centroids = 16, so the candidate set is every committed
+    row). Exhaustive IVF over a complete index EQUALS brute-force
+    cosine top-10 (same 6-dp rounding, same vec_id tiebreak), so the
+    oracle is the brute-force SQL — which value-hashes both the append's
+    visibility (a missing/extra batch changes the candidate set) and
+    the routing/union/top-k merge."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 != 0)
+    cent, assigned = similarity.ivf_index(old, n_centroids=16)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    similarity.ivf_write(assigned, idx, cent)
+    out = similarity.ivf_append(new, idx, cent)
+    assert out["skipped"] is False and out["n_vectors_added"] > 0, out
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_pruned(
+        spark, idx, cent, queries, k=10, n_probe=16
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (streaming/search.py, r8): the
     corpus arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
@@ -3418,6 +3448,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_incremental": q_bm25_incremental,
         "ns_bm25_champions": q_bm25_champions,
         "ns_bm25_champions_refresh": q_bm25_champions_refresh,
+        "ns_ann_ivf_indexed": q_ann_ivf_indexed,
         "st_bm25_ingest": q_streaming_bm25,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
@@ -4905,6 +4936,11 @@ def _all_oracle_sql() -> dict[str, str]:
     # exactness theorem — see bm25_champions_refresh), so the oracle is
     # the SAME full-corpus champion mirror
     sql["ns_bm25_champions_refresh"] = sql["ns_bm25_champions"]
+    # persisted IVF with crash-consistent append (r10): exhaustive probe
+    # (n_probe = n_centroids) over build(evens) + append(odds) ≡ brute
+    # force over the full corpus — the same mirror value-hashes append
+    # visibility and the routing/top-k merge
+    sql["ns_ann_ivf_indexed"] = sql["ns_ann_bruteforce"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

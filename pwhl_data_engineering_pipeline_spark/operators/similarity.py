@@ -237,24 +237,149 @@ def ivf_assign(
     )
 
 
+def _ivf_read_manifest(spark, path: str) -> dict | None:
+    """Committed-batches manifest of a persisted IVF index (the same
+    versioned ``_scalars/`` layout and commit machinery as the BM25
+    index — shared primitives from operators.search); None for a LEGACY
+    index written before batch stamping (probe everything, append
+    refuses)."""
+    from .search import _read_scalars
+
+    try:
+        return _read_scalars(spark, path)
+    except FileNotFoundError:
+        return None
+
+
+def _ivf_batch_dirs(spark, path: str) -> dict[str, float]:
+    """Newest mtime (epoch ms) per on-disk batch id across the index's
+    ``centroid_id=*/batch=*`` directories — metadata-only listings."""
+    from ..fsutil import list_status
+
+    newest: dict[str, float] = {}
+    for c in list_status(spark, path):
+        if not (c["is_dir"] and c["name"].startswith("centroid_id=")):
+            continue
+        for b in list_status(spark, f"{path}/{c['name']}"):
+            if b["is_dir"] and b["name"].startswith("batch="):
+                bid = b["name"][len("batch="):]
+                newest[bid] = max(newest.get(bid, 0.0), b["mtime_ms"])
+    return newest
+
+
+def _ivf_purge_batch(spark, path: str, batch_id: str) -> int:
+    """Delete every ``batch=<batch_id>`` directory under the index's
+    centroid partitions; returns the number removed."""
+    from ..fsutil import delete, list_names
+
+    n = 0
+    for c in list_names(spark, path):
+        if c.startswith("centroid_id=") and delete(
+            spark, f"{path}/{c}/batch={batch_id}", recursive=True
+        ):
+            n += 1
+    return n
+
+
 def ivf_append(
     new_vectors: DataFrame,
     index_path: str,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> None:
+    batch_id: str | None = None,
+) -> dict:
     """Incrementally add vectors to a persisted IVF index: route to the
     EXISTING centroids and append into the centroid_id partition layout —
     new files land only in the touched partitions, nothing is rewritten.
     The build-once-probe-many contract survives ingestion: probes see the
-    union immediately with the same partition pruning.
+    union as soon as the batch COMMITS, with the same partition pruning.
 
-    Centroids deliberately do not move (the FAISS IVF convention): cell
-    quality degrades only if the data distribution drifts — rebuild or
-    Lloyd-refine offline when recall SLOs say so."""
+    Crash consistency (r10 — the same batch-visibility switch as
+    ``bm25_index_append``, which this previously lacked: a bare parquet
+    append that died mid-write left half-landed files VISIBLE to every
+    probe, a torn index with no repair path): rows land under a second
+    partition level ``batch=<batch_id>``, probes read only batches the
+    committed manifest lists, and the manifest version-commit (atomic
+    rename) is the one visibility switch. A crash anywhere before the
+    commit leaves invisible files; re-appending the SAME batch id purges
+    its leftovers and rewrites (idempotent repair); a re-append of an
+    already-committed id is a metadata no-op; losing a manifest version
+    race to a concurrent appender retries once from the fresh manifest
+    (the rows are already on disk and visibility is additive).
+    ``ivf_index_repair`` reclaims crashed appends' orphans age-gated.
+
+    Assumes batch vec_ids are disjoint from the indexed corpus (the same
+    contract as every incremental index here). Centroids deliberately do
+    not move (the FAISS IVF convention): cell quality degrades only if
+    the data distribution drifts — rebuild or Lloyd-refine offline when
+    recall SLOs say so.
+
+    Raises RuntimeError on a legacy (pre-stamping) index — rebuild with
+    :func:`ivf_write` to enable appends. Returns {"n_vectors_added",
+    "version", "batch_id", "skipped"}.
+    """
+    import uuid as _uuid
+
+    from .search import _check_batch_id, _commit_scalars, _read_scalars
+
+    spark = new_vectors.sparkSession
+    meta = _ivf_read_manifest(spark, index_path)
+    if meta is None:
+        raise RuntimeError(
+            f"IVF index at {index_path} predates batch stamping (flat "
+            "layout) — rebuild with ivf_write before appending"
+        )
+    if batch_id is None:
+        batch_id = "b" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
+    if batch_id in (meta.get("batches") or []):
+        return {
+            "n_vectors_added": 0,
+            "version": meta["_version"],
+            "batch_id": batch_id,
+            "skipped": True,
+        }
+    _ivf_purge_batch(spark, index_path, batch_id)  # crashed-attempt leftovers
     assigned = ivf_assign(new_vectors, centroids, vec_col=vec_col, id_col=id_col)
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(index_path)
+    assigned.withColumn("batch", F.lit(batch_id)).write.mode("append").partitionBy(
+        "centroid_id", "batch"
+    ).parquet(index_path)
+    n_added = (
+        spark.read.parquet(index_path).filter(F.col("batch") == batch_id).count()
+    )
+    if n_added > 0 and batch_id not in _ivf_batch_dirs(spark, index_path):
+        raise IOError(
+            f"ivf_append: batch={batch_id} directories at {index_path} were "
+            "reclaimed before the manifest commit (concurrent repair with an "
+            "undersized age gate?) — aborting; re-append the batch"
+        )
+
+    def _meta_with(base: dict) -> dict:
+        return {"batches": [*(base.get("batches") or []), batch_id]}
+
+    try:
+        version = _commit_scalars(
+            spark, index_path, _meta_with(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        fresh = _read_scalars(spark, index_path)
+        if batch_id in (fresh.get("batches") or []):
+            return {
+                "n_vectors_added": 0,
+                "version": fresh["_version"],
+                "batch_id": batch_id,
+                "skipped": True,
+            }
+        version = _commit_scalars(
+            spark, index_path, _meta_with(fresh), parent_version=fresh["_version"]
+        )
+    return {
+        "n_vectors_added": int(n_added),
+        "version": version,
+        "batch_id": batch_id,
+        "skipped": False,
+    }
 
 
 def ivf_write(
@@ -262,16 +387,73 @@ def ivf_write(
     path: str,
     centroids: DataFrame,
     centroids_path: str | None = None,
+    batch_id: str = "base",
 ) -> None:
     """Persist an IVF index with its physical layout: the assigned corpus
     written **partitioned by centroid_id**, so a probe that filters on the
     routed centroid ids scans only those directories (partition pruning —
     the on-disk analogue of an inverted file). At 100 TB this is the
     difference between touching n_probe/n_centroids of the data and all of
-    it."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    it.
+
+    r10: rows additionally partition by ``batch=<batch_id>`` with a
+    committed-batches manifest (versioned atomic-rename commits — the
+    BM25 pattern), which is what makes :func:`ivf_append` crash-
+    consistent and :func:`ivf_index_repair` possible. Rebuild-over-
+    existing deletes the old tree first and pins static partition
+    overwrite (a session-global ``partitionOverwriteMode=dynamic`` must
+    not leave stale committed-visible partitions), so a rebuild that
+    crashes mid-write leaves a LOUD manifest-less index, never a silent
+    mix of two corpora."""
+    from ..fsutil import delete
+    from .search import _check_batch_id, _commit_scalars
+
+    _check_batch_id(batch_id)
+    spark = assigned.sparkSession
+    delete(spark, path, recursive=True)  # old data + old manifest lineage
+    assigned.withColumn("batch", F.lit(batch_id)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("centroid_id", "batch").parquet(path)
+    _commit_scalars(spark, path, {"batches": [batch_id]}, parent_version=0)
     if centroids_path:
         centroids.write.mode("overwrite").parquet(centroids_path)
+
+
+def ivf_index_repair(
+    spark, path: str, min_age_seconds: float | None = None
+) -> dict:
+    """Reclaim storage of IVF batch directories that are NOT in the
+    committed manifest (crashed appends), once they are older than the
+    age gate — young uncommitted directories are indistinguishable from
+    an IN-FLIGHT append's files, so the gate (default: the shared
+    ``search.DEFAULT_RECLAIM_MIN_AGE``) defers them exactly as
+    ``bm25_index_repair`` does. Probes never see orphans (they filter to
+    committed batches), so this is storage reclamation, not a
+    correctness fix. Returns {"purged_batches", "deferred_batches"}."""
+    import time as _time
+
+    from .search import DEFAULT_RECLAIM_MIN_AGE
+
+    if min_age_seconds is None:
+        min_age_seconds = DEFAULT_RECLAIM_MIN_AGE
+    meta = _ivf_read_manifest(spark, path)
+    if meta is None:
+        raise RuntimeError(
+            f"IVF index at {path} predates batch stamping — rebuild with "
+            "ivf_write to enable append repair"
+        )
+    committed = set(meta.get("batches") or [])
+    now = _time.time()
+    purged, deferred = [], []
+    for b, mtime_ms in sorted(_ivf_batch_dirs(spark, path).items()):
+        if b in committed:
+            continue
+        if now - mtime_ms / 1000.0 >= min_age_seconds:
+            _ivf_purge_batch(spark, path, b)
+            purged.append(b)
+        else:
+            deferred.append(b)
+    return {"purged_batches": purged, "deferred_batches": deferred}
 
 
 def ivf_topk_pruned(
@@ -288,7 +470,11 @@ def ivf_topk_pruned(
     """Probe a persisted IVF index: route queries → centroid ids, then scan
     ONLY the matching partitions (the probe-id join key is a partition
     column, so Catalyst turns it into PartitionFilters via dynamic partition
-    pruning / an IN-filter on the routed ids)."""
+    pruning / an IN-filter on the routed ids). On a batch-stamped index
+    (r10 ``ivf_write``) the scan additionally filters to COMMITTED batches
+    — also a partition column, so a crashed ``ivf_append``'s half-landed
+    files are invisible at directory level; a legacy flat index probes
+    everything as before."""
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     routed = q.crossJoin(F.broadcast(centroids)).select(
         query_id_col,
@@ -302,6 +488,9 @@ def ivf_topk_pruned(
 
     probe_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
+    meta = _ivf_read_manifest(spark, index_path)
+    if meta is not None:
+        index = index.filter(F.col("batch").isin(meta.get("batches") or []))
     scored = index.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,
