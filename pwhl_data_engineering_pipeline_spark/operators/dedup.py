@@ -378,7 +378,25 @@ def minhash_index_write(
     probe with a quadratic bucket. ``mode='append'`` adds a new batch's
     buckets (see dedup_minhash_incremental). Every write also refreshes
     the accumulated hot-bucket SIDECAR (see refresh_hot_sidecar), so
-    probes never rescan the index to find hot buckets."""
+    probes never rescan the index to find hot buckets.
+
+    Crash posture — deliberately WEAKER than the BM25/IVF indexes'
+    batch-visibility switch, because the semantics tolerate it: this
+    index carries no derived scalars a partial append could corrupt
+    (BM25 scores read n_docs/len_sum/df — half-landed postings make
+    every probe silently WRONG; an IVF probe's candidate set must match
+    a committed corpus), and its rows are idempotent CANDIDATE
+    generators — duplicate bucket rows only re-propose the same pair
+    (pair generation de-dups; `index_compact` reclaims them), and rows
+    missing after a crash only mean those docs' future copies are
+    missed until the append re-runs. So at-least-once rows + re-run
+    repair is correct here where it was a torn index there; the
+    streaming ingest path additionally recovers a crashed epoch's
+    admitted rows from the snapshot manifest
+    (streaming/dedup.py::_epoch_admitted_rows) so nothing stays
+    unindexed. Callers that need exactly-once VISIBILITY semantics on
+    dedup state should dedup through the snapshot-table path, not this
+    index."""
     b = _cap_buckets(
         minhash_buckets(docs, text_col, id_col, num_hashes, num_bands, shingle_k, seed, impl),
         max_bucket,

@@ -138,6 +138,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "j3_cross_join",
         "ns_embedding_neardup",
         "ns_ann_ivf",
+        # ns_ann_ivf_indexed (r10): the same corpus × broadcast-centroids
+        # routing as ns_ann_ivf (16-row broadcast side — bounded-fanout
+        # narrow map) plus the 8-row broadcast query frame over the
+        # partition-pruned index scan
+        "ns_ann_ivf_indexed",
         "ns_bm25_search",
         "ns_lm_quality",
         "ns_lm_bigram",
