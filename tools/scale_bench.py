@@ -469,6 +469,71 @@ def champions_refresh_bench(spark, base: str, big: str, factor: int) -> dict:
     return out
 
 
+def ivf_append_bench(spark, base: str, big: str, factor: int) -> dict:
+    """r10 axis measurements for the crash-consistent ``ivf_append``
+    (same protocol as ``bm25_append_bench``): batch axis — appending a
+    10× batch to the base index should cost ~10× the small batch (route
+    + write the batch only); corpus axis — appending the SAME batch to
+    the base index vs the ``factor``× index should be ~flat (the corpus
+    is never re-read; only the manifest version and directory counts
+    differ). Indexes build untimed; min-of-2 with fresh batch ids."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    def _rekey(emb, offset):
+        return emb.withColumn("vec_id", F.col("vec_id") + F.lit(offset))
+
+    base_emb = read_testdata(spark, base, "embeddings")
+    big_emb = read_testdata(spark, big, "embeddings")
+    small_batch = _rekey(base_emb, 7_000_000_000).localCheckpoint()
+    big_batch = small_batch
+    for i in range(1, 10):
+        big_batch = big_batch.unionByName(
+            _rekey(base_emb, 7_000_000_000 + i * 10_000_000)
+        )
+    big_batch = big_batch.localCheckpoint()
+
+    cent, assigned_base = similarity.ivf_index(base_emb, n_centroids=16)
+    idx_base = tempfile.mkdtemp(prefix="sb_ivf_base_") + "/index"
+    similarity.ivf_write(assigned_base, idx_base, cent)
+    assigned_big = similarity.ivf_assign(big_emb, cent)
+    idx_big = tempfile.mkdtemp(prefix="sb_ivf_big_") + "/index"
+    similarity.ivf_write(assigned_big, idx_big, cent)
+
+    run_i = [0]
+
+    def t_append(batch, idx) -> float:
+        run_i[0] += 1
+        b = _rekey(batch, run_i[0] * 100_000_000)
+        t0 = time.monotonic()
+        similarity.ivf_append(b, idx, cent, batch_id=f"ia{run_i[0]}")
+        return time.monotonic() - t0
+
+    t_append(small_batch, idx_base)  # warm
+    small_on_base = round(min(t_append(small_batch, idx_base) for _ in range(2)), 3)
+    big_on_base = round(min(t_append(big_batch, idx_base) for _ in range(2)), 3)
+    small_on_big = round(min(t_append(small_batch, idx_big) for _ in range(2)), 3)
+    return {
+        "mode": "ivf-append",
+        "factor": factor,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "batch_axis": {
+            "small_batch_sec": small_on_base,
+            "x10_batch_sec": big_on_base,
+            "ratio": round(big_on_base / small_on_base, 2),
+        },
+        "corpus_axis": {
+            "base_corpus_sec": small_on_base,
+            f"x{factor}_corpus_sec": small_on_big,
+            "ratio": round(small_on_big / small_on_base, 2),
+        },
+    }
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -628,7 +693,7 @@ def main() -> None:
         "--mode",
         choices=[
             "relational", "docs", "bm25-probe", "bm25-append",
-            "cc-converged", "champions-refresh", "cc-decade",
+            "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -693,6 +758,13 @@ def main() -> None:
         if not args.skip_build:
             build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
         print(json.dumps(cc_converged_bench(spark, args.base, args.out)))
+        return
+
+    if args.mode == "ivf-append":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(ivf_append_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "champions-refresh":
