@@ -283,6 +283,76 @@ def _commit_scalars(spark, path: str, meta: dict, parent_version: int) -> int:
     return version
 
 
+def _read_stamp(spark, stamp_path: str) -> dict | None:
+    """A champion sidecar's stamp, or None when it is missing OR
+    unparseable. A torn stamp — a crash mid-publish on a filesystem
+    whose ``create`` is not atomic, or a pre-r11 in-place restamp read
+    mid-write — must land on the documented graceful posture
+    (probe refuses as unstamped, refresh rebuilds, repair sweeps),
+    never a raw ``JSONDecodeError`` that leaves recovery manual
+    (ADVICE r10 medium: every reader previously called ``json.loads``
+    unguarded, and ``bm25_index_repair`` only swept ``txt is None``)."""
+    import json as _json
+
+    from ..fsutil import read_text
+
+    txt = read_text(spark, stamp_path)
+    if txt is None:
+        return None
+    try:
+        stamp = _json.loads(txt)
+    except ValueError:
+        return None
+    return stamp if isinstance(stamp, dict) else None
+
+
+def _write_stamp(spark, stamp_path: str, stamp: dict) -> None:
+    """Publish a champion-sidecar stamp atomically: temp write + delete +
+    no-overwrite rename — the ``_commit_scalars`` pattern (ADVICE r10
+    medium: the previous plain create-overwrite could be read torn
+    mid-write, and the compaction restamp rewrote a LIVE stamp in place
+    under concurrent probes). Between the delete and the rename a
+    reader sees no stamp at all — the graceful 'unstamped' refusal —
+    and after the rename it sees the whole new stamp; never torn JSON.
+    A lost rename race (two maintainers stamping the same sidecar —
+    outside the single-writer contract) raises loudly."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..fsutil import delete, rename_no_overwrite, write_text
+
+    tmp = f"{stamp_path}.{_uuid.uuid4().hex}.tmp"
+    write_text(spark, tmp, _json.dumps(stamp))
+    delete(spark, stamp_path)
+    if not rename_no_overwrite(spark, tmp, stamp_path):
+        delete(spark, tmp)
+        raise IOError(
+            f"champion stamp publish conflict at {stamp_path} (concurrent "
+            "rebuild/refresh of the same sidecar — outside the single-"
+            "writer maintenance contract) — the sidecar may be unstamped; "
+            "re-run the refresh (it will rebuild)"
+        )
+
+
+def _sweep_refresh_staging(spark, root: str) -> None:
+    """Delete leftover ``.refresh.*``/stamp-temp staging entries under a
+    champion sidecar root (ADVICE r10 low: a refresh that crashed after
+    its data-dir delete but before the swap rename leaves a staging dir
+    behind, and once the next rebuild re-stamps the root FRESH, repair
+    never sweeps inside it again — so crashed-refresh staging would
+    accumulate forever). Safe by construction: staging entries are only
+    ever renamed away by the maintainer that created them, and
+    maintenance is single-writer by contract, so anything still present
+    when a new rebuild/refresh starts belongs to a dead writer."""
+    from ..fsutil import delete, list_names
+
+    for name in list_names(spark, root):
+        if name.startswith(".refresh.") or (
+            name.startswith("stamp.json.") and name.endswith(".tmp")
+        ):
+            delete(spark, f"{root}/{name}", recursive=True)
+
+
 def _salt_width(df, n_buckets: int, target_bytes: int = 1 << 20, cap: int = 32) -> int:
     """Sub-bucket salt width K for index writes: split each (bucket,
     batch) partition into K size-bounded files. One file per bucket (the
@@ -648,22 +718,21 @@ def bm25_index_repair(
     stage_mt = _tree_max_mtime_ms(spark, staging)
     if stage_mt is not None and now - stage_mt / 1000.0 >= min_age_seconds:
         staging_swept = delete(spark, staging, recursive=True)
-    # champion sidecars: unstamped = unusable (sweep once old enough);
-    # stale-stamped = refreshable (sweep only on the explicit flag)
-    import json as _json
-
-    from ..fsutil import list_names, read_text
+    # champion sidecars: unstamped (or torn-stamped — _read_stamp folds a
+    # crash-truncated stamp into the same posture) = unusable, sweep once
+    # old enough; stale-stamped = refreshable (sweep only on the flag)
+    from ..fsutil import list_names
 
     champions_swept: list[str] = []
     for name in list_names(spark, f"{path}/_champions"):
         if not name.startswith("m="):
             continue
         root = f"{path}/_champions/{name}"
-        txt = read_text(spark, f"{root}/stamp.json")
-        if txt is None:
+        stamp = _read_stamp(spark, f"{root}/stamp.json")
+        if stamp is None:
             sweep = True  # crashed rebuild/refresh — no probe can use it
         elif sweep_stale_champions:
-            sweep = _json.loads(txt).get("batches") != (meta.get("batches") or [])
+            sweep = stamp.get("batches") != (meta.get("batches") or [])
         else:
             sweep = False
         if not sweep:
@@ -1095,26 +1164,24 @@ def bm25_index_compact(
         # rows — so re-stamping them to [cid] keeps them probe-usable
         # for free (VERDICT r9 #1 wiring: one compact/autocompact call
         # keeps postings AND sidecars fresh). Stale sidecars are left
-        # stamped as-is (refresh or repair handles them).
-        import json as _json
-
+        # stamped as-is (refresh or repair handles them). The restamp
+        # publishes via _write_stamp (ADVICE r10 medium): a concurrent
+        # probe sees the old stamp, a brief unstamped window (graceful
+        # refusal), or the new stamp — never a torn half-written one.
         from ..fsutil import list_names as _list_names
-        from ..fsutil import read_text as _read_text
-        from ..fsutil import write_text as _write_text
 
         restamped = 0
         for name in _list_names(spark, f"{path}/_champions"):
             if not name.startswith("m="):
                 continue
             stamp_path = f"{path}/_champions/{name}/stamp.json"
-            txt = _read_text(spark, stamp_path)
-            if txt is None:
+            stamp = _read_stamp(spark, stamp_path)
+            if stamp is None:
                 continue
-            stamp = _json.loads(txt)
             if stamp.get("batches") == committed:
                 stamp["batches"] = [cid]
                 stamp["scalars_version"] = new_version
-                _write_text(spark, stamp_path, _json.dumps(stamp))
+                _write_stamp(spark, stamp_path, stamp)
                 restamped += 1
         obs["champions_restamped"] = restamped
         # old committed batches are retirement-stamped orphans now; the
@@ -1183,13 +1250,12 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
     the parquet write, so a crashed rebuild leaves no stamp (probe
     refuses loudly) and a re-run is an idempotent overwrite.
     """
-    import json as _json
-
-    from ..fsutil import delete, write_text
+    from ..fsutil import delete
 
     meta = _read_scalars(spark, path)
     committed = meta.get("batches")
     root = f"{path}/_champions/m={int(m)}"
+    _sweep_refresh_staging(spark, root)  # dead writers' leftovers (ADVICE r10)
     delete(spark, f"{root}/stamp.json")  # unpublish before the rewrite
     # clean slate for the bucket-partitioned overwrite: under a session-
     # global partitionOverwriteMode=dynamic, buckets the new top-m does
@@ -1221,16 +1287,14 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
         .parquet(f"{root}/data")
     )
     n = spark.read.parquet(f"{root}/data").count()
-    write_text(
+    _write_stamp(
         spark,
         f"{root}/stamp.json",
-        _json.dumps(
-            {
-                "m": int(m),
-                "batches": committed or [],
-                "scalars_version": meta["_version"],
-            }
-        ),
+        {
+            "m": int(m),
+            "batches": committed or [],
+            "scalars_version": meta["_version"],
+        },
     )
     return {"m": int(m), "rows": int(n), "version": meta["_version"], "mode": "full"}
 
@@ -1271,20 +1335,20 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
       this branch only fires when the sidecar was already stale at
       compaction time.
     """
-    import json as _json
     import uuid as _uuid
 
-    from ..fsutil import delete, read_text, rename, write_text
+    from ..fsutil import delete, rename, write_text
 
     meta = _read_scalars(spark, path)
     committed = meta.get("batches") or []
     root = f"{path}/_champions/m={int(m)}"
-    txt = read_text(spark, f"{root}/stamp.json")
-    if txt is None:
+    _sweep_refresh_staging(spark, root)  # dead writers' leftovers (ADVICE r10)
+    stamp = _read_stamp(spark, f"{root}/stamp.json")
+    if stamp is None:
         out = bm25_champions_write(spark, path, m=m)
         out["mode"] = "rebuild"
         return out
-    old_batches = _json.loads(txt).get("batches") or []
+    old_batches = stamp.get("batches") or []
     if old_batches == committed:
         return {
             "m": int(m),
@@ -1300,7 +1364,16 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         out["mode"] = "rebuild"
         return out
     new_batches = [b for b in committed if b not in set(old_batches)]
-    # unpublish first: from here to the final stamp write, probes refuse
+    # Stake the staging dir BEFORE unpublishing the stamp (ADVICE r10
+    # low): between the stamp delete and the staged write's first file,
+    # the root would otherwise look like an old UNSTAMPED orphan whose
+    # tree mtime is past the age gate, and a concurrent
+    # bm25_index_repair could delete {root}/data out from under the
+    # (lazy) merge read. The fresh marker makes the root's newest mtime
+    # NOW, so the gate defers it for a full min_age_seconds window.
+    tmp = f"{root}/.refresh.{_uuid.uuid4().hex}"
+    write_text(spark, f"{tmp}/_INPROGRESS", "")
+    # unpublish next: from here to the final stamp write, probes refuse
     # loudly and a crash leaves an unstamped sidecar (next refresh
     # rebuilds) — same protocol as bm25_champions_write
     delete(spark, f"{root}/stamp.json")
@@ -1332,8 +1405,9 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         .select("doc_id", "term", "tf", "doc_len", "bucket")
     )
     # the merge READS {root}/data, so it cannot overwrite it in place —
-    # stage beside it and swap with one metadata rename
-    tmp = f"{root}/.refresh.{_uuid.uuid4().hex}"
+    # stage beside it (into the already-staked marker dir; the overwrite
+    # replaces the _INPROGRESS marker with the data, keeping the tree
+    # mtime fresh throughout) and swap with one metadata rename
     final.repartition("bucket").write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("bucket").parquet(tmp)
@@ -1345,16 +1419,14 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
             "sidecar is unstamped; re-run the refresh (it will rebuild)"
         )
     n = spark.read.parquet(f"{root}/data").count()
-    write_text(
+    _write_stamp(
         spark,
         f"{root}/stamp.json",
-        _json.dumps(
-            {
-                "m": int(m),
-                "batches": committed,
-                "scalars_version": meta["_version"],
-            }
-        ),
+        {
+            "m": int(m),
+            "batches": committed,
+            "scalars_version": meta["_version"],
+        },
     )
     return {
         "m": int(m),
@@ -1373,18 +1445,17 @@ def champions_stale(spark, path: str) -> bool:
     :func:`needs_compaction` (VERDICT r9 #1): poll both between ingest
     batches, answering staleness with :func:`bm25_champions_refresh`.
     Metadata-only (one scalars read + one stamp read per sidecar); False
-    when no sidecars exist."""
-    import json as _json
-
-    from ..fsutil import list_names, read_text
+    when no sidecars exist. A torn stamp reads as unstamped (stale) —
+    the refresh it triggers rebuilds the sidecar."""
+    from ..fsutil import list_names
 
     meta = _read_scalars(spark, path)
     committed = meta.get("batches") or []
     for name in list_names(spark, f"{path}/_champions"):
         if not name.startswith("m="):
             continue
-        txt = read_text(spark, f"{path}/_champions/{name}/stamp.json")
-        if txt is None or _json.loads(txt).get("batches") != committed:
+        stamp = _read_stamp(spark, f"{path}/_champions/{name}/stamp.json")
+        if stamp is None or stamp.get("batches") != committed:
             return True
     return False
 
@@ -1548,18 +1619,15 @@ def bm25_search_index(
         # m-bounded sidecar — flat in corpus size; df/n_docs/avg_len stay
         # corpus-wide from stats/scalars. The stamp pins the committed-
         # batches list the sidecar derived from; anything newer refuses.
-        import json as _json
-
-        from ..fsutil import read_text
-
         root = f"{path}/_champions/m={int(champions_m)}"
-        txt = read_text(spark, f"{root}/stamp.json")
-        if txt is None:
+        stamp = _read_stamp(spark, f"{root}/stamp.json")
+        if stamp is None:
             raise RuntimeError(
-                f"no champion sidecar m={champions_m} at {path} — run "
-                "bm25_champions_write(spark, path, m) first"
+                f"no champion sidecar m={champions_m} at {path} (missing "
+                "or torn stamp) — run bm25_champions_write/refresh "
+                "(spark, path, m) first"
             )
-        if _json.loads(txt)["batches"] != (committed or []):
+        if stamp["batches"] != (committed or []):
             raise RuntimeError(
                 f"champion sidecar m={champions_m} at {path} is STALE: the "
                 "index's committed batches changed since bm25_champions_write "

@@ -371,6 +371,19 @@ def ivf_append(
                 "batch_id": batch_id,
                 "skipped": True,
             }
+        # re-verify before the retry commit (ADVICE r10 low, mirroring
+        # bm25_index_append): a concurrent ivf_index_repair with an
+        # undersized age gate may have purged the still-uncommitted
+        # young batch between the first verification and this retry —
+        # committing a manifest for deleted files would silently drop
+        # the batch from every probe
+        if n_added > 0 and batch_id not in _ivf_batch_dirs(spark, index_path):
+            raise IOError(
+                f"ivf_append: batch={batch_id} directories at {index_path} "
+                "were reclaimed before the manifest retry commit "
+                "(concurrent repair with an undersized age gate?) — "
+                "aborting; re-append the batch"
+            )
         version = _commit_scalars(
             spark, index_path, _meta_with(fresh), parent_version=fresh["_version"]
         )

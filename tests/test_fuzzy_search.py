@@ -1556,3 +1556,270 @@ def test_bm25_repair_sweeps_champion_sidecars(spark, tmp_path):
     )
     assert rep3["champions_swept"] == ["m=5"]
     assert not fsutil.exists(spark, f"{idx}/_champions/m=5")
+
+
+# ---------------- r11: champion-stamp hardening + refresh races (ADVICE r10)
+
+
+def test_torn_champion_stamp_reads_as_unstamped_everywhere(spark, tmp_path):
+    """ADVICE r10 medium: a torn/truncated stamp.json (a crash mid-publish,
+    or a pre-r11 in-place restamp read mid-write) must land on the
+    documented graceful 'unstamped' posture in EVERY reader — the probe
+    refuses loudly, champions_stale flags it, refresh rebuilds, compact's
+    restamp skips it, repair sweeps it — never a raw JSONDecodeError that
+    leaves recovery manual."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta")], "query_id string, query_text string"
+    )
+    idx = str(tmp_path / "bm25_torn_stamp")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    stamp_path = f"{idx}/_champions/m=2/stamp.json"
+    good = fsutil.read_text(spark, stamp_path)
+    fsutil.write_text(spark, stamp_path, good[: len(good) // 2])  # torn
+
+    assert search.champions_stale(spark, idx) is True
+    with pytest.raises(RuntimeError, match="torn"):
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect()
+    # compact's restamp must skip (not crash on) the torn sidecar
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs["champions_restamped"] == 0
+    # refresh treats it as a crashed rebuild → full rebuild, probe-usable
+    assert search.bm25_champions_refresh(spark, idx, m=2)["mode"] == "rebuild"
+    assert search.champions_stale(spark, idx) is False
+    assert search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).count() > 0
+
+    # repair sweeps a torn-stamped sidecar exactly like an unstamped one
+    fsutil.write_text(spark, stamp_path, '{"m": 2, "batch')
+    rep = search.bm25_index_repair(spark, idx, min_age_seconds=0)
+    assert rep["champions_swept"] == ["m=2"]
+    assert not fsutil.exists(spark, f"{idx}/_champions/m=2")
+
+
+def test_champion_stamp_publish_atomic_lost_race_is_loud(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 medium: the stamp publishes via temp write + delete +
+    no-overwrite rename (the _commit_scalars pattern). A lost rename race
+    (a rival stamping the same sidecar — outside the single-writer
+    contract) raises IOError and leaves the sidecar cleanly UNSTAMPED
+    with no temp litter — never a torn stamp — and a plain re-run
+    recovers."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm25_stamp_race")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    real_rename = fsutil.rename_no_overwrite
+    monkeypatch.setattr(
+        fsutil, "rename_no_overwrite", lambda s, a, b: False
+    )
+    with pytest.raises(IOError, match="stamp publish conflict"):
+        search.bm25_champions_write(spark, idx, m=2)
+    monkeypatch.setattr(fsutil, "rename_no_overwrite", real_rename)
+    root = f"{idx}/_champions/m=2"
+    assert fsutil.read_text(spark, f"{root}/stamp.json") is None
+    assert not [
+        n for n in fsutil.list_names(spark, root) if n.startswith("stamp.json.")
+    ]
+    out = search.bm25_champions_write(spark, idx, m=2)
+    assert out["rows"] > 0 and search.champions_stale(spark, idx) is False
+
+
+def test_champions_refresh_stakes_staging_before_unpublish(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 low: the refresh stakes a fresh .refresh.* staging marker
+    under the sidecar root BEFORE unpublishing the stamp, so the root's
+    newest tree mtime stays young for the whole unstamped window — a
+    concurrent bm25_index_repair's age gate defers the sweep instead of
+    deleting {root}/data out from under the (lazy) merge read."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm25_refresh_stake")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW, schema), idx, batch_id="n1"
+    )
+    root = f"{idx}/_champions/m=2"
+
+    real_delete = fsutil.delete
+    real_list = fsutil.list_names
+    seen: dict = {}
+
+    def delete_spy(spark_, path_, recursive=False):
+        # capture the FIRST stamp unpublish (the refresh's); _write_stamp
+        # deletes it again later, after the staging dir was renamed away
+        if path_ == f"{root}/stamp.json" and "markers" not in seen:
+            seen["markers"] = [
+                n for n in real_list(spark_, root) if n.startswith(".refresh.")
+            ]
+        return real_delete(spark_, path_, recursive)
+
+    monkeypatch.setattr(fsutil, "delete", delete_spy)
+    out = search.bm25_champions_refresh(spark, idx, m=2)
+    monkeypatch.setattr(fsutil, "delete", real_delete)
+    assert out["mode"] == "incremental"
+    assert seen.get("markers"), "no staging marker staked before the unpublish"
+    # and no staging litter survives a successful refresh
+    assert not [
+        n for n in fsutil.list_names(spark, root) if n.startswith(".refresh.")
+    ]
+
+
+def test_repair_age_gate_defers_root_with_fresh_staging_marker(spark, tmp_path):
+    """The mechanism behind the stake (ADVICE r10 low): an unstamped
+    sidecar root whose only YOUNG entry is an in-flight refresh's staging
+    marker is deferred by the repair age gate even when the data files
+    themselves are old; once the marker is gone (dead writer), the aged
+    root sweeps."""
+    import os
+    import time
+
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm25_refresh_gate")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    root = f"{idx}/_champions/m=2"
+    fsutil.delete(spark, f"{root}/stamp.json")  # the unstamped window
+    # age the whole sidecar tree far past the gate
+    root_local = str(tmp_path / "bm25_refresh_gate" / "_champions" / "m=2")
+    old = time.time() - 7 * 86400
+    for r, dirs, files in os.walk(root_local):
+        for n in dirs + files:
+            os.utime(os.path.join(r, n), (old, old))
+    # an in-flight refresh staked its marker just now
+    fsutil.write_text(spark, f"{root}/.refresh.live/_INPROGRESS", "")
+    rep = search.bm25_index_repair(spark, idx, min_age_seconds=3600)
+    assert rep["champions_swept"] == []
+    assert fsutil.exists(spark, f"{root}/data")
+    # dead writer: marker removed → the aged unstamped root sweeps
+    fsutil.delete(spark, f"{root}/.refresh.live", recursive=True)
+    rep2 = search.bm25_index_repair(spark, idx, min_age_seconds=3600)
+    assert rep2["champions_swept"] == ["m=2"]
+    assert not fsutil.exists(spark, root)
+
+
+def test_champions_maintenance_sweeps_dead_staging(spark, tmp_path):
+    """ADVICE r10 low: a refresh that crashed between its data-dir delete
+    and the swap rename leaves a .refresh.* staging dir that — once the
+    next rebuild re-stamps the root FRESH — repair would never reclaim.
+    Both refresh and rebuild sweep dead staging (and stamp temp litter)
+    at start, so it cannot accumulate."""
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "bm25_dead_staging")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    root = f"{idx}/_champions/m=2"
+    fsutil.write_text(spark, f"{root}/.refresh.deadbeef/_INPROGRESS", "")
+    fsutil.write_text(spark, f"{root}/stamp.json.deadbeef.tmp", "{}")
+    # even a noop refresh sweeps the litter
+    assert search.bm25_champions_refresh(spark, idx, m=2)["mode"] == "noop"
+    names = fsutil.list_names(spark, root)
+    assert not [n for n in names if n.startswith(".refresh.")]
+    assert not [n for n in names if n.startswith("stamp.json.") and n.endswith(".tmp")]
+    # the full rebuild sweeps too
+    fsutil.write_text(spark, f"{root}/.refresh.cafe/_INPROGRESS", "")
+    search.bm25_champions_write(spark, idx, m=2)
+    assert not [
+        n for n in fsutil.list_names(spark, root) if n.startswith(".refresh.")
+    ]
+
+
+def test_champions_refresh_stamp_never_wrong_under_rival_append(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #5: an append that commits between the refresh's scalars
+    read and its stamp publish leaves the new stamp conservatively STALE
+    — citing exactly the pre-append batch list the merge covered — never
+    WRONG (claiming coverage of the unmerged batch). The probe refuses
+    loudly and the next refresh catches up incrementally."""
+    schema = "doc_id long, text string"
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q2", "gamma delta")],
+        "query_id string, query_text string",
+    )
+    idx = str(tmp_path / "bm25_refresh_race")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD, schema), idx, n_buckets=8
+    )
+    search.bm25_champions_write(spark, idx, m=2)
+    search.bm25_index_append(
+        spark.createDataFrame(CHAMP_DOCS_NEW[:1], schema), idx, batch_id="n1"
+    )
+
+    real_read = search._read_scalars
+    state = {"fired": False}
+
+    def read_then_rival_appends(spark_, path_):
+        meta = real_read(spark_, path_)
+        if not state["fired"]:
+            state["fired"] = True
+            # the rival lands immediately AFTER the refresh planned its merge
+            search.bm25_index_append(
+                spark.createDataFrame(CHAMP_DOCS_NEW[1:], schema),
+                path_,
+                batch_id="n2",
+            )
+        return meta
+
+    monkeypatch.setattr(search, "_read_scalars", read_then_rival_appends)
+    out = search.bm25_champions_refresh(spark, idx, m=2)
+    monkeypatch.setattr(search, "_read_scalars", real_read)
+    assert out["mode"] == "incremental" and out["new_batches"] == 1
+
+    # the stamp cites exactly what the merge covered — the pre-append list
+    stamp = search._read_stamp(spark, f"{idx}/_champions/m=2/stamp.json")
+    assert stamp["batches"] == ["base", "n1"]
+    # conservatively stale: flagged, probe refuses loudly — never silently
+    # missing n2's docs
+    assert search.champions_stale(spark, idx) is True
+    with pytest.raises(RuntimeError, match="STALE"):
+        search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect()
+
+    # the next refresh catches up (incremental — n2 is a pure append on
+    # top of the stamped list) and matches a from-scratch oracle
+    out2 = search.bm25_champions_refresh(spark, idx, m=2)
+    assert out2["mode"] == "incremental" and out2["new_batches"] == 1
+    assert search.champions_stale(spark, idx) is False
+    got = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10, champions_m=2).collect(),
+        )
+    )
+    want_idx = str(tmp_path / "bm25_refresh_race_fresh")
+    search.bm25_index_write(
+        spark.createDataFrame(CHAMP_DOCS_OLD + CHAMP_DOCS_NEW, schema),
+        want_idx,
+        n_buckets=8,
+    )
+    search.bm25_champions_write(spark, want_idx, m=2)
+    want = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(
+                spark, want_idx, qdf, k=10, champions_m=2
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -178,3 +178,64 @@ def test_ivf_append_refuses_legacy_flat_index(spark, tmp_path):
         similarity.ivf_append(emb.limit(1), idx, cent)
     with _pytest.raises(RuntimeError, match="predates batch stamping"):
         similarity.ivf_index_repair(spark, idx)
+
+
+def test_ivf_append_retry_reverifies_batch_dirs(spark, tmp_path, monkeypatch):
+    """ADVICE r10 low: the append re-verifies its batch directories on the
+    version-race RETRY path too — a concurrent ivf_index_repair with an
+    undersized age gate can purge the still-uncommitted young batch
+    between the first verification and the retry commit; committing a
+    manifest that lists a dir-less batch would make probes silently miss
+    those vectors forever. The retry must abort LOUDLY instead, leaving
+    the index consistent (minus the batch) so a plain re-append recovers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pwhl_data_engineering_pipeline_spark.operators import search as search_mod
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(120, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(120)], schemas.EMBEDDINGS
+    )
+    old = emb.filter(F.col("vec_id") < 100)
+    new = emb.filter(F.col("vec_id") >= 100)
+    cent, assigned = similarity.ivf_index(old, n_centroids=6)
+    idx = str(tmp_path / "ivf_retry_purge")
+    similarity.ivf_write(assigned, idx, cent)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(tuple, similarity.ivf_topk_pruned(spark, idx, cent, q, k=5, n_probe=6).collect())
+    )
+
+    real_commit = search_mod._commit_scalars
+    state = {"fired": False}
+
+    def lose_race_and_get_purged(spark_, path_, meta_, parent_version):
+        if not state["fired"]:
+            state["fired"] = True
+            # the rogue repair reclaims the young batch, then this commit
+            # loses the version rename to the rival committer
+            similarity._ivf_purge_batch(spark_, path_, "late")
+            raise IOError("scalars commit conflict (simulated rival)")
+        return real_commit(spark_, path_, meta_, parent_version)
+
+    monkeypatch.setattr(search_mod, "_commit_scalars", lose_race_and_get_purged)
+    with _pytest.raises(IOError, match="retry commit"):
+        similarity.ivf_append(new, idx, cent, batch_id="late")
+    monkeypatch.setattr(search_mod, "_commit_scalars", real_commit)
+
+    # nothing committed: manifest unchanged, probe results identical
+    meta = search_mod._read_scalars(spark, idx)
+    assert meta["batches"] == ["base"]
+    after = sorted(
+        map(tuple, similarity.ivf_topk_pruned(spark, idx, cent, q, k=5, n_probe=6).collect())
+    )
+    assert after == before
+
+    # plain re-append recovers fully: the duplicate of vec 0 surfaces
+    out = similarity.ivf_append(new, idx, cent, batch_id="late")
+    assert out["skipped"] is False and out["n_vectors_added"] == 20
+    assert search_mod._read_scalars(spark, idx)["batches"] == ["base", "late"]
