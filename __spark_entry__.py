@@ -2225,6 +2225,44 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "knn_rank")
 
 
+def q_ann_ivf_recompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift repair on the persisted IVF index (r11, VERDICT r10
+    #1: similarity.ivf_recompact + ivf_needs_recompact + index-resident
+    centroids): build over the EVEN vec_ids, append the ODD half, then
+    RECOMPACT — retrain centroids over the committed corpus (one Lloyd
+    step), re-route every row, and flip batches+centroids in one
+    manifest commit (old batches retirement-stamped). The probe then
+    runs with the index-RESIDENT centroid set (centroids=None — the
+    recompact-safe default) EXHAUSTIVELY (n_probe = n_centroids), and
+    exhaustive IVF over a complete index equals brute-force cosine
+    top-10, so the brute-force SQL mirror value-hashes that the
+    recompacted index holds EXACTLY the committed row set (nothing
+    lost to the re-route, nothing doubled from the retired batches) and
+    that the flipped centroid set routes completely. The PySpark side
+    additionally asserts the recompact observables and that the drift
+    probe reads clean afterwards."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 != 0)
+    cent, assigned = similarity.ivf_index(old, n_centroids=16)
+    idx = tempfile.mkdtemp(prefix="ivf_rc_") + "/index"
+    similarity.ivf_write(assigned, idx, cent)
+    out = similarity.ivf_append(new, idx)  # resident centroids
+    assert out["skipped"] is False and out["n_vectors_added"] > 0, out
+    obs = similarity.ivf_recompact(spark, idx, refine_iterations=1)
+    assert obs["mode"] == "recompact" and obs["n_vectors"] > 0, obs
+    probe = similarity.ivf_needs_recompact(spark, idx)
+    assert probe["recompact"] is False, probe  # fresh baseline after repair
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_pruned(
+        spark, idx, None, queries, k=10, n_probe=obs["n_centroids"]
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance (streaming/search.py, r8): the
     corpus arrives as TWO micro-batches (maxFilesPerTrigger=1 over two
@@ -2261,6 +2299,50 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, f"{tmp}/index", qdf, k=10)
+
+
+def q_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance (streaming/ann.py, r11 — VERDICT
+    r10 #2): the embeddings arrive as TWO micro-batches
+    (maxFilesPerTrigger=1 — epoch 0 exercises the bootstrap ivf_write
+    with batch-trained resident centroids, epoch 1 the epoch-derived
+    crash-consistent ivf_append), committed exactly-once into a snapshot
+    table while the persisted index is maintained. The probe then runs
+    EXHAUSTIVELY (n_probe = committed cell count) with the resident
+    centroids, and exhaustive IVF over a complete index equals
+    brute-force cosine top-10 — the same brute-force SQL mirror
+    value-hashes that the streamed index holds exactly the two epochs'
+    union (a dropped or doubled epoch changes the candidate set)."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.streaming import ann as sann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    landing = f"{tmp}/landing"
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    emb.filter(F.col("vec_id") % 2 != 0).coalesce(1).write.mode("append").parquet(landing)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = sann.streaming_ivf_ingest(
+            stream, f"{tmp}/index", f"{tmp}/table", f"{tmp}/ck", n_centroids=16
+        )
+        _await_stream(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_cells = similarity.ivf_load_centroids(spark, f"{tmp}/index").count()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_pruned(
+        spark, f"{tmp}/index", None, queries, k=10, n_probe=n_cells
+    ).withColumnRenamed("rank", "knn_rank")
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3449,7 +3531,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_champions": q_bm25_champions,
         "ns_bm25_champions_refresh": q_bm25_champions_refresh,
         "ns_ann_ivf_indexed": q_ann_ivf_indexed,
+        "ns_ann_ivf_recompact": q_ann_ivf_recompact,
         "st_bm25_ingest": q_streaming_bm25,
+        "st_ivf_ingest": q_streaming_ivf,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
@@ -4941,6 +5025,18 @@ def _all_oracle_sql() -> dict[str, str]:
     # force over the full corpus — the same mirror value-hashes append
     # visibility and the routing/top-k merge
     sql["ns_ann_ivf_indexed"] = sql["ns_ann_bruteforce"]
+    # centroid-drift repair (r11): build(evens) + append(odds) + RECOMPACT
+    # (retrain + re-route + atomic batches/centroids flip), then an
+    # exhaustive resident-centroid probe ≡ brute force — the mirror
+    # value-hashes that the re-routed index holds exactly the committed
+    # rows (the PySpark side asserts mode=="recompact" and a clean
+    # ivf_needs_recompact afterwards, so the hash gates the new machinery)
+    sql["ns_ann_ivf_recompact"] = sql["ns_ann_bruteforce"]
+    # streaming IVF ingest (r11): bootstrap(evens-epoch) + append(odds-
+    # epoch) through the exactly-once foreachBatch sink, then an
+    # exhaustive resident-centroid probe ≡ brute force — a dropped or
+    # doubled epoch changes the candidate set and the hash
+    sql["st_ivf_ingest"] = sql["ns_ann_bruteforce"]
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

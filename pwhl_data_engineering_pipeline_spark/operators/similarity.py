@@ -165,27 +165,22 @@ def lsh_candidate_pairs(
     return pairs_from_buckets(b, ["bucket"], id_col)
 
 
-def ivf_index(
+def _train_centroids(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
     refine_iterations: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: (centroids, assigned corpus).
-
-    Initial centroids are a deterministic hash-sample of corpus vectors
-    (one pass, reproducible). ``refine_iterations`` > 0 runs that many Lloyd
-    (k-means) steps — assign, then recenter each cell on its member mean via
-    the Arrow partial-mean aggregator (operators.vector_agg) — which
-    measurably tightens cells and raises probe recall; each iteration is one
-    grouping shuffle of (centroid_id, vector) plus a broadcast. Centroids
-    are collected per iteration (n_centroids × dim doubles — driver-tiny).
-    Assignment: argmax cosine over broadcast centroids → one narrow pass.
-    At 100 TB the assigned corpus would be *written bucketed by centroid_id*
-    so probes do partition-pruned scans (see ivf_write/ivf_topk_pruned).
-    """
+) -> DataFrame:
+    """Deterministic centroid training over ``corpus`` — shared by the
+    initial :func:`ivf_index` build and :func:`ivf_recompact` (which
+    retrains over the committed index, so recompact-of-a-corpus and
+    build-over-the-same-corpus produce IDENTICAL centroids by
+    construction — tested). Seeds are a hash-ordered sample of corpus
+    vectors; ``refine_iterations`` Lloyd steps recenter each cell on its
+    member mean via the Arrow partial-mean aggregator. Per-iteration
+    collect is n_centroids × dim doubles — driver-tiny."""
     cent = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .withColumn("__r", F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), 1_000_000))
@@ -213,8 +208,33 @@ def ivf_index(
             [(int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in rows],
             "centroid_id int, centroid_vec array<double>",
         )
+    return cent
 
-    assigned = assign(cent)
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    refine_iterations: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assigned corpus).
+
+    Initial centroids are a deterministic hash-sample of corpus vectors
+    (one pass, reproducible). ``refine_iterations`` > 0 runs that many Lloyd
+    (k-means) steps — assign, then recenter each cell on its member mean via
+    the Arrow partial-mean aggregator (operators.vector_agg) — which
+    measurably tightens cells and raises probe recall; each iteration is one
+    grouping shuffle of (centroid_id, vector) plus a broadcast.
+    Assignment: argmax cosine over broadcast centroids → one narrow pass.
+    At 100 TB the assigned corpus would be *written bucketed by centroid_id*
+    so probes do partition-pruned scans (see ivf_write/ivf_topk_pruned).
+    """
+    cent = _train_centroids(
+        corpus, n_centroids, vec_col, id_col, seed, refine_iterations
+    )
+    assigned = ivf_assign(corpus, cent, vec_col=vec_col, id_col=id_col)
     return cent, assigned
 
 
@@ -281,10 +301,71 @@ def _ivf_purge_batch(spark, path: str, batch_id: str) -> int:
     return n
 
 
+def ivf_load_centroids(spark, index_path: str) -> DataFrame:
+    """The committed centroid table of a persisted IVF index —
+    ``{index_path}/_centroids/<id>`` for the id the manifest's
+    ``centroids`` key names. Centroids became INDEX-RESIDENT and
+    versioned in r11 (VERDICT r10 #1): :func:`ivf_recompact` retrains
+    and flips them atomically with the data batches, so a prober or
+    appender holding a stale driver-side centroid DataFrame would
+    silently route against the wrong cells — loading them from the
+    manifest is what keeps routing and layout consistent by
+    construction. Raises on a pre-r11 index (no resident centroids):
+    pass explicit centroids there, as before."""
+    meta = _ivf_read_manifest(spark, index_path)
+    if meta is None or not meta.get("centroids"):
+        raise RuntimeError(
+            f"IVF index at {index_path} has no resident centroids "
+            "(pre-r11 layout) — pass the centroids DataFrame explicitly, "
+            "or rebuild with ivf_write to enable recompaction"
+        )
+    return spark.read.parquet(f"{index_path}/_centroids/{meta['centroids']}")
+
+
+def _ivf_mean_assign_dist(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    batches: list[str],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 16,
+) -> float:
+    """Mean angular distance (1 − cosine) of indexed vectors to their
+    ASSIGNED centroid, over a deterministic 1/``sample_mod`` hash-sample
+    of the committed rows (falls back to all rows when the sample is
+    empty — tiny indexes). This is the cell-tightness statistic the
+    drift probe compares against the build-time baseline: appends route
+    by frozen centroids, so a shifted ingest distribution shows up as a
+    rising mean assign-distance long before recall SLOs notice. One
+    bounded scan, one-row collect."""
+    rows = spark.read.parquet(index_path)
+    if batches:
+        rows = rows.filter(F.col("batch").isin(batches))
+    sampled = rows.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+    )
+    cent = F.broadcast(centroids.select("centroid_id", "centroid_vec"))
+
+    def mean_dist(df: DataFrame):
+        r = (
+            df.join(cent, "centroid_id")
+            .select((F.lit(1.0) - cosine(vec_col, "centroid_vec")).alias("d"))
+            .agg(F.avg("d").alias("d"))
+            .first()
+        )
+        return r["d"]
+
+    d = mean_dist(sampled)
+    if d is None:
+        d = mean_dist(rows)
+    return float(d if d is not None else 0.0)
+
+
 def ivf_append(
     new_vectors: DataFrame,
     index_path: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     batch_id: str | None = None,
@@ -310,10 +391,17 @@ def ivf_append(
     ``ivf_index_repair`` reclaims crashed appends' orphans age-gated.
 
     Assumes batch vec_ids are disjoint from the indexed corpus (the same
-    contract as every incremental index here). Centroids deliberately do
-    not move (the FAISS IVF convention): cell quality degrades only if
-    the data distribution drifts — rebuild or Lloyd-refine offline when
-    recall SLOs say so.
+    contract as every incremental index here). An append never moves
+    centroids (the FAISS IVF convention), so cell quality degrades under
+    ingest-distribution drift — :func:`ivf_needs_recompact` measures it
+    and :func:`ivf_recompact` repairs it (VERDICT r10 #1). ``centroids``
+    defaults to the index-RESIDENT committed set
+    (:func:`ivf_load_centroids`) — pass them explicitly only for
+    pre-r11 indexes without resident centroids; a stale explicit set
+    routes new rows against cells the committed probe no longer uses.
+    If a recompaction flips the centroid set mid-append, the version-
+    race retry detects the flip and aborts LOUDLY (the landed rows were
+    routed with the outgoing centroids) — re-append the batch.
 
     Raises RuntimeError on a legacy (pre-stamping) index — rebuild with
     :func:`ivf_write` to enable appends. Returns {"n_vectors_added",
@@ -330,6 +418,8 @@ def ivf_append(
             f"IVF index at {index_path} predates batch stamping (flat "
             "layout) — rebuild with ivf_write before appending"
         )
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, index_path)
     if batch_id is None:
         batch_id = "b" + _uuid.uuid4().hex
     _check_batch_id(batch_id)
@@ -356,7 +446,11 @@ def ivf_append(
         )
 
     def _meta_with(base: dict) -> dict:
-        return {"batches": [*(base.get("batches") or []), batch_id]}
+        # carry every manifest key (centroids id, drift baseline, retired
+        # stamps) — an append only extends the committed-batches list
+        m = {k: v for k, v in base.items() if k != "_version"}
+        m["batches"] = [*(base.get("batches") or []), batch_id]
+        return m
 
     try:
         version = _commit_scalars(
@@ -371,6 +465,16 @@ def ivf_append(
                 "batch_id": batch_id,
                 "skipped": True,
             }
+        if fresh.get("centroids") != meta.get("centroids"):
+            raise RuntimeError(
+                f"ivf_append: the centroid set at {index_path} was "
+                "recompacted while this append was in flight — the landed "
+                f"batch={batch_id} rows were routed with the OUTGOING "
+                "centroids and would sit in cells the committed probe no "
+                "longer routes to; aborting the commit (the rows are "
+                "invisible orphans, repair reclaims them) — re-append the "
+                "batch"
+            )
         # re-verify before the retry commit (ADVICE r10 low, mirroring
         # bm25_index_append): a concurrent ivf_index_repair with an
         # undersized age gate may have purged the still-uncommitted
@@ -417,7 +521,16 @@ def ivf_write(
     overwrite (a session-global ``partitionOverwriteMode=dynamic`` must
     not leave stale committed-visible partitions), so a rebuild that
     crashes mid-write leaves a LOUD manifest-less index, never a silent
-    mix of two corpora."""
+    mix of two corpora.
+
+    r11 (VERDICT r10 #1): the centroids become INDEX-RESIDENT at
+    ``{path}/_centroids/<batch_id>`` with the manifest's ``centroids``
+    key naming the committed set, and the manifest stores the
+    build-time ``assign_dist_baseline`` (mean 1−cos of a hash-sample to
+    its assigned centroid) — the yardstick :func:`ivf_needs_recompact`
+    measures drift against and :func:`ivf_recompact` resets. Probes and
+    appends default to the resident set, so a recompaction's new
+    centroids are picked up automatically."""
     from ..fsutil import delete
     from .search import _check_batch_id, _commit_scalars
 
@@ -427,25 +540,225 @@ def ivf_write(
     assigned.withColumn("batch", F.lit(batch_id)).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("centroid_id", "batch").parquet(path)
-    _commit_scalars(spark, path, {"batches": [batch_id]}, parent_version=0)
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids/{batch_id}")
+    baseline = _ivf_mean_assign_dist(spark, path, centroids, [batch_id])
+    _commit_scalars(
+        spark,
+        path,
+        {
+            "batches": [batch_id],
+            "centroids": batch_id,
+            "assign_dist_baseline": baseline,
+        },
+        parent_version=0,
+    )
     if centroids_path:
         centroids.write.mode("overwrite").parquet(centroids_path)
+
+
+def ivf_needs_recompact(
+    spark,
+    path: str,
+    threshold: float = 1.25,
+    sample_mod: int = 16,
+) -> dict:
+    """Scheduler probe for centroid drift (VERDICT r10 #1): appends route
+    by frozen centroids, so an ingest distribution that drifts away from
+    the build-time one inflates the mean assign-distance (1 − cos to the
+    assigned centroid) — recall decays with it (measured in SCALING.md's
+    drift series). Compares the CURRENT committed index's mean
+    assign-distance (deterministic 1/``sample_mod`` hash-sample, one
+    bounded scan, one-row collect) against the manifest's build-time
+    ``assign_dist_baseline``; ``recompact`` is True when the ratio
+    exceeds ``threshold``. The twin of ``search.needs_compaction`` /
+    ``champions_stale``: poll between ingest batches, answer True with
+    :func:`ivf_recompact`. Returns {"recompact", "ratio", "current",
+    "baseline", "n_batches"}."""
+    meta = _ivf_read_manifest(spark, path)
+    if meta is None or not meta.get("centroids"):
+        raise RuntimeError(
+            f"IVF index at {path} has no resident centroids/baseline "
+            "(pre-r11 layout) — rebuild with ivf_write to enable the "
+            "drift probe"
+        )
+    committed = meta.get("batches") or []
+    cent = ivf_load_centroids(spark, path)
+    current = _ivf_mean_assign_dist(
+        spark, path, cent, committed, sample_mod=sample_mod
+    )
+    baseline = float(meta.get("assign_dist_baseline") or 0.0)
+    # a degenerate baseline (all-duplicate corpus → ~0) would make any
+    # noise an infinite ratio; floor it at a visible angular distance
+    ratio = current / max(baseline, 1e-9)
+    return {
+        "recompact": bool(ratio > threshold),
+        "ratio": float(ratio),
+        "current": current,
+        "baseline": baseline,
+        "n_batches": len(committed),
+    }
+
+
+def ivf_recompact(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    refine_iterations: int = 0,
+    reclaim_min_age_seconds: float | None = None,
+) -> dict:
+    """Retrain the centroid set over the COMMITTED index and re-route
+    every row — the drift repair (VERDICT r10 #1, closing the hole
+    ``ivf_append``'s frozen-centroid convention opens: under ingest
+    drift, appended vectors crowd into cells whose centroid no longer
+    describes them, and probe recall decays with no repair path short
+    of an offline rebuild).
+
+    Training reuses :func:`ivf_index`'s exact deterministic recipe
+    (:func:`_train_centroids`: hash-ordered seed sample + Lloyd steps)
+    over the committed rows, so recompacting an index equals building
+    fresh over the same corpus — centroids, assignment, and probe
+    results are IDENTICAL by construction (tested row-identical).
+
+    Crash consistency — the in-place ``bm25_index_compact`` pattern,
+    one visibility switch for data AND centroids: the new centroid
+    table lands at ``_centroids/<cid>`` and the re-routed corpus under
+    ``batch=<cid>`` partitions (both invisible to probes planning
+    against the current manifest), then ONE scalars commit flips
+    ``batches`` to ``[cid]`` and ``centroids`` to ``cid`` and resets
+    ``assign_dist_baseline`` — a probe routes with the old centroids
+    over the old batches or the new over the new, never a mix. The
+    replaced batches (and the outgoing centroid table, which shares
+    their ids) are retirement-stamped and reclaimed age-gated by
+    :func:`ivf_index_repair` — in-flight probes that planned against
+    the pre-flip manifest get the same grace period as BM25 compaction.
+    Losing the version rename to a concurrent appender aborts LOUDLY
+    (that batch was routed with the outgoing centroids; re-run the
+    recompact in a quiesced window — single-writer maintenance, the
+    same contract as ``bm25_index_compact``).
+
+    ``n_centroids`` defaults to the committed centroid count. Returns
+    {"mode", "batch_id", "n_vectors", "n_centroids", "baseline",
+    "version", "purged_batches"}.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from .search import _check_batch_id, _commit_scalars
+
+    meta = _ivf_read_manifest(spark, path)
+    if meta is None:
+        raise RuntimeError(
+            f"IVF index at {path} predates batch stamping (flat layout) — "
+            "rebuild with ivf_write before recompacting"
+        )
+    committed = meta.get("batches") or []
+    if n_centroids is None:
+        n_centroids = ivf_load_centroids(spark, path).count()
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("batch").isin(committed))
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    cent = _train_centroids(
+        corpus, int(n_centroids), vec_col, id_col, seed, refine_iterations
+    )
+    cid = "rc" + _uuid.uuid4().hex[:16]
+    _check_batch_id(cid)
+    cent.write.mode("overwrite").parquet(f"{path}/_centroids/{cid}")
+    assigned = ivf_assign(corpus, cent, vec_col=vec_col, id_col=id_col)
+    assigned.withColumn("batch", F.lit(cid)).write.mode("append").partitionBy(
+        "centroid_id", "batch"
+    ).parquet(path)
+    n_rows = (
+        spark.read.parquet(path).filter(F.col("batch") == cid).count()
+    )
+    if n_rows > 0 and cid not in _ivf_batch_dirs(spark, path):
+        raise IOError(
+            f"ivf_recompact: batch={cid} directories at {path} were "
+            "reclaimed before the manifest commit (concurrent repair with "
+            "an undersized age gate?) — aborting; re-run the recompact"
+        )
+    baseline = _ivf_mean_assign_dist(spark, path, cent, [cid])
+    now = _time.time()
+    retired = dict(meta.get("retired") or {})
+    for b in committed:
+        retired[b] = now
+    try:
+        version = _commit_scalars(
+            spark,
+            path,
+            {
+                "batches": [cid],
+                "centroids": cid,
+                "assign_dist_baseline": baseline,
+                "retired": retired,
+            },
+            parent_version=meta["_version"],
+        )
+    except IOError as e:
+        raise RuntimeError(
+            f"ivf_recompact at {path} lost the manifest version race (a "
+            "concurrent appender committed mid-recompact — its batch was "
+            "routed with the OUTGOING centroids and is not in the "
+            "recompacted corpus). Nothing flipped: probes still see the "
+            "old index; the staged batch+centroids are unreferenced "
+            "orphans repair reclaims age-gated. Re-run in a quiesced "
+            "maintenance window (single-writer contract)"
+        ) from e
+    rep = ivf_index_repair(
+        spark, path, min_age_seconds=reclaim_min_age_seconds
+    )
+    return {
+        "mode": "recompact",
+        "batch_id": cid,
+        "n_vectors": int(n_rows),
+        "n_centroids": int(cent.count()),
+        "baseline": baseline,
+        "version": version,
+        "purged_batches": len(rep["purged_batches"]),
+    }
 
 
 def ivf_index_repair(
     spark, path: str, min_age_seconds: float | None = None
 ) -> dict:
     """Reclaim storage of IVF batch directories that are NOT in the
-    committed manifest (crashed appends), once they are older than the
-    age gate — young uncommitted directories are indistinguishable from
-    an IN-FLIGHT append's files, so the gate (default: the shared
-    ``search.DEFAULT_RECLAIM_MIN_AGE``) defers them exactly as
-    ``bm25_index_repair`` does. Probes never see orphans (they filter to
-    committed batches), so this is storage reclamation, not a
-    correctness fix. Returns {"purged_batches", "deferred_batches"}."""
+    committed manifest, once they are safely old (the
+    ``bm25_index_repair`` posture):
+
+    - **Crashed appends/recompacts** (on disk, never committed, not in
+      ``retired``): reclaimed when their newest directory mtime is older
+      than the age gate — young uncommitted directories are
+      indistinguishable from an IN-FLIGHT writer's files, so the gate
+      (default: the shared ``search.DEFAULT_RECLAIM_MIN_AGE``) defers
+      them.
+    - **Retired batches** (replaced by :func:`ivf_recompact`, stamped
+      with a retirement time in the manifest's ``retired`` map):
+      reclaimed ``min_age_seconds`` after RETIREMENT, not after their
+      old file mtimes — a probe that planned against the pre-flip
+      manifest may still be scanning them. Reclaimed ids drop from
+      ``retired`` via a fresh manifest version.
+    - **Centroid tables** (``_centroids/<id>`` — ids shared with the
+      batch that introduced them): any non-committed table is swept
+      under the same age decision as its batch id (retirement-stamped
+      or mtime-gated), so the outgoing centroids of a recompaction and
+      the staged centroids of a crashed one are both reclaimed.
+
+    Probes never see any of this (they filter to committed batches and
+    route with the committed centroid id), so repair is storage
+    reclamation, not a correctness fix. Returns {"purged_batches",
+    "deferred_batches", "centroids_swept"}."""
     import time as _time
 
-    from .search import DEFAULT_RECLAIM_MIN_AGE
+    from ..fsutil import delete, list_status
+    from .search import (
+        DEFAULT_RECLAIM_MIN_AGE,
+        _drop_retired_entries,
+        _tree_max_mtime_ms,
+    )
 
     if min_age_seconds is None:
         min_age_seconds = DEFAULT_RECLAIM_MIN_AGE
@@ -456,23 +769,55 @@ def ivf_index_repair(
             "ivf_write to enable append repair"
         )
     committed = set(meta.get("batches") or [])
+    retired = meta.get("retired") or {}
     now = _time.time()
+    mtimes = _ivf_batch_dirs(spark, path)
     purged, deferred = [], []
-    for b, mtime_ms in sorted(_ivf_batch_dirs(spark, path).items()):
-        if b in committed:
-            continue
-        if now - mtime_ms / 1000.0 >= min_age_seconds:
+    for b in sorted(set(mtimes) - committed):
+        age = now - (retired[b] if b in retired else mtimes[b] / 1000.0)
+        if age >= min_age_seconds:
             _ivf_purge_batch(spark, path, b)
             purged.append(b)
         else:
             deferred.append(b)
-    return {"purged_batches": purged, "deferred_batches": deferred}
+    # centroid tables ride their introducing batch id's age decision
+    centroids_swept: list[str] = []
+    live_cid = meta.get("centroids")
+    for st in list_status(spark, f"{path}/_centroids"):
+        cid = st["name"]
+        if not st["is_dir"] or cid == live_cid:
+            continue
+        if cid in deferred:
+            continue
+        age = now - (
+            retired[cid] if cid in retired else
+            (_tree_max_mtime_ms(spark, f"{path}/_centroids/{cid}") or st["mtime_ms"])
+            / 1000.0
+        )
+        if age >= min_age_seconds and delete(
+            spark, f"{path}/_centroids/{cid}", recursive=True
+        ):
+            centroids_swept.append(cid)
+    # drop stamps for reclaimed batches AND for retired ids whose
+    # directories are already gone (a prior repair lost the stamp-drop
+    # commit to a version conflict) — same hygiene as bm25_index_repair
+    droppable = [
+        b for b in retired
+        if b in purged or (b not in mtimes and b not in committed)
+    ]
+    if droppable:
+        _drop_retired_entries(spark, path, droppable)
+    return {
+        "purged_batches": purged,
+        "deferred_batches": deferred,
+        "centroids_swept": centroids_swept,
+    }
 
 
 def ivf_topk_pruned(
     spark,
     index_path: str,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
@@ -487,7 +832,16 @@ def ivf_topk_pruned(
     (r10 ``ivf_write``) the scan additionally filters to COMMITTED batches
     — also a partition column, so a crashed ``ivf_append``'s half-landed
     files are invisible at directory level; a legacy flat index probes
-    everything as before."""
+    everything as before.
+
+    ``centroids=None`` (r11) routes with the index-RESIDENT committed
+    centroid set (:func:`ivf_load_centroids`) — the recompact-safe
+    default: after :func:`ivf_recompact` flips the set, a probe holding
+    the outgoing driver-side table would route against cells the
+    committed batches are no longer laid out by. Pass explicit
+    centroids only for pre-r11 indexes (no resident set)."""
+    if centroids is None:
+        centroids = ivf_load_centroids(spark, index_path)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     routed = q.crossJoin(F.broadcast(centroids)).select(
         query_id_col,

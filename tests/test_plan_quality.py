@@ -143,6 +143,15 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # narrow map) plus the 8-row broadcast query frame over the
         # partition-pruned index scan
         "ns_ann_ivf_indexed",
+        # ns_ann_ivf_recompact (r11): identical probe shape over the
+        # recompacted index (resident 16-row centroid broadcast + 8-row
+        # query frame); the recompact itself adds only the same bounded
+        # centroid broadcast for training/re-routing
+        "ns_ann_ivf_recompact",
+        # st_ivf_ingest (r11): the stream executes on build; the returned
+        # probe frame is the same bounded centroid-broadcast shape as
+        # ns_ann_ivf_indexed
+        "st_ivf_ingest",
         "ns_bm25_search",
         "ns_lm_quality",
         "ns_lm_bigram",

@@ -940,3 +940,140 @@ def test_streaming_neardup_then_bm25_compose(spark, tmp_path, monkeypatch, caplo
     assert run().exception() is None
     assert admitted() == {1, 3, 11, 20, 30}  # 40 suppressed at the door
     assert bsearch._read_scalars(spark, bm_index)["n_docs"] == 5
+
+
+def test_streaming_ivf_ingest_crash_matrix(spark, tmp_path, monkeypatch, caplog):
+    """VERDICT r10 #2: streaming IVF maintenance with exactly-once on the
+    manifest — streaming_ivf_ingest bootstraps the index from epoch 0
+    (centroids train on the first batch and persist index-resident) and
+    appends later epochs under epoch-derived batch ids. Crash matrix:
+
+    - epoch 1 dies AFTER the index append, BEFORE the checkpoint commit:
+      the batch is already committed once; the replay skips it with the
+      recycled-stream warning and nothing doubles;
+    - epoch 2 dies BETWEEN the table commit and the index append: the
+      replay repairs the index side exactly-once.
+
+    Throughout, the EXHAUSTIVE resident-centroid probe equals a batch
+    build over the snapshot table's rows (probe ≡ brute force on a
+    complete index); an offline ivf_recompact between runs flips the
+    centroid set and the NEXT epoch appends against it with no rewiring
+    — the stream picks up resident centroids automatically."""
+    import logging
+
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+    from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import ann as sann
+
+    landing = str(tmp_path / "ivf_landing")
+    index = str(tmp_path / "ivf_stream_index")
+    table = str(tmp_path / "ivf_stream_table")
+    ck = str(tmp_path / "ivf_stream_ck")
+    rng = np.random.RandomState(13)
+
+    def land(id_base: int, n: int):
+        rows = [
+            (id_base + j, [float(x) for x in rng.randn(8)], 0) for j in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>, label int"
+        ).parquet(landing)
+        q = sann.streaming_ivf_ingest(
+            stream, index, table, ck, n_centroids=4, stream_id="sv"
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    def probe_ids():
+        qdf = (
+            read_snapshot(spark, table)
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        n_cells = similarity.ivf_load_centroids(spark, index).count()
+        got = similarity.ivf_topk_pruned(
+            spark, index, None, qdf, k=5, n_probe=n_cells
+        )
+        want = similarity.brute_force_topk(
+            read_snapshot(spark, table).select("vec_id", "embedding"), qdf, k=5
+        )
+        return (
+            sorted(map(tuple, got.select("query_id", "vec_id", "rank").collect())),
+            sorted(map(tuple, want.select("query_id", "vec_id", "rank").collect())),
+        )
+
+    # ---- epoch 0: bootstrap (train + ivf_write, resident centroids)
+    land(0, 40)
+    assert run().exception() is None
+    meta = _read_scalars(spark, index)
+    assert meta["batches"] == ["sv-e0"] and meta["centroids"] == "sv-e0"
+    got, want = probe_ids()
+    assert got == want
+
+    # ---- epoch 1: crash AFTER index append, BEFORE checkpoint commit
+    land(100, 20)
+    real_append = sann.ivf_append
+
+    def append_then_die(*a, **k):
+        real_append(*a, **k)
+        raise RuntimeError("injected crash after ivf_append, before checkpoint")
+
+    monkeypatch.setattr(sann, "ivf_append", append_then_die)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    committed_after_crash = list(_read_scalars(spark, index)["batches"])
+    assert len(committed_after_crash) == 2  # the crashed epoch landed once
+    with caplog.at_level(logging.WARNING, logger=sann.logger.name):
+        assert run().exception() is None
+    assert any("already" in r.message for r in caplog.records)
+    assert _read_scalars(spark, index)["batches"] == committed_after_crash
+    vis = spark.read.parquet(index).filter(
+        F.col("batch").isin(_read_scalars(spark, index)["batches"])
+    )
+    assert vis.count() == 60 and vis.select("vec_id").distinct().count() == 60
+    got, want = probe_ids()
+    assert got == want
+
+    # ---- epoch 2: crash BETWEEN table commit and index append
+    land(200, 20)
+
+    def die_before_append(*a, **k):
+        raise RuntimeError("injected crash between table commit and ivf_append")
+
+    monkeypatch.setattr(sann, "ivf_append", die_before_append)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    assert read_snapshot(spark, table).count() == 80  # table side landed
+    assert len(_read_scalars(spark, index)["batches"]) == 2  # index did not
+    assert run().exception() is None  # replay repairs exactly-once
+    assert len(_read_scalars(spark, index)["batches"]) == 3
+    got, want = probe_ids()
+    assert got == want
+
+    # ---- offline recompact between runs: next epoch needs no rewiring
+    obs = similarity.ivf_recompact(spark, index, refine_iterations=1)
+    assert _read_scalars(spark, index)["centroids"] == obs["batch_id"]
+    land(300, 20)
+    assert run().exception() is None
+    meta = _read_scalars(spark, index)
+    assert len(meta["batches"]) == 2  # [recompacted, new epoch]
+    vis = spark.read.parquet(index).filter(F.col("batch").isin(meta["batches"]))
+    assert vis.count() == 100 and vis.select("vec_id").distinct().count() == 100
+    got, want = probe_ids()
+    assert got == want
+
+    # fully-caught-up rerun: nothing moves
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 100
+    assert len(_read_scalars(spark, index)["batches"]) == 2

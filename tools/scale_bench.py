@@ -534,6 +534,260 @@ def ivf_append_bench(spark, base: str, big: str, factor: int) -> dict:
     }
 
 
+def _gmm_batch(spark, n: int, dim: int, n_clusters: int, centers, noise: float,
+               seed: int, id_base: int):
+    """Synthetic GMM vectors as a DataFrame (vec_id, embedding, label=0):
+    row i belongs to cluster i % n_clusters around ``centers[cluster]``
+    (a driver-side ndarray list) with ``noise``·N(0,I) jitter. Generated
+    distributed via mapInPandas (per-slice seeded RNG — a measurement
+    corpus, not an oracle input, so partition-layout determinism is not
+    required). Centers ship by closure — n_clusters × dim doubles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centers, dtype=np.float64)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.RandomState((seed * 1_000_003 + int(ids[0])) % (2**31))
+            cl = ids % n_clusters
+            vecs = cmat[cl] + noise * rng.randn(len(ids), dim)
+            yield pd.DataFrame({
+                "vec_id": ids + id_base,
+                "embedding": [list(map(float, v)) for v in vecs],
+                "label": np.zeros(len(ids), dtype=np.int32),
+            })
+
+    return spark.range(n, numPartitions=16).mapInPandas(gen, schema)
+
+
+def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
+                    n_batches: int = 8, dim: int = 32, n_clusters: int = 16,
+                    n_centroids: int = 64, n_probe: int = 8,
+                    drift_step: float = 0.5) -> dict:
+    """VERDICT r10 #1(a): recall@k decay under distribution-shifted appends,
+    and what ivf_recompact buys back.
+
+    Two append series over the same base index (synthetic GMM, the
+    cc-decade chain-probe pattern — the testdata embeddings are too small
+    and stationary to exercise drift):
+
+    - ``stationary``: batches drawn from the BUILD-TIME distribution —
+      the control; recall should hold flat.
+    - ``drifted``: batch b's cluster means migrate by ``b·drift_step·σ_c``
+      along a fixed per-cluster direction (σ_c = the centers' own scale),
+      so later batches straddle/escape the frozen build-time cells.
+
+    After each append: recall@10 of 32 FRESH-distribution queries (the
+    realistic probe workload — new queries match new data) via the pruned
+    probe at fixed n_probe/n_centroids fraction, against brute-force
+    truth over the committed corpus (Arrow pre-reduced); plus the
+    ivf_needs_recompact assign-distance ratio — the series SCALING.md
+    plots. Then the repair: ivf_recompact (timed) vs a from-scratch
+    build+write (timed) at the final corpus, and recall re-measured.
+    Recompact is O(corpus) like the rebuild — its value is the IN-PLACE
+    atomic flip (no probe downtime, no path migration, baseline reset),
+    not asymptotics; the JSON reports both walls honestly."""
+    import tempfile
+
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(101)
+    centers = rng.randn(n_clusters, dim) * 3.0
+    scale = float(np.linalg.norm(centers, axis=1).mean())
+    directions = rng.randn(n_clusters, dim)
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+
+    def series(kind: str) -> dict:
+        base = _gmm_batch(spark, n_base, dim, n_clusters, centers, 0.3, 7, 0)
+        cent, assigned = similarity.ivf_index(
+            base, n_centroids=n_centroids, refine_iterations=2
+        )
+        idx = tempfile.mkdtemp(prefix=f"sb_ivfdrift_{kind}_") + "/index"
+        t0 = time.monotonic()
+        similarity.ivf_write(assigned, idx, cent)
+        build_sec = round(time.monotonic() - t0, 3)
+
+        def batch_centers(b: int):
+            if kind == "stationary":
+                return centers
+            return centers + (b + 1) * drift_step * scale * directions
+
+        def recall_and_ratio(b: int) -> tuple[float, float]:
+            qrng = np.random.RandomState(9000 + b)
+            bc = batch_centers(b)
+            qvecs = [
+                (90_000_000 + j,
+                 list(map(float, bc[j % n_clusters] + 0.3 * qrng.randn(dim))))
+                for j in range(32)
+            ]
+            committed = spark.read.parquet(idx)
+            meta = similarity._ivf_read_manifest(spark, idx)
+            committed = committed.filter(F.col("batch").isin(meta["batches"]))
+            truth = {
+                (r["query_id"], r["vec_id"])
+                for r in similarity.brute_force_topk_arrow(
+                    committed, qvecs, k=10
+                ).collect()
+            }
+            qdf = spark.createDataFrame(
+                [(q, v) for q, v in qvecs], "query_id long, embedding array<double>"
+            )
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in similarity.ivf_topk_pruned(
+                    spark, idx, None, qdf, k=10, n_probe=n_probe
+                ).collect()
+            }
+            probe = similarity.ivf_needs_recompact(spark, idx)
+            return round(len(got & truth) / len(truth), 4), round(probe["ratio"], 3)
+
+        r0, ratio0 = recall_and_ratio(-1)
+        steps = [{"batch": 0, "recall_at_10": r0, "assign_dist_ratio": ratio0}]
+        append_secs = []
+        for b in range(n_batches):
+            batch = _gmm_batch(
+                spark, n_batch, dim, n_clusters, batch_centers(b), 0.3,
+                11 + b, 1_000_000 * (b + 1),
+            )
+            t0 = time.monotonic()
+            similarity.ivf_append(batch, idx, batch_id=f"d{b}")
+            append_secs.append(round(time.monotonic() - t0, 3))
+            rec, ratio = recall_and_ratio(b)
+            steps.append(
+                {"batch": b + 1, "recall_at_10": rec, "assign_dist_ratio": ratio}
+            )
+        # the repair vs the alternative it replaces
+        t0 = time.monotonic()
+        obs = similarity.ivf_recompact(
+            spark, idx, n_centroids=n_centroids, refine_iterations=2
+        )
+        recompact_sec = round(time.monotonic() - t0, 3)
+        rec_after, ratio_after = recall_and_ratio(n_batches - 1)
+        full = spark.read.parquet(idx).filter(
+            F.col("batch") == obs["batch_id"]
+        ).select("vec_id", "embedding")
+        t0 = time.monotonic()
+        cent2, assigned2 = similarity.ivf_index(
+            full, n_centroids=n_centroids, refine_iterations=2
+        )
+        rebuild_idx = tempfile.mkdtemp(prefix=f"sb_ivfrb_{kind}_") + "/index"
+        similarity.ivf_write(assigned2, rebuild_idx, cent2)
+        rebuild_sec = round(time.monotonic() - t0, 3)
+        return {
+            "build_sec": build_sec,
+            "append_secs": append_secs,
+            "series": steps,
+            "recompact_sec": recompact_sec,
+            "rebuild_sec": rebuild_sec,
+            "recall_after_recompact": rec_after,
+            "ratio_after_recompact": ratio_after,
+        }
+
+    return {
+        "mode": "ivf-drift",
+        "n_base": n_base,
+        "n_batch": n_batch,
+        "n_batches": n_batches,
+        "dim": dim,
+        "n_clusters": n_clusters,
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "drift_step": drift_step,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "stationary": series("stationary"),
+        "drifted": series("drifted"),
+    }
+
+
+def pq_decade_bench(spark, base: str, big: str, factor: int) -> dict:
+    """VERDICT r10 #3: the deep decade for residual IVFADC (operators.pq),
+    the last ANN family member without 100×/1000× rows. Three axes per
+    scale, timed separately on the permute replica (the honest pure-scale
+    model — no cross-copy duplicate structure):
+
+    - ``coarse+train``: IVF centroid build (16 cells) plus
+      pq_train_residual — training collects a BOUNDED hash-ordered
+      sample (50k cap), so past the cap only the sample-selection scan
+      (a TakeOrdered over the corpus) grows; expected mildly linear in
+      scan, flat in k-means.
+    - ``encode+write``: pq_encode_residual over the FULL corpus (one
+      Arrow pass, no shuffle) + pq_write partitioned by centroid_id —
+      the honestly-linear axis (every vector is touched once).
+    - ``probe``: ivf_adc_topk_pruned, 8 queries, k=10, n_probe=4 —
+      routed-cell partition-pruned scan + per-batch ADC local-top-k, so
+      the shuffle is ≤ partitions × |Q| × k rows at any corpus size;
+      expected to match or beat brute-force ANN's measured 8×-at-1000×
+      shape (the scan is 4/16 of the corpus and each row is m gathers,
+      not a dim-wide dot product). Min-of-2 after a warm probe.
+    """
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    base_emb = read_testdata(spark, base, "embeddings")
+    q_rows = sorted(
+        base_emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+
+    def at_scale(sf_dir: str) -> dict:
+        emb = read_testdata(spark, sf_dir, "embeddings")
+        n = emb.count()
+        t0 = time.monotonic()
+        cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+        books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+        train_sec = round(time.monotonic() - t0, 3)
+        idx = tempfile.mkdtemp(prefix="sb_pq_") + "/index"
+        t0 = time.monotonic()
+        res_codes = pqm.pq_encode_residual(emb, assigned, cent, books)
+        pqm.pq_write(res_codes, idx, books, cent)
+        encode_sec = round(time.monotonic() - t0, 3)
+
+        def probe() -> float:
+            t0 = time.monotonic()
+            pqm.ivf_adc_topk_pruned(spark, idx, queries, k=10, n_probe=4).collect()
+            return time.monotonic() - t0
+
+        probe()  # warm
+        probe_sec = round(min(probe() for _ in range(2)), 3)
+        return {
+            "n_vectors": n,
+            "coarse_train_sec": train_sec,
+            "encode_write_sec": encode_sec,
+            "probe_sec": probe_sec,
+        }
+
+    out = {
+        "mode": "pq-decade",
+        "factor": factor,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "base": at_scale(base),
+        f"x{factor}": at_scale(big),
+    }
+    for ax in ("coarse_train_sec", "encode_write_sec", "probe_sec"):
+        out[f"{ax}_ratio"] = round(out[f"x{factor}"][ax] / max(out["base"][ax], 1e-9), 2)
+    return out
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -694,6 +948,7 @@ def main() -> None:
         choices=[
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
+            "ivf-drift", "pq-decade",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -758,6 +1013,17 @@ def main() -> None:
         if not args.skip_build:
             build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
         print(json.dumps(cc_converged_bench(spark, args.base, args.out)))
+        return
+
+    if args.mode == "ivf-drift":
+        print(json.dumps(ivf_drift_bench(spark)))
+        return
+
+    if args.mode == "pq-decade":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(pq_decade_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ivf-append":
