@@ -926,6 +926,7 @@ def ngram_jaccard_pairs(
     max_gram_df: int | str | None = "auto",
     sum_df2_budget: int | None = None,
     gram_key: str = "text",
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index: explode n-grams, self-join
     on the n-gram (candidates = pairs sharing ≥1 n-gram), count shared grams,
@@ -974,9 +975,18 @@ def ngram_jaccard_pairs(
     G²/2⁶⁵ (≈ 0.002 at the 1000× decade's ~2·10⁸ grams), and a single
     collision shifts one Jaccard by ~1/|gram set|. Exactness-critical
     runs keep ``"text"``; at 100 TB the collision risk is the documented
-    trade for not shuffling the corpus's strings."""
+    trade for not shuffling the corpus's strings.
+
+    ``chunk_size``: opt-in posting-list chunking for the self-join
+    (``None`` = off, the classic gram-keyed join). When set, any gram
+    whose posting list exceeds ``chunk_size`` is enumerated as the upper
+    triangle of hash-assigned chunks so no single SMJ key group ever
+    buffers more than ``chunk_size`` postings or bursts more than
+    ``chunk_size²`` pairs — the structural lever for hot-gram memory
+    churn at deep decades. Output is identical (differentially tested);
+    see :func:`_ngram_pairs_chunked` for the cost model."""
     shared = _ngram_shared_counts(
-        df, text_col, id_col, n, max_gram_df, sum_df2_budget, gram_key
+        df, text_col, id_col, n, max_gram_df, sum_df2_budget, gram_key, chunk_size
     )
     return pin_handles(
         shared.withColumn(
@@ -997,6 +1007,7 @@ def _ngram_shared_counts(
     max_gram_df: int | str | None,
     sum_df2_budget: int | None = None,
     gram_key: str = "text",
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
     surviving n-gram — the inverted-index core shared by the Jaccard
@@ -1102,15 +1113,99 @@ def _ngram_shared_counts(
                 "MinHash LSH as the candidate generator with ngram Jaccard "
                 "as the verification pass."
             )
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if chunk_size is None:
+        a, b = inv.alias("a"), inv.alias("b")
+        shared = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        shared = _ngram_pairs_chunked(inv, id_col, chunk_size)
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
     return pin_handles(shared.join(sa, "id_a").join(sb, "id_b"), grams)
+
+
+def _ngram_pairs_chunked(inv: DataFrame, id_col: str, chunk_size: int) -> DataFrame:
+    """Posting-list-chunked pair enumeration for the inverted-index join —
+    the structural lever for the hot-gram pair burst (VERDICT r10 #4).
+
+    The plain self-join keys the SMJ on ``gram`` alone: for a gram of
+    document frequency d the join buffers the whole d-row posting group
+    (``ExternalAppendOnlyUnsafeRowArray`` spills past 4096 rows) and emits
+    its d²/2 pair rows as ONE burst inside one task. r10 measured that at
+    the 1000× decade the resulting memory churn (~420 GB of doc-id-pair
+    intermediates through the partial hash agg) is the wall, and codec/key
+    levers don't move it.
+
+    This path bounds the burst instead of the total (the total — Σ df²
+    over surviving grams — is already bounded by the stop-gram budget and
+    is irreducible for exact intersection counts): split each hot gram's
+    posting list into ``B = ⌈df/chunk_size⌉`` hash-assigned chunks and
+    enumerate pairs as the upper triangle of the B×B chunk grid. A task is
+    ``(gram, i, j)`` with ``i ≤ j``; the posting in chunk c replicates to
+    row-tasks ``(c, j≥c)`` on the left side and column-tasks ``(i≤c, c)``
+    on the right, so
+
+    - every SMJ key group is ≤ chunk_size rows per side (no buffered-array
+      spill regardless of df),
+    - every key group emits ≤ chunk_size² pairs (diagonal: ``id_a<id_b``
+      inside the chunk; off-diagonal: full cross, canonicalized with
+      least/greatest — a doc sits in exactly one chunk per gram, so each
+      unordered pair appears in exactly one task, exactly once),
+    - the burst spreads across B(B+1)/2 shuffle keys instead of one.
+
+    Replication cost: a chunk-c posting ships ``(B−c) + (c+1) = B+1`` rows
+    total, i.e. ~df²/chunk_size + df shuffle-input rows per gram — second
+    order next to the df²/2 OUTPUT rows whenever chunk_size ≫ 2. Cold
+    grams (df ≤ chunk_size, B = 1) explode to exactly one row per side and
+    take the identical plan — one code path, no union. The B-per-gram map
+    is ≤ |postings|/chunk_size rows by construction: broadcastable.
+
+    Exactness: differentially tested equal to the unchunked join
+    (test_operators.py::test_ngram_chunked_pairs_match_unchunked) —
+    chunking re-partitions the enumeration, it never changes the set."""
+    nch = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > chunk_size)
+        .select("gram", F.ceil(F.col("__df") / chunk_size).cast("int").alias("__nch"))
+    )
+    posts = (
+        inv.join(F.broadcast(nch), "gram", "left")
+        .withColumn("__nch", F.coalesce("__nch", F.lit(1)))
+        .withColumn(
+            "__c",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(0x5EED)), F.col("__nch")).cast("int"),
+        )
+    )
+    left = posts.select(
+        F.col(id_col).alias("__ida"),
+        "gram",
+        F.col("__c").alias("__ti"),
+        F.explode(F.sequence(F.col("__c"), F.col("__nch") - 1)).alias("__tj"),
+    )
+    right = posts.select(
+        F.col(id_col).alias("__idb"),
+        "gram",
+        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("__ti"),
+        F.col("__c").alias("__tj"),
+    )
+    return (
+        left.join(
+            right,
+            ["gram", "__ti", "__tj"],
+        )
+        .filter(
+            (F.col("__ti") != F.col("__tj")) | (F.col("__ida") < F.col("__idb"))
+        )
+        .groupBy(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
 
 
 def ngram_jaccard_pairs_prefix(
@@ -1227,6 +1322,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     max_gram_df: int | str | None = "auto",
     sum_df2_budget: int | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment detection (Broder's *containment*, vs the
     Jaccard *resemblance* the near-dup pass uses): |A∩B| / |A| ≥ threshold
@@ -1244,9 +1340,10 @@ def ngram_containment_pairs(
     intermediate is bounded by construction (see ``ngram_jaccard_pairs``'s
     parameter docs and the cost-model comment in ``_ngram_shared_counts``).
     The cutoff caveat also carries over: a containment is missed only if
-    every shared gram is a stop-gram."""
+    every shared gram is a stop-gram. ``chunk_size`` opts into the
+    posting-list-chunked join (see :func:`ngram_jaccard_pairs`)."""
     shared = _ngram_shared_counts(
-        df, text_col, id_col, n, max_gram_df, sum_df2_budget
+        df, text_col, id_col, n, max_gram_df, sum_df2_budget, chunk_size=chunk_size
     )
     a_in_b = shared.select(
         F.col("id_a").alias("contained_id"),

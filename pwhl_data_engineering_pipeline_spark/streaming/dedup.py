@@ -222,6 +222,7 @@ def streaming_neardup_bm25_ingest(
     trigger_once: bool = True,
     stream_id: str = "neardup",
     autocompact_after: int | None = None,
+    on_epoch_metrics=None,
 ):
     """ONE stream that near-dup-suppresses, commits, AND search-indexes
     (VERDICT r9 #4 — the near-dup twin of the exact-dedup→BM25
@@ -255,9 +256,21 @@ def streaming_neardup_bm25_ingest(
     exactly once; die after everything but before the checkpoint commit
     → the full replay is a pair of metadata no-ops. The snapshot table
     never double-admits in any shape.
+
+    ``on_epoch_metrics``: optional callable receiving one dict per epoch
+    ``{"epoch": int, "n_admitted": int, "neardup_sec": float,
+    "bm25_sec": float}`` — the throughput seams (the near-dup protocol
+    wall vs the BM25-append wall) for ingest-rate measurement
+    (``tools/scale_bench.py --mode streaming-ingest``). The admitted-row
+    count is an extra action on the (micro-batch-sized) admitted frame,
+    so the hook costs one small job per epoch; ``None`` (default) adds
+    nothing to the production path.
     """
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.monotonic()
         to_index = _neardup_epoch_step(
             batch_df,
             epoch_id,
@@ -275,6 +288,11 @@ def streaming_neardup_bm25_ingest(
         )
         if to_index is None:
             return
+        t1 = _time.monotonic()
+        # the count job sits between the two timers so it is attributed
+        # to neither seam
+        n_admitted = to_index.count() if on_epoch_metrics is not None else None
+        t2 = _time.monotonic()
         from .search import bm25_index_epoch_step
 
         bm25_index_epoch_step(
@@ -287,6 +305,13 @@ def streaming_neardup_bm25_ingest(
             stream_id=stream_id,
             autocompact_after=autocompact_after,
         )
+        if on_epoch_metrics is not None:
+            on_epoch_metrics({
+                "epoch": int(epoch_id),
+                "n_admitted": int(n_admitted),
+                "neardup_sec": round(t1 - t0, 3),
+                "bm25_sec": round(_time.monotonic() - t2, 3),
+            })
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

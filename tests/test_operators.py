@@ -1106,3 +1106,58 @@ def test_ngram_hash_gram_key_matches_text(spark):
         assert hash_pairs == text_pairs and hash_pairs
     with pytest.raises(ValueError, match="gram_key"):
         dedup.ngram_jaccard_pairs(docs, gram_key="sha").count()
+
+
+def test_ngram_chunked_pairs_match_unchunked(spark):
+    """chunk_size (the VERDICT r10 #4 structural lever) re-partitions the
+    hot-gram pair enumeration into a triangle of bounded chunk tasks; the
+    output must be identical to the classic gram-keyed self-join. The
+    corpus mixes genuinely hot grams (df 40 ≫ chunk_size 4 → 10 chunks,
+    within- AND cross-chunk pairs) with cold grams (df ≤ chunk_size → the
+    degenerate B=1 path) and an empty doc, across cap modes and both
+    detectors (jaccard + containment)."""
+    rows = (
+        [(i, f"alpha beta gamma delta doc {i} tail {i * 7}") for i in range(40)]
+        + [(100, "the quick brown fox jumps over the lazy dog"),
+           (101, "the quick brown fox jumps over the lazy cat"),
+           (102, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in ("auto", None):
+        plain = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.05, max_gram_df=cap
+            ).collect()
+        }
+        for cs in (4, 1, 10_000):  # heavy chunking, pathological, all-cold
+            chunked = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.05, max_gram_df=cap, chunk_size=cs
+                ).collect()
+            }
+            assert chunked == plain and chunked
+    # composes with gram_key="hash" (both deep-decade levers together)
+    both = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.05, gram_key="hash", chunk_size=4
+        ).collect()
+    }
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    assert both == base
+    cont_plain = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    cont_chunked = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            docs, n=3, threshold=0.3, chunk_size=4
+        ).collect()
+    }
+    assert cont_chunked == cont_plain and cont_chunked

@@ -63,6 +63,13 @@ def main() -> None:
     ap.add_argument("--gram-key", choices=["text", "hash"], default="text")
     ap.add_argument("--codec", choices=["lz4", "zstd", "snappy"], default="lz4")
     ap.add_argument("--warm-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--chunk-size",
+        type=int,
+        default=None,
+        help="posting-list chunking for the gram self-join (VERDICT r10 #4 "
+        "structural lever; None = classic gram-keyed join)",
+    )
     args = ap.parse_args()
 
     from pwhl_data_engineering_pipeline_spark.session import get_spark
@@ -82,7 +89,8 @@ def main() -> None:
         docs = read_testdata(spark, sf_dir, "documents").repartition(n_part)
         t0 = time.monotonic()
         n_pairs = dedup.ngram_jaccard_pairs(
-            docs, n=3, threshold=0.2, max_gram_df="auto", gram_key=args.gram_key
+            docs, n=3, threshold=0.2, max_gram_df="auto", gram_key=args.gram_key,
+            chunk_size=args.chunk_size,
         ).count()
         return time.monotonic() - t0, n_pairs
 
@@ -100,6 +108,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "gram_key": args.gram_key,
         "codec": args.codec,
+        "chunk_size": args.chunk_size,
         "wall_sec": round(wall, 1),
         "n_pairs": n_pairs,
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),

@@ -788,6 +788,89 @@ def pq_decade_bench(spark, base: str, big: str, factor: int) -> dict:
     return out
 
 
+def streaming_ingest_bench(
+    spark, base: str, big: str, factor: int, n_epochs: int = 8
+) -> dict:
+    """VERDICT r10 #6: measured ingest rate for the composed
+    near-dup→BM25 streaming sink (`streaming_neardup_bm25_ingest`) at
+    two corpus scales — the exactly-once proofs exist, this puts a
+    docs/sec number next to them.
+
+    Protocol per scale: repartition the documents table into
+    ``n_epochs`` parquet files in a landing dir, stream it with
+    ``maxFilesPerTrigger=1`` + ``availableNow`` so the sink sees exactly
+    ``n_epochs`` micro-batches of ~equal size, and collect the sink's
+    own per-epoch seam metrics (``on_epoch_metrics``): near-dup protocol
+    wall (probe + exactly-once commit + MinHash append) vs BM25-append
+    wall. The replica is ``permute``-perturbed — original duplicate
+    density, so survivors ≈ corpus and the BM25 leg indexes the full
+    stream (the honest steady-state shape; a dup-heavy stream would
+    flatter the BM25 leg).
+
+    Reported per scale: total stream wall (start→awaitTermination),
+    docs/sec against the INPUT count, Σ neardup_sec, Σ bm25_sec, and the
+    per-epoch series (epoch 0 bootstraps both indexes; later epochs pay
+    the growing MinHash probe — the series shape shows whether per-epoch
+    cost is flat in corpus-so-far, which is the 100 TB question)."""
+    import shutil
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+    from pwhl_data_engineering_pipeline_spark.streaming import (
+        dedup as sdedup,
+    )
+
+    def at_scale(label: str, sf_dir: str) -> dict:
+        docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        work = tempfile.mkdtemp(prefix=f"sb_singest_{label}_")
+        landing = f"{work}/landing"
+        docs.repartition(n_epochs).write.parquet(landing)
+        epochs: list[dict] = []
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        t0 = time.monotonic()
+        q = sdedup.streaming_neardup_bm25_ingest(
+            stream,
+            minhash_index_path=f"{work}/mh_index",
+            bm25_index_path=f"{work}/bm25_index",
+            table_path=f"{work}/table",
+            checkpoint_dir=f"{work}/ckpt",
+            trigger_once=True,
+            on_epoch_metrics=epochs.append,
+        )
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        out = {
+            "n_docs_in": n,
+            "n_epochs": len(epochs),
+            "n_admitted": sum(e["n_admitted"] for e in epochs),
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1),
+            "neardup_sec_total": round(sum(e["neardup_sec"] for e in epochs), 3),
+            "bm25_sec_total": round(sum(e["bm25_sec"] for e in epochs), 3),
+            "epochs": epochs,
+        }
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
+    out = {
+        "mode": "streaming-ingest",
+        "factor": factor,
+        "n_epochs": n_epochs,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "base": at_scale("base", base),
+        f"x{factor}": at_scale(f"x{factor}", big),
+    }
+    out["docs_per_sec_ratio"] = round(
+        out[f"x{factor}"]["docs_per_sec"] / max(out["base"]["docs_per_sec"], 1e-9), 2
+    )
+    return out
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -948,7 +1031,7 @@ def main() -> None:
         choices=[
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
-            "ivf-drift", "pq-decade",
+            "ivf-drift", "pq-decade", "streaming-ingest",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1017,6 +1100,13 @@ def main() -> None:
 
     if args.mode == "ivf-drift":
         print(json.dumps(ivf_drift_bench(spark)))
+        return
+
+    if args.mode == "streaming-ingest":
+        os.makedirs(args.out, exist_ok=True)
+        if not args.skip_build:
+            build_docs_replica(spark, args.base, args.out, args.factor, args.perturb)
+        print(json.dumps(streaming_ingest_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "pq-decade":
