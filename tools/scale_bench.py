@@ -623,11 +623,19 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
         build_sec = round(time.monotonic() - t0, 3)
 
         def batch_centers(b: int):
-            if kind == "stationary":
+            if kind == "stationary" or b < 0:
                 return centers
+            if kind == "novel":
+                # brand-new cluster centers every batch — new topics
+                # appearing between the frozen centroids, the shift shape
+                # migration (each cluster drifting along its own ray)
+                # does NOT produce: novel mass straddles frozen-cell
+                # boundaries, so neighbors scatter across more cells
+                # than a migrated (still-tight) cluster's do
+                return np.random.RandomState(500 + b).randn(n_clusters, dim) * 3.0
             return centers + (b + 1) * drift_step * scale * directions
 
-        def recall_and_ratio(b: int) -> tuple[float, float]:
+        def recall_and_ratio(b: int) -> dict:
             qrng = np.random.RandomState(9000 + b)
             bc = batch_centers(b)
             qvecs = [
@@ -654,10 +662,38 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
                 ).collect()
             }
             probe = similarity.ivf_needs_recompact(spark, idx)
-            return round(len(got & truth) / len(truth), 4), round(probe["ratio"], 3)
+            # Pruning efficiency — the metric that ACTUALLY decays when
+            # queries drift in lockstep with the data (recall can hold at
+            # 1.0 because routing and assignment share the same frozen
+            # centroids, while the drifted mass collapses onto a few
+            # cells and every probe scans a growing corpus fraction).
+            # Driver-side: centroid table is n_centroids rows, cell
+            # sizes are one metadata-sized aggregate.
+            cent_rows = similarity.ivf_load_centroids(spark, idx).collect()
+            cmat = np.array([r["centroid_vec"] for r in cent_rows])
+            cids = np.array([r["centroid_id"] for r in cent_rows])
+            cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+            sizes = {
+                r["centroid_id"]: r["n"]
+                for r in committed.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            total = sum(sizes.values())
+            fracs = []
+            for _, v in qvecs:
+                qv = np.array(v)
+                qv = qv / max(np.linalg.norm(qv), 1e-12)
+                order = np.argsort(-(cnorm @ qv))[:n_probe]
+                fracs.append(sum(sizes.get(int(cids[i]), 0) for i in order) / total)
+            return {
+                "recall_at_10": round(len(got & truth) / len(truth), 4),
+                "assign_dist_ratio": round(probe["ratio"], 3),
+                "probed_frac": round(float(np.mean(fracs)), 4),
+                "max_cell_frac": round(max(sizes.values()) / total, 4),
+            }
 
-        r0, ratio0 = recall_and_ratio(-1)
-        steps = [{"batch": 0, "recall_at_10": r0, "assign_dist_ratio": ratio0}]
+        steps = [{"batch": 0, **recall_and_ratio(-1)}]
         append_secs = []
         for b in range(n_batches):
             batch = _gmm_batch(
@@ -667,17 +703,14 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
             t0 = time.monotonic()
             similarity.ivf_append(batch, idx, batch_id=f"d{b}")
             append_secs.append(round(time.monotonic() - t0, 3))
-            rec, ratio = recall_and_ratio(b)
-            steps.append(
-                {"batch": b + 1, "recall_at_10": rec, "assign_dist_ratio": ratio}
-            )
+            steps.append({"batch": b + 1, **recall_and_ratio(b)})
         # the repair vs the alternative it replaces
         t0 = time.monotonic()
         obs = similarity.ivf_recompact(
             spark, idx, n_centroids=n_centroids, refine_iterations=2
         )
         recompact_sec = round(time.monotonic() - t0, 3)
-        rec_after, ratio_after = recall_and_ratio(n_batches - 1)
+        after = recall_and_ratio(n_batches - 1)
         full = spark.read.parquet(idx).filter(
             F.col("batch") == obs["batch_id"]
         ).select("vec_id", "embedding")
@@ -694,8 +727,7 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
             "series": steps,
             "recompact_sec": recompact_sec,
             "rebuild_sec": rebuild_sec,
-            "recall_after_recompact": rec_after,
-            "ratio_after_recompact": ratio_after,
+            "after_recompact": after,
         }
 
     return {
@@ -711,6 +743,7 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
         "stationary": series("stationary"),
         "drifted": series("drifted"),
+        "novel": series("novel"),
     }
 
 
