@@ -3331,6 +3331,121 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted residual-PQ index with crash-consistent incremental append
+    (r11: pq.pq_write v2 / pq_append / ivf_adc_topk_pruned — the IVF/BM25
+    batch-visibility switch on the LOSSY index, closing the lifecycle gap
+    the r10 IVF work left): train coarse centroids (16 cells) and residual
+    codebooks (m=8, k=64) on the EVEN vec_ids, build the index over them,
+    append the ODD half — routed and encoded by the COMMITTED
+    index-resident set — then probe exhaustively (n_probe = 16).
+
+    Because encoding is a deterministic per-vector function of
+    (centroids, codebooks), build(evens) + append(odds) produces
+    code-for-code what encoding the FULL corpus against the same set
+    would — so the probe over the appended index is row-identical to the
+    probe over a full-encode index. That differential is computed over
+    the two bounded probe results and emitted as the hashed
+    ``append_equals_full_build`` flag per query (PQ is lossy, so no SQL
+    engine can mirror ADC values; the oracle is the literal mirror, like
+    ns_ann_pq). The hash therefore
+    gates append VISIBILITY (a missing/doubled batch breaks row identity)
+    and the committed-set plumbing. ``recall_floor_ok`` pins exhaustive
+    residual-ADC hits@10 vs exact brute force ≥ 1 — the measured
+    deterministic floor on the near-uniform testdata (per-query minima
+    3/1/1 at sf0.001/0.01/0.1; uniform data is PQ's documented worst
+    case, and the m=8/k=64 residual budget over HALF-corpus-trained
+    codebooks is deliberately small — accuracy evidence lives in the
+    differential and in test_pq.py's clustered 0.6-0.9 recall). The
+    PySpark side also asserts the append observables."""
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 != 0)
+    cent, assigned_old = similarity.ivf_index(old, n_centroids=16)
+    books = pqm.pq_train_residual(old, assigned_old, cent, m=8, k=64, iters=5)
+    import tempfile
+
+    inc = tempfile.mkdtemp(prefix="pq_idx_") + "/index"
+    pqm.pq_write(
+        pqm.pq_encode_residual(old, assigned_old, cent, books), inc, books, cent
+    )
+    out = pqm.pq_append(new, inc)
+    assert out["skipped"] is False and out["n_vectors_added"] > 0, out
+    full = tempfile.mkdtemp(prefix="pq_full_") + "/index"
+    assigned_all = similarity.ivf_assign(emb, cent)
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned_all, cent, books), full, books, cent
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    top_inc = pqm.ivf_adc_topk_pruned(spark, inc, queries, k=10, n_probe=16)
+    top_full = pqm.ivf_adc_topk_pruned(spark, full, queries, k=10, n_probe=16)
+    # differential: the appended index's probe rows ≡ the full-encode
+    # index's, per query — compared DRIVER-SIDE over the two bounded
+    # probe results (≤ |Q|·k = 80 rows each, metadata-sized collect).
+    # Deliberately NOT an exceptAll of the two frames inside one plan:
+    # that self-referential union-of-mapInPandas-subtrees shape trips a
+    # Spark plan-reuse bug ("Can't zip RDDs with unequal numbers of
+    # partitions") that under memory pressure mis-evaluates silently
+    # instead of throwing — the driver-side compare is load-independent
+    # and strictly stronger (it compares adc_dist too).
+    def _rows(df: DataFrame) -> dict:
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(int(r["query_id"]), []).append(
+                (int(r["rank"]), int(r["vec_id"]), float(r["adc_dist"]))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    inc_rows, full_rows = _rows(top_inc), _rows(top_full)
+    eq_flags = spark.createDataFrame(
+        [
+            (qid, inc_rows.get(qid) == full_rows.get(qid))
+            for qid, _ in queries
+        ],
+        "query_id long, append_equals_full_build boolean",
+    )
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries], "query_id long, qvec array<double>"
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding", "qvec", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select("query_id", "vec_id", pr(l2, 6).alias("d"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        top_inc.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    n_res = top_inc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        n_res.join(eq_flags, "query_id")
+        .join(hits, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            "append_equals_full_build",
+            (F.col("h") >= 1).alias("recall_floor_ok"),
+        )
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact all-pairs cosine threshold on a bounded block."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
@@ -3560,6 +3675,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_bruteforce": q_ann_bruteforce,
         "ns_ann_ivf": q_ann_ivf,
         "ns_ann_pq": q_ann_pq,
+        "ns_ann_pq_indexed": q_ann_pq_indexed,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5037,6 +5153,19 @@ def _all_oracle_sql() -> dict[str, str]:
     # exhaustive resident-centroid probe ≡ brute force — a dropped or
     # doubled epoch changes the candidate set and the hash
     sql["st_ivf_ingest"] = sql["ns_ann_bruteforce"]
+    # persisted PQ with crash-consistent append (r11): PQ codes are lossy,
+    # so no SQL engine can mirror ADC distances — the oracle is the literal
+    # mirror (like ns_ann_pq) and the hashed columns are in-job theorems:
+    # append_equals_full_build is the build(A)+append(B) ≡ encode(A∪B)
+    # row-identity differential (gates append visibility and the committed
+    # meta-set plumbing), recall_floor_ok the exhaustive-ADC hits@10 floor
+    sql["ns_ann_pq_indexed"] = """
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_results,
+               TRUE AS append_equals_full_build,
+               TRUE AS recall_floor_ok
+        FROM embeddings WHERE vec_id < 8
+    """
     sql["ns_fuzzy_match"] = """
         WITH names AS (
           SELECT lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name,

@@ -160,6 +160,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_pq: same bounded crossJoin of the 8-row broadcast query
         # frame as ns_ann_ivf (exact-BF validation leg)
         "ns_ann_pq",
+        # ns_ann_pq_indexed (r11): same bounded 8-row broadcast BF leg,
+        # plus the 16-row centroid broadcast of the persisted-ADC probe
+        "ns_ann_pq_indexed",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
