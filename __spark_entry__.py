@@ -2345,6 +2345,81 @@ def q_streaming_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "knn_rank")
 
 
+def q_streaming_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ index maintenance (streaming/ann.py::streaming_pq_ingest,
+    r11 — the lossy twin of st_ivf_ingest over the r11 PQ lifecycle): the
+    embeddings arrive as TWO micro-batches (epoch 0 exercises the
+    bootstrap pq_write — coarse centroids AND residual codebooks train on
+    the first batch, persist index-resident, quant-error baseline stamped
+    — epoch 1 the epoch-derived crash-consistent pq_append), committed
+    exactly-once into a snapshot table while the persisted IVFADC index is
+    maintained. PQ is lossy, so the correctness theorem is the
+    deterministic-encoding DIFFERENTIAL, not brute force: the streamed
+    index's exhaustive ADC probe must be row-identical to a from-scratch
+    pq_write over the snapshot table's rows encoded with the SAME
+    committed set (a dropped or doubled epoch changes both the candidate
+    set and the differential). Computed driver-side over the bounded probe
+    results (the ns_ann_pq_indexed posture) and value-hashed via the
+    literal mirror."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import ann as sann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_pq_")
+    landing = f"{tmp}/landing"
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    emb.filter(F.col("vec_id") % 2 != 0).coalesce(1).write.mode("append").parquet(landing)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = sann.streaming_pq_ingest(
+            stream, f"{tmp}/index", f"{tmp}/table", f"{tmp}/ck",
+            n_centroids=16, m=8, k=64, iters=5,
+        )
+        _await_stream(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    corpus = read_snapshot(spark, f"{tmp}/table").select("vec_id", "embedding")
+    books, cent = pqm.pq_read_meta(spark, f"{tmp}/index")
+    mirror = f"{tmp}/mirror"
+    assigned = similarity.ivf_assign(corpus, cent)
+    pqm.pq_write(
+        pqm.pq_encode_residual(corpus, assigned, cent, books), mirror, books, cent
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+
+    def _rows(path: str) -> dict:
+        out: dict = {}
+        for r in pqm.ivf_adc_topk_pruned(
+            spark, path, queries, k=10, n_probe=16
+        ).collect():
+            out.setdefault(int(r["query_id"]), []).append(
+                (int(r["rank"]), int(r["vec_id"]), float(r["adc_dist"]))
+            )
+        return {qq: sorted(v) for qq, v in out.items()}
+
+    got, want = _rows(f"{tmp}/index"), _rows(mirror)
+    flags = spark.createDataFrame(
+        [
+            (qid, len(got.get(qid) or []), got.get(qid) == want.get(qid))
+            for qid, _ in queries
+        ],
+        "query_id long, n_results long, stream_equals_full_encode boolean",
+    )
+    return flags
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-match over distinct normalized part names
     (operators.fuzzy): Levenshtein <= 2 within first-character blocks, with
@@ -3649,6 +3724,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_ivf_recompact": q_ann_ivf_recompact,
         "st_bm25_ingest": q_streaming_bm25,
         "st_ivf_ingest": q_streaming_ivf,
+        "st_pq_ingest": q_streaming_pq,
         "ns_fuzzy_match": q_fuzzy_match,
         "ns_temperature_mix": q_temperature_mix,
         "ns_epoch_mix": q_epoch_mix,
@@ -5164,6 +5240,16 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(10 AS BIGINT) AS n_results,
                TRUE AS append_equals_full_build,
                TRUE AS recall_floor_ok
+        FROM embeddings WHERE vec_id < 8
+    """
+    # streaming PQ ingest (r11): the lossy twin of st_ivf_ingest — the
+    # hashed column is the stream(bootstrap+append) ≡ full-encode
+    # differential (a dropped/doubled epoch breaks row identity); literal
+    # mirror because no SQL engine can reproduce ADC distances
+    sql["st_pq_ingest"] = """
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_results,
+               TRUE AS stream_equals_full_encode
         FROM embeddings WHERE vec_id < 8
     """
     sql["ns_fuzzy_match"] = """

@@ -169,3 +169,136 @@ def ivf_index_epoch_step(
             res["batch_id"],
             index_path,
         )
+
+
+def streaming_pq_ingest(
+    stream: DataFrame,
+    index_path: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 64,
+    iters: int = 5,
+    refine_iterations: int = 0,
+    trigger_once: bool = True,
+    stream_id: str = "pq",
+):
+    """Continuous compressed-ANN ingestion — the PQ twin of
+    :func:`streaming_ivf_ingest`, over the r11 persisted-PQ lifecycle
+    (operators/pq.py: batch-visibility appends + versioned resident
+    codebooks/centroids): every micro-batch lands exactly-once in a
+    snapshot table AND as residual codes in the persisted IVFADC index.
+
+    Day-one bootstrap: the first non-empty batch trains the coarse
+    centroids AND the residual codebooks and ``pq_write``s them
+    index-resident, stamping the quantization-error baseline from the
+    batch itself (the raw vectors are in hand exactly here — the reason
+    the drift probe's sample argument is natural in a streaming
+    deployment). Later epochs ``pq_append`` under epoch-derived batch
+    ids, routed and encoded by the COMMITTED set, so an offline
+    :func:`~..operators.pq.pq_recompact` between runs (fed from the
+    snapshot table, the system-of-record this sink maintains for
+    exactly that purpose — codes are lossy) needs no rewiring.
+    Bootstrap-batch codebooks are a bootstrap-sized sample of the
+    eventual corpus: expect ``pq_needs_recompact`` (probed with a raw
+    sample of recent epochs) to fire earlier on a stream whose first
+    epoch was small or unrepresentative.
+
+    Same retire-together rule as every epoch-keyed sink here:
+    ``stream_id`` and ``checkpoint_dir`` live and die as a pair."""
+    from ..sources.snapshots import commit_stream_batch
+
+    _check_batch_id(f"{stream_id}-e0")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_stream_batch(batch_df, epoch_id, table_path, stream_id)
+        pq_index_epoch_step(
+            batch_df,
+            epoch_id,
+            index_path,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            m=m,
+            k=k,
+            iters=iters,
+            refine_iterations=refine_iterations,
+            stream_id=stream_id,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def pq_index_epoch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 64,
+    iters: int = 5,
+    refine_iterations: int = 0,
+    stream_id: str = "pq",
+) -> None:
+    """The PQ-index half of a foreachBatch body — bootstrap-or-append
+    under the epoch-derived batch id ``{stream_id}-e{epoch_id}``, the
+    exact replay-idempotence shape of :func:`ivf_index_epoch_step`
+    (committed epoch → logged no-op; crashed epoch → purge+rewrite
+    repair; empty epoch on an unbuilt index → wait for data)."""
+    from ..operators import pq as pqm
+    from ..operators.similarity import ivf_index as _ivf_index
+
+    spark = batch_df.sparkSession
+    if pqm._pq_read_manifest(spark, index_path) is None:
+        if batch_df.isEmpty():
+            return  # nothing to bootstrap from; next non-empty epoch builds
+        cent, assigned = _ivf_index(
+            batch_df,
+            n_centroids=n_centroids,
+            vec_col=vec_col,
+            id_col=id_col,
+            refine_iterations=refine_iterations,
+        )
+        books = pqm.pq_train_residual(
+            batch_df, assigned, cent, m=m, k=k,
+            vec_col=vec_col, id_col=id_col, iters=iters,
+        )
+        pqm.pq_write(
+            pqm.pq_encode_residual(
+                batch_df, assigned, cent, books, vec_col=vec_col, id_col=id_col
+            ),
+            index_path,
+            books,
+            cent,
+            batch_id=f"{stream_id}-e{epoch_id}",
+            vectors=batch_df,
+        )
+        return
+    res = pqm.pq_append(
+        batch_df,
+        index_path,
+        vec_col=vec_col,
+        id_col=id_col,
+        batch_id=f"{stream_id}-e{epoch_id}",
+    )
+    if res["skipped"]:
+        logger.warning(
+            "streaming_pq_ingest: epoch %s (batch id %s) was already "
+            "committed to %s — replay no-op, or a recycled stream_id "
+            "whose vectors are being dropped",
+            epoch_id,
+            res["batch_id"],
+            index_path,
+        )

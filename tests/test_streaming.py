@@ -1077,3 +1077,150 @@ def test_streaming_ivf_ingest_crash_matrix(spark, tmp_path, monkeypatch, caplog)
     assert run().exception() is None
     assert read_snapshot(spark, table).count() == 100
     assert len(_read_scalars(spark, index)["batches"]) == 2
+
+
+def test_streaming_pq_ingest_crash_matrix(spark, tmp_path, monkeypatch, caplog):
+    """r11: streaming PQ maintenance with exactly-once on the manifest —
+    streaming_pq_ingest bootstraps the index from epoch 0 (coarse
+    centroids AND residual codebooks train on the first batch, persist
+    index-resident, quant-error baseline stamped from the batch) and
+    appends later epochs under epoch-derived batch ids. Crash matrix
+    mirrors the IVF twin; the correctness yardstick is the
+    deterministic-encoding DIFFERENTIAL (PQ is lossy, so no brute-force
+    identity exists): after every stage, the streamed index's exhaustive
+    ADC probe must be row-identical to a from-scratch pq_write over the
+    snapshot table's rows encoded with the SAME committed set. An
+    offline pq_recompact (fed from the snapshot table — the
+    system-of-record this sink maintains because codes can't be decoded)
+    flips books+centroids between runs with no rewiring."""
+    import logging
+
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+    from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
+    from pwhl_data_engineering_pipeline_spark.sources.snapshots import read_snapshot
+    from pwhl_data_engineering_pipeline_spark.streaming import ann as sann
+
+    landing = str(tmp_path / "pq_landing")
+    index = str(tmp_path / "pq_stream_index")
+    table = str(tmp_path / "pq_stream_table")
+    ck = str(tmp_path / "pq_stream_ck")
+    rng = np.random.RandomState(17)
+
+    def land(id_base: int, n: int):
+        rows = [
+            (id_base + j, [float(x) for x in rng.randn(8)], 0) for j in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>, label int"
+        ).parquet(landing)
+        q = sann.streaming_pq_ingest(
+            stream, index, table, ck,
+            n_centroids=4, m=4, k=8, iters=5, stream_id="sp",
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        return q
+
+    def probe_matches_full_encode():
+        corpus = read_snapshot(spark, table).select("vec_id", "embedding")
+        books, cent = pqm.pq_read_meta(spark, index)
+        mirror = str(tmp_path / f"pq_mirror_{corpus.count()}")
+        assigned = similarity.ivf_assign(corpus, cent)
+        pqm.pq_write(
+            pqm.pq_encode_residual(corpus, assigned, cent, books),
+            mirror, books, cent,
+        )
+        q_rows = sorted(
+            corpus.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+        )
+        queries = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows
+        ]
+        n_cells = cent.count()
+
+        def rows(path):
+            return sorted(
+                (r["query_id"], r["rank"], r["vec_id"], r["adc_dist"])
+                for r in pqm.ivf_adc_topk_pruned(
+                    spark, path, queries, k=5, n_probe=n_cells
+                ).collect()
+            )
+
+        return rows(index) == rows(mirror)
+
+    # ---- epoch 0: bootstrap (train + pq_write, resident books+centroids)
+    land(0, 40)
+    assert run().exception() is None
+    meta = _read_scalars(spark, index)
+    assert meta["batches"] == ["sp-e0"] and meta["meta"] == "sp-e0"
+    assert meta["quant_err_baseline"] is not None
+    assert probe_matches_full_encode()
+
+    # ---- epoch 1: crash AFTER index append, BEFORE checkpoint commit
+    land(100, 20)
+    real_append = pqm.pq_append
+
+    def append_then_die(*a, **k):
+        real_append(*a, **k)
+        raise RuntimeError("injected crash after pq_append, before checkpoint")
+
+    monkeypatch.setattr(pqm, "pq_append", append_then_die)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    committed_after_crash = list(_read_scalars(spark, index)["batches"])
+    assert len(committed_after_crash) == 2  # the crashed epoch landed once
+    with caplog.at_level(logging.WARNING, logger=sann.logger.name):
+        assert run().exception() is None
+    assert any("already" in r.message for r in caplog.records)
+    assert _read_scalars(spark, index)["batches"] == committed_after_crash
+    vis = spark.read.parquet(index).filter(
+        F.col("batch").isin(_read_scalars(spark, index)["batches"])
+    )
+    assert vis.count() == 60 and vis.select("vec_id").distinct().count() == 60
+    assert probe_matches_full_encode()
+
+    # ---- epoch 2: crash BETWEEN table commit and index append
+    land(200, 20)
+
+    def die_before_append(*a, **k):
+        raise RuntimeError("injected crash between table commit and pq_append")
+
+    monkeypatch.setattr(pqm, "pq_append", die_before_append)
+    assert run().exception() is not None
+    monkeypatch.undo()
+    assert read_snapshot(spark, table).count() == 80  # table side landed
+    assert len(_read_scalars(spark, index)["batches"]) == 2  # index did not
+    assert run().exception() is None  # replay repairs exactly-once
+    assert len(_read_scalars(spark, index)["batches"]) == 3
+    assert probe_matches_full_encode()
+
+    # ---- offline recompact between runs, fed from the snapshot table
+    obs = pqm.pq_recompact(
+        spark, index,
+        read_snapshot(spark, table).select("vec_id", "embedding"),
+        iters=5, refine_iterations=1,
+    )
+    assert _read_scalars(spark, index)["meta"] == obs["batch_id"]
+    assert probe_matches_full_encode()
+    land(300, 20)
+    assert run().exception() is None  # next epoch routes with the new set
+    meta = _read_scalars(spark, index)
+    assert len(meta["batches"]) == 2  # [recompacted, new epoch]
+    vis = spark.read.parquet(index).filter(F.col("batch").isin(meta["batches"]))
+    assert vis.count() == 100 and vis.select("vec_id").distinct().count() == 100
+    assert probe_matches_full_encode()
+
+    # fully-caught-up rerun: nothing moves
+    assert run().exception() is None
+    assert read_snapshot(spark, table).count() == 100
+    assert len(_read_scalars(spark, index)["batches"]) == 2
