@@ -982,9 +982,15 @@ def ngram_jaccard_pairs(
     whose posting list exceeds ``chunk_size`` is enumerated as the upper
     triangle of hash-assigned chunks so no single SMJ key group ever
     buffers more than ``chunk_size`` postings or bursts more than
-    ``chunk_size²`` pairs — the structural lever for hot-gram memory
-    churn at deep decades. Output is identical (differentially tested);
-    see :func:`_ngram_pairs_chunked` for the cost model."""
+    ``chunk_size²`` pairs. Output is identical (differentially tested);
+    see :func:`_ngram_pairs_chunked` for the cost model. Measured r11
+    (SCALING.md, "a three-front negative"): this is a ROBUSTNESS lever
+    (bounded per-task SMJ buffers, no single-task straggler on a skewed
+    gram), NOT a throughput lever — end-to-end walls are bound by the
+    invariant Σ df² pair volume, the pure-scale deep decade has no hot
+    grams to chunk (max df 357 at 1000×), and grams hot enough to
+    matter are stop-grams under the auto budget first. Leave it off
+    unless a skewed-but-under-budget corpus shows straggler tasks."""
     shared = _ngram_shared_counts(
         df, text_col, id_col, n, max_gram_df, sum_df2_budget, gram_key, chunk_size
     )

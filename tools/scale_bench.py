@@ -904,6 +904,73 @@ def streaming_ingest_bench(
     return out
 
 
+def ngram_hot_bench(spark, df_hot: int = 10_000, chunk_size: int = 512) -> dict:
+    """VERDICT r10 #4 follow-through: the permute-replica 1000× decade is
+    the WRONG regime for posting-list chunking (measured r11: max gram
+    df = 357 there — per-gram df stays at base level because corpus
+    growth adds disjoint gram spaces — so chunk_size=1024 never fires
+    and the run prices pure plumbing). The regime chunking exists for is
+    a HOT gram below the stop-gram cutoff but far above chunk_size: the
+    unchunked SMJ buffers its whole df-row posting group in ONE task and
+    enumerates df²/2 pairs serially inside it, while the chunked plan
+    spreads the same pairs over B(B+1)/2 bounded tasks.
+
+    Synthetic corpus pinning exactly that: ``df_hot`` docs share one
+    3-gram (every doc starts with the same three words) and are unique
+    elsewhere; ``max_gram_df=None`` (the cap is the FIRST-line defense —
+    this measures the second line, for corpora whose Σ df² budget admits
+    a skewed gram). Pair OUTPUT is identical by the differential
+    guarantee; walls and the unchunked run's single-task serialization
+    are what differ. Reported: wall unchunked vs chunked, the pair
+    count (must equal C(df_hot, 2) candidate intersections ≥ threshold
+    → here 0 survivors, the burst is intermediate), and the ratio."""
+    import pandas as pd
+
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].values
+            yield pd.DataFrame({
+                "doc_id": ids,
+                # shared leading 3-gram "hotgram alpha beta"; unique tail
+                # long enough that no cross-doc pair clears threshold
+                "text": [
+                    "hotgram alpha beta "
+                    + " ".join(f"u{int(i)}w{j}" for j in range(12))
+                    for i in ids
+                ],
+            })
+
+    docs = (
+        spark.range(df_hot, numPartitions=32)
+        .withColumnRenamed("id", "id")
+        .mapInPandas(gen, schema="doc_id long, text string")
+    )
+    docs = docs.localCheckpoint()  # freeze the corpus; time only the join
+
+    def run(cs):
+        t0 = time.monotonic()
+        n = dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_gram_df=None, chunk_size=cs
+        ).count()
+        return round(time.monotonic() - t0, 3), n
+
+    unchunked_wall, n1 = run(None)
+    chunked_wall, n2 = run(chunk_size)
+    assert n1 == n2, (n1, n2)
+    return {
+        "mode": "ngram-hot",
+        "df_hot": df_hot,
+        "chunk_size": chunk_size,
+        "n_pairs": n1,
+        "unchunked_wall_sec": unchunked_wall,
+        "chunked_wall_sec": chunked_wall,
+        "speedup": round(unchunked_wall / max(chunked_wall, 1e-9), 2),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -1064,7 +1131,7 @@ def main() -> None:
         choices=[
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
-            "ivf-drift", "pq-decade", "streaming-ingest",
+            "ivf-drift", "pq-decade", "streaming-ingest", "ngram-hot",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1133,6 +1200,10 @@ def main() -> None:
 
     if args.mode == "ivf-drift":
         print(json.dumps(ivf_drift_bench(spark)))
+        return
+
+    if args.mode == "ngram-hot":
+        print(json.dumps(ngram_hot_bench(spark)))
         return
 
     if args.mode == "streaming-ingest":
