@@ -747,6 +747,183 @@ def ivf_drift_bench(spark, n_base: int = 100_000, n_batch: int = 25_000,
     }
 
 
+def pq_drift_bench(spark, n_base: int = 50_000, n_batch: int = 12_500,
+                   n_batches: int = 8, dim: int = 32, n_clusters: int = 16,
+                   n_centroids: int = 64, m: int = 8, k_codes: int = 64,
+                   n_probe: int = 8, drift_step: float = 0.5) -> dict:
+    """r11: codebook/centroid drift for the persisted PQ index — the lossy
+    twin of ``ivf_drift_bench``, over the same three GMM append regimes
+    (stationary control / migrating means / novel topics). What differs
+    from IVF, and what this measures:
+
+    - PQ has TWO frozen trained artifacts (coarse centroids AND residual
+      codebooks), so drift degrades both routing and in-cell distance
+      fidelity; expect recall to move earlier than IVF's.
+    - The scheduler probe (``pq_needs_recompact``) takes RAW vectors —
+      here each step probes with the batch just appended, exactly the
+      sample an ingest pipeline has in hand (codes are lossy; the index
+      alone cannot measure quantization error).
+    - Truth is exact L2 top-10 (ADC approximates L2), computed with a
+      Spark expression leg (zip_with square-sum + per-query window) over
+      the RAW corpus table the bench maintains alongside the index — the
+      same system-of-record shape ``streaming_pq_ingest`` keeps, and the
+      input ``pq_recompact`` requires.
+    - The repair: ``pq_recompact`` (timed, full retrain + re-encode +
+      one-commit flip) vs a from-scratch build+write (timed); recall and
+      probe ratio re-measured after."""
+    import tempfile
+
+    import numpy as np
+
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+    from pwhl_data_engineering_pipeline_spark.operators import similarity
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = np.random.RandomState(101)
+    centers = rng.randn(n_clusters, dim) * 3.0
+    scale = float(np.linalg.norm(centers, axis=1).mean())
+    directions = rng.randn(n_clusters, dim)
+    directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+
+    def l2_truth(corpus, qvecs, k):
+        qdf = spark.createDataFrame(
+            [(q, v) for q, v in qvecs], "query_id long, qvec array<double>"
+        )
+        d = F.aggregate(
+            F.zip_with(
+                "embedding", "qvec",
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("vec_id").asc()
+        )
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in corpus.crossJoin(F.broadcast(qdf))
+            .select("query_id", "vec_id", d.alias("d"))
+            .withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= k)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+
+    def series(kind: str) -> dict:
+        work = tempfile.mkdtemp(prefix=f"sb_pqdrift_{kind}_")
+        corpus_dir, idx = f"{work}/corpus", f"{work}/index"
+        _gmm_batch(spark, n_base, dim, n_clusters, centers, 0.3, 7, 0).select(
+            "vec_id", "embedding"
+        ).write.mode("overwrite").parquet(corpus_dir)
+        base_df = spark.read.parquet(corpus_dir)
+        t0 = time.monotonic()
+        cent, assigned = similarity.ivf_index(
+            base_df, n_centroids=n_centroids, refine_iterations=2
+        )
+        books = pqm.pq_train_residual(
+            base_df, assigned, cent, m=m, k=k_codes, iters=5
+        )
+        pqm.pq_write(
+            pqm.pq_encode_residual(base_df, assigned, cent, books),
+            idx, books, cent, vectors=base_df,
+        )
+        build_sec = round(time.monotonic() - t0, 3)
+
+        def batch_centers(b: int):
+            if kind == "stationary" or b < 0:
+                return centers
+            if kind == "novel":
+                return np.random.RandomState(500 + b).randn(n_clusters, dim) * 3.0
+            return centers + (b + 1) * drift_step * scale * directions
+
+        def step(b: int, sample_df) -> dict:
+            qrng = np.random.RandomState(9000 + b)
+            bc = batch_centers(b)
+            qvecs = [
+                (90_000_000 + j,
+                 list(map(float, bc[j % n_clusters] + 0.3 * qrng.randn(dim))))
+                for j in range(32)
+            ]
+            corpus = spark.read.parquet(corpus_dir)
+            truth = l2_truth(corpus, qvecs, 10)
+            got = {
+                (r["query_id"], r["vec_id"])
+                for r in pqm.ivf_adc_topk_pruned(
+                    spark, idx, qvecs, k=10, n_probe=n_probe
+                ).collect()
+            }
+            probe = pqm.pq_needs_recompact(spark, idx, sample_df)
+            return {
+                "recall_at_10": round(len(got & truth) / len(truth), 4),
+                "quant_err_ratio": round(probe["ratio"], 3),
+            }
+
+        steps = [{"batch": 0, **step(-1, base_df)}]
+        append_secs = []
+        for b in range(n_batches):
+            batch = _gmm_batch(
+                spark, n_batch, dim, n_clusters, batch_centers(b), 0.3,
+                11 + b, 1_000_000 * (b + 1),
+            ).select("vec_id", "embedding")
+            batch.write.mode("append").parquet(corpus_dir)
+            t0 = time.monotonic()
+            pqm.pq_append(spark.read.parquet(corpus_dir).filter(
+                F.col("vec_id") >= 1_000_000 * (b + 1)
+            ).filter(F.col("vec_id") < 1_000_000 * (b + 1) + n_batch), idx,
+                batch_id=f"d{b}")
+            append_secs.append(round(time.monotonic() - t0, 3))
+            steps.append({"batch": b + 1, **step(b, spark.read.parquet(
+                corpus_dir).filter(F.col("vec_id") >= 1_000_000 * (b + 1)))})
+        full = spark.read.parquet(corpus_dir)
+        t0 = time.monotonic()
+        obs = pqm.pq_recompact(
+            spark, idx, full, iters=5, refine_iterations=2
+        )
+        recompact_sec = round(time.monotonic() - t0, 3)
+        after = step(n_batches - 1, full)
+        t0 = time.monotonic()
+        cent2, assigned2 = similarity.ivf_index(
+            full, n_centroids=n_centroids, refine_iterations=2
+        )
+        books2 = pqm.pq_train_residual(full, assigned2, cent2, m=m, k=k_codes, iters=5)
+        rebuild_idx = tempfile.mkdtemp(prefix=f"sb_pqrb_{kind}_") + "/index"
+        pqm.pq_write(
+            pqm.pq_encode_residual(full, assigned2, cent2, books2),
+            rebuild_idx, books2, cent2, vectors=full,
+        )
+        rebuild_sec = round(time.monotonic() - t0, 3)
+        assert obs["mode"] == "recompact", obs
+        return {
+            "build_sec": build_sec,
+            "append_secs": append_secs,
+            "series": steps,
+            "recompact_sec": recompact_sec,
+            "rebuild_sec": rebuild_sec,
+            "after_recompact": after,
+        }
+
+    return {
+        "mode": "pq-drift",
+        "n_base": n_base,
+        "n_batch": n_batch,
+        "n_batches": n_batches,
+        "dim": dim,
+        "n_clusters": n_clusters,
+        "n_centroids": n_centroids,
+        "m": m,
+        "k": k_codes,
+        "n_probe": n_probe,
+        "drift_step": drift_step,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+        "stationary": series("stationary"),
+        "drifted": series("drifted"),
+        "novel": series("novel"),
+    }
+
+
 def pq_decade_bench(spark, base: str, big: str, factor: int) -> dict:
     """VERDICT r10 #3: the deep decade for residual IVFADC (operators.pq),
     the last ANN family member without 100×/1000× rows. Three axes per
@@ -1131,7 +1308,8 @@ def main() -> None:
         choices=[
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
-            "ivf-drift", "pq-decade", "streaming-ingest", "ngram-hot",
+            "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
+            "ngram-hot",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1204,6 +1382,10 @@ def main() -> None:
 
     if args.mode == "ngram-hot":
         print(json.dumps(ngram_hot_bench(spark)))
+        return
+
+    if args.mode == "pq-drift":
+        print(json.dumps(pq_drift_bench(spark)))
         return
 
     if args.mode == "streaming-ingest":
