@@ -41,6 +41,7 @@ from pwhl_data_engineering_pipeline_spark.operators import (
     bpe,
     dedup,
     dsir,
+    fusion,
     fuzzy,
     graph,
     lm,
@@ -3521,6 +3522,79 @@ def q_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with exact re-ranking (r11: pq.ivf_adc_topk_rerank — the
+    "R" refinement of Jégou et al. 2011: ADC orders a shortlist over the
+    persisted PQ index, then exact L2 on the RAW vectors of just those
+    candidates fixes the final ordering; the r11 drift study motivates it
+    in numbers — ADC distances are quantization-noisy even
+    in-distribution). Probed EXHAUSTIVELY here (n_probe = 16 cells,
+    shortlist ≥ corpus), where the shortlist IS the committed corpus and
+    the result therefore EQUALS exact L2 brute-force top-10 — so despite
+    PQ's lossiness the whole chain (committed-batch visibility, routing,
+    the ADC pass feeding the shortlist, the raw-vector semi-join, the
+    exact re-rank's 6dp/vec_id total order) is value-hashed against a
+    plain L2 SQL mirror. Raw vectors come from the embeddings table —
+    the system-of-record a PQ deployment keeps anyway (codes are
+    lossy)."""
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="pq_rr_") + "/index"
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned, cent, books), idx, books, cent
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    n_corpus = emb.count()
+    return pqm.ivf_adc_topk_rerank(
+        spark, idx, emb, queries, k=10, n_probe=16, shortlist=n_corpus
+    ).withColumnRenamed("rank", "knn_rank")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (r11: operators/fusion.py::rrf_fuse — Cormack/Clarke/Büttcher SIGIR
+    2009, k0=60): the BM25 probe queries rank documents lexically
+    (search.bm25_topk, the ns_bm25_search leg) while each query's paired
+    probe VECTOR (embeddings vec_id 0/1/2 — the deterministic query↔
+    vector pairing a hybrid deployment's query encoder would produce)
+    ranks the embedding corpus by cosine (similarity.brute_force_topk),
+    vec_id read as the document id of a document-embedding table. RRF
+    needs no score calibration — BM25 scores and cosines are
+    incomparable, ranks are ranks — and with exactly two rankings the
+    per-(query, doc) reciprocal-rank sum is a single IEEE addition, so
+    the 9dp-floored rrf_score value-hashes exactly against the SQL
+    mirror (bm25_sql as a derived table + the cosine leg + the same
+    fusion arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    sparse = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    qvec = (
+        emb.filter(F.col("vec_id") < len(_BM25_QUERIES))
+        .select(F.col("vec_id").alias("__qi"), "embedding")
+        .join(
+            spark.createDataFrame(
+                [(i, qid) for i, (qid, _) in enumerate(_BM25_QUERIES)],
+                "__qi long, query_id string",
+            ),
+            "__qi",
+        )
+        .select("query_id", "embedding")
+    )
+    dense = similarity.brute_force_topk(emb, qvec, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return fusion.rrf_fuse([sparse, dense], k=10)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact all-pairs cosine threshold on a bounded block."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
@@ -3752,6 +3826,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_ivf": q_ann_ivf,
         "ns_ann_pq": q_ann_pq,
         "ns_ann_pq_indexed": q_ann_pq_indexed,
+        "ns_ann_pq_rerank": q_ann_pq_rerank,
+        "ns_hybrid_rrf": q_hybrid_rrf,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5251,6 +5327,92 @@ def _all_oracle_sql() -> dict[str, str]:
                CAST(10 AS BIGINT) AS n_results,
                TRUE AS stream_equals_full_encode
         FROM embeddings WHERE vec_id < 8
+    """
+    # IVFADC + exact re-rank (r11): with n_probe = all cells and
+    # shortlist ≥ corpus, the ADC shortlist IS the committed corpus and
+    # the exact re-rank EQUALS plain L2 brute force — so the lossy
+    # index's full chain hashes against a plain L2 mirror (the dot-
+    # product identity |a|²+|b|²−2a·b; 6dp floor on magnitudes ~10²
+    # leaves ~8 guard digits over double error)
+    sql["ns_ann_pq_rerank"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, v) + list_dot_product(qv, qv)
+                        - 2 * list_dot_product(v, qv)) * 1e6 + 0.5) / 1e6
+                   AS l2_dist
+          FROM ed CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, l2_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2_dist ASC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, l2_dist, knn_rank FROM ranked WHERE knn_rank <= 10
+    """
+    # hybrid sparse+dense RRF fusion (r11, operators/fusion.py): BM25 leg
+    # = the bm25_sql mirror as a derived table; dense leg = the cosine
+    # brute-force mirror with the deterministic query↔vector pairing
+    # (q_spark↔vec 0, q_join↔1, q_stream↔2); fusion = the same
+    # 1/(60+rank) arithmetic — two rankings, so the per-(query,doc) sum
+    # is one IEEE addition and the 9dp floor hashes exactly
+    _rrf_qmap = ", ".join(
+        f"('{qid}', {i})" for i, (qid, _) in enumerate(_BM25_QUERIES)
+    )
+    _rrf_bm25_values = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    sql["ns_hybrid_rrf"] = f"""
+        WITH sparse AS (
+          SELECT query_id, doc_id, rank FROM (
+            {search.bm25_sql(docs_from="documents", queries_values=_rrf_bm25_values, k=10)}
+          )
+        ),
+        qmap(query_id, qi) AS (VALUES {_rrf_qmap}),
+        ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        qv AS (
+          SELECT m.query_id, e.v AS qvec
+          FROM qmap m JOIN ed e ON e.vec_id = m.qi
+        ),
+        dscored AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 floor((list_dot_product(e.v, q.qvec)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.qvec, q.qvec))))
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+          FROM ed e CROSS JOIN qv q
+        ),
+        dense AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, doc_id) AS rank
+            FROM dscored
+          ) WHERE rank <= 10
+        ),
+        contrib AS (
+          SELECT query_id, doc_id,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sparse
+          UNION ALL
+          SELECT query_id, doc_id,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM dense
+        ),
+        fused AS (
+          SELECT query_id, doc_id,
+                 floor(sum(c) * 1e9 + 0.5) / 1e9 AS rrf_score
+          FROM contrib GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rrf_score, fused_rank FROM (
+          SELECT query_id, doc_id, rrf_score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id) AS fused_rank
+          FROM fused
+        ) WHERE fused_rank <= 10
     """
     sql["ns_fuzzy_match"] = """
         WITH names AS (

@@ -1060,3 +1060,70 @@ def ivf_adc_topk_pruned(
         codes, cent, books, queries, k, n_probe, id_col,
         _probes_luts=(probes, luts),
     )
+
+
+def ivf_adc_topk_rerank(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC with exact re-ranking — the "R" refinement of the IVFADC
+    paper (Jégou, Douze, Schmid 2011 §V.D: ADC orders a shortlist, exact
+    distances on the raw vectors of just those candidates fix the final
+    ordering). The r11 drift study (SCALING.md) is the motivation in
+    numbers: ADC distances are quantization-noisy even in-distribution
+    (recall@10 ≈ 0.43 at the m=8/k=64 budget), and re-ranking is the
+    standard cheap fix for everything EXCEPT candidates ADC missed
+    entirely (those need n_probe/shortlist/budget growth).
+
+    Cost shape at 100 TB: the ADC pass is the same routed-cell
+    partition-pruned scan as :func:`ivf_adc_topk_pruned` (m gathers per
+    row, local-top-``shortlist`` pre-reduction); the exact pass touches
+    only |Q| × shortlist rows — the semi-join against the raw-vector
+    table (``vectors``: the snapshot table / system-of-record the PQ
+    deployment keeps anyway, since codes are lossy) moves the shortlist
+    ids, not the corpus, and the per-row exact L2 is a single zip_with
+    fold. Returns (query_id, vec_id, l2_dist, rank) under the
+    deterministic (l2_dist 6dp, vec_id) total order.
+
+    Exactness theorem the oracle hashes: with ``n_probe`` = all cells
+    and ``shortlist`` ≥ the corpus size, the shortlist IS the committed
+    corpus, so the result EQUALS exact L2 brute-force top-k — making
+    the whole chain (committed-batch visibility, routing, ADC ordering
+    feeding the shortlist, the raw-vector join, the exact re-rank)
+    SQL-mirrorable despite PQ's lossiness."""
+    from ..functions.scalars import portable_round
+
+    short = ivf_adc_topk_pruned(
+        spark, path, queries, k=shortlist, n_probe=n_probe, id_col=id_col
+    ).select("query_id", F.col("vec_id").alias(id_col))
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, __qv array<double>",
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            vec_col, "__qv",
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        short.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", id_col, portable_round(l2, 6).alias("l2_dist"))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.asc("l2_dist"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    )

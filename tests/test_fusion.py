@@ -1,0 +1,112 @@
+"""Reciprocal Rank Fusion (operators/fusion.py, Cormack/Clarke/Büttcher
+SIGIR 2009) and IVFADC exact re-ranking (pq.ivf_adc_topk_rerank, the "R"
+refinement): arithmetic against hand-computed values, determinism of the
+tie orders, and the exhaustive-rerank ≡ brute-force theorem the oracle
+hashes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.operators import fusion, pq, similarity
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """score(q,d) = Σ 1/(60+rank): doc A ranked 1 and 2 must beat doc B
+    ranked 1 in only one list; a doc in one list only gets one term;
+    ties break by doc_id ascending."""
+    sparse = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [("q", 10, 2), ("q", 40, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+        for r in fusion.rrf_fuse([sparse, dense], k=10).collect()
+    }
+    def rr(*ranks):
+        return sum(1.0 / (60.0 + r) for r in ranks)
+    import math
+    def fl9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+    assert got[10][0] == pytest.approx(fl9(rr(1, 2)), abs=0)
+    assert got[40][0] == pytest.approx(fl9(rr(1)), abs=0)
+    assert got[20][0] == pytest.approx(fl9(rr(2)), abs=0)
+    assert got[30][0] == pytest.approx(fl9(rr(3)), abs=0)
+    # doc 10 (two terms) first; 40 and 20 both have one rank-total but
+    # 1/(61) > 1/(62); 30 last
+    assert [d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])] == [
+        10, 40, 20, 30
+    ]
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_k_cut(spark):
+    """Identical ranks in a single list ⇒ identical scores ⇒ doc_id
+    ascending decides; k cuts after ranking."""
+    r1 = spark.createDataFrame(
+        [("q", d, 1) for d in (7, 3, 5)], "query_id string, doc_id long, rank long"
+    )
+    rows = fusion.rrf_fuse([r1], k=2).orderBy("fused_rank").collect()
+    assert [(r["doc_id"], r["fused_rank"]) for r in rows] == [(3, 1), (5, 2)]
+    with pytest.raises(ValueError):
+        fusion.rrf_fuse([], k=2)
+
+
+def test_adc_rerank_orders_by_exact_distance(spark, tmp_path):
+    """A lossy-budget index whose ADC ordering is noisy: the re-ranked
+    result must order by EXACT L2 (6dp, vec_id tiebreak) over whatever
+    the shortlist admitted, and with an exhaustive probe + full-corpus
+    shortlist it must EQUAL brute-force L2 top-k exactly (the oracle's
+    theorem, asserted here at the operator level)."""
+    rng = np.random.default_rng(7)
+    D = 16
+    centers = rng.normal(scale=5.0, size=(4, D))
+    X = np.concatenate([c + rng.normal(scale=0.5, size=(60, D)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    books = pq.pq_train_residual(emb, assigned, cent, m=4, k=8, iters=5)
+    idx = str(tmp_path / "pq_rr")
+    pq.pq_write(pq.pq_encode_residual(emb, assigned, cent, books), idx, books, cent)
+    queries = [(1000 + qi, [float(x) for x in X[qi * 37]]) for qi in range(3)]
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in pq.ivf_adc_topk_rerank(
+            spark, idx, emb, queries, k=5, n_probe=4, shortlist=len(X)
+        ).collect()
+    )
+    want = []
+    for qid, qv in queries:
+        q = np.array(qv)
+        d = np.floor(((X - q) ** 2).sum(1) * 1e6 + 0.5) / 1e6
+        order = sorted(range(len(X)), key=lambda i: (d[i], i))[:5]
+        want.extend((qid, rk + 1, i) for rk, i in enumerate(order))
+    assert got == sorted(want)
+
+    # narrow shortlist: results are a subset of the ADC shortlist,
+    # re-ordered by exact distance
+    short = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.ivf_adc_topk_pruned(
+            spark, idx, queries, k=8, n_probe=2
+        ).collect()
+    }
+    rr = pq.ivf_adc_topk_rerank(
+        spark, idx, emb, queries, k=5, n_probe=2, shortlist=8
+    ).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in rr} <= short
+    by_q: dict = {}
+    for r in rr:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["l2_dist"], r["vec_id"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        dists = [(d, v) for _, d, v in rows]
+        assert dists == sorted(dists), (qid, rows)  # exact-distance order

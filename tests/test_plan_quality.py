@@ -163,6 +163,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_pq_indexed (r11): same bounded 8-row broadcast BF leg,
         # plus the 16-row centroid broadcast of the persisted-ADC probe
         "ns_ann_pq_indexed",
+        # ns_hybrid_rrf (r11): the dense leg is brute_force_topk's
+        # 3-row broadcast query crossJoin — same bounded shape as
+        # ns_ann_bruteforce, fused map-side afterwards
+        "ns_hybrid_rrf",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
