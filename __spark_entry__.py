@@ -3595,6 +3595,43 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fusion.rrf_fuse([sparse, dense], k=10)
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation kit (r11: operators/evaluation.py::
+    retrieval_metrics — recall@k / precision@k / MRR / nDCG@k, IIR §8):
+    the missing piece of the retrieval stack measured in-engine. The
+    BM25 probe ranking is scored against DATA-DERIVED graded judgments:
+    a document is judged relevant to a query when it contains ≥ 2 of the
+    query's distinct terms, graded (terms-present − 1) — grades 1..2 for
+    the 3-term probe queries, so nDCG's 2^rel gain is exercised, and
+    both engines derive the qrels from the same canonical tokenization
+    the BM25 legs already mirror. Every stage is keyed by query_id over
+    k-bounded inputs, so evaluation cost is corpus-size-independent —
+    cheap enough to run per index-maintenance cycle (the SCALING.md
+    drift studies are this loop hand-rolled)."""
+    from pwhl_data_engineering_pipeline_spark.operators import evaluation
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    results = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(search._tokens(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    q_terms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(search._tokens(F.col("query_text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    present = (
+        doc_terms.join(q_terms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__np"))
+    )
+    qrels = present.filter(F.col("__np") >= 2).select(
+        "query_id", "doc_id", (F.col("__np") - 1).alias("relevance")
+    )
+    return evaluation.retrieval_metrics(results, qrels, k=10)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact all-pairs cosine threshold on a bounded block."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
@@ -3828,6 +3865,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_pq_indexed": q_ann_pq_indexed,
         "ns_ann_pq_rerank": q_ann_pq_rerank,
         "ns_hybrid_rrf": q_hybrid_rrf,
+        "ns_retrieval_eval": q_retrieval_eval,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5413,6 +5451,85 @@ def _all_oracle_sql() -> dict[str, str]:
                                     ORDER BY rrf_score DESC, doc_id) AS fused_rank
           FROM fused
         ) WHERE fused_rank <= 10
+    """
+    # retrieval evaluation kit (r11, operators/evaluation.py): BM25 leg =
+    # the bm25_sql mirror; qrels derived from the SAME tokenization
+    # (judged when ≥2 distinct query terms present, grade = present−1);
+    # metrics = the identical recall/precision/MRR/nDCG arithmetic with
+    # ln-ratio log2 and the 6dp floor (the sum-of-≤10-doubles tolerance
+    # argument every BM25/cosine mirror here already rests on)
+    sql["ns_retrieval_eval"] = f"""
+        WITH res AS (
+          SELECT query_id, doc_id, rank FROM (
+            {search.bm25_sql(docs_from="documents", queries_values=_rrf_bm25_values, k=10)}
+          )
+        ),
+        q(query_id, query_text) AS (VALUES {_rrf_bm25_values}),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(string_split_regex(lower(trim(query_text)), '\\s+')) AS term
+            FROM q
+          ) WHERE term <> ''
+        ),
+        dterms AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+          ) WHERE term <> ''
+        ),
+        present AS (
+          SELECT qt.query_id, d.doc_id, count(DISTINCT qt.term) AS np
+          FROM dterms d JOIN qterms qt USING (term)
+          GROUP BY qt.query_id, d.doc_id
+        ),
+        qrels AS (
+          SELECT query_id, doc_id, CAST(np - 1 AS DOUBLE) AS rel
+          FROM present WHERE np >= 2
+        ),
+        j AS (
+          SELECT r.query_id, r.doc_id, CAST(r.rank AS DOUBLE) AS rank,
+                 coalesce(qr.rel, 0.0) AS rel
+          FROM res r LEFT JOIN qrels qr USING (query_id, doc_id)
+        ),
+        obs AS (
+          SELECT query_id,
+                 count(*) AS n_retrieved,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                 min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                 sum((pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+          FROM j GROUP BY query_id
+        ),
+        ideal AS (
+          SELECT query_id,
+                 sum((pow(2.0, rel) - 1.0) / (ln(irank + 1.0) / ln(2.0))) AS idcg
+          FROM (
+            SELECT query_id, rel,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, doc_id) AS DOUBLE)
+                     AS irank
+            FROM qrels
+          ) WHERE irank <= 10 GROUP BY query_id
+        ),
+        tot AS (
+          SELECT query_id, count(*) AS n_relevant FROM qrels GROUP BY query_id
+        )
+        SELECT coalesce(o.query_id, i.query_id, t.query_id) AS query_id,
+               coalesce(o.n_retrieved, 0) AS n_retrieved,
+               coalesce(t.n_relevant, 0) AS n_relevant,
+               floor((CASE WHEN coalesce(t.n_relevant, 0) > 0
+                           THEN coalesce(o.hits, 0) / CAST(t.n_relevant AS DOUBLE)
+                           ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS recall_at_k,
+               floor((coalesce(o.hits, 0) / 10.0) * 1e6 + 0.5) / 1e6
+                 AS precision_at_k,
+               floor(coalesce(1.0 / o.first_rel, 0.0) * 1e6 + 0.5) / 1e6 AS mrr,
+               floor((CASE WHEN coalesce(i.idcg, 0.0) > 0
+                           THEN coalesce(o.dcg, 0.0) / i.idcg
+                           ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ndcg_at_k
+        FROM obs o
+        FULL JOIN ideal i ON o.query_id = i.query_id
+        FULL JOIN tot t ON coalesce(o.query_id, i.query_id) = t.query_id
     """
     sql["ns_fuzzy_match"] = """
         WITH names AS (

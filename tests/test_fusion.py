@@ -110,3 +110,54 @@ def test_adc_rerank_orders_by_exact_distance(spark, tmp_path):
         rows.sort()
         dists = [(d, v) for _, d, v in rows]
         assert dists == sorted(dists), (qid, rows)  # exact-distance order
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall/precision/MRR/nDCG against hand arithmetic, including the
+    edge queries: one with no relevant docs (all-zero row), one judged
+    but never retrieved (recall 0, mrr 0), graded gains (2^rel - 1)."""
+    import math
+
+    from pwhl_data_engineering_pipeline_spark.operators import evaluation
+
+    results = spark.createDataFrame(
+        # qA: relevant at ranks 1 (rel 2) and 3 (rel 1); rank 2 unjudged
+        # qB: nothing relevant retrieved
+        [("qA", 1, 1), ("qA", 2, 2), ("qA", 3, 3),
+         ("qB", 7, 1), ("qB", 8, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # qA: three judged docs (one never retrieved)
+        # qC: judged but the retriever returned nothing
+        [("qA", 1, 2), ("qA", 3, 1), ("qA", 99, 1), ("qC", 5, 1)],
+        "query_id string, doc_id long, relevance int",
+    )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in evaluation.retrieval_metrics(results, qrels, k=10).collect()
+    }
+
+    def fl6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    a = got["qA"]
+    assert a["n_retrieved"] == 3 and a["n_relevant"] == 3
+    assert a["recall_at_k"] == fl6(2 / 3)
+    assert a["precision_at_k"] == fl6(2 / 10)
+    assert a["mrr"] == fl6(1.0)
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    assert a["ndcg_at_k"] == fl6(dcg / idcg)
+
+    b = got["qB"]
+    assert b["n_retrieved"] == 2 and b["n_relevant"] == 0
+    assert (b["recall_at_k"], b["precision_at_k"], b["mrr"], b["ndcg_at_k"]) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
+
+    c = got["qC"]
+    assert c["n_retrieved"] == 0 and c["n_relevant"] == 1
+    assert (c["recall_at_k"], c["mrr"], c["ndcg_at_k"]) == (0.0, 0.0, 0.0)

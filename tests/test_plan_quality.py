@@ -167,6 +167,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # 3-row broadcast query crossJoin — same bounded shape as
         # ns_ann_bruteforce, fused map-side afterwards
         "ns_hybrid_rrf",
+        # ns_retrieval_eval (r11): inherits bm25_topk's 1-row corpus-
+        # scalars crossJoin (the already-allowlisted ns_bm25_search
+        # shape); the metrics stages are all equi-joins
+        "ns_retrieval_eval",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
