@@ -3632,6 +3632,105 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.retrieval_metrics(results, qrels, k=10)
 
 
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR result diversification (r11: operators/diversify.py::mmr_rerank,
+    Carbonell & Goldstein SIGIR 1998) — per-query greedy selection over a
+    k-bounded shortlist via applyInPandas, the documented right home for
+    a sequential per-group kernel. MMR's greedy argmax is not
+    SQL-expressible, so the oracle hashes THEOREM flags over a
+    construction that makes each one exact:
+
+    Candidates per query q (embeddings vec_id < 8): the cosine top-15
+    INCLUDING q itself (rel = the 6dp brute-force cos_sim, so rel_self
+    = 1.0) plus a PLANTED exact duplicate of q (id +10_000_000, rel =
+    1 − 1e-5). Flags, each exact by construction:
+
+    - first_is_self: step-1 objective is λ·rel, maximized by rel_self
+      = 1.0 (the dup trails by 1e-5 ≫ the 1e-9 objective grid).
+    - dup_not_second (λ=0.5): pure relevance would pick the planted
+      duplicate SECOND (rel 1−1e-5 is the second-highest). At MMR's
+      step 2 the selected set is exactly {q}, so the dup's objective is
+      0.5·(1−1e-5) − 0.5·1 = −5e-6 exactly (cos to itself = 1), while
+      every other candidate scores 0.5·rel6dp − 0.5·cos_f64 ≥ −2.5e-7
+      (6dp rounding bound) — a ≥ 4.75e-6 margin over the 1e-9 grid, so
+      the duplicate is NEVER the second pick: the diversity semantics,
+      gated exactly. (Only step 2 is a theorem: later steps' simmax is
+      a max over the whole selected set, and a redundant low-rel corpus
+      doc can legitimately score below −5e-6 — the first attempt's
+      "dup is last" flag failed on exactly that, correctly.)
+    - lambda1_matches_relevance: λ=1 reduces MMR to relevance order
+      (score desc, id asc) — compared in-job against the window rank.
+
+    The flags hash the kernel's determinism (9dp-floored argmax,
+    first-max ties → ascending id), the simmax update, and the λ
+    trade-off arithmetic; free-form λ quality lives in
+    test_fusion.py's hand-computed cases."""
+    from pwhl_data_engineering_pipeline_spark.operators import diversify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(emb, queries, k=15).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("rel_score")
+    )
+    cand = top.join(
+        emb.select("vec_id", F.col("embedding").alias("__v")), "vec_id"
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rel_score", F.col("__v").alias("embedding"))
+    dup = queries.select(
+        "query_id",
+        (F.col("query_id") + 10_000_000).alias("doc_id"),
+        (F.lit(1.0) - F.lit(1e-5)).alias("rel_score"),
+        "embedding",
+    )
+    cand_all = cand.unionByName(dup)
+    sel = diversify.mmr_rerank(cand_all, k=16, lam=0.5)
+    n_cand = cand_all.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    stats = sel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.min(F.when(F.col("rank") == 1, F.col("doc_id"))).alias("__first"),
+        F.max(F.when(F.col("doc_id") >= 10_000_000, F.col("rank"))).alias("__duprank"),
+        F.max("rank").alias("__lastrank"),
+    )
+    # λ=1 leg ≡ relevance order — compared DRIVER-SIDE over the two
+    # bounded frames (≤ |Q|·16 rows each; NOT a join of two frames
+    # sharing the cand_all subtree inside one plan — the
+    # "Can't zip RDDs" plan-reuse bug ns_ann_pq_indexed documented)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_score").desc(), F.col("doc_id").asc()
+    )
+    want1 = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in cand_all.select(
+            "query_id", "doc_id", F.row_number().over(wq).alias("rank")
+        )
+        .filter(F.col("rank") <= 16)
+        .collect()
+    }
+    got1 = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in diversify.mmr_rerank(cand_all, k=16, lam=1.0)
+        .select("query_id", "doc_id", "rank")
+        .collect()
+    }
+    bad_queries = {q for q, _, _ in got1 ^ want1}
+    lam1_flags = spark.createDataFrame(
+        [(qid, qid not in bad_queries) for qid in range(8)],
+        "query_id long, lambda1_matches_relevance boolean",
+    )
+    return (
+        stats.join(n_cand, "query_id")
+        .join(lam1_flags, "query_id")
+        .select(
+            "query_id",
+            "n_selected",
+            "lambda1_matches_relevance",
+            (F.col("__first") == F.col("query_id")).alias("first_is_self"),
+            (F.col("__duprank") > 2).alias("dup_not_second"),
+        )
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact all-pairs cosine threshold on a bounded block."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
@@ -3866,6 +3965,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_pq_rerank": q_ann_pq_rerank,
         "ns_hybrid_rrf": q_hybrid_rrf,
         "ns_retrieval_eval": q_retrieval_eval,
+        "ns_mmr_diversify": q_mmr_diversify,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5530,6 +5630,22 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM obs o
         FULL JOIN ideal i ON o.query_id = i.query_id
         FULL JOIN tot t ON coalesce(o.query_id, i.query_id) = t.query_id
+    """
+    # MMR diversification (r11, operators/diversify.py): the greedy argmax
+    # is not SQL-expressible, so the hashed columns are in-job THEOREMS
+    # over the self+planted-duplicate construction (see q_mmr_diversify:
+    # first pick is the rel-1.0 self; the planted exact duplicate — which
+    # pure relevance would rank SECOND — is never the second pick at
+    # λ=0.5, by a ≥4.75e-6 step-2 objective margin; λ=1 reduces to
+    # relevance order) — the literal mirror gates the kernel's
+    # determinism, tie order, simmax update, and λ arithmetic
+    sql["ns_mmr_diversify"] = """
+        SELECT vec_id AS query_id,
+               CAST(16 AS BIGINT) AS n_selected,
+               TRUE AS lambda1_matches_relevance,
+               TRUE AS first_is_self,
+               TRUE AS dup_not_second
+        FROM embeddings WHERE vec_id < 8
     """
     sql["ns_fuzzy_match"] = """
         WITH names AS (

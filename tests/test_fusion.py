@@ -161,3 +161,62 @@ def test_retrieval_metrics_hand_computed(spark):
     c = got["qC"]
     assert c["n_retrieved"] == 0 and c["n_relevant"] == 1
     assert (c["recall_at_k"], c["mrr"], c["ndcg_at_k"]) == (0.0, 0.0, 0.0)
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """MMR greedy on a 2-D toy set where the arithmetic is checkable by
+    hand: q-aligned axis docs vs a near-duplicate. rel scores chosen so
+    pure relevance would pick the duplicate second; MMR at λ=0.5 defers
+    it for the orthogonal doc."""
+    from pwhl_data_engineering_pipeline_spark.operators import diversify
+
+    # doc 1: e_x (rel .9); doc 2: e_x again (rel .8, a duplicate);
+    # doc 3: e_y (rel .5, orthogonal)
+    cand = spark.createDataFrame(
+        [
+            ("q", 1, 0.9, [1.0, 0.0]),
+            ("q", 2, 0.8, [1.0, 0.0]),
+            ("q", 3, 0.5, [0.0, 1.0]),
+        ],
+        "query_id string, doc_id long, rel_score double, embedding array<double>",
+    )
+    rows = (
+        diversify.mmr_rerank(cand, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    got = [(r["doc_id"], r["mmr_score"]) for r in rows]
+    # step 1: obj = .5*rel -> doc 1 (0.45)
+    # step 2: doc 2 = .5*.8 - .5*1 = -0.1 ; doc 3 = .5*.5 - .5*0 = 0.25 -> doc 3
+    # step 3: doc 2 = -0.1 (sim to {1,3} max = 1)
+    assert got == [(1, 0.45), (3, 0.25), (2, -0.1)], got
+
+    # λ=1 ≡ relevance order (score ties broken by id)
+    rel_order = [
+        r["doc_id"]
+        for r in diversify.mmr_rerank(cand, k=3, lam=1.0).orderBy("rank").collect()
+    ]
+    assert rel_order == [1, 2, 3]
+
+    # k cut + λ bounds
+    assert diversify.mmr_rerank(cand, k=2, lam=0.5).count() == 2
+    with pytest.raises(ValueError):
+        diversify.mmr_rerank(cand, k=3, lam=1.5)
+
+
+def test_mmr_rerank_tie_breaks_by_id_and_multiquery(spark):
+    """Equal objectives must select ascending ids (the 9dp-floored
+    argmax with first-max semantics), independently per query group."""
+    from pwhl_data_engineering_pipeline_spark.operators import diversify
+
+    cand = spark.createDataFrame(
+        [(q, d, 0.7, [1.0, 0.0]) for q in ("a", "b") for d in (9, 4, 6)],
+        "query_id string, doc_id long, rel_score double, embedding array<double>",
+    )
+    out = diversify.mmr_rerank(cand, k=3, lam=1.0)
+    for q in ("a", "b"):
+        ids = [
+            r["doc_id"]
+            for r in out.filter(F.col("query_id") == q).orderBy("rank").collect()
+        ]
+        assert ids == [4, 6, 9], (q, ids)

@@ -171,6 +171,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # scalars crossJoin (the already-allowlisted ns_bm25_search
         # shape); the metrics stages are all equi-joins
         "ns_retrieval_eval",
+        # ns_mmr_diversify (r11): candidate shortlists come from
+        # brute_force_topk's 8-row broadcast query crossJoin (the
+        # ns_ann_bruteforce shape); the MMR kernel itself is a
+        # query-keyed applyInPandas over k-bounded groups
+        "ns_mmr_diversify",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
