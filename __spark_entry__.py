@@ -3632,6 +3632,68 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.retrieval_metrics(results, qrels, k=10)
 
 
+def q_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion on the persisted IVF index (r11: similarity.ivf_delete —
+    the right-to-be-forgotten path: a committed TOMBSTONE batch masks
+    ids at probe time, the next recompact purges physically): build over
+    the FULL corpus, delete the ODD vec_ids, probe exhaustively. An
+    exhaustive probe over the masked index equals brute-force cosine
+    top-10 over the SURVIVORS — so the brute-force-over-evens SQL mirror
+    value-hashes the deletion semantics themselves (a leaked tombstoned
+    row or an over-masked live one changes the candidate set). The
+    PySpark side also asserts the delete observables."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    idx = tempfile.mkdtemp(prefix="ivf_del_") + "/index"
+    similarity.ivf_write(assigned, idx, cent)
+    out = similarity.ivf_delete(
+        spark, idx, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_pruned(
+        spark, idx, None, queries, k=10, n_probe=16
+    ).withColumnRenamed("rank", "knn_rank")
+
+
+def q_ann_pq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion on the persisted PQ index (r11: pq.pq_delete, the IVF
+    twin over the lossy index) — made FULLY value-hashable through the
+    exact re-rank: build residual-PQ over the full corpus, delete the
+    ODD vec_ids, then probe with ivf_adc_topk_rerank at exhaustive
+    n_probe and corpus-wide shortlist. The masked ADC shortlist is
+    exactly the survivor set, and the exact re-rank of the whole
+    survivor set equals plain L2 brute force over the evens — the SQL
+    mirror hashes both the tombstone masking and the rerank chain."""
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="pq_del_") + "/index"
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned, cent, books), idx, books, cent
+    )
+    out = pqm.pq_delete(
+        spark, idx, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    n_corpus = emb.count()
+    return pqm.ivf_adc_topk_rerank(
+        spark, idx, emb, queries, k=10, n_probe=16, shortlist=n_corpus
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (r11: operators/diversify.py::mmr_rerank,
     Carbonell & Goldstein SIGIR 1998) — per-query greedy selection over a
@@ -3966,6 +4028,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_hybrid_rrf": q_hybrid_rrf,
         "ns_retrieval_eval": q_retrieval_eval,
         "ns_mmr_diversify": q_mmr_diversify,
+        "ns_ann_ivf_deleted": q_ann_ivf_deleted,
+        "ns_ann_pq_deleted": q_ann_pq_deleted,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5646,6 +5710,57 @@ def _all_oracle_sql() -> dict[str, str]:
                TRUE AS first_is_self,
                TRUE AS dup_not_second
         FROM embeddings WHERE vec_id < 8
+    """
+    # IVF deletion (r11): build(full) + delete(odds) + exhaustive probe ≡
+    # brute force over the SURVIVORS — the mirror hashes the tombstone
+    # masking itself (a leaked deleted row or over-masked live row breaks
+    # the candidate set)
+    sql["ns_ann_ivf_deleted"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), live AS (
+          SELECT vec_id, v FROM ed WHERE vec_id % 2 = 0
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+          FROM live CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 10
+    """
+    # PQ deletion (r11): the masked exhaustive ADC shortlist is exactly
+    # the survivor set and its exact re-rank ≡ L2 brute force over the
+    # evens — a full value-hash of tombstone masking on the lossy index
+    sql["ns_ann_pq_deleted"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), live AS (
+          SELECT vec_id, v FROM ed WHERE vec_id % 2 = 0
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, v) + list_dot_product(qv, qv)
+                        - 2 * list_dot_product(v, qv)) * 1e6 + 0.5) / 1e6
+                   AS l2_dist
+          FROM live CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, l2_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2_dist ASC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, l2_dist, knn_rank FROM ranked WHERE knn_rank <= 10
     """
     sql["ns_fuzzy_match"] = """
         WITH names AS (

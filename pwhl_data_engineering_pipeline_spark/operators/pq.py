@@ -778,6 +778,96 @@ def pq_append(
     }
 
 
+def _pq_tombstones(spark, path: str, meta: dict, id_col: str = "vec_id"):
+    """Union of committed tombstone id tables (``_tombstones/<tid>``),
+    or None when the index has no deletions — the IVF twin."""
+    tids = meta.get("tombstones") or []
+    if not tids:
+        return None
+    df = spark.read.parquet(*[f"{path.rstrip('/')}/_tombstones/{t}" for t in tids])
+    return df.select(F.col(id_col)).distinct()
+
+
+def pq_delete(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    batch_id: str | None = None,
+) -> dict:
+    """Delete vectors from a persisted PQ index by id — identical
+    semantics and machinery to :func:`similarity.ivf_delete` (logical
+    tombstone batch now, probes mask by id, the next
+    :func:`pq_recompact` is the physical purge and clears the list;
+    crash-consistent one-commit visibility, idempotent re-delete,
+    version-race retry safe across a meta flip because masking is
+    id-keyed). See the IVF twin's docstring for the full contract,
+    including the re-append-while-tombstoned caveat."""
+    import uuid as _uuid
+
+    from ..fsutil import delete as _fs_delete, exists as _fs_exists
+    from .search import _check_batch_id, _commit_scalars, _read_scalars
+
+    meta = _pq_read_manifest(spark, path)
+    if meta is None or not meta.get("meta"):
+        raise RuntimeError(
+            f"PQ index at {path} predates the lifecycle layout — rebuild "
+            "with pq_write before deleting"
+        )
+    if batch_id is None:
+        batch_id = "t" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
+    if batch_id in (meta.get("tombstones") or []):
+        return {
+            "n_ids": 0,
+            "version": meta["_version"],
+            "tombstone_id": batch_id,
+            "skipped": True,
+        }
+    tdir = f"{path.rstrip('/')}/_tombstones/{batch_id}"
+    _fs_delete(spark, tdir, recursive=True)
+    ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(tdir)
+    n_ids = spark.read.parquet(tdir).count()
+    if n_ids > 0 and not _fs_exists(spark, tdir):
+        raise IOError(
+            f"pq_delete: tombstone dir {tdir} was reclaimed before the "
+            "manifest commit — aborting; re-delete the batch"
+        )
+
+    def _meta_with(base: dict) -> dict:
+        m = {k: v for k, v in base.items() if k != "_version"}
+        m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        return m
+
+    try:
+        version = _commit_scalars(
+            spark, path, _meta_with(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        fresh = _read_scalars(spark, path)
+        if batch_id in (fresh.get("tombstones") or []):
+            return {
+                "n_ids": 0,
+                "version": fresh["_version"],
+                "tombstone_id": batch_id,
+                "skipped": True,
+            }
+        if n_ids > 0 and not _fs_exists(spark, tdir):
+            raise IOError(
+                f"pq_delete: tombstone dir {tdir} was reclaimed before "
+                "the manifest retry commit — aborting; re-delete the batch"
+            )
+        version = _commit_scalars(
+            spark, path, _meta_with(fresh), parent_version=fresh["_version"]
+        )
+    return {
+        "n_ids": int(n_ids),
+        "version": version,
+        "tombstone_id": batch_id,
+        "skipped": False,
+    }
+
+
 def pq_needs_recompact(
     spark,
     path: str,
@@ -872,17 +962,28 @@ def pq_recompact(
             "with pq_write before recompacting"
         )
     committed = meta.get("batches") or []
-    n_index = (
-        spark.read.parquet(path).filter(F.col("batch").isin(committed)).count()
-    )
+    live = spark.read.parquet(path).filter(F.col("batch").isin(committed))
+    tomb = _pq_tombstones(spark, path, meta, id_col)
+    if tomb is not None:
+        live = live.join(tomb, id_col, "left_anti")
+    n_index = live.count()
     n_vec = vectors.count()
     if n_vec != n_index:
         raise RuntimeError(
             f"pq_recompact: vectors= holds {n_vec} rows but the committed "
-            f"index holds {n_index} — recompaction re-encodes the WHOLE "
-            "corpus from its original vectors (codes are lossy); pass "
-            "exactly the committed corpus (e.g. the snapshot table)"
+            f"index holds {n_index} LIVE (non-tombstoned) rows — "
+            "recompaction re-encodes the whole live corpus from its "
+            "original vectors (codes are lossy); pass exactly the live "
+            "corpus (e.g. the snapshot table minus deleted ids)"
         )
+    if tomb is not None:
+        n_dead = vectors.join(tomb, id_col, "left_semi").count()
+        if n_dead:
+            raise RuntimeError(
+                f"pq_recompact: vectors= contains {n_dead} TOMBSTONED ids — "
+                "recompacting them back in would undelete them (the erasure "
+                "guarantee); exclude the deleted ids from the source corpus"
+            )
     old_books, _ = pq_read_meta(spark, path)
     if m is None:
         m = int(old_books.shape[0])
@@ -922,6 +1023,8 @@ def pq_recompact(
     retired = dict(meta.get("retired") or {})
     for b in committed:
         retired[b] = now
+    for t in meta.get("tombstones") or []:
+        retired[t] = now  # purged logically here; repair sweeps the dirs
     try:
         version = _commit_scalars(
             spark,
@@ -1019,9 +1122,29 @@ def pq_index_repair(
             spark, path.rstrip("/") + f"/_pq_meta/{sid}", recursive=True
         ):
             meta_swept.append(sid)
+    # tombstone id tables (r11 pq_delete) — crashed deletes mtime-gated,
+    # recompact-retired ones stamp-gated, same as the IVF twin
+    tombstones_swept: list[str] = []
+    committed_t = set(meta.get("tombstones") or [])
+    tdirs: dict[str, dict] = {}
+    for st in list_status(spark, path.rstrip("/") + "/_tombstones"):
+        if st["is_dir"]:
+            tdirs[st["name"]] = st
+    for tid in sorted(set(tdirs) - committed_t):
+        age = now - (
+            retired[tid] if tid in retired else
+            (_tree_max_mtime_ms(spark, path.rstrip("/") + f"/_tombstones/{tid}")
+             or tdirs[tid]["mtime_ms"]) / 1000.0
+        )
+        if age >= min_age_seconds and delete(
+            spark, path.rstrip("/") + f"/_tombstones/{tid}", recursive=True
+        ):
+            tombstones_swept.append(tid)
     droppable = [
         b for b in retired
-        if b in purged or (b not in mtimes and b not in committed)
+        if b in purged
+        or b in tombstones_swept
+        or (b not in mtimes and b not in committed and b not in tdirs)
     ]
     if droppable:
         _drop_retired_entries(spark, path, droppable)
@@ -1029,6 +1152,7 @@ def pq_index_repair(
         "purged_batches": purged,
         "deferred_batches": deferred,
         "meta_swept": meta_swept,
+        "tombstones_swept": tombstones_swept,
     }
 
 
@@ -1056,6 +1180,11 @@ def ivf_adc_topk_pruned(
         F.col("centroid_id").isin(needed)  # partition-pruned scan
         & F.col("batch").isin(meta.get("batches") or [])
     )
+    tomb = _pq_tombstones(spark, path, meta, id_col)
+    if tomb is not None:
+        # logical deletes (pq_delete): masked after the pruned scan,
+        # keyed by id — only routed-cell rows reach the anti-join
+        codes = codes.join(tomb, id_col, "left_anti")
     return ivf_adc_topk(
         codes, cent, books, queries, k, n_probe, id_col,
         _probes_luts=(probes, luts),

@@ -556,6 +556,115 @@ def ivf_write(
         centroids.write.mode("overwrite").parquet(centroids_path)
 
 
+def _ivf_tombstones(spark, path: str, meta: dict, id_col: str = "vec_id"):
+    """Union of the COMMITTED tombstone id tables (manifest ``tombstones``
+    list → ``_tombstones/<tid>`` parquet dirs), or None when the index
+    has no deletions. One column named ``id_col``."""
+    tids = meta.get("tombstones") or []
+    if not tids:
+        return None
+    df = spark.read.parquet(*[f"{path}/_tombstones/{t}" for t in tids])
+    return df.select(F.col(id_col)).distinct()
+
+
+def ivf_delete(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    batch_id: str | None = None,
+) -> dict:
+    """Delete vectors from a persisted IVF index by id — the
+    right-to-be-forgotten path (GDPR erasure over a training-data
+    index). Deletion is LOGICAL first, physical later, the Lucene
+    posture: the ids land as a committed TOMBSTONE batch
+    (``_tombstones/<tid>``, listed in the manifest), every probe masks
+    them with an anti-join after the committed-batch filter, and the
+    next :func:`ivf_recompact` excludes them from the re-routed corpus
+    and clears the tombstone list — that is the moment the bytes
+    actually leave the index tree (erasure SLAs schedule a recompact,
+    not a delete).
+
+    Crash consistency — the ``ivf_append`` machinery on the tombstone
+    axis: the id table lands invisible, ONE manifest version-commit
+    flips it live, a re-delete of a committed tid is a metadata no-op,
+    a crashed attempt purges and rewrites, a version race retries once
+    from the fresh manifest. Masking is BY ID, independent of batch
+    layout, so the retry is safe even across a concurrent recompact
+    flip (rows that were live at recompact time re-routed into the new
+    batch; the tombstone still masks them).
+
+    Deleting ids not present is harmless (masks nothing). Contract
+    note, loudly: re-APPENDING a tombstoned id before the purging
+    recompact stays masked — ids are delete-then-gone until the
+    tombstones clear; re-ingest after the recompact behaves normally.
+
+    Returns {"n_ids", "version", "tombstone_id", "skipped"}."""
+    import uuid as _uuid
+
+    from ..fsutil import delete as _fs_delete, exists as _fs_exists
+    from .search import _check_batch_id, _commit_scalars, _read_scalars
+
+    meta = _ivf_read_manifest(spark, path)
+    if meta is None:
+        raise RuntimeError(
+            f"IVF index at {path} predates batch stamping — rebuild with "
+            "ivf_write before deleting"
+        )
+    if batch_id is None:
+        batch_id = "t" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
+    if batch_id in (meta.get("tombstones") or []):
+        return {
+            "n_ids": 0,
+            "version": meta["_version"],
+            "tombstone_id": batch_id,
+            "skipped": True,
+        }
+    tdir = f"{path}/_tombstones/{batch_id}"
+    _fs_delete(spark, tdir, recursive=True)  # crashed-attempt leftovers
+    ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(tdir)
+    n_ids = spark.read.parquet(tdir).count()
+    if n_ids > 0 and not _fs_exists(spark, tdir):
+        raise IOError(
+            f"ivf_delete: tombstone dir {tdir} was reclaimed before the "
+            "manifest commit — aborting; re-delete the batch"
+        )
+
+    def _meta_with(base: dict) -> dict:
+        m = {k: v for k, v in base.items() if k != "_version"}
+        m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        return m
+
+    try:
+        version = _commit_scalars(
+            spark, path, _meta_with(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        fresh = _read_scalars(spark, path)
+        if batch_id in (fresh.get("tombstones") or []):
+            return {
+                "n_ids": 0,
+                "version": fresh["_version"],
+                "tombstone_id": batch_id,
+                "skipped": True,
+            }
+        if n_ids > 0 and not _fs_exists(spark, tdir):
+            raise IOError(
+                f"ivf_delete: tombstone dir {tdir} was reclaimed before "
+                "the manifest retry commit — aborting; re-delete the batch"
+            )
+        version = _commit_scalars(
+            spark, path, _meta_with(fresh), parent_version=fresh["_version"]
+        )
+    return {
+        "n_ids": int(n_ids),
+        "version": version,
+        "tombstone_id": batch_id,
+        "skipped": False,
+    }
+
+
 def ivf_needs_recompact(
     spark,
     path: str,
@@ -662,6 +771,13 @@ def ivf_recompact(
         .filter(F.col("batch").isin(committed))
         .select(F.col(id_col), F.col(vec_col))
     )
+    tomb = _ivf_tombstones(spark, path, meta, id_col)
+    if tomb is not None:
+        # the purge moment for logical deletes: tombstoned rows are
+        # excluded from the re-route, the flipped manifest clears the
+        # tombstone list, and repair reclaims the retired id tables —
+        # after this commit the deleted bytes are gone from the tree
+        corpus = corpus.join(tomb, id_col, "left_anti")
     cent = _train_centroids(
         corpus, int(n_centroids), vec_col, id_col, seed, refine_iterations
     )
@@ -686,6 +802,8 @@ def ivf_recompact(
     retired = dict(meta.get("retired") or {})
     for b in committed:
         retired[b] = now
+    for t in meta.get("tombstones") or []:
+        retired[t] = now  # purged logically here; repair sweeps the dirs
     try:
         version = _commit_scalars(
             spark,
@@ -798,12 +916,34 @@ def ivf_index_repair(
             spark, f"{path}/_centroids/{cid}", recursive=True
         ):
             centroids_swept.append(cid)
+    # tombstone id tables (r11 ivf_delete): any ``_tombstones/<tid>`` dir
+    # NOT in the committed tombstone list is either a crashed delete
+    # (mtime-gated) or one a recompact retired when it purged the ids
+    # physically (retirement-stamped) — same age decision as batches
+    tombstones_swept: list[str] = []
+    committed_t = set(meta.get("tombstones") or [])
+    tdirs: dict[str, dict] = {}
+    for st in list_status(spark, f"{path}/_tombstones"):
+        if st["is_dir"]:
+            tdirs[st["name"]] = st
+    for tid in sorted(set(tdirs) - committed_t):
+        age = now - (
+            retired[tid] if tid in retired else
+            (_tree_max_mtime_ms(spark, f"{path}/_tombstones/{tid}")
+             or tdirs[tid]["mtime_ms"]) / 1000.0
+        )
+        if age >= min_age_seconds and delete(
+            spark, f"{path}/_tombstones/{tid}", recursive=True
+        ):
+            tombstones_swept.append(tid)
     # drop stamps for reclaimed batches AND for retired ids whose
     # directories are already gone (a prior repair lost the stamp-drop
     # commit to a version conflict) — same hygiene as bm25_index_repair
     droppable = [
         b for b in retired
-        if b in purged or (b not in mtimes and b not in committed)
+        if b in purged
+        or b in tombstones_swept
+        or (b not in mtimes and b not in committed and b not in tdirs)
     ]
     if droppable:
         _drop_retired_entries(spark, path, droppable)
@@ -811,6 +951,7 @@ def ivf_index_repair(
         "purged_batches": purged,
         "deferred_batches": deferred,
         "centroids_swept": centroids_swept,
+        "tombstones_swept": tombstones_swept,
     }
 
 
@@ -858,6 +999,11 @@ def ivf_topk_pruned(
     meta = _ivf_read_manifest(spark, index_path)
     if meta is not None:
         index = index.filter(F.col("batch").isin(meta.get("batches") or []))
+        tomb = _ivf_tombstones(spark, index_path, meta, id_col)
+        if tomb is not None:
+            # logical deletes (ivf_delete): masked AFTER the pruned scan,
+            # keyed by id — the anti-join touches only routed-cell rows
+            index = index.join(tomb, id_col, "left_anti")
     scored = index.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,

@@ -1,0 +1,210 @@
+"""Deletion support for the persisted ANN indexes (r11): logical
+tombstones now, probe-side id masking, physical purge at recompact —
+the right-to-be-forgotten path, with the same crash-consistency
+machinery as appends (one-commit visibility, idempotent re-delete,
+age-gated repair of crashed/retired tombstone tables)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.operators import pq, similarity
+from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
+
+
+def _emb(spark, n=160, seed=3, d=8):
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(d)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _probe_rows(spark, idx, q, n_probe):
+    return sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_pruned(
+                spark, idx, None, q, k=5, n_probe=n_probe
+            ).collect(),
+        )
+    )
+
+
+def test_ivf_delete_masks_probes_and_recompact_purges(spark, tmp_path):
+    """(a) deleted ids vanish from probe results immediately (exhaustive
+    probe ≡ brute force over survivors); (b) re-delete of a committed
+    tombstone id is a no-op; (c) recompact excludes tombstoned rows,
+    clears the tombstone list, and the re-routed index probes identical
+    to a fresh build over the survivors; (d) repair sweeps the retired
+    tombstone table and drops its stamp."""
+    emb = _emb(spark)
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 != 0)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=6)
+    idx = str(tmp_path / "ivf_del")
+    similarity.ivf_write(assigned, idx, cent)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    out = similarity.ivf_delete(spark, idx, odds.select("vec_id"), batch_id="d1")
+    assert out["skipped"] is False and out["n_ids"] == odds.count()
+    got = _probe_rows(spark, idx, q, 6)
+    want = sorted(
+        map(tuple, similarity.brute_force_topk(evens, q, k=5).collect())
+    )
+    assert got == want  # exhaustive probe over live rows ≡ BF over evens
+
+    # (b) idempotent re-delete
+    out2 = similarity.ivf_delete(spark, idx, odds.select("vec_id"), batch_id="d1")
+    assert out2["skipped"] is True and out2["n_ids"] == 0
+    assert _read_scalars(spark, idx)["tombstones"] == ["d1"]
+
+    # (c) recompact = the physical purge
+    obs = similarity.ivf_recompact(spark, idx, refine_iterations=1)
+    meta = _read_scalars(spark, idx)
+    assert "tombstones" not in meta or not meta["tombstones"]
+    assert obs["n_vectors"] == evens.count()  # tombstoned rows excluded
+    vis = spark.read.parquet(idx).filter(F.col("batch").isin(meta["batches"]))
+    assert vis.count() == evens.count()
+    assert vis.filter(F.col("vec_id") % 2 != 0).count() == 0  # bytes gone
+    fresh_idx = str(tmp_path / "ivf_fresh")
+    cent2 = similarity._train_centroids(evens, 6, "embedding", "vec_id", 42, 1)
+    similarity.ivf_write(similarity.ivf_assign(evens, cent2), fresh_idx, cent2)
+    assert _probe_rows(spark, idx, q, 6) == _probe_rows(spark, fresh_idx, q, 6)
+
+    # (d) repair sweeps the retired tombstone dir and drops the stamp
+    assert "d1" in meta["retired"]
+    rep = similarity.ivf_index_repair(spark, idx, min_age_seconds=0)
+    assert "d1" in rep["tombstones_swept"]
+    meta2 = _read_scalars(spark, idx)
+    assert "d1" not in (meta2.get("retired") or {})
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    assert not fsutil.exists(spark, f"{idx}/_tombstones/d1")
+
+
+def test_ivf_crashed_delete_invisible_and_repair_gates(spark, tmp_path):
+    """A tombstone table written but never committed masks NOTHING;
+    repair defers it young and reclaims it past the age gate."""
+    emb = _emb(spark, seed=5)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    idx = str(tmp_path / "ivf_crashdel")
+    similarity.ivf_write(assigned, idx, cent)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = _probe_rows(spark, idx, q, 4)
+    # crash: dir lands, manifest never flips
+    emb.filter(F.col("vec_id") < 50).select("vec_id").write.parquet(
+        f"{idx}/_tombstones/crashed"
+    )
+    assert _probe_rows(spark, idx, q, 4) == before  # invisible
+    rep = similarity.ivf_index_repair(spark, idx)
+    assert "crashed" not in rep["tombstones_swept"]  # young: deferred
+    rep0 = similarity.ivf_index_repair(spark, idx, min_age_seconds=0)
+    assert rep0["tombstones_swept"] == ["crashed"]
+
+
+def test_ivf_reappend_of_tombstoned_id_stays_masked(spark, tmp_path):
+    """The documented contract: a tombstoned id re-appended BEFORE the
+    purging recompact is still masked (delete-then-gone until the
+    tombstones clear)."""
+    emb = _emb(spark, seed=7)
+    old = emb.filter(F.col("vec_id") < 140)
+    cent, assigned = similarity.ivf_index(old, n_centroids=4)
+    idx = str(tmp_path / "ivf_remask")
+    similarity.ivf_write(assigned, idx, cent)
+    similarity.ivf_delete(
+        spark, idx, spark.createDataFrame([(0,)], "vec_id long"), batch_id="dz"
+    )
+    # re-append vec 0 (plus fresh rows) under a new batch
+    similarity.ivf_append(
+        emb.filter((F.col("vec_id") == 0) | (F.col("vec_id") >= 140)),
+        idx,
+        batch_id="re",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {r["vec_id"] for r in similarity.ivf_topk_pruned(
+        spark, idx, None, q, k=5, n_probe=4
+    ).collect()}
+    assert 0 not in got  # still masked
+    # after the purge, a fresh append of the id is live again
+    similarity.ivf_recompact(spark, idx, refine_iterations=1)
+    similarity.ivf_append(emb.filter(F.col("vec_id") == 0), idx, batch_id="re2")
+    got2 = {r["vec_id"] for r in similarity.ivf_topk_pruned(
+        spark, idx, None, q, k=5, n_probe=4
+    ).collect()}
+    assert 0 in got2
+
+
+def test_pq_delete_masks_and_recompact_guards(spark, tmp_path):
+    """PQ twin: (a) masked probe ≡ full-encode index over survivors (the
+    deterministic-encoding differential); (b) recompact refuses BOTH a
+    wrong-sized corpus and an equal-sized corpus that smuggles
+    tombstoned ids back in (the undelete guard); (c) recompact over the
+    survivors purges and probes identical to a fresh build."""
+    emb = _emb(spark, seed=11, d=16)
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 != 0)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    books = pq.pq_train_residual(emb, assigned, cent, m=4, k=16, iters=5)
+    idx = str(tmp_path / "pq_del")
+    pq.pq_write(
+        pq.pq_encode_residual(emb, assigned, cent, books), idx, books, cent,
+        vectors=emb,
+    )
+    out = pq.pq_delete(spark, idx, odds.select("vec_id"), batch_id="d1")
+    assert out["skipped"] is False
+
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    mirror = str(tmp_path / "pq_mirror")
+    pq.pq_write(
+        pq.pq_encode_residual(evens, similarity.ivf_assign(evens, cent), cent, books),
+        mirror, books, cent,
+    )
+
+    def rows(path):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["adc_dist"])
+            for r in pq.ivf_adc_topk_pruned(
+                spark, path, queries, k=5, n_probe=4
+            ).collect()
+        )
+
+    assert rows(idx) == rows(mirror)
+
+    # (b) guards
+    with pytest.raises(RuntimeError, match="LIVE"):
+        pq.pq_recompact(spark, idx, emb, iters=2)  # wrong size (includes dead)
+    smuggled = evens.limit(evens.count() - 1).unionByName(
+        odds.limit(1)
+    )  # right size, wrong ids
+    with pytest.raises(RuntimeError, match="TOMBSTONED"):
+        pq.pq_recompact(spark, idx, smuggled, iters=2)
+
+    # (c) purge + identity with a fresh build over survivors
+    obs = pq.pq_recompact(spark, idx, evens, iters=5, refine_iterations=1)
+    meta = _read_scalars(spark, idx)
+    assert not meta.get("tombstones")
+    assert obs["n_vectors"] == evens.count()
+    cent2 = similarity._train_centroids(evens, 4, "embedding", "vec_id", 42, 1)
+    assigned2 = similarity.ivf_assign(evens, cent2)
+    books2 = pq.pq_train_residual(evens, assigned2, cent2, m=4, k=16, iters=5)
+    fresh = str(tmp_path / "pq_fresh")
+    pq.pq_write(
+        pq.pq_encode_residual(evens, assigned2, cent2, books2), fresh, books2, cent2
+    )
+    assert rows(idx) == rows(fresh)
+    rep = pq.pq_index_repair(spark, idx, min_age_seconds=0)
+    assert "d1" in rep["tombstones_swept"]

@@ -176,6 +176,13 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_bruteforce shape); the MMR kernel itself is a
         # query-keyed applyInPandas over k-bounded groups
         "ns_mmr_diversify",
+        # ns_ann_ivf_deleted (r11): the same bounded 16-row centroid
+        # broadcast as ns_ann_ivf_indexed; the tombstone mask is an
+        # equi anti-join
+        "ns_ann_ivf_deleted",
+        # ns_ann_pq_deleted (r11): the persisted-ADC probe's centroid
+        # broadcast (ns_ann_pq_indexed shape) under the rerank chain
+        "ns_ann_pq_deleted",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
