@@ -3632,6 +3632,37 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.retrieval_metrics(results, qrels, k=10)
 
 
+def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion on the persisted BM25 index (r11: search.bm25_delete —
+    the Lucene posture: tombstones mask deleted docs' postings at probe
+    time while corpus statistics stay stale, and bm25_index_compact is
+    the physical purge that drops the postings, RECOMPUTES df and the
+    n_docs/len_sum scalars from the survivors, and clears the list):
+    build over the full corpus, delete the ODD doc_ids, COMPACT
+    (reclaim 0 — the quiesced window), then probe. By the purge theorem
+    the probe equals one-shot BM25 over the surviving corpus, so the
+    oracle is the bm25_sql mirror over ``documents WHERE doc_id % 2 =
+    0`` — a value-hash of the deletion, the stats recomputation, and
+    the compaction chain together. The PySpark side asserts the delete
+    observables and that tombstones cleared."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_del_") + "/index"
+    search.bm25_index_write(docs, idx, n_buckets=32)
+    out = search.bm25_delete(
+        spark, idx, docs.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs["tombstones_in"] == 1, obs
+    from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
+
+    assert not (_read_scalars(spark, idx).get("tombstones") or [])
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10)
+
+
 def q_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion on the persisted IVF index (r11: similarity.ivf_delete —
     the right-to-be-forgotten path: a committed TOMBSTONE batch masks
@@ -4030,6 +4061,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
+        "ns_bm25_deleted": q_bm25_deleted,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5479,6 +5511,15 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
     sql["ns_bm25_incremental"] = sql["ns_bm25_search"]
     sql["st_bm25_ingest"] = sql["ns_bm25_search"]
+    # deletion + compaction purge (r11): build(full) + delete(odds) +
+    # compact ≡ one-shot BM25 over the survivors — df and n_docs/avg_len
+    # recomputed from surviving postings, so the full-chain mirror is
+    # just bm25_sql over the surviving documents
+    sql["ns_bm25_deleted"] = search.bm25_sql(
+        docs_from="(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) surv",
+        queries_values=_bm25_values,
+        k=10,
+    )
     # champion-list probe: same corpus-wide df/n_docs/avg_len, scored
     # postings restricted to each term's top-m by tf/doc_len — the
     # truncation IS the semantics being hashed (m=10 < the corpus dfs)

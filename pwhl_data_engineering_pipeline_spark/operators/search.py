@@ -741,13 +741,36 @@ def bm25_index_repair(
         if tree_mt is not None and now - tree_mt / 1000.0 >= min_age_seconds:
             if delete(spark, root, recursive=True):
                 champions_swept.append(name)
+    # tombstone doc-id tables (r11 bm25_delete): crashed deletes gate on
+    # mtime, compaction-retired ones on the retirement stamp — the ANN
+    # twins' sweep on the lexical index
+    tombstones_swept: list[str] = []
+    committed_t = set(meta.get("tombstones") or [])
+    tdirs: dict[str, dict] = {}
+    from ..fsutil import list_status as _list_status_fs
+
+    for st in _list_status_fs(spark, f"{path}/_tombstones"):
+        if st["is_dir"]:
+            tdirs[st["name"]] = st
+    for tid in sorted(set(tdirs) - committed_t):
+        age = now - (
+            retired[tid] if tid in retired else
+            (_tree_max_mtime_ms(spark, f"{path}/_tombstones/{tid}")
+             or tdirs[tid]["mtime_ms"]) / 1000.0
+        )
+        if age >= min_age_seconds and delete(
+            spark, f"{path}/_tombstones/{tid}", recursive=True
+        ):
+            tombstones_swept.append(tid)
     # drop stamps for what we just purged AND for retired batches whose
     # directories are already gone (a prior repair purged them but lost
     # the stamp-drop commit to version conflicts) — without the second
     # set a dir-less stamp would survive every future repair
     droppable = [
         b for b in retired
-        if b in purged or (b not in mtimes and b not in committed)
+        if b in purged
+        or b in tombstones_swept
+        or (b not in mtimes and b not in committed and b not in tdirs)
     ]
     if droppable:
         _drop_retired_entries(spark, path, droppable)
@@ -756,6 +779,7 @@ def bm25_index_repair(
         "deferred_batches": deferred,
         "staging_swept": staging_swept,
         "champions_swept": champions_swept,
+        "tombstones_swept": tombstones_swept,
     }
 
 
@@ -986,6 +1010,107 @@ def bm25_index_append(
     return out
 
 
+def _bm25_tombstones(spark, path: str, meta: dict):
+    """Union of committed tombstone doc_id tables (``_tombstones/<tid>``),
+    or None when the index has no pending deletions — the ANN twins'
+    helper, on the doc axis."""
+    tids = meta.get("tombstones") or []
+    if not tids:
+        return None
+    df = spark.read.parquet(*[f"{path}/_tombstones/{t}" for t in tids])
+    return df.select("doc_id").distinct()
+
+
+def bm25_delete(
+    spark,
+    path: str,
+    doc_ids: DataFrame,
+    batch_id: str | None = None,
+) -> dict:
+    """Delete documents from a persisted BM25 index by doc_id — the
+    right-to-be-forgotten path on the lexical index, the LUCENE posture
+    end to end: deletion is logical first (a committed tombstone batch;
+    probes mask the deleted docs' postings with an anti-join), and the
+    deleted documents keep influencing the CORPUS STATISTICS — df,
+    n_docs, avg_len — until the next :func:`bm25_index_compact`, exactly
+    as Lucene's deleted docs stay in segment stats until merge. The
+    compact is the physical purge: it drops the tombstoned postings,
+    RECOMPUTES df and the corpus scalars from the survivors, and clears
+    the tombstone list — from that commit the probe is byte-identical to
+    an index built over the surviving corpus (the oracle's theorem).
+
+    Champion-sidecar probes REFUSE while deletions are pending
+    (``bm25_search_index(champions_m=...)`` raises): an m-bounded list
+    minus masked docs can under-return and the true top-m may have
+    shifted — compact first, then rebuild/refresh the sidecar.
+
+    Crash consistency: the shared one-commit machinery (idempotent
+    re-delete, crashed-attempt purge+rewrite, one version-race retry).
+    Returns {"n_ids", "version", "tombstone_id", "skipped"}."""
+    import uuid as _uuid
+
+    from ..fsutil import delete as _fs_delete, exists as _fs_exists
+
+    meta = _read_scalars(spark, path)
+    if meta.get("batches") is None:
+        raise RuntimeError(
+            f"BM25 index at {path} predates batch stamping — rebuild with "
+            "bm25_index_write before deleting"
+        )
+    if batch_id is None:
+        batch_id = "t" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
+    if batch_id in (meta.get("tombstones") or []):
+        return {
+            "n_ids": 0,
+            "version": meta["_version"],
+            "tombstone_id": batch_id,
+            "skipped": True,
+        }
+    tdir = f"{path}/_tombstones/{batch_id}"
+    _fs_delete(spark, tdir, recursive=True)
+    doc_ids.select("doc_id").distinct().write.mode("overwrite").parquet(tdir)
+    n_ids = spark.read.parquet(tdir).count()
+    if n_ids > 0 and not _fs_exists(spark, tdir):
+        raise IOError(
+            f"bm25_delete: tombstone dir {tdir} was reclaimed before the "
+            "manifest commit — aborting; re-delete the batch"
+        )
+
+    def _meta_with(base: dict) -> dict:
+        m = {k: v for k, v in base.items() if k != "_version"}
+        m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        return m
+
+    try:
+        version = _commit_scalars(
+            spark, path, _meta_with(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        fresh = _read_scalars(spark, path)
+        if batch_id in (fresh.get("tombstones") or []):
+            return {
+                "n_ids": 0,
+                "version": fresh["_version"],
+                "tombstone_id": batch_id,
+                "skipped": True,
+            }
+        if n_ids > 0 and not _fs_exists(spark, tdir):
+            raise IOError(
+                f"bm25_delete: tombstone dir {tdir} was reclaimed before "
+                "the manifest retry commit — aborting; re-delete the batch"
+            )
+        version = _commit_scalars(
+            spark, path, _meta_with(fresh), parent_version=fresh["_version"]
+        )
+    return {
+        "n_ids": int(n_ids),
+        "version": version,
+        "tombstone_id": batch_id,
+        "skipped": False,
+    }
+
+
 def bm25_index_compact(
     spark,
     path: str,
@@ -1074,10 +1199,20 @@ def bm25_index_compact(
     stats = spark.read.parquet(f"{path}/stats").filter(
         F.col("batch").isin(committed)
     )
+    # pending deletions (bm25_delete): the compact is the PHYSICAL purge —
+    # tombstoned docs' postings drop here, and df + corpus scalars are
+    # recomputed from the SURVIVORS below, so the compacted index equals
+    # a fresh build over the surviving corpus (until now the deleted docs
+    # kept influencing the stats, the documented Lucene posture)
+    tombstones = meta.get("tombstones") or []
+    tomb = _bm25_tombstones(spark, path, meta)
+    if tomb is not None:
+        postings = postings.join(tomb, "doc_id", "left_anti")
     obs = {
         "posting_files_in": _nfiles(f"{path}/postings", committed),
         "stats_rows_in": stats.count(),
         "batches_in": len(committed),
+        "tombstones_in": len(tombstones),
     }
 
     in_place = out_path is None
@@ -1112,13 +1247,40 @@ def bm25_index_compact(
     ).partitionBy(
         "bucket", "batch"
     ).parquet(f"{target}/postings")
-    stats.groupBy("bucket", "term").agg(F.sum("df").alias("df")).select(
+    if tombstones:
+        # df must be RECOMPUTED from surviving postings (one row per
+        # (doc, term) → count = df): summing the old batch segments would
+        # keep counting deleted docs. Equivalent to the segment sum when
+        # nothing was deleted; only taken when something was, to keep the
+        # no-deletion compact byte-cheap over the tiny stats tables.
+        stats_out = postings.groupBy("bucket", "term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+    else:
+        stats_out = stats.groupBy("bucket", "term").agg(F.sum("df").alias("df"))
+    stats_out.select(
         "term", "df", "bucket", batch
     ).repartition("bucket").write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy(
         "bucket", "batch"
     ).parquet(f"{target}/stats")
+    if tombstones:
+        row = (
+            postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_len").alias("len_sum"),
+            )
+            .first()
+        )
+        scalars_out = {
+            "n_docs": int(row["n_docs"] or 0),
+            "len_sum": int(row["len_sum"] or 0),
+        }
+    else:
+        scalars_out = {"n_docs": meta["n_docs"], "len_sum": meta["len_sum"]}
 
     if in_place:
         # metadata moves into the live tree: the staged batch id is not
@@ -1146,12 +1308,12 @@ def bm25_index_compact(
         now = _time.time()
         retired = dict(meta.get("retired") or {})
         retired.update({b: now for b in committed})
+        retired.update({t: now for t in tombstones})  # purged; repair sweeps
         new_version = _commit_scalars(
             spark,
             path,
             {
-                "n_docs": meta["n_docs"],
-                "len_sum": meta["len_sum"],
+                **scalars_out,
                 "n_buckets": meta["n_buckets"],
                 "batches": [cid],
                 "retired": retired,
@@ -1178,7 +1340,11 @@ def bm25_index_compact(
             stamp = _read_stamp(spark, stamp_path)
             if stamp is None:
                 continue
-            if stamp.get("batches") == committed:
+            # a deletion-purging compact CHANGED the content (dropped
+            # postings, recomputed df), so pre-delete sidecars are no
+            # longer the true top-m — leave them stale for refresh/repair
+            # instead of restamping them fresh
+            if not tombstones and stamp.get("batches") == committed:
                 stamp["batches"] = [cid]
                 stamp["scalars_version"] = new_version
                 _write_stamp(spark, stamp_path, stamp)
@@ -1198,8 +1364,7 @@ def bm25_index_compact(
             spark,
             out_path,
             {
-                "n_docs": meta["n_docs"],
-                "len_sum": meta["len_sum"],
+                **scalars_out,
                 "n_buckets": meta["n_buckets"],
                 "batches": [cid],
             },
@@ -1614,7 +1779,17 @@ def bm25_search_index(
         .groupBy("term", "bucket")
         .agg(F.sum("df").alias("df"))
     )
+    tomb = _bm25_tombstones(spark, path, meta)
     if champions_m is not None:
+        if tomb is not None:
+            raise RuntimeError(
+                f"BM25 index at {path} has pending deletions "
+                "(bm25_delete tombstones) — champion probes are refused "
+                "while deletions are pending (an m-bounded list minus "
+                "masked docs can under-return, and the true top-m may "
+                "have shifted); run bm25_index_compact, then rebuild or "
+                "refresh the sidecar"
+            )
         # champion-list probe (see bm25_champions_write): scan ONLY the
         # m-bounded sidecar — flat in corpus size; df/n_docs/avg_len stay
         # corpus-wide from stats/scalars. The stamp pins the committed-
@@ -1641,6 +1816,12 @@ def bm25_search_index(
         postings = _vis(spark.read.parquet(f"{path}/postings")).filter(
             F.col("bucket").isin(buckets)
         )
+        if tomb is not None:
+            # logical deletes (bm25_delete): deleted docs' postings are
+            # masked after the bucket-pruned scan; df/n_docs/avg_len stay
+            # the committed (pre-delete) corpus statistics until the next
+            # compact recomputes them — the Lucene deleted-docs posture
+            postings = postings.join(tomb, "doc_id", "left_anti")
     qstats = stats.join(F.broadcast(qterms), ["term", "bucket"]).select(
         "query_id", "term", "df"
     )

@@ -208,3 +208,107 @@ def test_pq_delete_masks_and_recompact_guards(spark, tmp_path):
     assert rows(idx) == rows(fresh)
     rep = pq.pq_index_repair(spark, idx, min_age_seconds=0)
     assert "d1" in rep["tombstones_swept"]
+
+
+def test_bm25_delete_masks_stale_stats_champion_guard_and_compact_purges(
+    spark, tmp_path
+):
+    """BM25 deletion, the Lucene posture end-to-end: (a) masked probe
+    drops the deleted docs while SURVIVORS keep their pre-delete scores
+    exactly (stats/scalars stale by design); (b) champion probes refuse
+    while deletions are pending; (c) compact purges physically and the
+    probe becomes identical to one-shot BM25 over the survivors
+    (df/n_docs/avg_len recomputed); (d) repair sweeps the retired
+    tombstone table."""
+    from pwhl_data_engineering_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} " + ("spark join " * (i % 3 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    survivors = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "bm25_del")
+    search.bm25_index_write(docs, idx, n_buckets=8)
+    search.bm25_champions_write(spark, idx, m=5)
+    qdf = spark.createDataFrame(
+        [("q1", "alpha spark"), ("q2", "beta join")],
+        "query_id string, query_text string",
+    )
+    before = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search.bm25_search_index(spark, idx, qdf, k=40).collect()
+    }
+
+    out = search.bm25_delete(
+        spark, idx, docs.filter(F.col("doc_id") % 2 != 0).select("doc_id"),
+        batch_id="d1",
+    )
+    assert out["skipped"] is False and out["n_ids"] == 20
+
+    # (a) deleted docs gone; survivor scores byte-identical (stale stats)
+    masked = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in search.bm25_search_index(spark, idx, qdf, k=40).collect()
+    }
+    assert all(d % 2 == 0 for _, d in masked)
+    assert masked == {k: v for k, v in before.items() if k[1] % 2 == 0}
+
+    # (b) champion probes refuse while deletions pend
+    with pytest.raises(RuntimeError, match="pending deletions"):
+        search.bm25_search_index(spark, idx, qdf, k=5, champions_m=5)
+
+    # (c) compact = the purge; probe ≡ one-shot BM25 over survivors
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs["tombstones_in"] == 1
+    meta = _read_scalars(spark, idx)
+    assert not meta.get("tombstones")
+    assert meta["n_docs"] == survivors.count()
+    got = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=10)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search.bm25_topk(survivors, qdf, k=10)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # deleted postings physically gone
+    assert (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(F.col("batch").isin(meta["batches"]))
+        .filter(F.col("doc_id") % 2 != 0)
+        .count()
+        == 0
+    )
+
+    # (d) the compact's repair pass (reclaim 0) already swept the
+    # tombstone dir and dropped its stamp
+    from pwhl_data_engineering_pipeline_spark import fsutil
+
+    assert not fsutil.exists(spark, f"{idx}/_tombstones/d1")
+    assert "d1" not in (_read_scalars(spark, idx).get("retired") or {})
+
+    # (e) stale (pre-delete) champion sidecar was NOT restamped fresh:
+    # probing with it still refuses (batches moved on)
+    with pytest.raises(RuntimeError, match="STALE|pending|unstamped|torn|no champion"):
+        search.bm25_search_index(spark, idx, qdf, k=5, champions_m=5)
+    # a rebuild over the compacted index restores champion probes
+    search.bm25_champions_write(spark, idx, m=5)
+    champ = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=5, champions_m=5)
+            .select("query_id", "doc_id")
+            .collect(),
+        )
+    )
+    assert champ  # usable again
