@@ -49,8 +49,15 @@ def retrieval_metrics(
     """Per-query metrics of ``results`` (``query_col``, ``id_col``,
     ``rank_col``; ranks 1-based, one row per retrieved doc) against
     ``qrels`` (``query_col``, ``id_col``, ``rel_col`` integer grades
-    ≥ 1 — unjudged docs are grade 0 by omission). Returns one row per
-    query present in EITHER frame:
+    ≥ 1 — unjudged docs are grade 0 by omission). TREC-style qrels that
+    carry EXPLICIT grade-0 rows (judged non-relevant) are handled: rows
+    with ``rel_col <= 0`` are dropped up front, so they neither inflate
+    ``n_relevant`` / deflate recall@k nor occupy ideal-DCG window slots
+    (ADVICE r11 — previously the grades≥1 precondition was documented
+    but unenforced). Grade-0 rows contribute nothing to the observed
+    legs either way (their joined gain is 0, identical to the unjudged
+    coalesce), so the filter changes exactly the two totals it should.
+    Returns one row per query present in EITHER frame:
     (query_id, n_retrieved, n_relevant, recall_at_k, precision_at_k,
     mrr, ndcg_at_k), floats floored to 6dp. A query with no judged
     docs scores 0 across the board (nothing to find); a judged query
@@ -60,7 +67,7 @@ def retrieval_metrics(
     )
     rels = qrels.select(
         F.col(query_col), F.col(id_col), F.col(rel_col).cast("double").alias("__rel")
-    )
+    ).filter(F.col("__rel") > 0)
     ln2 = 0.6931471805599453
     gain = (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
     joined = topk.join(rels, [query_col, id_col], "left").withColumn(

@@ -578,6 +578,7 @@ def pq_write(
     centroids: DataFrame,
     batch_id: str = "base",
     vectors: DataFrame | None = None,
+    baseline_sample_mod: int = 1,
 ) -> None:
     """Persist a residual-PQ index with its physical layout: codes written
     **partitioned by centroid_id** (the on-disk inverted file — probes
@@ -600,7 +601,17 @@ def pq_write(
     stamp the manifest with a ``quant_err_baseline`` — the yardstick
     :func:`pq_needs_recompact` measures codebook drift against. Optional
     because codes alone can't yield it (PQ is lossy); without it the
-    drift probe refuses rather than inventing a baseline."""
+    drift probe refuses rather than inventing a baseline.
+
+    ``baseline_sample_mod`` defaults to 1 — full-corpus baseline —
+    because the probe side computes its current error over the FULL
+    caller sample (``sample_mod=1``); stamping from a 1/16 hash-sample
+    while comparing against a full-sample current reading put
+    asymmetric sampling noise on the two sides of the ratio, enough to
+    flip the 1.25 threshold on small or skewed corpora (ADVICE r11).
+    On corpora too large for one extra full pass at build time, raise
+    it and apply the SAME mod to the probe's sample — symmetry is the
+    requirement, not any particular mod."""
     from ..fsutil import delete
     from .search import _check_batch_id, _commit_scalars
 
@@ -611,10 +622,19 @@ def pq_write(
         "partitionOverwriteMode", "static"
     ).partitionBy("centroid_id", "batch").parquet(path)
     _pq_meta_write(spark, path, batch_id, codebooks, centroids)
-    meta: dict = {"batches": [batch_id], "meta": batch_id}
+    n_rows = (
+        spark.read.parquet(path).filter(F.col("batch") == batch_id).count()
+    )
+    meta: dict = {
+        "batches": [batch_id],
+        "meta": batch_id,
+        # per-batch row counts: keeps the tombstone_frac scheduler term
+        # metadata-only (r12)
+        "batch_counts": {batch_id: int(n_rows)},
+    }
     if vectors is not None:
         meta["quant_err_baseline"] = _pq_mean_quant_err(
-            vectors, centroids, codebooks
+            vectors, centroids, codebooks, sample_mod=baseline_sample_mod
         )
     _commit_scalars(spark, path, meta, parent_version=0)
 
@@ -737,6 +757,10 @@ def pq_append(
     def _meta_with(base: dict) -> dict:
         m2 = {k: v for k, v in base.items() if k != "_version"}
         m2["batches"] = [*(base.get("batches") or []), batch_id]
+        m2["batch_counts"] = {
+            **(base.get("batch_counts") or {}),
+            batch_id: int(n_added),
+        }
         return m2
 
     try:
@@ -806,7 +830,12 @@ def pq_delete(
     import uuid as _uuid
 
     from ..fsutil import delete as _fs_delete, exists as _fs_exists
-    from .search import _check_batch_id, _commit_scalars, _read_scalars
+    from .search import (
+        _check_batch_id,
+        _commit_scalars,
+        _read_scalars,
+        _verify_tombstone_reuse,
+    )
 
     meta = _pq_read_manifest(spark, path)
     if meta is None or not meta.get("meta"):
@@ -817,14 +846,17 @@ def pq_delete(
     if batch_id is None:
         batch_id = "t" + _uuid.uuid4().hex
     _check_batch_id(batch_id)
+    tdir = f"{path.rstrip('/')}/_tombstones/{batch_id}"
     if batch_id in (meta.get("tombstones") or []):
+        # ADVICE r11: reused batch_id with a different id set must refuse,
+        # not silently skip those deletions
+        _verify_tombstone_reuse(spark, tdir, ids, id_col, batch_id)
         return {
             "n_ids": 0,
             "version": meta["_version"],
             "tombstone_id": batch_id,
             "skipped": True,
         }
-    tdir = f"{path.rstrip('/')}/_tombstones/{batch_id}"
     _fs_delete(spark, tdir, recursive=True)
     ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(tdir)
     n_ids = spark.read.parquet(tdir).count()
@@ -837,6 +869,12 @@ def pq_delete(
     def _meta_with(base: dict) -> dict:
         m = {k: v for k, v in base.items() if k != "_version"}
         m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        # per-tombstone row counts ride in the manifest so the
+        # tombstone_frac scheduler term stays metadata-only (r12)
+        m["tombstone_counts"] = {
+            **(base.get("tombstone_counts") or {}),
+            batch_id: int(n_ids),
+        }
         return m
 
     try:
@@ -846,6 +884,7 @@ def pq_delete(
     except IOError:
         fresh = _read_scalars(spark, path)
         if batch_id in (fresh.get("tombstones") or []):
+            _verify_tombstone_reuse(spark, tdir, ids, id_col, batch_id)
             return {
                 "n_ids": 0,
                 "version": fresh["_version"],
@@ -925,6 +964,7 @@ def pq_recompact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     reclaim_min_age_seconds: float | None = None,
+    baseline_sample_mod: int = 1,
 ) -> dict:
     """Retrain the coarse centroids AND the residual codebooks and
     re-encode every row — the PQ drift repair, the lossy-index twin of
@@ -1018,7 +1058,13 @@ def pq_recompact(
             f"pq_recompact: batch={cid} directories at {path} were "
             "reclaimed before the manifest commit — aborting; re-run"
         )
-    baseline = _pq_mean_quant_err(vectors, cent, books, vec_col, id_col)
+    # sample_mod symmetry with pq_needs_recompact's full-sample current
+    # reading (ADVICE r11): the freshly-stamped baseline must carry the
+    # same sampling policy as the probe side or noise flips the ratio
+    baseline = _pq_mean_quant_err(
+        vectors, cent, books, vec_col, id_col,
+        sample_mod=baseline_sample_mod,
+    )
     now = _time.time()
     retired = dict(meta.get("retired") or {})
     for b in committed:
@@ -1033,6 +1079,7 @@ def pq_recompact(
                 "batches": [cid],
                 "meta": cid,
                 "quant_err_baseline": baseline,
+                "batch_counts": {cid: int(n_rows)},
                 "retired": retired,
             },
             parent_version=meta["_version"],

@@ -517,6 +517,42 @@ def _check_batch_id(batch_id: str) -> str:
     return batch_id
 
 
+def _verify_tombstone_reuse(
+    spark, tdir: str, ids, id_col: str, batch_id: str
+) -> None:
+    """Guard for the delete functions' idempotent-skip path (ADVICE r11):
+    a re-issued delete whose ``batch_id`` is already committed is only a
+    safe metadata no-op when it carries the SAME id set as the committed
+    tombstone — a caller reusing an explicit batch_id with a DIFFERENT
+    id set would otherwise get ``skipped: True`` while those deletions
+    silently never happen (an erasure-path silent no-op, the worst kind).
+    Compares the request against the on-disk tombstone table with two
+    anti-join counts (both frames are erasure-request-sized, never
+    corpus-sized) and raises on any asymmetry. A committed tombstone
+    whose table is missing on disk raises too — that index needs repair,
+    not a shrug."""
+    from ..fsutil import exists as _fs_exists
+
+    if not _fs_exists(spark, tdir):
+        raise IOError(
+            f"tombstone batch {batch_id!r} is committed but its id table "
+            f"{tdir} is missing on disk — the skip path cannot verify the "
+            "request matches; repair the index before re-deleting"
+        )
+    req = ids.select(F.col(id_col)).distinct()
+    disk = spark.read.parquet(tdir).select(F.col(id_col)).distinct()
+    missing = req.join(disk, id_col, "left_anti").count()
+    extra = disk.join(req, id_col, "left_anti").count()
+    if missing or extra:
+        raise ValueError(
+            f"delete batch_id {batch_id!r} is already committed with a "
+            f"DIFFERENT id set ({missing} requested ids not in the "
+            f"committed tombstone, {extra} committed ids not in this "
+            "request) — refusing the silent skip. Re-issue the new ids "
+            "under a fresh batch_id (or omit batch_id for an auto id)"
+        )
+
+
 def _batch_dirs_present(spark, path: str) -> set[str]:
     """Batch ids that have at least one partition directory on disk under
     ``postings/`` or ``stats/`` — the physical side of the ledger whose
@@ -783,16 +819,56 @@ def bm25_index_repair(
     }
 
 
-def needs_compaction(spark, path: str, max_batches: int = 32) -> bool:
+def _tombstone_mass(spark, path: str, meta: dict) -> int:
+    """Total tombstoned ids across the manifest's committed tombstone
+    batches. Metadata-only when the manifest carries ``tombstone_counts``
+    (every r12+ delete stamps them); a pre-counts manifest falls back to
+    per-batch parquet counts (footer-stat counts over erasure-sized
+    tables — bounded, but a scan the counts exist to avoid)."""
+    tids = meta.get("tombstones") or []
+    if not tids:
+        return 0
+    counts = meta.get("tombstone_counts") or {}
+    total = 0
+    for t in tids:
+        if t in counts:
+            total += int(counts[t])
+        else:
+            total += spark.read.parquet(f"{path}/_tombstones/{t}").count()
+    return total
+
+
+def needs_compaction(
+    spark,
+    path: str,
+    max_batches: int = 32,
+    max_tombstone_frac: float = 0.25,
+) -> bool:
     """Machine-readable compaction trigger (VERDICT r8 #3): True when the
     committed-``batches`` list has reached ``max_batches`` — the point
     where append-segment creep (probe file counts, df segment rows, the
-    probe's ``batch IN (...)`` list) is worth resetting. Metadata-only
-    (one scalars read). Schedulers poll this between appends, or pass
-    ``autocompact_after`` to :func:`bm25_index_append` to close the loop
-    in-line."""
+    probe's ``batch IN (...)`` list) is worth resetting — OR (r12) when
+    the tombstone mass has reached ``max_tombstone_frac`` of the
+    committed corpus. Deletions cost on two axes that both grow with
+    tombstone mass: every probe pays the doc-id anti-join against the
+    accumulated tombstone tables, and the corpus statistics (df, n_docs,
+    avg_len) keep counting the deleted docs until compaction recomputes
+    them (the documented Lucene posture — score bias measured vs deleted
+    fraction in SCALING.md's delete-drift study, which is where the 0.25
+    default comes from). Metadata-only (one scalars read; r12 delete
+    manifests carry per-tombstone row counts). Schedulers poll this
+    between appends/deletes, or pass ``autocompact_after`` to
+    :func:`bm25_index_append` to close the loop in-line. Pass
+    ``max_tombstone_frac=None`` to disable the deletion term."""
     meta = _read_scalars(spark, path)
-    return len(meta.get("batches") or []) >= max_batches
+    if len(meta.get("batches") or []) >= max_batches:
+        return True
+    if max_tombstone_frac is not None and (meta.get("tombstones") or []):
+        mass = _tombstone_mass(spark, path, meta)
+        frac = mass / max(int(meta.get("n_docs") or 0), 1)
+        if frac >= max_tombstone_frac:
+            return True
+    return False
 
 
 def bm25_index_append(
@@ -1060,14 +1136,15 @@ def bm25_delete(
     if batch_id is None:
         batch_id = "t" + _uuid.uuid4().hex
     _check_batch_id(batch_id)
+    tdir = f"{path}/_tombstones/{batch_id}"
     if batch_id in (meta.get("tombstones") or []):
+        _verify_tombstone_reuse(spark, tdir, doc_ids, "doc_id", batch_id)
         return {
             "n_ids": 0,
             "version": meta["_version"],
             "tombstone_id": batch_id,
             "skipped": True,
         }
-    tdir = f"{path}/_tombstones/{batch_id}"
     _fs_delete(spark, tdir, recursive=True)
     doc_ids.select("doc_id").distinct().write.mode("overwrite").parquet(tdir)
     n_ids = spark.read.parquet(tdir).count()
@@ -1080,6 +1157,12 @@ def bm25_delete(
     def _meta_with(base: dict) -> dict:
         m = {k: v for k, v in base.items() if k != "_version"}
         m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        # per-tombstone row counts ride in the manifest so the
+        # tombstone_frac scheduler term stays metadata-only (r12)
+        m["tombstone_counts"] = {
+            **(base.get("tombstone_counts") or {}),
+            batch_id: int(n_ids),
+        }
         return m
 
     try:
@@ -1089,6 +1172,7 @@ def bm25_delete(
     except IOError:
         fresh = _read_scalars(spark, path)
         if batch_id in (fresh.get("tombstones") or []):
+            _verify_tombstone_reuse(spark, tdir, doc_ids, "doc_id", batch_id)
             return {
                 "n_ids": 0,
                 "version": fresh["_version"],

@@ -330,6 +330,7 @@ def _ivf_mean_assign_dist(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_mod: int = 16,
+    exclude_ids: DataFrame | None = None,
 ) -> float:
     """Mean angular distance (1 − cosine) of indexed vectors to their
     ASSIGNED centroid, over a deterministic 1/``sample_mod`` hash-sample
@@ -342,6 +343,14 @@ def _ivf_mean_assign_dist(
     rows = spark.read.parquet(index_path)
     if batches:
         rows = rows.filter(F.col("batch").isin(batches))
+    if exclude_ids is not None:
+        # mask pending tombstones (ADVICE r11): after large deletions the
+        # drift ratio must be computed over LIVE rows only, matching the
+        # probe-time masking — dead rows would otherwise mis-schedule
+        # recompaction in either direction
+        rows = rows.join(
+            exclude_ids.select(F.col(id_col)).distinct(), id_col, "left_anti"
+        )
     sampled = rows.filter(
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
     )
@@ -450,6 +459,10 @@ def ivf_append(
         # stamps) — an append only extends the committed-batches list
         m = {k: v for k, v in base.items() if k != "_version"}
         m["batches"] = [*(base.get("batches") or []), batch_id]
+        m["batch_counts"] = {
+            **(base.get("batch_counts") or {}),
+            batch_id: int(n_added),
+        }
         return m
 
     try:
@@ -542,6 +555,9 @@ def ivf_write(
     ).partitionBy("centroid_id", "batch").parquet(path)
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids/{batch_id}")
     baseline = _ivf_mean_assign_dist(spark, path, centroids, [batch_id])
+    n_rows = (
+        spark.read.parquet(path).filter(F.col("batch") == batch_id).count()
+    )
     _commit_scalars(
         spark,
         path,
@@ -549,6 +565,9 @@ def ivf_write(
             "batches": [batch_id],
             "centroids": batch_id,
             "assign_dist_baseline": baseline,
+            # per-batch row counts: keeps the tombstone_frac scheduler
+            # term metadata-only (r12)
+            "batch_counts": {batch_id: int(n_rows)},
         },
         parent_version=0,
     )
@@ -603,7 +622,12 @@ def ivf_delete(
     import uuid as _uuid
 
     from ..fsutil import delete as _fs_delete, exists as _fs_exists
-    from .search import _check_batch_id, _commit_scalars, _read_scalars
+    from .search import (
+        _check_batch_id,
+        _commit_scalars,
+        _read_scalars,
+        _verify_tombstone_reuse,
+    )
 
     meta = _ivf_read_manifest(spark, path)
     if meta is None:
@@ -614,14 +638,18 @@ def ivf_delete(
     if batch_id is None:
         batch_id = "t" + _uuid.uuid4().hex
     _check_batch_id(batch_id)
+    tdir = f"{path}/_tombstones/{batch_id}"
     if batch_id in (meta.get("tombstones") or []):
+        # ADVICE r11: the skip is only safe when the committed tombstone
+        # holds the SAME ids — a reused batch_id with different ids would
+        # silently drop those deletions
+        _verify_tombstone_reuse(spark, tdir, ids, id_col, batch_id)
         return {
             "n_ids": 0,
             "version": meta["_version"],
             "tombstone_id": batch_id,
             "skipped": True,
         }
-    tdir = f"{path}/_tombstones/{batch_id}"
     _fs_delete(spark, tdir, recursive=True)  # crashed-attempt leftovers
     ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(tdir)
     n_ids = spark.read.parquet(tdir).count()
@@ -634,6 +662,12 @@ def ivf_delete(
     def _meta_with(base: dict) -> dict:
         m = {k: v for k, v in base.items() if k != "_version"}
         m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        # per-tombstone row counts ride in the manifest so the
+        # tombstone_frac scheduler term stays metadata-only (r12)
+        m["tombstone_counts"] = {
+            **(base.get("tombstone_counts") or {}),
+            batch_id: int(n_ids),
+        }
         return m
 
     try:
@@ -670,6 +704,7 @@ def ivf_needs_recompact(
     path: str,
     threshold: float = 1.25,
     sample_mod: int = 16,
+    max_tombstone_frac: float | None = 0.25,
 ) -> dict:
     """Scheduler probe for centroid drift (VERDICT r10 #1): appends route
     by frozen centroids, so an ingest distribution that drifts away from
@@ -681,8 +716,22 @@ def ivf_needs_recompact(
     ``assign_dist_baseline``; ``recompact`` is True when the ratio
     exceeds ``threshold``. The twin of ``search.needs_compaction`` /
     ``champions_stale``: poll between ingest batches, answer True with
-    :func:`ivf_recompact`. Returns {"recompact", "ratio", "current",
-    "baseline", "n_batches"}."""
+    :func:`ivf_recompact`.
+
+    r12, the deletion axis: the drift sample MASKS pending tombstones
+    (ADVICE r11 — dead rows would otherwise skew the ratio in either
+    direction), and the probe additionally trips when the tombstone
+    mass reaches ``max_tombstone_frac`` of the committed rows — every
+    probe pays the anti-join against the accumulated tombstone tables
+    until the recompact purges them (cost vs deleted fraction measured
+    in SCALING.md's delete-drift study). Tombstone and batch row counts
+    ride in the manifest (r12 writes), so the frac term is
+    metadata-only; pre-counts manifests fall back to footer-stat
+    counts. Pass ``max_tombstone_frac=None`` to disable the term.
+    Returns {"recompact", "ratio", "current", "baseline", "n_batches",
+    "tombstone_frac"}."""
+    from .search import _tombstone_mass
+
     meta = _ivf_read_manifest(spark, path)
     if meta is None or not meta.get("centroids"):
         raise RuntimeError(
@@ -692,19 +741,33 @@ def ivf_needs_recompact(
         )
     committed = meta.get("batches") or []
     cent = ivf_load_centroids(spark, path)
+    tomb = _ivf_tombstones(spark, path, meta)
     current = _ivf_mean_assign_dist(
-        spark, path, cent, committed, sample_mod=sample_mod
+        spark, path, cent, committed, sample_mod=sample_mod,
+        exclude_ids=tomb,
     )
     baseline = float(meta.get("assign_dist_baseline") or 0.0)
     # a degenerate baseline (all-duplicate corpus → ~0) would make any
     # noise an infinite ratio; floor it at a visible angular distance
     ratio = current / max(baseline, 1e-9)
+    counts = meta.get("batch_counts") or {}
+    if committed and all(b in counts for b in committed):
+        n_rows = sum(int(counts[b]) for b in committed)
+    else:  # pre-r12 manifest: one footer-stat count over committed rows
+        rows = spark.read.parquet(path)
+        n_rows = rows.filter(F.col("batch").isin(committed)).count()
+    mass = _tombstone_mass(spark, path, meta)
+    tombstone_frac = mass / max(n_rows, 1)
+    trip_tomb = (
+        max_tombstone_frac is not None and tombstone_frac >= max_tombstone_frac
+    )
     return {
-        "recompact": bool(ratio > threshold),
+        "recompact": bool(ratio > threshold or trip_tomb),
         "ratio": float(ratio),
         "current": current,
         "baseline": baseline,
         "n_batches": len(committed),
+        "tombstone_frac": float(tombstone_frac),
     }
 
 
@@ -812,6 +875,7 @@ def ivf_recompact(
                 "batches": [cid],
                 "centroids": cid,
                 "assign_dist_baseline": baseline,
+                "batch_counts": {cid: int(n_rows)},
                 "retired": retired,
             },
             parent_version=meta["_version"],

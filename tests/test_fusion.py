@@ -220,3 +220,31 @@ def test_mmr_rerank_tie_breaks_by_id_and_multiquery(spark):
             for r in out.filter(F.col("query_id") == q).orderBy("rank").collect()
         ]
         assert ids == [4, 6, 9], (q, ids)
+
+
+def test_retrieval_metrics_grade_zero_qrels_rows(spark):
+    """ADVICE r11: TREC-style qrels with EXPLICIT grade-0 (judged
+    non-relevant) rows must not inflate n_relevant, deflate recall@k, or
+    occupy ideal-DCG window slots — metrics with and without the grade-0
+    rows are identical, and a query judged ONLY at grade 0 scores as if
+    unjudged."""
+    from pwhl_data_engineering_pipeline_spark.operators import evaluation
+
+    results = spark.createDataFrame(
+        [("qA", 1, 1), ("qA", 2, 2), ("qZ", 9, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    positives = [("qA", 1, 2), ("qA", 3, 1)]
+    zeros = [("qA", 2, 0), ("qA", 50, 0), ("qZ", 9, 0)]
+    schema = "query_id string, doc_id long, relevance int"
+    clean = evaluation.retrieval_metrics(
+        results, spark.createDataFrame(positives, schema), k=2
+    )
+    trec = evaluation.retrieval_metrics(
+        results, spark.createDataFrame(positives + zeros, schema), k=2
+    )
+    as_dict = lambda df: {r["query_id"]: r.asDict() for r in df.collect()}
+    assert as_dict(clean) == as_dict(trec)
+    z = as_dict(trec)["qZ"]
+    assert z["n_relevant"] == 0 and z["recall_at_k"] == 0.0
+    assert z["ndcg_at_k"] == 0.0 and z["mrr"] == 0.0

@@ -312,3 +312,113 @@ def test_bm25_delete_masks_stale_stats_champion_guard_and_compact_purges(
         )
     )
     assert champ  # usable again
+
+
+def test_delete_reuse_with_different_ids_refuses(spark, tmp_path):
+    """ADVICE r11: the idempotent-skip path is only safe when the reused
+    batch_id carries the SAME id set — a re-issued delete under a
+    committed tombstone_id with DIFFERENT ids must refuse loudly, not
+    return skipped:True while silently dropping those deletions (the
+    erasure-path silent no-op). Same-ids re-delete still skips cleanly."""
+    from pwhl_data_engineering_pipeline_spark.operators import search
+
+    emb = _emb(spark, seed=13)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    idx = str(tmp_path / "ivf_reuse")
+    similarity.ivf_write(assigned, idx, cent)
+    first = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    similarity.ivf_delete(spark, idx, first, batch_id="dz")
+    # same ids → clean metadata skip
+    again = similarity.ivf_delete(spark, idx, first, batch_id="dz")
+    assert again["skipped"] is True
+    # different ids under the committed batch_id → loud refusal
+    other = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select("vec_id")
+    with pytest.raises(ValueError, match="DIFFERENT id set"):
+        similarity.ivf_delete(spark, idx, other, batch_id="dz")
+    # superset/subset asymmetries refuse too (strict set equality)
+    with pytest.raises(ValueError, match="DIFFERENT id set"):
+        similarity.ivf_delete(
+            spark, idx, emb.filter(F.col("vec_id") < 11).select("vec_id"),
+            batch_id="dz",
+        )
+
+    # BM25 twin (shared helper, doc_id axis)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bidx = str(tmp_path / "bm25_reuse")
+    search.bm25_index_write(docs, bidx, n_buckets=4)
+    d_first = docs.filter(F.col("doc_id") < 5).select("doc_id")
+    search.bm25_delete(spark, bidx, d_first, batch_id="dz")
+    assert search.bm25_delete(spark, bidx, d_first, batch_id="dz")["skipped"]
+    with pytest.raises(ValueError, match="DIFFERENT id set"):
+        search.bm25_delete(
+            spark, bidx, docs.filter(F.col("doc_id") >= 25).select("doc_id"),
+            batch_id="dz",
+        )
+
+
+def test_tombstone_frac_trips_schedulers(spark, tmp_path):
+    """r12 (VERDICT r11 #2): the maintenance probes gain a deletion term.
+    (a) search.needs_compaction trips when the tombstone mass reaches
+    max_tombstone_frac of n_docs — metadata-only via the manifest's
+    tombstone_counts; (b) ivf_needs_recompact reports tombstone_frac and
+    trips on it even when assign-distance drift is absent; (c) the drift
+    sample masks tombstones (ADVICE r11): deleting rows NEVER changes the
+    reported assign-dist ratio of the survivors."""
+    from pwhl_data_engineering_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} spark") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bidx = str(tmp_path / "bm25_frac")
+    search.bm25_index_write(docs, bidx, n_buckets=4)
+    assert search.needs_compaction(spark, bidx) is False
+    search.bm25_delete(
+        spark, bidx, docs.filter(F.col("doc_id") < 4).select("doc_id")
+    )
+    # 4/40 = 10% < 25% default
+    assert search.needs_compaction(spark, bidx) is False
+    search.bm25_delete(
+        spark, bidx,
+        docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 12)).select("doc_id"),
+    )
+    # 12/40 = 30% >= 25%
+    assert search.needs_compaction(spark, bidx) is True
+    assert search.needs_compaction(spark, bidx, max_tombstone_frac=None) is False
+    meta = _read_scalars(spark, bidx)
+    assert sum(meta["tombstone_counts"].values()) == 12
+    # compact purges; the trigger resets
+    search.bm25_index_compact(spark, bidx, reclaim_min_age_seconds=0)
+    assert search.needs_compaction(spark, bidx) is False
+
+    emb = _emb(spark, seed=17)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    idx = str(tmp_path / "ivf_frac")
+    similarity.ivf_write(assigned, idx, cent)
+    probe0 = similarity.ivf_needs_recompact(spark, idx)
+    assert probe0["tombstone_frac"] == 0.0 and probe0["recompact"] is False
+    similarity.ivf_delete(
+        spark, idx, emb.filter(F.col("vec_id") < 48).select("vec_id")
+    )
+    probe1 = similarity.ivf_needs_recompact(spark, idx)
+    # (c) masked drift sample: survivors' geometry did not move, so the
+    # ratio must be computed over live rows only — it may shift from the
+    # baseline's (full-sample) mix but stays far under the 1.25 drift
+    # threshold; the trip below is the tombstone term, not drift
+    assert probe1["tombstone_frac"] == pytest.approx(48 / 160)
+    assert probe1["recompact"] is True  # 30% >= 25% default
+    assert (
+        similarity.ivf_needs_recompact(spark, idx, max_tombstone_frac=None)[
+            "recompact"
+        ]
+        is False
+    )
+    # recompact purges; the term resets
+    similarity.ivf_recompact(spark, idx, refine_iterations=1)
+    probe2 = similarity.ivf_needs_recompact(spark, idx)
+    assert probe2["tombstone_frac"] == 0.0 and probe2["recompact"] is False
