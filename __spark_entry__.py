@@ -3663,6 +3663,83 @@ def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_minhash_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure on the persisted MinHash dedup index (r12, VERDICT r11 #1:
+    dedup.minhash_index_delete — the last persisted index without a
+    delete path, and the one where it matters most: a tombstoned doc's
+    signature otherwise keeps acting as a SUPPRESSION ANCHOR, changing
+    downstream admission decisions forever, not just result lists).
+
+    Construction, on the ns_dedup_incremental theorem slice: index the
+    first 250 docs, DELETE the odd doc_ids, probe a batch of planted
+    exact copies of the doc_id%7==0 originals (re-keyed +10M). Identical
+    text ⇒ identical signatures ⇒ collision in EVERY band, so on the
+    deterministic exact-text slice the masked cross-pair set is a
+    theorem: copies pair with every text-equal SURVIVOR (even) original
+    and with NO erased (odd) one — the SQL mirror is the text-equality
+    join against the even corpus. The PySpark side additionally compacts
+    to a purged path and asserts driver-side that the FULL cross-pair
+    set (not just the deterministic slice) is identical between the
+    masked probe and the physically-purged index — the purge theorem —
+    plus the delete observables and the purged path's clean manifest."""
+    import tempfile
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    mid = 250
+    corpus = docs.filter(F.col("doc_id") < mid)
+    batch = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    idx = tempfile.mkdtemp(prefix="mh_del_")
+    dedup.minhash_index_write(corpus, idx, num_hashes=64, num_bands=8)
+    out = dedup.minhash_index_delete(
+        spark, idx, corpus.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    cross, _within = dedup.minhash_incremental_pairs(
+        spark, batch, idx, num_hashes=64, num_bands=8
+    )
+    # purge differential, driver-side over bounded pair sets (≤ |planted|
+    # × collisions rows). The masked probe MUST be collected before the
+    # compact runs: compaction refreshes the source index's _hot_buckets
+    # sidecar in place, and a lazy probe plan that pinned the old sidecar
+    # file would fail at collect (single-writer maintenance contract —
+    # the same reason compact-vs-probe ordering is documented for BM25).
+    got = sorted(map(tuple, cross.collect()))
+    purged = tempfile.mkdtemp(prefix="mh_purged_")
+    dedup.minhash_index_compact(spark, idx, out_path=purged)
+    cross_p, _ = dedup.minhash_incremental_pairs(
+        spark, batch, purged, num_hashes=64, num_bands=8
+    )
+    assert got == sorted(map(tuple, cross_p.collect()))  # purge theorem
+    assert all(c % 2 == 0 for _, c in got)  # no erased anchor survives
+    from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
+
+    assert _read_scalars(spark, purged)["tombstones"] == []
+    bt = batch.select(F.col("doc_id").alias("new_id"), F.col("text").alias("__tb"))
+    ct = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("__tc"))
+    # the returned slice derives from the PURGED probe (cross_p): the
+    # masked probe's lazy plan pinned the pre-compact sidecar file (see
+    # above); equality of the two pair sets was asserted driver-side
+    exact = (
+        cross_p.join(bt, "new_id")
+        .join(ct, "corpus_id")
+        .filter(F.col("__tb") == F.col("__tc"))
+        .select("new_id", "corpus_id")
+    )
+    pair_leg = exact.select(F.lit("pair").alias("leg"), "new_id", "corpus_id")
+    admitted = batch.join(
+        exact.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+    census_leg = admitted.agg(
+        F.count(F.lit(1)).alias("new_id"), F.sum("doc_id").alias("corpus_id")
+    ).select(F.lit("admitted_census").alias("leg"), "new_id", "corpus_id")
+    return pair_leg.unionByName(census_leg)
+
+
 def q_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion on the persisted IVF index (r11: similarity.ivf_delete —
     the right-to-be-forgotten path: a committed TOMBSTONE batch masks
@@ -4062,6 +4139,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
         "ns_bm25_deleted": q_bm25_deleted,
+        "ns_minhash_deleted": q_minhash_deleted,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5369,6 +5447,34 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS new_id,
                    CAST(sum(new_id) AS BIGINT) AS corpus_id
             FROM (SELECT DISTINCT new_id FROM pair)
+        """,
+        # erasure on the dedup index (r12): the deterministic slice pairs
+        # each planted copy with every text-equal SURVIVOR (even) original
+        # and with no erased (odd) one; the census counts the copies the
+        # slice admits. The LSH side is a theorem (identical text collides
+        # in every band; erased ids are anti-joined out by id).
+        "ns_minhash_deleted": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 250
+            ),
+            batch AS (
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id < 250 AND doc_id % 7 = 0
+            ),
+            pair AS (
+              SELECT b.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM batch b JOIN corpus c
+                ON b.text = c.text AND c.doc_id % 2 = 0
+            )
+            SELECT 'pair' AS leg, new_id, corpus_id FROM pair
+            UNION ALL
+            SELECT 'admitted_census' AS leg,
+                   CAST(count(*) AS BIGINT) AS new_id,
+                   CAST(sum(doc_id) AS BIGINT) AS corpus_id
+            FROM (
+              SELECT doc_id FROM batch
+              WHERE doc_id NOT IN (SELECT new_id FROM pair)
+            )
         """,
         "ns_simhash_pairs": """
             WITH corpus AS (

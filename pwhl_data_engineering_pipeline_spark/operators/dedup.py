@@ -339,23 +339,210 @@ def refresh_hot_sidecar(spark, index_path: str, max_bucket: int) -> int:
     return spark.read.parquet(_hot_sidecar_path(index_path)).count()
 
 
+def _minhash_meta(spark, index_path: str) -> dict:
+    """The MinHash index's deletion manifest, or the empty v0 state.
+
+    Unlike BM25/IVF/PQ the MinHash index is deliberately manifest-less
+    for DATA visibility (at-least-once bucket rows are idempotent
+    candidate generators — see minhash_index_write's crash posture), so
+    the ``_scalars`` manifest here carries ONLY erasure state: the
+    committed ``tombstones`` list and its ``tombstone_counts``. An index
+    that has never seen a delete has no manifest at all and probes pay
+    nothing."""
+    from .search import _read_scalars
+
+    try:
+        return _read_scalars(spark, index_path)
+    except FileNotFoundError:
+        return {"_version": 0}
+
+
+def _minhash_tombstones(spark, index_path: str, meta: dict, id_col: str = "doc_id"):
+    """Union of committed tombstone id tables (``_tombstones/<tid>``), or
+    None when the index has no pending deletions — the BM25/IVF/PQ twins'
+    helper on the dedup-index axis."""
+    tids = meta.get("tombstones") or []
+    if not tids:
+        return None
+    df = spark.read.parquet(*[f"{index_path}/_tombstones/{t}" for t in tids])
+    return df.select(F.col(id_col)).distinct()
+
+
+def minhash_index_delete(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    batch_id: str | None = None,
+) -> dict:
+    """Delete documents from a persisted MinHash band index by id — the
+    right-to-be-forgotten path on the DEDUP index (VERDICT r11 #1, the
+    last persisted index without erasure). This one matters differently
+    from the ANN/BM25 deletes: a tombstoned document here stops acting
+    as a **suppression anchor** — without erasure its signature bytes
+    persist and it keeps suppressing future near-duplicates of itself,
+    changing downstream ADMISSION decisions forever, not just result
+    lists.
+
+    Semantics, loudly:
+
+    - **Immediate**: probes (:func:`minhash_incremental_pairs`, hence
+      :func:`dedup_minhash_incremental`) anti-join the committed
+      tombstone ids out of the INDEX side, so from this commit a future
+      copy of an erased document no longer collides with it and is
+      admitted (unless something else suppresses it).
+    - **NOT retroactive**: previously-suppressed documents do NOT
+      reappear — the admission log is history; only FUTURE admission
+      changes. Re-run past batches through the purged index if a
+      re-adjudication is genuinely wanted.
+    - **Physical purge** happens at the next
+      :func:`minhash_index_compact(out_path=...)`: tombstoned rows are
+      excluded from the rewritten copy and the new path starts with a
+      clean (empty-tombstones) manifest — that is when the signature
+      bytes actually leave the tree (erasure SLAs schedule a compact).
+    - **Re-appended tombstoned ids stay masked** until the purging
+      compact (delete-then-gone, the ivf_delete contract), and the
+      purge drops their rows too; re-ingest after the purge behaves
+      normally.
+
+    Crash consistency: the shared one-commit machinery — the id table
+    lands invisible under ``_tombstones/<tid>``, ONE manifest
+    version-commit flips it live, a re-delete of a committed tid with
+    the same ids is a metadata no-op (a DIFFERENT id set under a reused
+    tid refuses loudly — ADVICE r11), a crashed attempt purges and
+    rewrites, a version race retries once. The manifest exists ONLY for
+    erasure (see :func:`_minhash_meta`); data visibility stays
+    manifest-less. Returns {"n_ids", "version", "tombstone_id",
+    "skipped"}."""
+    import uuid as _uuid
+
+    from ..fsutil import delete as _fs_delete, exists as _fs_exists
+    from .search import (
+        _check_batch_id,
+        _commit_scalars,
+        _verify_tombstone_reuse,
+    )
+
+    if not _fs_exists(spark, index_path):
+        raise FileNotFoundError(
+            f"no MinHash index at {index_path} — nothing to delete from"
+        )
+    meta = _minhash_meta(spark, index_path)
+    if batch_id is None:
+        batch_id = "t" + _uuid.uuid4().hex
+    _check_batch_id(batch_id)
+    tdir = f"{index_path.rstrip('/')}/_tombstones/{batch_id}"
+    if batch_id in (meta.get("tombstones") or []):
+        _verify_tombstone_reuse(spark, tdir, ids, id_col, batch_id)
+        return {
+            "n_ids": 0,
+            "version": meta["_version"],
+            "tombstone_id": batch_id,
+            "skipped": True,
+        }
+    _fs_delete(spark, tdir, recursive=True)  # crashed-attempt leftovers
+    ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(tdir)
+    n_ids = spark.read.parquet(tdir).count()
+    if n_ids > 0 and not _fs_exists(spark, tdir):
+        raise IOError(
+            f"minhash_index_delete: tombstone dir {tdir} was reclaimed "
+            "before the manifest commit — aborting; re-delete the batch"
+        )
+
+    def _meta_with(base: dict) -> dict:
+        m = {k: v for k, v in base.items() if k != "_version"}
+        m["tombstones"] = [*(base.get("tombstones") or []), batch_id]
+        m["tombstone_counts"] = {
+            **(base.get("tombstone_counts") or {}),
+            batch_id: int(n_ids),
+        }
+        return m
+
+    try:
+        version = _commit_scalars(
+            spark, index_path, _meta_with(meta), parent_version=meta["_version"]
+        )
+    except IOError:
+        fresh = _minhash_meta(spark, index_path)
+        if batch_id in (fresh.get("tombstones") or []):
+            _verify_tombstone_reuse(spark, tdir, ids, id_col, batch_id)
+            return {
+                "n_ids": 0,
+                "version": fresh["_version"],
+                "tombstone_id": batch_id,
+                "skipped": True,
+            }
+        if n_ids > 0 and not _fs_exists(spark, tdir):
+            raise IOError(
+                f"minhash_index_delete: tombstone dir {tdir} was reclaimed "
+                "before the manifest retry commit — aborting; re-delete"
+            )
+        version = _commit_scalars(
+            spark, index_path, _meta_with(fresh), parent_version=fresh["_version"]
+        )
+    return {
+        "n_ids": int(n_ids),
+        "version": version,
+        "tombstone_id": batch_id,
+        "skipped": False,
+    }
+
+
 def minhash_index_compact(
-    spark, index_path: str, max_bucket: int = 64, out_path: str | None = None
+    spark,
+    index_path: str,
+    max_bucket: int = 64,
+    out_path: str | None = None,
+    id_col: str = "doc_id",
 ) -> int:
     """Index maintenance: refresh the hot-bucket sidecar, and (optionally)
     rewrite the index WITHOUT the hot buckets' rows to ``out_path`` — the
     global `_cap_buckets` pass that makes future probe caps a no-op. The
     pruned copy goes to a new path (an in-place parquet self-overwrite is
-    unsafe); swap paths at the orchestration layer. Returns the hot count."""
+    unsafe); swap paths at the orchestration layer. Returns the hot count.
+
+    r12, the erasure axis: when :func:`minhash_index_delete` tombstones
+    are pending, the ``out_path`` rewrite is the PHYSICAL PURGE —
+    tombstoned rows are anti-joined out before the hot-bucket pass, the
+    hot list for the pruned copy is recomputed over the SURVIVORS (a
+    bucket hot only because of deleted members must not stay capped in
+    the purged copy), and the new path starts with a clean manifest
+    (empty tombstones, committed — so the purge is visible as state, not
+    inferred from absence). The purged copy equals
+    ``minhash_index_write`` over the surviving documents, modulo the
+    documented write-time cap loss (rows of buckets that were hot AT
+    WRITE TIME were never stored and cannot be resurrected by deleting
+    members). In-place mode (``out_path=None``) only refreshes the
+    sidecar; tombstones stay pending and probes keep masking — erasure
+    of the bytes requires the rewrite."""
+    meta = _minhash_meta(spark, index_path)
+    tomb = _minhash_tombstones(spark, index_path, meta, id_col)
     n_hot = refresh_hot_sidecar(spark, index_path, max_bucket)
     if out_path is not None:
         idx = spark.read.parquet(index_path)
-        hot = spark.read.parquet(_hot_sidecar_path(index_path))
+        if tomb is not None:
+            idx = idx.join(tomb, id_col, "left_anti")
+            # heat must be survivor-relative in the purged copy
+            hot = (
+                idx.groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .filter(F.col("__bsz") > max_bucket)
+                .select("band", "band_hash")
+            )
+        else:
+            hot = spark.read.parquet(_hot_sidecar_path(index_path))
         idx.join(F.broadcast(hot), ["band", "band_hash"], "left_anti").write.mode(
             "overwrite"
         ).partitionBy("band").parquet(out_path)
         # pruned index has no hot buckets: write an empty sidecar
         hot.limit(0).write.mode("overwrite").parquet(_hot_sidecar_path(out_path))
+        if tomb is not None:
+            # commit the purge as explicit state at the new path
+            from .search import _commit_scalars
+
+            _commit_scalars(
+                spark, out_path, {"tombstones": []}, parent_version=0
+            )
     return n_hot
 
 
@@ -470,6 +657,16 @@ def minhash_incremental_pairs(
         within0 = pairs_from_buckets(nb, ["band", "band_hash"], id_col, max_bucket=max_bucket)
         return empty, within0
     idx = spark.read.parquet(index_path)
+    tomb = _minhash_tombstones(
+        spark, index_path, _minhash_meta(spark, index_path), id_col
+    )
+    if tomb is not None:
+        # erasure mask (r12, minhash_index_delete): tombstoned documents
+        # stop acting as suppression anchors IMMEDIATELY — their bucket
+        # rows are masked out of the probe side until the purging
+        # compact drops the bytes. Equi-keyed anti-join; a no-op lookup
+        # on an undeleted index (no manifest → tomb is None → zero cost).
+        idx = idx.join(tomb, id_col, "left_anti")
     if probe_cap == "scan":
         idx = _cap_buckets(idx, max_bucket)
     elif probe_cap == "sidecar":

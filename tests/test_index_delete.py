@@ -422,3 +422,154 @@ def test_tombstone_frac_trips_schedulers(spark, tmp_path):
     similarity.ivf_recompact(spark, idx, refine_iterations=1)
     probe2 = similarity.ivf_needs_recompact(spark, idx)
     assert probe2["tombstone_frac"] == 0.0 and probe2["recompact"] is False
+
+
+# ---- MinHash dedup-index erasure (r12, VERDICT r11 #1) ---------------------
+
+
+def _docs(spark, ids, key=""):
+    # genuinely dissimilar bodies (hash soup): LSH collisions happen ONLY
+    # between exact copies, so suppression provenance is unambiguous — a
+    # shared-scaffold corpus would let a copy of an erased doc collide
+    # with OTHER docs and mask the unanchoring under test
+    import hashlib
+
+    def body(i):
+        return " ".join(
+            hashlib.md5(f"{key}-{i}-{j}".encode()).hexdigest()
+            for j in range(12)
+        )
+
+    rows = [(i, body(i)) for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_delete_unanchors_and_compact_purges(spark, tmp_path):
+    """The dedup-index erasure path: (a) a tombstoned document stops
+    acting as a suppression anchor IMMEDIATELY — an exact copy of it in
+    a later batch is admitted, while copies of surviving docs stay
+    suppressed; (b) re-delete is idempotent, reused batch_id with
+    different ids refuses; (c) compact(out_path) is the physical purge —
+    rows gone, clean manifest, row-identical to a fresh build over the
+    survivors; (d) masked probe ≡ purged probe."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _read_scalars,
+    )
+
+    corpus = _docs(spark, range(40))
+    idx = str(tmp_path / "mh_idx")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    # batch: exact copies of every corpus doc, re-keyed
+    batch = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(1000))
+
+    surv0 = dedup.dedup_minhash_incremental(
+        spark, batch, idx, num_hashes=32, num_bands=8, append_survivors=False
+    )
+    assert surv0.count() == 0  # every copy suppressed by its original
+
+    odds = corpus.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    out = dedup.minhash_index_delete(spark, idx, odds, batch_id="d1")
+    assert out["skipped"] is False and out["n_ids"] == 20
+
+    surv1 = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_incremental(
+            spark, batch, idx, num_hashes=32, num_bands=8,
+            append_survivors=False,
+        ).collect()
+    }
+    # (a) copies of erased odds are ADMITTED; copies of evens suppressed
+    assert surv1 == {1000 + i for i in range(40) if i % 2 != 0}
+
+    # (b) idempotent re-delete + strict reuse
+    assert dedup.minhash_index_delete(spark, idx, odds, batch_id="d1")[
+        "skipped"
+    ] is True
+    with pytest.raises(ValueError, match="DIFFERENT id set"):
+        dedup.minhash_index_delete(
+            spark, idx, corpus.filter(F.col("doc_id") < 3).select("doc_id"),
+            batch_id="d1",
+        )
+
+    # (c) purge: compacted copy == fresh build over survivors, clean state
+    purged = str(tmp_path / "mh_purged")
+    dedup.minhash_index_compact(spark, idx, max_bucket=64, out_path=purged)
+    assert (
+        spark.read.parquet(purged)
+        .filter(F.col("doc_id") % 2 != 0)
+        .count()
+        == 0
+    )
+    assert _read_scalars(spark, purged)["tombstones"] == []
+    fresh = str(tmp_path / "mh_fresh")
+    dedup.minhash_index_write(
+        corpus.filter(F.col("doc_id") % 2 == 0), fresh,
+        num_hashes=32, num_bands=8,
+    )
+    rows = lambda p: sorted(
+        map(tuple, spark.read.parquet(p).select("doc_id", "band", "band_hash").collect())
+    )
+    assert rows(purged) == rows(fresh)
+
+    # (d) masked probe ≡ purged probe (cross pairs identical)
+    cross_masked, _ = dedup.minhash_incremental_pairs(
+        spark, batch, idx, num_hashes=32, num_bands=8
+    )
+    cross_purged, _ = dedup.minhash_incremental_pairs(
+        spark, batch, purged, num_hashes=32, num_bands=8
+    )
+    pairs = lambda df: sorted(map(tuple, df.collect()))
+    assert pairs(cross_masked) == pairs(cross_purged)
+
+
+def test_minhash_crashed_delete_invisible(spark, tmp_path):
+    """A tombstone table written but never committed masks nothing —
+    suppression still anchors on every indexed doc."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+
+    corpus = _docs(spark, range(20), key="crash")
+    idx = str(tmp_path / "mh_crash")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    corpus.limit(10).select("doc_id").write.parquet(f"{idx}/_tombstones/crashed")
+    batch = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(1000))
+    surv = dedup.dedup_minhash_incremental(
+        spark, batch, idx, num_hashes=32, num_bands=8, append_survivors=False
+    )
+    assert surv.count() == 0  # uncommitted tombstone is invisible
+
+
+def test_minhash_reappend_tombstoned_id_stays_masked(spark, tmp_path):
+    """Delete-then-gone until the purge: re-appending a tombstoned id's
+    buckets before the compact keeps it masked (a copy of the doc is
+    still admitted); after the purging compact a fresh append anchors
+    suppression again."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+
+    corpus = _docs(spark, range(12), key="remask")
+    target = corpus.filter(F.col("doc_id") == 0)
+    idx = str(tmp_path / "mh_remask")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    dedup.minhash_index_delete(
+        spark, idx, target.select("doc_id"), batch_id="dz"
+    )
+    # re-ingest of the erased doc under the SAME id (redelivery)
+    dedup.minhash_index_write(
+        target, idx, num_hashes=32, num_bands=8, mode="append"
+    )
+    copy = target.withColumn("doc_id", F.col("doc_id") + F.lit(1000))
+    surv = dedup.dedup_minhash_incremental(
+        spark, copy, idx, num_hashes=32, num_bands=8, append_survivors=False
+    )
+    assert surv.count() == 1  # still masked: the copy is admitted
+
+    # purge, then a fresh append of the id is live again
+    purged = str(tmp_path / "mh_remask_purged")
+    dedup.minhash_index_compact(spark, idx, out_path=purged)
+    dedup.minhash_index_write(
+        target, purged, num_hashes=32, num_bands=8, mode="append"
+    )
+    surv2 = dedup.dedup_minhash_incremental(
+        spark, copy, purged, num_hashes=32, num_bands=8, append_survivors=False
+    )
+    assert surv2.count() == 0  # suppression anchors again
