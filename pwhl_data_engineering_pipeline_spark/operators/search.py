@@ -1022,6 +1022,18 @@ def bm25_index_append(
         }
         if base.get("retired"):  # carry stamps until repair drops them
             m["retired"] = base["retired"]
+        # carry pending deletions (r12 bug fix, found by the delete ×
+        # append composition tests): this explicit dict previously DROPPED
+        # the tombstone list, so the first append after a bm25_delete
+        # silently un-erased every deleted doc (probes mask from the
+        # manifest; a manifest without the list masks nothing) while the
+        # orphaned tombstone tables sat on disk. Erasure state must
+        # survive every additive commit; only the purging compact may
+        # clear it.
+        if base.get("tombstones"):
+            m["tombstones"] = base["tombstones"]
+        if base.get("tombstone_counts"):
+            m["tombstone_counts"] = base["tombstone_counts"]
         return m
 
     # the batch's directories must still exist at commit time — a
