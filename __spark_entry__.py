@@ -3632,6 +3632,114 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.retrieval_metrics(results, qrels, k=10)
 
 
+def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval chain COMPOSED end-to-end and value-hashed
+    (r12, VERDICT r11 #4): BM25 sparse leg + IVFADC-with-exact-re-rank
+    dense leg → rrf_fuse → mmr_rerank → retrieval_metrics against
+    derived qrels. Every stage is individually hash-gated elsewhere;
+    this gates their COMPOSITION — the frame handed between stages is
+    where column renames, id-type mismatches, and k-cut off-by-ones
+    live.
+
+    Exactness construction, stage by stage:
+    - corpora are pinned to ids < 500 on BOTH legs (present at every
+      tested SF in both tables) so the MMR embedding lookup can never
+      silently drop a candidate at larger SFs (the cap is mirrored);
+    - the dense leg probes the persisted PQ index EXHAUSTIVELY
+      (n_probe = all cells, shortlist = corpus) so IVFADC+re-rank ≡
+      plain L2 brute force (the ns_ann_pq_rerank theorem);
+    - RRF over exactly two rankings is one IEEE addition per (query,
+      doc), 9dp-floored (the ns_hybrid_rrf argument);
+    - MMR runs at λ=1, where the greedy kernel REDUCES to relevance
+      order (rrf_score desc, doc_id asc) and its mmr_score to the
+      9dp-floored rrf_score — the ns_mmr_diversify λ=1 theorem, here
+      exercised through the real applyInPandas kernel and mirrored as
+      a window;
+    - metrics replay the ns_retrieval_eval arithmetic over the MMR
+      ranking with qrels derived from the same tokenization (≥2 distinct
+      query terms present, grade = present−1).
+    Output: the final ranking joined with its per-query metrics — one
+    row per (query, selected doc), hashing both the exact selection
+    order and the evaluation arithmetic; any divergence upstream
+    (visibility, routing, fusion, selection, grading) flips it."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import (
+        diversify,
+        evaluation,
+        fusion,
+        pq as pqm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    sparse = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+    idx = tempfile.mkdtemp(prefix="pq_pipe_") + "/index"
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned, cent, books), idx, books, cent
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < len(_BM25_QUERIES)).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    dense_raw = pqm.ivf_adc_topk_rerank(
+        spark, idx, emb, queries, k=10, n_probe=16, shortlist=emb.count()
+    )
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, (qid, _) in enumerate(_BM25_QUERIES)],
+        "__qi long, __qid string",
+    )
+    dense = (
+        dense_raw.join(qmap, dense_raw["query_id"] == qmap["__qi"])
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    fused = fusion.rrf_fuse([sparse, dense], k=10)
+    cand = fused.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).select("query_id", "doc_id", F.col("rrf_score").alias("rel_score"), "embedding")
+    sel = diversify.mmr_rerank(cand, k=10, lam=1.0)
+
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(search._tokens(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    q_terms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(search._tokens(F.col("query_text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    qrels = (
+        doc_terms.join(q_terms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__np"))
+        .filter(F.col("__np") >= 2)
+        .select("query_id", "doc_id", (F.col("__np") - 1).alias("relevance"))
+    )
+    metrics = evaluation.retrieval_metrics(
+        sel.select("query_id", "doc_id", "rank"), qrels, k=10
+    )
+    return sel.join(metrics, "query_id").select(
+        "query_id",
+        "doc_id",
+        "mmr_score",
+        "rank",
+        "n_retrieved",
+        "n_relevant",
+        "recall_at_k",
+        "precision_at_k",
+        "mrr",
+        "ndcg_at_k",
+    )
+
+
 def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion on the persisted BM25 index (r11: search.bm25_delete —
     the Lucene posture: tombstones mask deleted docs' postings at probe
@@ -4135,6 +4243,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_pq_rerank": q_ann_pq_rerank,
         "ns_hybrid_rrf": q_hybrid_rrf,
         "ns_retrieval_eval": q_retrieval_eval,
+        "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
@@ -5841,6 +5950,137 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM obs o
         FULL JOIN ideal i ON o.query_id = i.query_id
         FULL JOIN tot t ON coalesce(o.query_id, i.query_id) = t.query_id
+    """
+    # composed retrieval pipeline (r12, VERDICT r11 #4): BM25 leg =
+    # bm25_sql over the id-capped corpus; dense leg = exact-L2 mirror of
+    # the exhaustive IVFADC re-rank (the ns_ann_pq_rerank theorem);
+    # fusion = the ns_hybrid_rrf arithmetic; MMR at λ=1 = relevance
+    # order (rrf_score desc, doc_id asc) with mmr_score = the 9dp
+    # rrf_score; metrics = the ns_retrieval_eval arithmetic over the MMR
+    # ranking. One row per (query, selected doc) × its query metrics.
+    sql["ns_retrieval_pipeline"] = f"""
+        WITH sparse AS (
+          SELECT query_id, doc_id, rank FROM (
+            {search.bm25_sql(docs_from="(SELECT doc_id, text FROM documents WHERE doc_id < 500)", queries_values=_rrf_bm25_values, k=10)}
+          )
+        ),
+        qmap(query_id, qi) AS (VALUES {_rrf_qmap}),
+        ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 500
+        ),
+        qv AS (
+          SELECT m.query_id, e.v AS qvec
+          FROM qmap m JOIN ed e ON e.vec_id = m.qi
+        ),
+        dscored AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 floor((list_dot_product(e.v, e.v)
+                        + list_dot_product(q.qvec, q.qvec)
+                        - 2 * list_dot_product(e.v, q.qvec)) * 1e6 + 0.5) / 1e6
+                   AS l2_dist
+          FROM ed e CROSS JOIN qv q
+        ),
+        dense AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2_dist ASC, doc_id) AS rank
+            FROM dscored
+          ) WHERE rank <= 10
+        ),
+        contrib AS (
+          SELECT query_id, doc_id,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sparse
+          UNION ALL
+          SELECT query_id, doc_id,
+                 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM dense
+        ),
+        fused AS (
+          SELECT query_id, doc_id,
+                 floor(sum(c) * 1e9 + 0.5) / 1e9 AS rrf_score
+          FROM contrib GROUP BY query_id, doc_id
+        ),
+        sel AS (
+          SELECT query_id, doc_id, rrf_score AS mmr_score, rank FROM (
+            SELECT query_id, doc_id, rrf_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC, doc_id) AS rank
+            FROM fused
+          ) WHERE rank <= 10
+        ),
+        pq(query_id, query_text) AS (VALUES {_rrf_bm25_values}),
+        pqterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(string_split_regex(lower(trim(query_text)), '\\s+')) AS term
+            FROM pq
+          ) WHERE term <> ''
+        ),
+        pdterms AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents WHERE doc_id < 500
+          ) WHERE term <> ''
+        ),
+        present AS (
+          SELECT qt.query_id, d.doc_id, count(DISTINCT qt.term) AS np
+          FROM pdterms d JOIN pqterms qt USING (term)
+          GROUP BY qt.query_id, d.doc_id
+        ),
+        qrels AS (
+          SELECT query_id, doc_id, CAST(np - 1 AS DOUBLE) AS rel
+          FROM present WHERE np >= 2
+        ),
+        j AS (
+          SELECT s.query_id, s.doc_id, CAST(s.rank AS DOUBLE) AS drank,
+                 coalesce(qr.rel, 0.0) AS rel
+          FROM sel s LEFT JOIN qrels qr USING (query_id, doc_id)
+        ),
+        obs AS (
+          SELECT query_id,
+                 count(*) AS n_retrieved,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                 min(CASE WHEN rel > 0 THEN drank END) AS first_rel,
+                 sum((pow(2.0, rel) - 1.0) / (ln(drank + 1.0) / ln(2.0))) AS dcg
+          FROM j GROUP BY query_id
+        ),
+        ideal AS (
+          SELECT query_id,
+                 sum((pow(2.0, rel) - 1.0) / (ln(irank + 1.0) / ln(2.0))) AS idcg
+          FROM (
+            SELECT query_id, rel,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, doc_id) AS DOUBLE)
+                     AS irank
+            FROM qrels
+          ) WHERE irank <= 10 GROUP BY query_id
+        ),
+        tot AS (
+          SELECT query_id, count(*) AS n_relevant FROM qrels GROUP BY query_id
+        ),
+        met AS (
+          SELECT coalesce(o.query_id, i.query_id, t.query_id) AS query_id,
+                 coalesce(o.n_retrieved, 0) AS n_retrieved,
+                 coalesce(t.n_relevant, 0) AS n_relevant,
+                 floor((CASE WHEN coalesce(t.n_relevant, 0) > 0
+                             THEN coalesce(o.hits, 0) / CAST(t.n_relevant AS DOUBLE)
+                             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS recall_at_k,
+                 floor((coalesce(o.hits, 0) / 10.0) * 1e6 + 0.5) / 1e6
+                   AS precision_at_k,
+                 floor(coalesce(1.0 / o.first_rel, 0.0) * 1e6 + 0.5) / 1e6 AS mrr,
+                 floor((CASE WHEN coalesce(i.idcg, 0.0) > 0
+                             THEN coalesce(o.dcg, 0.0) / i.idcg
+                             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS ndcg_at_k
+          FROM obs o
+          FULL JOIN ideal i ON o.query_id = i.query_id
+          FULL JOIN tot t ON coalesce(o.query_id, i.query_id) = t.query_id
+        )
+        SELECT s.query_id, s.doc_id, s.mmr_score, s.rank,
+               m.n_retrieved, m.n_relevant, m.recall_at_k, m.precision_at_k,
+               m.mrr, m.ndcg_at_k
+        FROM sel s JOIN met m USING (query_id)
     """
     # MMR diversification (r11, operators/diversify.py): the greedy argmax
     # is not SQL-expressible, so the hashed columns are in-job THEOREMS
