@@ -3632,6 +3632,38 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.retrieval_metrics(results, qrels, k=10)
 
 
+def q_bm25_champions_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion lists under deletion (r12, VERDICT r11 #5): build the
+    index and its m=10 sidecar over the FULL corpus, delete the ODD
+    doc_ids, refresh the sidecar with the O(blast-radius) DELETE MERGE
+    (unchanged terms keep their lists — all their rows are live, and a
+    deletion elsewhere only removes competitors below the cutoff;
+    affected terms re-select from their masked pruned postings), then
+    compact (the purge; it RESTAMPS the delete-covered sidecar because
+    its content already equals the live top-m) and probe through the
+    sidecar. By composition the result equals the champion mirror over
+    the surviving corpus — value-hashing the merge selection, the
+    restamp, and the purge together. The PySpark side asserts
+    mode=="delete_merge" and the restamp observable, so the hash gates
+    the NEW machinery, not a silent rebuild."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="bm25_champ_del_") + "/index"
+    search.bm25_index_write(docs, idx, n_buckets=32)
+    search.bm25_champions_write(spark, idx, m=10)
+    out = search.bm25_delete(
+        spark, idx, docs.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    ref = search.bm25_champions_refresh(spark, idx, m=10)
+    assert ref["mode"] == "delete_merge", ref
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs.get("champions_restamped") == 1, obs
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
+
+
 def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production retrieval chain COMPOSED end-to-end and value-hashed
     (r12, VERDICT r11 #4): BM25 sparse leg + IVFADC-with-exact-re-rank
@@ -4248,6 +4280,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
         "ns_bm25_deleted": q_bm25_deleted,
+        "ns_bm25_champions_deleted": q_bm25_champions_deleted,
         "ns_minhash_deleted": q_minhash_deleted,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
@@ -5746,6 +5779,16 @@ def _all_oracle_sql() -> dict[str, str]:
     # exactness theorem — see bm25_champions_refresh), so the oracle is
     # the SAME full-corpus champion mirror
     sql["ns_bm25_champions_refresh"] = sql["ns_bm25_champions"]
+    # champions under deletion (r12): build(full) + delete(odds) +
+    # DELETE-MERGE refresh + purging compact (which restamps the
+    # delete-covered sidecar) ≡ champions built over the survivors —
+    # the same champion mirror with the corpus restricted to evens
+    sql["ns_bm25_champions_deleted"] = search.bm25_champions_sql(
+        docs_from="(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        queries_values=_bm25_values,
+        m=10,
+        k=10,
+    )
     # persisted IVF with crash-consistent append (r10): exhaustive probe
     # (n_probe = n_centroids) over build(evens) + append(odds) ≡ brute
     # force over the full corpus — the same mirror value-hashes append

@@ -1436,12 +1436,19 @@ def bm25_index_compact(
             stamp = _read_stamp(spark, stamp_path)
             if stamp is None:
                 continue
-            # a deletion-purging compact CHANGED the content (dropped
-            # postings, recomputed df), so pre-delete sidecars are no
-            # longer the true top-m — leave them stale for refresh/repair
-            # instead of restamping them fresh
-            if not tombstones and stamp.get("batches") == committed:
+            # a deletion-purging compact changes the POSTINGS (drops
+            # tombstoned rows, recomputes df) — but a sidecar whose
+            # stamp covers exactly the purged tombstone set already
+            # holds the live top-m (its lists were selected over masked
+            # postings), so its content survives the purge and it
+            # restamps to the compacted batch with a clean tombstone
+            # set. Sidecars that do NOT cover the purged set are left
+            # stale for refresh/repair.
+            if stamp.get("batches") == committed and sorted(
+                stamp.get("tombstones") or []
+            ) == sorted(tombstones):
                 stamp["batches"] = [cid]
+                stamp["tombstones"] = []
                 stamp["scalars_version"] = new_version
                 _write_stamp(spark, stamp_path, stamp)
                 restamped += 1
@@ -1472,6 +1479,33 @@ def bm25_index_compact(
         spark.read.parquet(f"{final}/stats").filter(F.col("batch") == cid).count()
     )
     return obs
+
+
+def _champions_topm(postings_df: DataFrame, m: int) -> DataFrame:
+    """Two-phase skew-safe top-``m`` per term by static impact
+    ``tf/doc_len`` (ties → doc_id asc): per-slice windows bound a hot
+    term's rows to one pass per input slice, then a global window ranks
+    the ≤ m-per-slice survivors — the selection shared by the full
+    build, the append merge, and the delete-axis re-top-up (the global
+    top-m is a subset of the union of per-slice top-ms)."""
+    impact = F.col("tf").cast("double") / F.col("doc_len")
+    w_local = Window.partitionBy("term", "__slice").orderBy(
+        impact.desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        postings_df.withColumn("__slice", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= m)
+        .drop("__slice", "__r")
+    )
+    w_global = Window.partitionBy("term").orderBy(
+        impact.desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("__r", F.row_number().over(w_global))
+        .filter(F.col("__r") <= m)
+        .select("doc_id", "term", "tf", "doc_len", "bucket")
+    )
 
 
 def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
@@ -1510,11 +1544,22 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
     sidecar in the same maintenance window. The stamp publishes AFTER
     the parquet write, so a crashed rebuild leaves no stamp (probe
     refuses loudly) and a re-run is an idempotent overwrite.
+
+    r12, the deletion axis: pending ``bm25_delete`` tombstones are
+    anti-joined out of the postings BEFORE the top-m selection, and the
+    stamp records the tombstone set the sidecar accounts for — the
+    champion probe accepts the sidecar while the index's tombstone set
+    matches the stamp (the lists are the true top-m over LIVE docs;
+    corpus stats stay stale, the same Lucene posture as the full masked
+    probe), so a small deletion no longer forces compact-before-
+    champions. The purging compact restamps a delete-covered sidecar to
+    the compacted batch (its content already equals the live top-m).
     """
     from ..fsutil import delete
 
     meta = _read_scalars(spark, path)
     committed = meta.get("batches")
+    tombstones = sorted(meta.get("tombstones") or [])
     root = f"{path}/_champions/m={int(m)}"
     _sweep_refresh_staging(spark, root)  # dead writers' leftovers (ADVICE r10)
     delete(spark, f"{root}/stamp.json")  # unpublish before the rewrite
@@ -1526,21 +1571,14 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
     postings = spark.read.parquet(f"{path}/postings")
     if committed:
         postings = postings.filter(F.col("batch").isin(committed))
-    impact = F.col("tf").cast("double") / F.col("doc_len")
-    w_local = Window.partitionBy("term", "__slice").orderBy(
-        impact.desc(), F.col("doc_id").asc()
-    )
-    survivors = (
-        postings.withColumn("__slice", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(w_local))
-        .filter(F.col("__r") <= m)
-        .drop("__slice", "__r")
-    )
-    w_global = Window.partitionBy("term").orderBy(impact.desc(), F.col("doc_id").asc())
+    tomb = _bm25_tombstones(spark, path, meta)
+    if tomb is not None:
+        # the top-m must be over LIVE docs: a tombstoned doc left in a
+        # champion list would occupy a slot the probe then masks away,
+        # under-returning vs the full masked probe
+        postings = postings.join(tomb, "doc_id", "left_anti")
     (
-        survivors.withColumn("__r", F.row_number().over(w_global))
-        .filter(F.col("__r") <= m)
-        .select("doc_id", "term", "tf", "doc_len", "bucket")
+        _champions_topm(postings, m)
         .repartition("bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
@@ -1554,6 +1592,7 @@ def bm25_champions_write(spark, path: str, m: int = 1000) -> dict:
         {
             "m": int(m),
             "batches": committed or [],
+            "tombstones": tombstones,
             "scalars_version": meta["_version"],
         },
     )
@@ -1610,13 +1649,36 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         out["mode"] = "rebuild"
         return out
     old_batches = stamp.get("batches") or []
-    if old_batches == committed:
+    cur_tombs = sorted(meta.get("tombstones") or [])
+    old_tombs = sorted(stamp.get("tombstones") or [])
+    if old_batches == committed and old_tombs == cur_tombs:
         return {
             "m": int(m),
             "rows": int(spark.read.parquet(f"{root}/data").count()),
             "version": meta["_version"],
             "mode": "noop",
         }
+    if set(old_tombs) - set(cur_tombs):
+        # the sidecar accounts for tombstones the manifest no longer
+        # lists (a purging compact cleared them while the sidecar missed
+        # its restamp window) — no identifiable delta; rebuild masked
+        out = bm25_champions_write(spark, path, m=m)
+        out["mode"] = "rebuild"
+        return out
+    if old_batches == committed and old_tombs != cur_tombs:
+        return _champions_delete_merge(
+            spark, path, m, root, meta, committed, old_tombs, cur_tombs
+        )
+    if old_batches != committed and old_tombs != cur_tombs:
+        # both axes moved since the stamp (appends AND deletions): the
+        # pure-append merge and the delete-axis re-top-up each assume the
+        # other axis is stationary; composing them in one pass would need
+        # per-term case analysis that a full masked rebuild does anyway —
+        # the pragmatic composition (pure-append and pure-delete stay
+        # O(delta))
+        out = bm25_champions_write(spark, path, m=m)
+        out["mode"] = "rebuild"
+        return out
     if set(old_batches) - set(committed):
         # batches the sidecar derived from are no longer committed (a
         # compaction relabelled them, or a repair after one) — the delta
@@ -1646,25 +1708,16 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         .filter(F.col("batch").isin(new_batches))
         .select("doc_id", "term", "tf", "doc_len", "bucket")
     )
+    tomb = _bm25_tombstones(spark, path, meta)
+    if tomb is not None:
+        # stamp and manifest agree on the tombstone set here (checked
+        # above), so the OLD sidecar already excludes them — but a new
+        # batch may re-append a tombstoned id (stays masked until the
+        # purge, the documented contract); keep it out of the lists too
+        new = new.join(tomb, "doc_id", "left_anti")
     merged = old.unionByName(new)
-    impact = F.col("tf").cast("double") / F.col("doc_len")
-    # same two-phase skew-safe top-m as the full build: per-slice then
-    # global, so a hot term's rows never serialize through one window
-    w_local = Window.partitionBy("term", "__slice").orderBy(
-        impact.desc(), F.col("doc_id").asc()
-    )
-    survivors = (
-        merged.withColumn("__slice", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(w_local))
-        .filter(F.col("__r") <= m)
-        .drop("__slice", "__r")
-    )
-    w_global = Window.partitionBy("term").orderBy(impact.desc(), F.col("doc_id").asc())
-    final = (
-        survivors.withColumn("__r", F.row_number().over(w_global))
-        .filter(F.col("__r") <= m)
-        .select("doc_id", "term", "tf", "doc_len", "bucket")
-    )
+    # same two-phase skew-safe top-m as the full build
+    final = _champions_topm(merged, m)
     # the merge READS {root}/data, so it cannot overwrite it in place —
     # stage beside it (into the already-staked marker dir; the overwrite
     # replaces the _INPROGRESS marker with the data, keeping the tree
@@ -1686,6 +1739,7 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         {
             "m": int(m),
             "batches": committed,
+            "tombstones": cur_tombs,
             "scalars_version": meta["_version"],
         },
     )
@@ -1695,6 +1749,99 @@ def bm25_champions_refresh(spark, path: str, m: int = 1000) -> dict:
         "version": meta["_version"],
         "mode": "incremental",
         "new_batches": len(new_batches),
+    }
+
+
+def _champions_delete_merge(
+    spark,
+    path: str,
+    m: int,
+    root: str,
+    meta: dict,
+    committed: list[str],
+    old_tombs: list[str],
+    cur_tombs: list[str],
+) -> dict:
+    """The delete axis of :func:`bm25_champions_refresh` (VERDICT r11
+    #5): merge NEW tombstones into a stamped sidecar without the full
+    O(corpus) rebuild, so a small deletion no longer forces
+    compact-before-champions.
+
+    Provably the true live top-m, term by term: a term whose champion
+    list contains NO newly-tombstoned doc keeps its list unchanged (all
+    its rows are live, and a deletion elsewhere can only remove
+    competitors BELOW the cutoff — they were never in the list); a term
+    whose list DOES lose a row may promote a posting from below the
+    cutoff that the sidecar never stored, so exactly those AFFECTED
+    terms re-select from their pruned postings (committed batches,
+    masked by the FULL current tombstone set). Cost: the sidecar scan
+    (≤ m rows/term) + the affected terms' postings — proportional to
+    the deletion's blast radius, not the corpus.
+
+    Crash posture: the staged-write + one-rename swap + unpublish/
+    republish stamp protocol of the append merge — a crash anywhere
+    leaves an unstamped sidecar the next refresh rebuilds."""
+    import uuid as _uuid
+
+    from ..fsutil import delete, rename, write_text
+
+    new_tids = [t for t in cur_tombs if t not in set(old_tombs)]
+    new_tomb = (
+        spark.read.parquet(*[f"{path}/_tombstones/{t}" for t in new_tids])
+        .select("doc_id")
+        .distinct()
+    )
+    all_tomb = _bm25_tombstones(spark, path, meta)
+    tmp = f"{root}/.refresh.{_uuid.uuid4().hex}"
+    write_text(spark, f"{tmp}/_INPROGRESS", "")  # stake before unpublish
+    delete(spark, f"{root}/stamp.json")
+    old = spark.read.parquet(f"{root}/data").select(
+        "doc_id", "term", "tf", "doc_len", "bucket"
+    )
+    affected = (
+        old.join(new_tomb, "doc_id", "left_semi").select("term").distinct()
+    )
+    keep = old.join(affected, "term", "left_anti")
+    recomputed = _champions_topm(
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(committed))
+        .select("doc_id", "term", "tf", "doc_len", "bucket")
+        .join(affected, "term", "left_semi")
+        .join(all_tomb, "doc_id", "left_anti"),
+        m,
+    )
+    # pin the column order (the anti-join moved the term key first):
+    # sidecar files must keep one schema across full builds and merges
+    final = keep.unionByName(recomputed).select(
+        "doc_id", "term", "tf", "doc_len", "bucket"
+    )
+    final.repartition("bucket").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("bucket").parquet(tmp)
+    delete(spark, f"{root}/data", recursive=True)
+    if not rename(spark, tmp, f"{root}/data"):
+        raise IOError(
+            f"bm25_champions_refresh (delete merge): staged-sidecar swap "
+            f"failed for {tmp} -> {root}/data (concurrent rebuild of the "
+            "same m?) — the sidecar is unstamped; re-run the refresh"
+        )
+    n = spark.read.parquet(f"{root}/data").count()
+    _write_stamp(
+        spark,
+        f"{root}/stamp.json",
+        {
+            "m": int(m),
+            "batches": committed,
+            "tombstones": cur_tombs,
+            "scalars_version": meta["_version"],
+        },
+    )
+    return {
+        "m": int(m),
+        "rows": int(n),
+        "version": meta["_version"],
+        "mode": "delete_merge",
+        "new_tombstones": len(new_tids),
     }
 
 
@@ -1712,11 +1859,17 @@ def champions_stale(spark, path: str) -> bool:
 
     meta = _read_scalars(spark, path)
     committed = meta.get("batches") or []
+    cur_tombs = sorted(meta.get("tombstones") or [])
     for name in list_names(spark, f"{path}/_champions"):
         if not name.startswith("m="):
             continue
         stamp = _read_stamp(spark, f"{path}/_champions/{name}/stamp.json")
         if stamp is None or stamp.get("batches") != committed:
+            return True
+        # r12 delete axis: a sidecar whose stamped tombstone set trails
+        # the manifest's is stale the same way (refresh answers with the
+        # O(blast-radius) delete merge)
+        if sorted(stamp.get("tombstones") or []) != cur_tombs:
             return True
     return False
 
@@ -1877,15 +2030,6 @@ def bm25_search_index(
     )
     tomb = _bm25_tombstones(spark, path, meta)
     if champions_m is not None:
-        if tomb is not None:
-            raise RuntimeError(
-                f"BM25 index at {path} has pending deletions "
-                "(bm25_delete tombstones) — champion probes are refused "
-                "while deletions are pending (an m-bounded list minus "
-                "masked docs can under-return, and the true top-m may "
-                "have shifted); run bm25_index_compact, then rebuild or "
-                "refresh the sidecar"
-            )
         # champion-list probe (see bm25_champions_write): scan ONLY the
         # m-bounded sidecar — flat in corpus size; df/n_docs/avg_len stay
         # corpus-wide from stats/scalars. The stamp pins the committed-
@@ -1897,6 +2041,23 @@ def bm25_search_index(
                 f"no champion sidecar m={champions_m} at {path} (missing "
                 "or torn stamp) — run bm25_champions_write/refresh "
                 "(spark, path, m) first"
+            )
+        # r12 (VERDICT r11 #5): deletions no longer refuse outright — a
+        # sidecar whose stamped tombstone set MATCHES the manifest's was
+        # built/refreshed over live docs (its lists are the true live
+        # top-m; corpus stats stay stale, the same Lucene posture as the
+        # full masked probe). The refusal stays for the pathological
+        # case: tombstones the sidecar does not account for, where an
+        # m-bounded list minus masked docs can under-return.
+        if sorted(stamp.get("tombstones") or []) != sorted(
+            meta.get("tombstones") or []
+        ):
+            raise RuntimeError(
+                f"BM25 index at {path} has pending deletions the champion "
+                f"sidecar m={champions_m} does not account for — run "
+                "bm25_champions_refresh (O(blast-radius) delete merge) or "
+                "bm25_index_compact first; probing an unrefreshed "
+                "m-bounded list under a mask can under-return"
             )
         if stamp["batches"] != (committed or []):
             raise RuntimeError(

@@ -573,3 +573,170 @@ def test_minhash_reappend_tombstoned_id_stays_masked(spark, tmp_path):
         spark, copy, purged, num_hashes=32, num_bands=8, append_survivors=False
     )
     assert surv2.count() == 0  # suppression anchors again
+
+
+# ---- champion lists under deletion (r12, VERDICT r11 #5) -------------------
+
+
+def test_champions_delete_merge_and_probe_gating(spark, tmp_path):
+    """(a) a sidecar that does not account for pending tombstones refuses
+    (the r11 posture, now scoped to the pathological case); (b)
+    bm25_champions_refresh merges the mask in O(blast radius) — mode
+    delete_merge — and its data is ROW-IDENTICAL to a full masked
+    rebuild (the promotion case: m small enough that deleting a champion
+    promotes a below-cutoff doc); (c) the refreshed champion probe never
+    under-returns vs the masked full probe (equal when live df ≤ m);
+    (d) noop on re-refresh; (e) the purging compact restamps the
+    delete-covered sidecar and the probe keeps working with tombstones
+    cleared."""
+    from pwhl_data_engineering_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} " + ("spark join " * (i % 3 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_champ_del")
+    search.bm25_index_write(docs, idx, n_buckets=8)
+    search.bm25_champions_write(spark, idx, m=3)
+    qdf = spark.createDataFrame(
+        [("q1", "alpha spark"), ("q2", "beta join")],
+        "query_id string, query_text string",
+    )
+    odds = docs.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    search.bm25_delete(spark, idx, odds, batch_id="d1")
+
+    # (a) unrefreshed sidecar refuses
+    with pytest.raises(RuntimeError, match="does not account for"):
+        search.bm25_search_index(spark, idx, qdf, k=5, champions_m=3)
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        champions_stale,
+    )
+
+    assert champions_stale(spark, idx) is True
+
+    # (b) delete merge == full masked rebuild, row-identical
+    out = search.bm25_champions_refresh(spark, idx, m=3)
+    assert out["mode"] == "delete_merge" and out["new_tombstones"] == 1
+    merged_rows = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_champions/m=3/data").collect())
+    )
+    search.bm25_champions_write(spark, idx, m=3)  # full masked rebuild
+    full_rows = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_champions/m=3/data").collect())
+    )
+    assert merged_rows == full_rows
+    assert champions_stale(spark, idx) is False
+
+    # (c) champion probe with live df ≤ m equals the masked full probe
+    search.bm25_champions_write(spark, idx, m=100)
+    champ = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=40, champions_m=100)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=40)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert champ == full  # stale stats on BOTH sides — the Lucene posture
+
+    # (d) noop on re-refresh
+    assert search.bm25_champions_refresh(spark, idx, m=3)["mode"] == "noop"
+
+    # (e) the purging compact restamps delete-covered sidecars (content
+    # already equals the live top-m) and the probe works with a clean set
+    obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+    assert obs["champions_restamped"] == 2  # m=3 and m=100
+    survivors = docs.filter(F.col("doc_id") % 2 == 0)
+    champ2 = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=40, champions_m=100)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            search.bm25_topk(survivors, qdf, k=40)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert champ2 == want2
+
+
+def test_champions_refresh_append_and_delete_axes(spark, tmp_path):
+    """(a) the pure-append incremental merge masks a re-appended
+    tombstoned id out of the lists (delete-then-gone); (b) both axes
+    moved since the stamp → honest full rebuild (mode=rebuild), masked."""
+    from pwhl_data_engineering_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} spark") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_champ_axes")
+    search.bm25_index_write(docs, idx, n_buckets=4)
+    search.bm25_champions_write(spark, idx, m=100)
+    search.bm25_delete(
+        spark, idx,
+        spark.createDataFrame([(1,), (3,)], "doc_id long"),
+        batch_id="d1",
+    )
+    out = search.bm25_champions_refresh(spark, idx, m=100)
+    assert out["mode"] == "delete_merge"
+
+    # (a) append re-delivers tombstoned doc 1 plus fresh docs
+    extra = spark.createDataFrame(
+        [(1, "alpha beta doc1 spark"), (200, "alpha beta doc200 spark")],
+        "doc_id long, text string",
+    )
+    search.bm25_index_append(extra, idx, batch_id="b1")
+    out = search.bm25_champions_refresh(spark, idx, m=100)
+    assert out["mode"] == "incremental"
+    side = spark.read.parquet(f"{idx}/_champions/m=100/data")
+    assert side.filter(F.col("doc_id") == 1).count() == 0  # stays masked
+    assert side.filter(F.col("doc_id") == 200).count() > 0
+
+    # (b) both axes move before the next refresh → rebuild
+    search.bm25_delete(
+        spark, idx, spark.createDataFrame([(5,)], "doc_id long"), batch_id="d2"
+    )
+    search.bm25_index_append(
+        spark.createDataFrame([(300, "alpha beta doc300 spark")],
+                              "doc_id long, text string"),
+        idx, batch_id="b2",
+    )
+    out = search.bm25_champions_refresh(spark, idx, m=100)
+    assert out["mode"] == "rebuild"
+    side = spark.read.parquet(f"{idx}/_champions/m=100/data")
+    assert side.filter(F.col("doc_id").isin([1, 3, 5])).count() == 0
+    qdf = spark.createDataFrame(
+        [("q1", "alpha spark")], "query_id string, query_text string"
+    )
+    champ = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=50, champions_m=100)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, idx, qdf, k=50)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert champ == full
