@@ -488,6 +488,45 @@ def minhash_index_delete(
     }
 
 
+def minhash_needs_compact(
+    spark,
+    index_path: str,
+    max_tombstone_frac: float = 0.25,
+    id_col: str = "doc_id",
+) -> dict:
+    """Scheduler probe for the MinHash index's deletion debt (r12 — the
+    ``needs_compaction``/``ivf_needs_recompact`` twin on the dedup
+    index): every probe pays the tombstone anti-join against the index
+    side until :func:`minhash_index_compact(out_path=...)` purges, and
+    erased documents' bucket rows sit as dead storage. Trips when the
+    tombstone mass reaches ``max_tombstone_frac`` of the index's DOCUMENT
+    count. The numerator is metadata-only (delete commits stamp
+    ``tombstone_counts``); the denominator is one distinct-count over the
+    index's id column — this index is deliberately manifest-less for
+    data, so there is no committed row count to read (a bounded scan,
+    amortized by polling between appends, not per probe). Returns
+    {"compact", "tombstone_frac", "n_tombstoned", "n_docs"}."""
+    from .search import _tombstone_mass
+
+    meta = _minhash_meta(spark, index_path)
+    if not (meta.get("tombstones") or []):
+        return {
+            "compact": False,
+            "tombstone_frac": 0.0,
+            "n_tombstoned": 0,
+            "n_docs": None,
+        }
+    mass = _tombstone_mass(spark, index_path, meta)
+    n_docs = spark.read.parquet(index_path).select(id_col).distinct().count()
+    frac = mass / max(n_docs, 1)
+    return {
+        "compact": bool(frac >= max_tombstone_frac),
+        "tombstone_frac": float(frac),
+        "n_tombstoned": int(mass),
+        "n_docs": int(n_docs),
+    }
+
+
 def minhash_index_compact(
     spark,
     index_path: str,

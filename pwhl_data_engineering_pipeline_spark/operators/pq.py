@@ -914,6 +914,7 @@ def pq_needs_recompact(
     threshold: float = 1.25,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_tombstone_frac: float | None = 0.25,
 ) -> dict:
     """Scheduler probe for codebook drift: appends encode with frozen
     centroids AND codebooks, so an ingest distribution that escapes the
@@ -924,7 +925,9 @@ def pq_needs_recompact(
     (recent ingest, or a hash-sample of the snapshot table) — the index
     alone can't measure this, codes are lossy. Refuses on an index
     written without a baseline (pq_write's ``vectors=`` arg). Returns
-    {"recompact", "ratio", "current", "baseline", "n_batches"}."""
+    {"recompact", "ratio", "current", "baseline", "n_batches",
+    "tombstone_frac"} — the frac term (r12) trips the probe at
+    ``max_tombstone_frac`` deleted mass, the needs_compaction twin."""
     meta = _pq_read_manifest(spark, path)
     if meta is None or not meta.get("meta"):
         raise RuntimeError(
@@ -942,12 +945,34 @@ def pq_needs_recompact(
         sample_vectors, cent, books, vec_col, id_col, sample_mod=1
     )
     ratio = current / max(float(baseline), 1e-12)
+    # r12: the deletion term (the needs_compaction/ivf_needs_recompact
+    # twin) — probes pay the tombstone anti-join until the recompact
+    # purges, and the manifest's batch/tombstone counts keep the check
+    # metadata-only (pre-r12 manifests fall back to footer-stat counts)
+    from .search import _tombstone_mass
+
+    committed = meta.get("batches") or []
+    counts = meta.get("batch_counts") or {}
+    if committed and all(b in counts for b in committed):
+        n_rows = sum(int(counts[b]) for b in committed)
+    else:
+        n_rows = (
+            spark.read.parquet(path)
+            .filter(F.col("batch").isin(committed))
+            .count()
+        )
+    mass = _tombstone_mass(spark, path, meta)
+    tombstone_frac = mass / max(n_rows, 1)
+    trip_tomb = (
+        max_tombstone_frac is not None and tombstone_frac >= max_tombstone_frac
+    )
     return {
-        "recompact": bool(ratio > threshold),
+        "recompact": bool(ratio > threshold or trip_tomb),
         "ratio": float(ratio),
         "current": current,
         "baseline": float(baseline),
-        "n_batches": len(meta.get("batches") or []),
+        "n_batches": len(committed),
+        "tombstone_frac": float(tombstone_frac),
     }
 
 

@@ -740,3 +740,60 @@ def test_champions_refresh_append_and_delete_axes(spark, tmp_path):
         )
     )
     assert champ == full
+
+
+def test_pq_and_minhash_tombstone_frac_probes(spark, tmp_path):
+    """r12 parity: the PQ drift probe and the MinHash scheduler probe
+    gain the same tombstone_frac term as BM25/IVF — metadata counts,
+    trip at the default 0.25, reset at the purge."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup, search
+
+    emb = _emb(spark, seed=19, d=16)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=4)
+    books = pq.pq_train_residual(emb, assigned, cent, m=4, k=16, iters=3)
+    idx = str(tmp_path / "pq_frac")
+    pq.pq_write(
+        pq.pq_encode_residual(emb, assigned, cent, books), idx, books, cent,
+        vectors=emb,
+    )
+    probe0 = pq.pq_needs_recompact(spark, idx, emb)
+    assert probe0["tombstone_frac"] == 0.0 and probe0["recompact"] is False
+    live = emb.filter(F.col("vec_id") >= 48)
+    pq.pq_delete(spark, idx, emb.filter(F.col("vec_id") < 48).select("vec_id"))
+    probe1 = pq.pq_needs_recompact(spark, idx, live)
+    assert probe1["tombstone_frac"] == pytest.approx(48 / 160)
+    assert probe1["recompact"] is True  # 30% >= 25%
+    assert (
+        pq.pq_needs_recompact(spark, idx, live, max_tombstone_frac=None)[
+            "recompact"
+        ]
+        is False
+    )
+    pq.pq_recompact(spark, idx, live, iters=3)
+    probe2 = pq.pq_needs_recompact(spark, idx, live)
+    assert probe2["tombstone_frac"] == 0.0 and probe2["recompact"] is False
+
+    # MinHash twin (manifest-less data: denominator is a distinct count)
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(hashlib.md5(f"tf-{i}-{j}".encode()).hexdigest()
+                          for j in range(8)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    midx = str(tmp_path / "mh_frac")
+    dedup.minhash_index_write(docs, midx, num_hashes=32, num_bands=8)
+    assert dedup.minhash_needs_compact(spark, midx)["compact"] is False
+    dedup.minhash_index_delete(
+        spark, midx, docs.filter(F.col("doc_id") < 12).select("doc_id")
+    )
+    probe = dedup.minhash_needs_compact(spark, midx)
+    assert probe["tombstone_frac"] == pytest.approx(12 / 40)
+    assert probe["compact"] is True
+    purged = str(tmp_path / "mh_frac_purged")
+    dedup.minhash_index_compact(spark, midx, out_path=purged)
+    after = dedup.minhash_needs_compact(spark, purged)
+    assert after["compact"] is False and after["tombstone_frac"] == 0.0

@@ -1148,6 +1148,258 @@ def ngram_hot_bench(spark, df_hot: int = 10_000, chunk_size: int = 512) -> dict:
     }
 
 
+def delete_drift_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """VERDICT r11 #2: what deletion COSTS, measured — the study that
+    justifies the tombstone_frac terms in needs_compaction /
+    ivf_needs_recompact (r12). Two indexes, two corpus scales each,
+    cumulative deleted fractions 5% → 50%:
+
+    - **BM25** (sf0.1 documents, and a ×``factor`` suffix replica): per
+      fraction, the MASKED probe wall (every probe pays the doc-id
+      anti-join against the accumulated tombstone tables) and the score
+      cost of the documented Lucene stale-stats posture — recall@k of
+      the masked probe vs a fresh build over the survivors, plus the
+      mean relative score bias on common docs (stale df/N/avgdl score
+      with the PRE-delete corpus statistics). Then the repair:
+      bm25_index_compact wall and the post-compact probe (bias must be
+      exactly 0 — the purge theorem).
+    - **IVF** (synthetic GMM at two sizes): per fraction, the masked
+      pruned-probe wall, recall@10 vs Arrow brute force over the
+      survivors, and the ivf_needs_recompact observables
+      (assign-ratio over the tombstone-masked sample + tombstone_frac).
+      Then ivf_recompact wall and the post-purge probe.
+
+    The scheduler question this answers: at what deleted fraction do
+    the probe tax and the stats bias justify paying the compact? The
+    JSON reports the raw curves; SCALING.md reads the threshold off
+    them."""
+    import tempfile
+
+    import numpy as np
+
+    import __spark_entry__ as em
+    from pwhl_data_engineering_pipeline_spark.operators import search, similarity
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    fracs = [0.05, 0.10, 0.20, 0.35, 0.50]
+    qdf = spark.createDataFrame(
+        em._BM25_QUERIES, "query_id string, query_text string"
+    )
+    K = 20
+
+    def bm25_series(docs, label: str) -> dict:
+        docs = docs.select("doc_id", "text").localCheckpoint()
+        n_docs = docs.count()
+        idx = f"{workdir}/deldrift_bm25_{label}"
+        t0 = time.monotonic()
+        search.bm25_index_write(docs, idx, n_buckets=64)
+        build = round(time.monotonic() - t0, 3)
+
+        def probe():
+            t0 = time.monotonic()
+            rows = search.bm25_search_index(spark, idx, qdf, k=K).collect()
+            return time.monotonic() - t0, {
+                (r["query_id"], r["doc_id"]): r["score"] for r in rows
+            }
+
+        base_wall, _ = probe()
+        slice_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000)) / 1000.0
+        points, prev = [], 0.0
+        for f in fracs:
+            delta = docs.filter((slice_col >= prev) & (slice_col < f)).select(
+                "doc_id"
+            )
+            t0 = time.monotonic()
+            search.bm25_delete(spark, idx, delta)
+            delete_wall = round(time.monotonic() - t0, 3)
+            prev = f
+            wall, masked = probe()
+            survivors = docs.filter(slice_col >= f)
+            truth = {
+                (r["query_id"], r["doc_id"]): r["score"]
+                for r in search.bm25_topk(survivors, qdf, k=K).collect()
+            }
+            per_q_truth = {}
+            for (q, d) in truth:
+                per_q_truth.setdefault(q, set()).add(d)
+            per_q_masked = {}
+            for (q, d) in masked:
+                per_q_masked.setdefault(q, set()).add(d)
+            recalls = [
+                len(per_q_masked.get(q, set()) & ds) / len(ds)
+                for q, ds in per_q_truth.items()
+                if ds
+            ]
+            common = set(masked) & set(truth)
+            bias = (
+                float(
+                    np.mean(
+                        [
+                            (masked[k_] - truth[k_]) / abs(truth[k_])
+                            for k_ in common
+                            if truth[k_]
+                        ]
+                    )
+                )
+                if common
+                else 0.0
+            )
+            meta = search._read_scalars(spark, idx)
+            mass = search._tombstone_mass(spark, idx, meta)
+            points.append(
+                {
+                    "frac": f,
+                    "delete_wall_sec": delete_wall,
+                    "probe_wall_sec": round(wall, 3),
+                    "recall_at_k": round(float(np.mean(recalls)), 4),
+                    "mean_rel_score_bias": round(bias, 6),
+                    "tombstone_frac": round(mass / max(meta["n_docs"], 1), 4),
+                    "needs_compaction": search.needs_compaction(spark, idx),
+                }
+            )
+        t0 = time.monotonic()
+        search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
+        compact_wall = round(time.monotonic() - t0, 3)
+        post_wall, post = probe()
+        survivors = docs.filter(slice_col >= fracs[-1])
+        truth = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in search.bm25_topk(survivors, qdf, k=K).collect()
+        }
+        return {
+            "n_docs": n_docs,
+            "build_sec": build,
+            "baseline_probe_sec": round(base_wall, 3),
+            "points": points,
+            "compact_sec": compact_wall,
+            "post_compact_probe_sec": round(post_wall, 3),
+            "post_compact_exact": post == truth,
+        }
+
+    def ivf_series(n: int, label: str, dim: int = 32, n_clusters: int = 16,
+                   n_centroids: int = 64, n_probe: int = 8) -> dict:
+        rng = np.random.RandomState(211)
+        centers = rng.randn(n_clusters, dim) * 3.0
+        corpus = _gmm_batch(spark, n, dim, n_clusters, centers, 0.3, 17, 0)
+        corpus = corpus.select("vec_id", "embedding").localCheckpoint()
+        idx = f"{workdir}/deldrift_ivf_{label}"
+        t0 = time.monotonic()
+        cent, assigned = similarity.ivf_index(
+            corpus, n_centroids=n_centroids, refine_iterations=1
+        )
+        similarity.ivf_write(assigned, idx, cent)
+        build = round(time.monotonic() - t0, 3)
+        qv = [
+            (100_000_000 + i, [float(x) for x in centers[i % n_clusters]
+                               + 0.3 * rng.randn(dim)])
+            for i in range(16)
+        ]
+        qdf_v = spark.createDataFrame(
+            [(q, v) for q, v in qv], "query_id long, embedding array<double>"
+        )
+
+        def probe():
+            t0 = time.monotonic()
+            rows = similarity.ivf_topk_pruned(
+                spark, idx, None, qdf_v, k=10, n_probe=n_probe
+            ).collect()
+            got = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return time.monotonic() - t0, got
+
+        def truth_over(df):
+            want = {}
+            for r in similarity.brute_force_topk_arrow(df, qv, k=10).collect():
+                want.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return want
+
+        base_wall, base_got = probe()
+        base_truth = truth_over(corpus)
+        base_recall = float(
+            np.mean([len(base_got.get(q, set()) & d) / len(d)
+                     for q, d in base_truth.items()])
+        )
+        slice_col = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1000)) / 1000.0
+        points, prev = [], 0.0
+        for f in fracs:
+            delta = corpus.filter((slice_col >= prev) & (slice_col < f)).select(
+                "vec_id"
+            )
+            t0 = time.monotonic()
+            similarity.ivf_delete(spark, idx, delta)
+            delete_wall = round(time.monotonic() - t0, 3)
+            prev = f
+            wall, got = probe()
+            truth = truth_over(corpus.filter(slice_col >= f))
+            recall = float(
+                np.mean([len(got.get(q, set()) & d) / len(d)
+                         for q, d in truth.items()])
+            )
+            nr = similarity.ivf_needs_recompact(spark, idx)
+            points.append(
+                {
+                    "frac": f,
+                    "delete_wall_sec": delete_wall,
+                    "probe_wall_sec": round(wall, 3),
+                    "recall_at_10": round(recall, 4),
+                    "assign_ratio": round(nr["ratio"], 4),
+                    "tombstone_frac": round(nr["tombstone_frac"], 4),
+                    "recompact_flag": nr["recompact"],
+                }
+            )
+        t0 = time.monotonic()
+        similarity.ivf_recompact(
+            spark, idx, refine_iterations=1, reclaim_min_age_seconds=0
+        )
+        recompact_wall = round(time.monotonic() - t0, 3)
+        post_wall, post_got = probe()
+        post_truth = truth_over(corpus.filter(slice_col >= fracs[-1]))
+        post_recall = float(
+            np.mean([len(post_got.get(q, set()) & d) / len(d)
+                     for q, d in post_truth.items()])
+        )
+        return {
+            "n_vectors": n,
+            "build_sec": build,
+            "baseline_probe_sec": round(base_wall, 3),
+            "baseline_recall_at_10": round(base_recall, 4),
+            "points": points,
+            "recompact_sec": recompact_wall,
+            "post_recompact_probe_sec": round(post_wall, 3),
+            "post_recompact_recall_at_10": round(post_recall, 4),
+        }
+
+    docs_base = read_testdata(spark, base, "documents")
+    big_parts = [docs_base]
+    for i in range(1, factor):
+        big_parts.append(
+            _rekey_docs(docs_base, i * 10_000_000).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" rep{i}tag"))
+            )
+        )
+    import functools
+
+    docs_big = functools.reduce(lambda a, b: a.unionByName(b),
+                                [p.select("doc_id", "text") for p in big_parts])
+    out = {
+        "mode": "delete-drift",
+        "fracs": fracs,
+        "bm25": {
+            "base": bm25_series(docs_base.select("doc_id", "text"), "base"),
+            "x%d" % factor: bm25_series(docs_big, "big"),
+        },
+        "ivf": {
+            "n25k": ivf_series(25_000, "n25k"),
+            "n250k": ivf_series(250_000, "n250k"),
+        },
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+    return out
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -1309,7 +1561,7 @@ def main() -> None:
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
-            "ngram-hot",
+            "ngram-hot", "delete-drift",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1378,6 +1630,11 @@ def main() -> None:
 
     if args.mode == "ivf-drift":
         print(json.dumps(ivf_drift_bench(spark)))
+        return
+
+    if args.mode == "delete-drift":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(delete_drift_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ngram-hot":
