@@ -379,13 +379,34 @@ def index_compact(
     Like :func:`operators.dedup.minhash_index_compact`, the output goes to
     a NEW path (in-place parquet self-overwrite is unsafe); swap paths at
     the orchestration layer and re-point the ingestion job. Returns
-    ``{"rows_in", "rows_out", "hot_buckets"}`` for observability.
-    """
-    from ..operators.dedup import refresh_hot_sidecar
+    ``{"rows_in", "rows_out", "hot_buckets", "tombstoned_purged"}``.
 
+    r12, the erasure axis (the same un-erasure hole the deletion ×
+    streaming tests found in ``bm25_index_append``): a rewrite that
+    copied rows to a manifest-less new path would RESURRECT every
+    ``minhash_index_delete``-erased document — the new path has no
+    tombstones, so the erased signatures resume suppressing. This
+    compact is therefore also the PHYSICAL PURGE: tombstoned rows are
+    anti-joined out before the hot-bucket pass and the new path starts
+    with a clean committed manifest, exactly like
+    ``minhash_index_compact(out_path=...)``.
+    """
+    from ..operators.dedup import (
+        _minhash_meta,
+        _minhash_tombstones,
+        refresh_hot_sidecar,
+    )
+
+    meta = _minhash_meta(spark, index_path)
+    tomb = _minhash_tombstones(spark, index_path, meta)
     idx = spark.read.parquet(index_path)
     rows_in = idx.count()
     deduped = idx.distinct()
+    tombstoned_purged = 0
+    if tomb is not None:
+        masked = deduped.join(tomb, "doc_id", "left_anti")
+        tombstoned_purged = rows_in - masked.count()
+        deduped = masked
     # prune accumulated hot buckets globally (write-time caps are
     # per-batch; cross-append accumulation is exactly what compaction
     # is for — same rule as refresh_hot_sidecar, applied destructively)
@@ -398,5 +419,16 @@ def index_compact(
     pruned = deduped.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     pruned.write.mode("overwrite").partitionBy("band").parquet(out_path)
     n_hot = refresh_hot_sidecar(spark, out_path, max_bucket)
+    if tomb is not None:
+        # the purge is explicit state at the new path, not inferred from
+        # a missing manifest (the minhash_index_compact convention)
+        from ..operators.search import _commit_scalars
+
+        _commit_scalars(spark, out_path, {"tombstones": []}, parent_version=0)
     rows_out = spark.read.parquet(out_path).count()
-    return {"rows_in": rows_in, "rows_out": rows_out, "hot_buckets": n_hot}
+    return {
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "hot_buckets": n_hot,
+        "tombstoned_purged": int(tombstoned_purged),
+    }

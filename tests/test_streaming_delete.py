@@ -398,3 +398,34 @@ def test_streaming_neardup_delete_interleaved(spark, tmp_path):
     # replayed rerun: nothing doubles
     assert run().exception() is None
     assert read_snapshot(spark, table).count() == 21
+
+    # the streaming index_compact is the physical purge too (r12 fix:
+    # a rewrite to a manifest-less path would RESURRECT erased docs —
+    # the bm25_index_append un-erasure hole on the dedup index): the
+    # purged copy holds no tombstoned rows, carries a clean committed
+    # manifest, and a copy of the erased doc is STILL admitted there
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _read_scalars,
+    )
+    from pwhl_data_engineering_pipeline_spark.streaming.dedup import (
+        index_compact,
+    )
+
+    purged = str(tmp_path / "index_purged")
+    stats = index_compact(spark, index, purged)
+    assert stats["tombstoned_purged"] > 0
+    assert (
+        spark.read.parquet(purged).filter(F.col("doc_id") == 0).count() == 0
+    )
+    assert _read_scalars(spark, purged)["tombstones"] == []
+    cross, _ = dedup.minhash_incremental_pairs(
+        spark,
+        spark.createDataFrame([(2000, _soup("nd", 0))], "doc_id long, text string"),
+        purged,
+        num_hashes=32,
+        num_bands=8,
+    )
+    anchors = {r["corpus_id"] for r in cross.collect()}
+    # the erased doc 0's signature is GONE — but its legitimately
+    # RE-ADMITTED copy (1000) now anchors suppression, as it should
+    assert anchors == {1000}
