@@ -3664,6 +3664,133 @@ def q_bm25_champions_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
+def q_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole GDPR workflow in one call (r12: operators/erasure.py::
+    erase_everywhere): ONE erasure request applied to every place the
+    corpus lives — snapshot system-of-record, BM25, IVF, PQ, and the
+    MinHash admission index — under one shared erasure_id, then every
+    surface probed and value-hashed in a five-leg frame:
+
+    - ``snap``: census (count + id-sum) of the post-delete snapshot —
+      the keyed anti-join rewrite (snapshots.snapshot_delete).
+    - ``bm25``: the MASKED probe with STALE corpus statistics — the
+      Lucene posture itself gets a mirror for the first time (stats,
+      doc_len, n_docs, avg_len from the FULL pre-delete corpus; scored
+      postings restricted to survivors). ns_bm25_deleted hashes the
+      post-compact state; this leg hashes the pre-compact masked state.
+    - ``ivf``: exhaustive masked probe ≡ cosine brute force over the
+      survivors (the ns_ann_ivf_deleted theorem).
+    - ``pq``: exhaustive masked ADC + corpus-wide exact re-rank ≡ L2
+      brute force over the survivors (the ns_ann_pq_deleted theorem).
+    - ``mh``: the admission slice — planted copies of doc_id%7==0
+      originals collide with every text-equal SURVIVING original and
+      with no erased one (the ns_minhash_deleted theorem).
+
+    The PySpark side also asserts the sweep observables (no target
+    skipped on first run, n_ids, purge_pending covers every index) —
+    masking is immediate on all five surfaces from one call."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import erasure
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="erase_sweep_")
+    snap = f"{root}/snap"
+    bidx = f"{root}/bm25"
+    vidx = f"{root}/ivf"
+    pidx = f"{root}/pq"
+    midx = f"{root}/mh"
+    snapshots.snapshot_overwrite(docs.select("doc_id", "text"), snap)
+    search.bm25_index_write(docs, bidx, n_buckets=32)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    similarity.ivf_write(assigned, vidx, cent)
+    books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned, cent, books), pidx, books, cent
+    )
+    dedup.minhash_index_write(docs, midx, num_hashes=64, num_bands=8)
+
+    out = erasure.erase_everywhere(
+        spark,
+        docs.filter(F.col("doc_id") % 2 != 0).select("doc_id"),
+        {"snapshot": snap, "bm25": bidx, "ivf": vidx, "pq": pidx,
+         "minhash": midx},
+        erasure_id="sweep1",
+    )
+    assert out["n_ids"] > 0, out
+    assert all(
+        not r.get("skipped") for k, r in out["results"].items() if k != "snapshot"
+    ), out
+    assert set(out["purge_pending"]) == {
+        "minhash", "bm25", "ivf", "pq", "snapshot:vacuum"
+    }, out
+
+    leg = lambda name: F.lit(name).alias("leg")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    bm25_leg = search.bm25_search_index(spark, bidx, qdf, k=10).select(
+        leg("bm25"),
+        F.col("query_id").alias("k1"),
+        F.col("doc_id").alias("k2"),
+        F.col("score").alias("v"),
+    )
+    vq = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_leg = similarity.ivf_topk_pruned(
+        spark, vidx, None, vq, k=10, n_probe=16
+    ).select(
+        leg("ivf"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("vec_id").alias("k2"),
+        F.col("rank").cast("double").alias("v"),
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+        )
+    ]
+    pq_leg = pqm.ivf_adc_topk_rerank(
+        spark, pidx, emb, queries, k=10, n_probe=16, shortlist=emb.count()
+    ).select(
+        leg("pq"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("vec_id").alias("k2"),
+        F.col("rank").cast("double").alias("v"),
+    )
+    snap_leg = snapshots.read_snapshot(spark, snap).agg(
+        F.count(F.lit(1)).alias("k2"), F.sum("doc_id").cast("double").alias("v")
+    ).select(leg("snap"), F.lit("census").alias("k1"), "k2", "v")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    cross, _ = dedup.minhash_incremental_pairs(
+        spark, planted, midx, num_hashes=64, num_bands=8
+    )
+    bt = planted.select(F.col("doc_id").alias("new_id"), F.col("text").alias("__tb"))
+    ct = docs.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("__tc"))
+    mh_leg = (
+        cross.join(bt, "new_id")
+        .join(ct, "corpus_id")
+        .filter(F.col("__tb") == F.col("__tc"))
+        .select(
+            leg("mh"),
+            F.col("new_id").cast("string").alias("k1"),
+            F.col("corpus_id").alias("k2"),
+            F.lit(0.0).alias("v"),
+        )
+    )
+    return (
+        bm25_leg.unionByName(ivf_leg)
+        .unionByName(pq_leg)
+        .unionByName(snap_leg)
+        .unionByName(mh_leg)
+    )
+
+
 def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production retrieval chain COMPOSED end-to-end and value-hashed
     (r12, VERDICT r11 #4): BM25 sparse leg + IVFADC-with-exact-re-rank
@@ -4282,6 +4409,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_bm25_deleted": q_bm25_deleted,
         "ns_bm25_champions_deleted": q_bm25_champions_deleted,
         "ns_minhash_deleted": q_minhash_deleted,
+        "ns_erasure_sweep": q_erasure_sweep,
         "ns_embedding_neardup": q_embedding_neardup,
         "ns_vector_centroids": q_vector_centroids,
         "ns_multimodal_features": q_multimodal_features,
@@ -5993,6 +6121,126 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM obs o
         FULL JOIN ideal i ON o.query_id = i.query_id
         FULL JOIN tot t ON coalesce(o.query_id, i.query_id) = t.query_id
+    """
+    # cross-index erasure sweep (r12, operators/erasure.py): five legs,
+    # one erase_everywhere call — snap census (keyed anti-join rewrite),
+    # bm25 = the STALE-STATS masked probe mirrored directly (stats /
+    # doc_len / n_docs / avg_len from the FULL corpus, scored postings
+    # restricted to survivors — the Lucene posture itself value-hashed
+    # pre-compact for the first time), ivf/pq = the deleted-probe
+    # theorems (cosine / L2 brute force over survivors), mh = the
+    # admission slice (text-equal pairs against surviving originals)
+    sql["ns_erasure_sweep"] = f"""
+        WITH toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+          ) WHERE term <> ''
+        ),
+        postings AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        lens AS (
+          SELECT doc_id, sum(tf) AS doc_len FROM postings GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT term, count(*) AS df FROM postings GROUP BY term
+        ),
+        scalars AS (
+          SELECT count(*) AS n_docs, avg(doc_len) AS avg_len FROM lens
+        ),
+        q(query_id, query_text) AS (VALUES {_bm25_values}),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT query_id,
+                   unnest(string_split_regex(lower(trim(query_text)), '\\s+')) AS term
+            FROM q
+          ) WHERE term <> ''
+        ),
+        bm25scored AS (
+          SELECT qt.query_id, p.doc_id,
+                 floor(sum(
+                   ln(1.0 + (s.n_docs - st.df + 0.5) / (st.df + 0.5))
+                   * (p.tf * 2.2)
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.doc_len / s.avg_len))
+                 ) * 1e6 + 0.5) / 1e6 AS score
+          FROM postings p
+          JOIN qterms qt USING (term)
+          JOIN stats st USING (term)
+          JOIN lens l USING (doc_id)
+          CROSS JOIN scalars s
+          WHERE p.doc_id % 2 = 0
+          GROUP BY qt.query_id, p.doc_id
+        ),
+        bm25leg AS (
+          SELECT 'bm25' AS leg, query_id AS k1, doc_id AS k2, score AS v
+          FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS r
+            FROM bm25scored
+          ) WHERE r <= 10
+        ),
+        ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings
+        ),
+        live AS (SELECT vec_id, vv FROM ed WHERE vec_id % 2 = 0),
+        qv AS (SELECT vec_id AS query_id, vv AS qvec FROM ed WHERE vec_id < 8),
+        ivfleg AS (
+          SELECT 'ivf' AS leg, CAST(query_id AS VARCHAR) AS k1,
+                 vec_id AS k2, CAST(r AS DOUBLE) AS v
+          FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS r
+            FROM (
+              SELECT q.query_id, e.vec_id,
+                     floor((list_dot_product(e.vv, q.qvec)
+                            / (sqrt(list_dot_product(e.vv, e.vv))
+                               * sqrt(list_dot_product(q.qvec, q.qvec))))
+                           * 1e6 + 0.5) / 1e6 AS cos_sim
+              FROM live e CROSS JOIN qv q
+            )
+          ) WHERE r <= 10
+        ),
+        pqleg AS (
+          SELECT 'pq' AS leg, CAST(query_id AS VARCHAR) AS k1,
+                 vec_id AS k2, CAST(r AS DOUBLE) AS v
+          FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY l2 ASC, vec_id) AS r
+            FROM (
+              SELECT q.query_id, e.vec_id,
+                     floor((list_dot_product(e.vv, e.vv)
+                            + list_dot_product(q.qvec, q.qvec)
+                            - 2 * list_dot_product(e.vv, q.qvec))
+                           * 1e6 + 0.5) / 1e6 AS l2
+              FROM live e CROSS JOIN qv q
+            )
+          ) WHERE r <= 10
+        ),
+        snapleg AS (
+          SELECT 'snap' AS leg, 'census' AS k1,
+                 CAST(count(*) AS BIGINT) AS k2,
+                 CAST(sum(doc_id) AS DOUBLE) AS v
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        mhleg AS (
+          SELECT 'mh' AS leg,
+                 CAST(b.doc_id + 10000000 AS VARCHAR) AS k1,
+                 c.doc_id AS k2, 0.0 AS v
+          FROM documents b JOIN documents c
+            ON b.text = c.text AND c.doc_id % 2 = 0
+          WHERE b.doc_id % 7 = 0
+        )
+        SELECT * FROM bm25leg
+        UNION ALL SELECT * FROM ivfleg
+        UNION ALL SELECT * FROM pqleg
+        UNION ALL SELECT * FROM snapleg
+        UNION ALL SELECT * FROM mhleg
     """
     # composed retrieval pipeline (r12, VERDICT r11 #4): BM25 leg =
     # bm25_sql over the id-capped corpus; dense leg = exact-L2 mirror of

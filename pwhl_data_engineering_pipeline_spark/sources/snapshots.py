@@ -344,6 +344,42 @@ def snapshot_merge(
             attempt += 1
 
 
+def snapshot_delete(
+    ids: DataFrame, path: str, keys: list[str], retries: int = 0
+) -> int:
+    """Keyed DELETE on the snapshot table — the system-of-record half of
+    the erasure path (r12): rows whose key appears in ``ids`` are
+    dropped from the current version via an anti-join rewrite, committed
+    as one new overwrite snapshot (atomic-to-readers, the
+    :func:`snapshot_merge` machinery and its optimistic-concurrency
+    contract: the commit pins the version the delete was computed from;
+    ``retries > 0`` re-reads, re-applies, re-commits after a conflict).
+
+    Idempotent by construction (deleting absent keys is a no-op rewrite),
+    so a crashed erasure workflow re-runs safely. NOTE the time-travel
+    caveat, loudly: old VERSIONS still contain the rows — a strict
+    erasure SLA must follow with :func:`vacuum` once the retention
+    window allows dropping the pre-delete versions (the same
+    bytes-leave-at-compaction posture as the index tombstones).
+
+    Returns the committed version."""
+    spark = ids.sparkSession
+    attempt = 0
+    while True:
+        cur = current_version(spark, path)
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+        base = read_snapshot(spark, path, cur, merge_schema=True)
+        df = base.join(ids.select(*keys).distinct(), keys, "left_anti")
+        d = _write_data(df, path)
+        try:
+            return _commit(spark, path, [d], "overwrite", cur, df.schema.json())
+        except IOError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+
+
 def streaming_snapshot_sink(stream_df: DataFrame, path: str, checkpoint: str):
     """Exactly-once streaming sink onto a snapshot table.
 

@@ -176,6 +176,13 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_bruteforce shape); the MMR kernel itself is a
         # query-keyed applyInPandas over k-bounded groups
         "ns_mmr_diversify",
+        # ns_erasure_sweep (r12): the five probe legs inherit their
+        # parents' allowlisted bounded shapes — the BM25 1-row
+        # corpus-scalars crossJoin (ns_bm25_search), the 16-row centroid
+        # broadcast of the masked IVF/PQ probes (ns_ann_ivf_deleted /
+        # ns_ann_pq_deleted); the erasure commits themselves are
+        # metadata writes and anti-joins
+        "ns_erasure_sweep",
         # ns_retrieval_pipeline (r12): the composed chain inherits
         # bm25_topk's 1-row corpus-scalars crossJoin (the allowlisted
         # ns_bm25_search scalar-subquery shape); fusion, the embedding

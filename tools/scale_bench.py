@@ -1400,6 +1400,77 @@ def delete_drift_bench(spark, base: str, workdir: str, factor: int = 10) -> dict
     return out
 
 
+def champions_delete_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """r12 follow-on to the delete-drift study: is the champion sidecar's
+    delete merge actually O(blast radius)? Per corpus scale (sf0.1 docs
+    and a ×factor suffix replica) and per deletion blast radius (10
+    docs, 1%, 10%): wall of `bm25_champions_refresh`'s delete_merge vs
+    a full masked `bm25_champions_write`, plus the merge's affected-term
+    count (the radius the cost should track). Fresh index+sidecar per
+    radius so walls attribute cleanly. The claim being tested: merge
+    wall grows with the radius while the rebuild wall is flat in it
+    (both grow with corpus)."""
+    import __spark_entry__ as em
+    from pwhl_data_engineering_pipeline_spark.operators import search
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    docs_base = read_testdata(spark, base, "documents").select("doc_id", "text")
+    parts = [docs_base]
+    for i in range(1, factor):
+        parts.append(
+            _rekey_docs(docs_base, i * 10_000_000).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" rep{i}tag"))
+            )
+        )
+    import functools
+
+    docs_big = functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+    def series(docs, label: str) -> dict:
+        docs = docs.localCheckpoint()
+        n_docs = docs.count()
+        out = {"n_docs": n_docs, "radii": []}
+        for radius_label, n_del in (
+            ("10_docs", 10),
+            ("1pct", max(1, n_docs // 100)),
+            ("10pct", max(1, n_docs // 10)),
+        ):
+            idx = f"{workdir}/champ_del_{label}_{radius_label}"
+            search.bm25_index_write(docs, idx, n_buckets=64)
+            search.bm25_champions_write(spark, idx, m=100)
+            sl = (
+                docs.orderBy(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(997)), "doc_id")
+                .limit(n_del)
+                .select("doc_id")
+            )
+            search.bm25_delete(spark, idx, sl)
+            t0 = time.monotonic()
+            ref = search.bm25_champions_refresh(spark, idx, m=100)
+            merge_wall = round(time.monotonic() - t0, 3)
+            assert ref["mode"] == "delete_merge", ref
+            t0 = time.monotonic()
+            search.bm25_champions_write(spark, idx, m=100)
+            rebuild_wall = round(time.monotonic() - t0, 3)
+            out["radii"].append(
+                {
+                    "radius": radius_label,
+                    "n_deleted": int(n_del),
+                    "delete_merge_sec": merge_wall,
+                    "full_rebuild_sec": rebuild_wall,
+                }
+            )
+        return out
+
+    return {
+        "mode": "champions-delete",
+        "base": series(docs_base, "base"),
+        "x%d" % factor: series(docs_big, "big"),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
 def cc_decade_bench(spark, base: str, big: str, factor: int, workdir: str) -> dict:
     """VERDICT r9 #2: the deep decade for the distributed connected-
     components fixpoint, two complementary probes:
@@ -1561,7 +1632,7 @@ def main() -> None:
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
-            "ngram-hot", "delete-drift",
+            "ngram-hot", "delete-drift", "champions-delete",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1635,6 +1706,11 @@ def main() -> None:
     if args.mode == "delete-drift":
         os.makedirs(args.out, exist_ok=True)
         print(json.dumps(delete_drift_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "champions-delete":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(champions_delete_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ngram-hot":
