@@ -142,3 +142,116 @@ def erase_everywhere(
         "results": results,
         "purge_pending": purge_pending,
     }
+
+
+def purge_everywhere(
+    spark,
+    targets: dict,
+    vectors: DataFrame | None = None,
+    minhash_out: str | None = None,
+    vacuum_min_age_seconds: float = 0.0,
+    reclaim_min_age_seconds: float = 0.0,
+    vec_id_col: str = "vec_id",
+) -> dict:
+    """The second half of the erasure SLA: make the BYTES leave every
+    surface :func:`erase_everywhere` masked. Per target kind:
+
+    - ``bm25`` → :func:`search.bm25_index_compact` (drops tombstoned
+      postings, recomputes df + corpus scalars, restamps delete-covered
+      champion sidecars);
+    - ``ivf`` → :func:`similarity.ivf_recompact` (retrain + re-route
+      over the survivors, tombstone tables retired and swept);
+    - ``pq`` → :func:`pq.pq_recompact` — needs RAW vectors (codes are
+      lossy): pass ``vectors`` as the system-of-record embedding table;
+      the pending tombstones are anti-joined out here, and the
+      recompact's own guards then refuse a corpus that is wrong-sized
+      or smuggles tombstoned ids back in;
+    - ``minhash`` → :func:`dedup.minhash_index_compact(out_path=...)`
+      (parquet can't self-overwrite, so the purged copy lands at
+      ``minhash_out`` — REQUIRED when a minhash target has pending
+      tombstones; swap paths at the orchestration layer);
+    - ``snapshot`` → :func:`snapshots.vacuum` keeping only the current
+      version, age-gated by ``vacuum_min_age_seconds`` (0 = drop every
+      pre-delete version now; raise it to honor a time-travel window —
+      the rows stay readable until then, the documented SLA).
+
+    Targets with nothing pending are cheap no-ops (each compact is
+    idempotent). Returns per-target purge observables plus
+    ``still_pending`` — kinds whose purge could NOT run (e.g. a minhash
+    target without ``minhash_out``, a pq target without ``vectors``)
+    rather than silently skipping an erasure obligation."""
+    from ..sources import snapshots
+    from . import dedup, pq as pqm, search, similarity
+    from .search import _read_scalars
+
+    known = {"bm25", "ivf", "pq", "minhash", "snapshot"}
+    unknown = set(targets) - known
+    if unknown:
+        raise ValueError(
+            f"unknown purge target kinds {sorted(unknown)}; expected a "
+            f"subset of {sorted(known)}"
+        )
+    results: dict = {}
+    still_pending: list[str] = []
+    # precondition scan FIRST (metadata-only): a purge that cannot honor
+    # one of its targets must refuse before doing any work, not after
+    # compacting half the surfaces
+    if "pq" in targets and vectors is None:
+        if _read_scalars(spark, targets["pq"]).get("tombstones"):
+            still_pending.append("pq")
+    if "minhash" in targets and minhash_out is None:
+        if dedup._minhash_meta(spark, targets["minhash"]).get("tombstones"):
+            still_pending.append("minhash")
+    if still_pending:
+        raise EraseSweepError(
+            f"purge cannot run for {still_pending} (minhash needs "
+            "minhash_out; pq needs the raw survivor vectors) — these "
+            "targets still hold erased bytes; nothing was purged.",
+            {},
+        )
+    if "bm25" in targets:
+        results["bm25"] = search.bm25_index_compact(
+            spark, targets["bm25"],
+            reclaim_min_age_seconds=reclaim_min_age_seconds,
+        )
+    if "ivf" in targets:
+        results["ivf"] = similarity.ivf_recompact(
+            spark, targets["ivf"],
+            reclaim_min_age_seconds=reclaim_min_age_seconds,
+        )
+    if "pq" in targets:
+        meta = _read_scalars(spark, targets["pq"])
+        if not meta.get("tombstones"):
+            # nothing pending — do NOT run a recompact just because
+            # vectors were provided: purge is the erasure obligation,
+            # not drift repair, and a caller's system-of-record frame
+            # need not match an already-purged index row-for-row
+            results["pq"] = {"skipped": True, "reason": "no tombstones"}
+        elif vectors is None:
+            still_pending.append("pq")
+        else:
+            tomb = pqm._pq_tombstones(spark, targets["pq"], meta, vec_id_col)
+            live = (
+                vectors if tomb is None
+                else vectors.join(tomb, vec_id_col, "left_anti")
+            )
+            results["pq"] = pqm.pq_recompact(
+                spark, targets["pq"], live,
+                reclaim_min_age_seconds=reclaim_min_age_seconds,
+            )
+    if "minhash" in targets:
+        if minhash_out is None:
+            results["minhash"] = {"skipped": True, "reason": "no tombstones"}
+        else:
+            results["minhash"] = {
+                "hot_buckets": dedup.minhash_index_compact(
+                    spark, targets["minhash"], out_path=minhash_out
+                ),
+                "purged_path": minhash_out,
+            }
+    if "snapshot" in targets:
+        results["snapshot"] = snapshots.vacuum(
+            spark, targets["snapshot"], keep_last=1,
+            min_age_seconds=vacuum_min_age_seconds,
+        )
+    return {"results": results, "still_pending": still_pending}

@@ -890,6 +890,14 @@ def ivf_recompact(
             "orphans repair reclaims age-gated. Re-run in a quiesced "
             "maintenance window (single-writer contract)"
         ) from e
+    # count the PERSISTED centroid table, and do it BEFORE repair: the
+    # lazy `cent` plan reads the tombstone parquet through the corpus
+    # anti-join, and an immediate-reclaim repair (reclaim 0 in a
+    # quiesced purge window) deletes those files — re-executing the
+    # training plan after that fails with FAILED_READ_FILE (latent
+    # until r12's purge_everywhere passed reclaim 0 with tombstones
+    # pending; age-gated callers never re-read soon enough to see it)
+    n_cent_out = spark.read.parquet(f"{path}/_centroids/{cid}").count()
     rep = ivf_index_repair(
         spark, path, min_age_seconds=reclaim_min_age_seconds
     )
@@ -897,7 +905,7 @@ def ivf_recompact(
         "mode": "recompact",
         "batch_id": cid,
         "n_vectors": int(n_rows),
-        "n_centroids": int(cent.count()),
+        "n_centroids": int(n_cent_out),
         "baseline": baseline,
         "version": version,
         "purged_batches": len(rep["purged_batches"]),

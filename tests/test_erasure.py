@@ -190,3 +190,95 @@ def test_snapshot_delete_keyed_and_versioned(spark, tmp_path):
         snapshots.snapshot_delete(
             docs.select("doc_id"), str(tmp_path / "missing"), ["doc_id"]
         )
+
+
+def test_purge_everywhere_drops_bytes_and_verifies(spark, tmp_path):
+    """The purge half of the SLA: after erase_everywhere +
+    purge_everywhere, every manifest is clean, the erased bytes are gone
+    from every tree, the snapshot's pre-delete versions are vacuumed,
+    and the BM25 probe equals one-shot BM25 over the survivors. A purge
+    that CANNOT run (minhash pending without minhash_out) raises with
+    the completed purges attached rather than silently skipping an
+    erasure obligation."""
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _read_scalars,
+    )
+
+    docs = _corpus(spark, n=30)
+    emb = _embs(spark, n=80)
+    paths = _build_all(spark, tmp_path, docs, emb)
+    erased = docs.filter(F.col("doc_id") % 2 != 0).select("doc_id")
+    erasure.erase_everywhere(spark, erased, paths, erasure_id="er3")
+
+    # refusal path first: minhash has pending tombstones and no out path
+    # — the precondition scan refuses BEFORE purging anything
+    with pytest.raises(erasure.EraseSweepError, match="nothing was purged"):
+        erasure.purge_everywhere(spark, paths, vectors=emb)
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _read_scalars as _rs,
+    )
+
+    assert _rs(spark, paths["bm25"])["tombstones"] == ["er3"]  # untouched
+
+    mh_out = str(tmp_path / "mh_purged")
+    out = erasure.purge_everywhere(
+        spark, paths, vectors=emb, minhash_out=mh_out
+    )
+    assert out["still_pending"] == []
+    for kind in ("bm25", "ivf", "pq"):
+        assert not (_read_scalars(spark, paths[kind]).get("tombstones") or [])
+    assert _read_scalars(spark, mh_out)["tombstones"] == []
+    erased_ids = {r["doc_id"] for r in erased.collect()}
+    assert (
+        spark.read.parquet(f"{paths['bm25']}/postings")
+        .filter(F.col("doc_id").isin(erased_ids))
+        .count()
+        == 0
+    )
+    assert spark.read.parquet(mh_out).filter(
+        F.col("doc_id").isin(erased_ids)
+    ).count() == 0
+    # vectors: erased DOC ids purged from committed IVF batches (odd
+    # vec_ids >= 30 were never requested and survive)
+    meta = _read_scalars(spark, paths["ivf"])
+    vis = spark.read.parquet(paths["ivf"]).filter(
+        F.col("batch").isin(meta["batches"])
+    )
+    assert vis.filter(F.col("vec_id").isin(erased_ids)).count() == 0
+    assert vis.count() == 80 - len(erased_ids)
+    # snapshot: only the post-delete version remains; rows are evens
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+
+    assert len(snap.snapshot_history(spark, paths["snapshot"])) == 1
+    assert snap.read_snapshot(spark, paths["snapshot"]).count() == 15
+    # probe-level verification: champion-free BM25 probe == one-shot
+    qdf = spark.createDataFrame(
+        [("q1", docs.first()["text"].split()[0])],
+        "query_id string, query_text string",
+    )
+    survivors = docs.filter(F.col("doc_id") % 2 == 0)
+    got = sorted(
+        map(
+            tuple,
+            search.bm25_search_index(spark, paths["bm25"], qdf, k=30)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search.bm25_topk(survivors, qdf, k=30)
+            .select("query_id", "doc_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    # purge is idempotent AFTER the orchestration-layer path swap (the
+    # original minhash path keeps its tombstones until retired — by
+    # design, the purged copy lives at minhash_out)
+    out2 = erasure.purge_everywhere(
+        spark, {**paths, "minhash": mh_out}, vectors=None
+    )
+    assert out2["results"]["pq"] == {"skipped": True, "reason": "no tombstones"}
+    assert out2["results"]["minhash"]["skipped"] is True

@@ -1446,6 +1446,20 @@ def champions_delete_bench(spark, base: str, workdir: str, factor: int = 10) -> 
                 .select("doc_id")
             )
             search.bm25_delete(spark, idx, sl)
+            # input-volume observability (the quantity that scales): the
+            # merge reads the m-bounded sidecar + ONLY the affected
+            # terms' postings; the rebuild reads every posting row
+            side = spark.read.parquet(f"{idx}/_champions/m=100/data")
+            tomb = sl
+            affected = side.join(tomb, "doc_id", "left_semi").select(
+                "term"
+            ).distinct()
+            postings = spark.read.parquet(f"{idx}/postings")
+            merge_rows = int(side.count()) + int(
+                postings.join(affected, "term", "left_semi").count()
+            )
+            rebuild_rows = int(postings.count())
+            n_affected = int(affected.count())
             t0 = time.monotonic()
             ref = search.bm25_champions_refresh(spark, idx, m=100)
             merge_wall = round(time.monotonic() - t0, 3)
@@ -1457,6 +1471,9 @@ def champions_delete_bench(spark, base: str, workdir: str, factor: int = 10) -> 
                 {
                     "radius": radius_label,
                     "n_deleted": int(n_del),
+                    "affected_terms": n_affected,
+                    "merge_input_rows": merge_rows,
+                    "rebuild_input_rows": rebuild_rows,
                     "delete_merge_sec": merge_wall,
                     "full_rebuild_sec": rebuild_wall,
                 }
