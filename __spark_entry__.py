@@ -4035,6 +4035,37 @@ def q_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "knn_rank")
 
 
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (r12: ``allowed_ids`` on the IVF probe —
+    the metadata-constrained ANN query every vector deployment needs,
+    e.g. "nearest neighbors among documents with license X"), composed
+    with DELETION so one hash gates both candidate masks: build over the
+    full corpus, delete the ODD vec_ids (tombstone deny-list), probe
+    exhaustively with an allow-list of vec_id % 3 == 0. Post-filtering
+    at exhaustive n_probe is exact, so the result ≡ brute-force cosine
+    top-10 over ids divisible by 6 (allowed ∩ survivors) — the mirror is
+    that one WHERE clause. The documented selectivity trade (a selective
+    filter under-fills at small n_probe) is pytest-covered; this oracle
+    pins the exact regime."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    idx = tempfile.mkdtemp(prefix="ivf_filt_") + "/index"
+    similarity.ivf_write(assigned, idx, cent)
+    out = similarity.ivf_delete(
+        spark, idx, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return similarity.ivf_topk_pruned(
+        spark, idx, None, queries, k=10, n_probe=16, allowed_ids=allowed
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_ann_pq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion on the persisted PQ index (r11: pq.pq_delete, the IVF
     twin over the lossy index) — made FULLY value-hashable through the
@@ -4405,6 +4436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
+        "ns_ann_ivf_filtered": q_ann_ivf_filtered,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
         "ns_bm25_deleted": q_bm25_deleted,
         "ns_bm25_champions_deleted": q_bm25_champions_deleted,
@@ -6393,6 +6425,32 @@ def _all_oracle_sql() -> dict[str, str]:
     # brute force over the SURVIVORS — the mirror hashes the tombstone
     # masking itself (a leaked deleted row or over-masked live row breaks
     # the candidate set)
+    # filtered search × deletion (r12): allow-list semi-join after the
+    # pruned scan + tombstone mask; exhaustive probe ⇒ exact ⇒ the
+    # mirror is brute force over (allowed ∩ survivors) = vec_id % 6 = 0
+    sql["ns_ann_ivf_filtered"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), live AS (
+          SELECT vec_id, v FROM ed WHERE vec_id % 6 = 0
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+          FROM live CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, knn_rank FROM ranked
+        WHERE knn_rank <= 10
+    """
     sql["ns_ann_ivf_deleted"] = """
         WITH ed AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

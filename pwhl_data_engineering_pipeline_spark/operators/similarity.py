@@ -34,6 +34,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     rank_col: str = "rank",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors. Returns (query_id, vec_id, cos_sim, rank).
@@ -43,7 +44,17 @@ def brute_force_topk(
     query per partition (window over partial top-k would be the next
     refinement; row_number on (query, -cos) is already partial-agg friendly).
     Ties broken by corpus id for determinism.
+
+    ``allowed_ids`` (r12, filtered search): restrict candidates to an
+    id allow-list shared by the whole query batch — one equi-keyed
+    semi-join before scoring (exact under any selectivity, since brute
+    force scans everything anyway). Per-query filters are expressed by
+    batching queries per filter set.
     """
+    if allowed_ids is not None:
+        corpus = corpus.join(
+            allowed_ids.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -1037,6 +1048,7 @@ def ivf_topk_pruned(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: route queries → centroid ids, then scan
     ONLY the matching partitions (the probe-id join key is a partition
@@ -1052,7 +1064,19 @@ def ivf_topk_pruned(
     default: after :func:`ivf_recompact` flips the set, a probe holding
     the outgoing driver-side table would route against cells the
     committed batches are no longer laid out by. Pass explicit
-    centroids only for pre-r11 indexes (no resident set)."""
+    centroids only for pre-r11 indexes (no resident set).
+
+    ``allowed_ids`` (r12, filtered search — the metadata-constrained ANN
+    query every vector deployment needs): restrict candidates to an id
+    allow-list shared by the query batch, applied as an equi-keyed
+    semi-join AFTER the partition-pruned scan and the tombstone mask —
+    cost ∝ routed-cell rows, never the corpus. This is POST-filtering
+    (the standard IVF approach): under a selective filter the routed
+    ``n_probe`` cells may hold fewer than k allowed survivors, so raise
+    ``n_probe`` with filter selectivity — at exhaustive
+    ``n_probe = n_centroids`` the filtered probe is EXACT (≡ brute
+    force over the allowed survivors, the oracle's theorem). Per-query
+    filters: batch queries per filter set."""
     if centroids is None:
         centroids = ivf_load_centroids(spark, index_path)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
@@ -1076,6 +1100,12 @@ def ivf_topk_pruned(
             # logical deletes (ivf_delete): masked AFTER the pruned scan,
             # keyed by id — the anti-join touches only routed-cell rows
             index = index.join(tomb, id_col, "left_anti")
+    if allowed_ids is not None:
+        # filtered search (r12): same post-scan shape as the tombstone
+        # mask, allow-list instead of deny-list
+        index = index.join(
+            allowed_ids.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     scored = index.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,

@@ -797,3 +797,67 @@ def test_pq_and_minhash_tombstone_frac_probes(spark, tmp_path):
     dedup.minhash_index_compact(spark, midx, out_path=purged)
     after = dedup.minhash_needs_compact(spark, purged)
     assert after["compact"] is False and after["tombstone_frac"] == 0.0
+
+
+def test_filtered_search_composes_with_deletion(spark, tmp_path):
+    """r12 filtered ANN (allowed_ids): (a) brute_force_topk with an
+    allow-list ≡ brute force over the pre-filtered corpus; (b) the IVF
+    probe at exhaustive n_probe with allow-list + pending tombstones ≡
+    brute force over (allowed ∩ survivors) — both masks compose; (c) the
+    documented post-filtering trade: under a selective filter at small
+    n_probe the probe may under-fill (≤ k rows), never wrongly fill."""
+    emb = _emb(spark, seed=29)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=8)
+    idx = str(tmp_path / "ivf_filt")
+    similarity.ivf_write(assigned, idx, cent)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+
+    # (a) brute force twins
+    got = sorted(
+        map(tuple, similarity.brute_force_topk(emb, q, k=5, allowed_ids=allowed).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.brute_force_topk(
+                emb.filter(F.col("vec_id") % 3 == 0), q, k=5
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # (b) filter × tombstone composition at exhaustive n_probe
+    similarity.ivf_delete(
+        spark, idx, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    probed = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_pruned(
+                spark, idx, None, q, k=5, n_probe=8, allowed_ids=allowed
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            similarity.brute_force_topk(
+                emb.filter(F.col("vec_id") % 6 == 0), q, k=5
+            ).collect(),
+        )
+    )
+    assert probed == exact
+
+    # (c) selective filter at n_probe=1: may under-fill, never over-fill
+    tiny_allowed = emb.filter(F.col("vec_id") % 40 == 0).select("vec_id")
+    rows = similarity.ivf_topk_pruned(
+        spark, idx, None, q, k=5, n_probe=1, allowed_ids=tiny_allowed
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert r["vec_id"] % 40 == 0 and r["vec_id"] % 2 == 0
+    assert all(len(v) <= 5 for v in per_q.values())

@@ -176,6 +176,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_bruteforce shape); the MMR kernel itself is a
         # query-keyed applyInPandas over k-bounded groups
         "ns_mmr_diversify",
+        # ns_ann_ivf_filtered (r12): the same bounded 16-row centroid
+        # broadcast + 8-row query frame as ns_ann_ivf_deleted; the
+        # allow-list is an equi-keyed semi-join after the pruned scan
+        "ns_ann_ivf_filtered",
         # ns_erasure_sweep (r12): the five probe legs inherit their
         # parents' allowlisted bounded shapes — the BM25 1-row
         # corpus-scalars crossJoin (ns_bm25_search), the 16-row centroid
