@@ -4100,6 +4100,40 @@ def q_ann_pq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "knn_rank")
 
 
+def q_ann_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the LOSSY index (r12: ``allowed_ids`` through
+    ivf_adc_topk_pruned/_rerank — the PQ twin of ns_ann_ivf_filtered),
+    composed with deletion and made fully value-hashable by the exact
+    re-rank: delete the ODD vec_ids, probe at exhaustive n_probe with a
+    corpus-wide shortlist and a %3 allow-list — the masked+filtered
+    shortlist is exactly (allowed ∩ survivors) and the exact re-rank of
+    all of it equals plain L2 brute force over ids divisible by 6."""
+    from pwhl_data_engineering_pipeline_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assigned = similarity.ivf_index(emb, n_centroids=16)
+    books = pqm.pq_train_residual(emb, assigned, cent, m=8, k=64, iters=5)
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="pq_filt_") + "/index"
+    pqm.pq_write(
+        pqm.pq_encode_residual(emb, assigned, cent, books), idx, books, cent
+    )
+    out = pqm.pq_delete(
+        spark, idx, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    assert out["skipped"] is False and out["n_ids"] > 0, out
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return pqm.ivf_adc_topk_rerank(
+        spark, idx, emb, queries, k=10, n_probe=16, shortlist=emb.count(),
+        allowed_ids=allowed,
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (r11: operators/diversify.py::mmr_rerank,
     Carbonell & Goldstein SIGIR 1998) — per-query greedy selection over a
@@ -4437,6 +4471,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_ivf_filtered": q_ann_ivf_filtered,
+        "ns_ann_pq_filtered": q_ann_pq_filtered,
         "ns_ann_pq_deleted": q_ann_pq_deleted,
         "ns_bm25_deleted": q_bm25_deleted,
         "ns_bm25_champions_deleted": q_bm25_champions_deleted,
@@ -6449,6 +6484,29 @@ def _all_oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cos_sim, knn_rank FROM ranked
+        WHERE knn_rank <= 10
+    """
+    sql["ns_ann_pq_filtered"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), live AS (
+          SELECT vec_id, v FROM ed WHERE vec_id % 6 = 0
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, v) + list_dot_product(qv, qv)
+                        - 2 * list_dot_product(v, qv)) * 1e6 + 0.5) / 1e6
+                   AS l2_dist
+          FROM live CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, l2_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2_dist ASC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, l2_dist, knn_rank FROM ranked
         WHERE knn_rank <= 10
     """
     sql["ns_ann_ivf_deleted"] = """

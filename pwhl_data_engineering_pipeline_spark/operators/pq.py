@@ -1235,6 +1235,7 @@ def ivf_adc_topk_pruned(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Residual IVFADC against a PERSISTED pq_write index: routes each
     query ONCE (the same probes/LUTs feed both the partition filter and
@@ -1243,7 +1244,12 @@ def ivf_adc_topk_pruned(
     build-once-probe-many deployment shape. r11: reads only batches the
     committed manifest lists (the batch-visibility contract — half-landed
     appends and staged recompacts are invisible) with the COMMITTED
-    codebook/centroid set."""
+    codebook/centroid set.
+
+    ``allowed_ids`` (r12, filtered search): allow-list semi-join after
+    the pruned scan and the tombstone mask — the similarity.ivf twin's
+    shape, same post-filtering trade (selective filters under-fill at
+    small ``n_probe``/``k``; exhaustive settings are exact)."""
     books, cent = pq_read_meta(spark, path)
     meta = _pq_read_manifest(spark, path)
     probes, luts = _residual_probes(cent, books, queries, n_probe)
@@ -1257,6 +1263,11 @@ def ivf_adc_topk_pruned(
         # logical deletes (pq_delete): masked after the pruned scan,
         # keyed by id — only routed-cell rows reach the anti-join
         codes = codes.join(tomb, id_col, "left_anti")
+    if allowed_ids is not None:
+        # filtered search (r12): allow-list twin of the tombstone mask
+        codes = codes.join(
+            allowed_ids.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     return ivf_adc_topk(
         codes, cent, books, queries, k, n_probe, id_col,
         _probes_luts=(probes, luts),
@@ -1273,6 +1284,7 @@ def ivf_adc_topk_rerank(
     shortlist: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC with exact re-ranking — the "R" refinement of the IVFADC
     paper (Jégou, Douze, Schmid 2011 §V.D: ADC orders a shortlist, exact
@@ -1302,7 +1314,8 @@ def ivf_adc_topk_rerank(
     from ..functions.scalars import portable_round
 
     short = ivf_adc_topk_pruned(
-        spark, path, queries, k=shortlist, n_probe=n_probe, id_col=id_col
+        spark, path, queries, k=shortlist, n_probe=n_probe, id_col=id_col,
+        allowed_ids=allowed_ids,
     ).select("query_id", F.col("vec_id").alias(id_col))
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],

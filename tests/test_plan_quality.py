@@ -180,6 +180,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # broadcast + 8-row query frame as ns_ann_ivf_deleted; the
         # allow-list is an equi-keyed semi-join after the pruned scan
         "ns_ann_ivf_filtered",
+        # ns_ann_pq_filtered (r12): the ns_ann_pq_deleted probe shapes
+        # (16-row centroid broadcast) plus the allow-list semi-join
+        "ns_ann_pq_filtered",
         # ns_erasure_sweep (r12): the five probe legs inherit their
         # parents' allowlisted bounded shapes — the BM25 1-row
         # corpus-scalars crossJoin (ns_bm25_search), the 16-row centroid
