@@ -327,8 +327,26 @@ def refresh_hot_sidecar(spark, index_path: str, max_bucket: int) -> int:
     (round-3 advice: the old probe-time re-cap scanned the whole index on
     EVERY probe, and its broadcast hot list was unbounded on a degenerate
     index; the sidecar is materialized once and its size is inspected
-    driver-side before any broadcast). Returns the hot-bucket count."""
+    driver-side before any broadcast). Returns the hot-bucket count.
+
+    Heat is SURVIVOR-relative (ADVICE r12): committed
+    :func:`minhash_index_delete` tombstones are anti-joined out before
+    the count, so a bucket hot only because of erased members un-caps at
+    the next refresh and its live-vs-live collisions surface again —
+    previously the probe's ``scan`` mode recomputed masked heat but the
+    sidecar kept the unmasked cap until the purging compact. Every
+    append refreshes the sidecar (and :func:`minhash_index_delete` does
+    too when given ``refresh_sidecar_max_bucket``), so the stale window
+    is at most delete→next refresh — and stale is CONSERVATIVE
+    (over-capping defers collisions, never fabricates them); an
+    undeleted index pays nothing (no manifest → no mask)."""
     idx = spark.read.parquet(index_path)
+    meta = _minhash_meta(spark, index_path)
+    if meta.get("tombstones"):
+        idc = [c for c in idx.columns if c not in ("band", "band_hash")][0]
+        tomb = _minhash_tombstones(spark, index_path, meta, idc)
+        if tomb is not None:
+            idx = idx.join(tomb, idc, "left_anti")
     hot = (
         idx.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("__bsz"))
@@ -368,12 +386,36 @@ def _minhash_tombstones(spark, index_path: str, meta: dict, id_col: str = "doc_i
     return df.select(F.col(id_col)).distinct()
 
 
+def _commit_clean_manifest(spark, out_path: str) -> None:
+    """Commit the purged copy's clean (empty-tombstones) manifest at
+    ``out_path``, IDEMPOTENTLY (ADVICE r12 medium): a purge that crashed
+    after this commit but before the orchestrator swapped paths must be
+    re-runnable to the SAME out_path — the re-run rewrites the data
+    bytes, then finds the prior attempt's manifest already there. An
+    unconditional ``parent_version=0`` commit would hit the existing v1
+    and raise, contradicting the 'each compact is idempotent / re-run to
+    resume' contract purge_everywhere documents. So: an existing
+    manifest that is already clean is a no-op; an existing manifest with
+    tombstones (out_path reused over a previously-deleted index — the
+    rewrite just purged them) is committed over at version+1."""
+    from .search import _commit_scalars
+
+    existing = _minhash_meta(spark, out_path)
+    if existing["_version"] > 0 and not (existing.get("tombstones") or []):
+        return  # a prior (crashed-after-commit) purge already published it
+    _commit_scalars(
+        spark, out_path, {"tombstones": []},
+        parent_version=existing["_version"],
+    )
+
+
 def minhash_index_delete(
     spark,
     index_path: str,
     ids: DataFrame,
     id_col: str = "doc_id",
     batch_id: str | None = None,
+    refresh_sidecar_max_bucket: int | None = None,
 ) -> dict:
     """Delete documents from a persisted MinHash band index by id — the
     right-to-be-forgotten path on the DEDUP index (VERDICT r11 #1, the
@@ -390,7 +432,13 @@ def minhash_index_delete(
       :func:`dedup_minhash_incremental`) anti-join the committed
       tombstone ids out of the INDEX side, so from this commit a future
       copy of an erased document no longer collides with it and is
-      admitted (unless something else suppresses it).
+      admitted (unless something else suppresses it). Bucket HEAT is a
+      cached sidecar and lags one refresh (ADVICE r12): a bucket hot
+      only because of erased members stays capped — conservatively
+      deferring its live-vs-live collisions — until the next
+      :func:`refresh_hot_sidecar` (every append runs one; pass
+      ``refresh_sidecar_max_bucket`` to run it here, post-commit).
+      ``probe_cap='scan'`` recomputes masked heat inline and never lags.
     - **NOT retroactive**: previously-suppressed documents do NOT
       reappear — the admission log is history; only FUTURE admission
       changes. Re-run past batches through the purged index if a
@@ -480,6 +528,16 @@ def minhash_index_delete(
         version = _commit_scalars(
             spark, index_path, _meta_with(fresh), parent_version=fresh["_version"]
         )
+    if refresh_sidecar_max_bucket is not None:
+        # optional post-commit sidecar refresh (ADVICE r12): heat is
+        # survivor-relative (refresh_hot_sidecar masks the tombstones
+        # just committed), so buckets hot only because of erased members
+        # un-cap NOW instead of at the next append/compact. Post-commit
+        # and outside the race machinery on purpose — a crash here
+        # leaves the conservative stale sidecar, which the next
+        # append's refresh repairs; callers that want the delete
+        # metadata-only (the BM25/IVF posture) omit the parameter.
+        refresh_hot_sidecar(spark, index_path, refresh_sidecar_max_bucket)
     return {
         "n_ids": int(n_ids),
         "version": version,
@@ -576,12 +634,9 @@ def minhash_index_compact(
         # pruned index has no hot buckets: write an empty sidecar
         hot.limit(0).write.mode("overwrite").parquet(_hot_sidecar_path(out_path))
         if tomb is not None:
-            # commit the purge as explicit state at the new path
-            from .search import _commit_scalars
-
-            _commit_scalars(
-                spark, out_path, {"tombstones": []}, parent_version=0
-            )
+            # commit the purge as explicit state at the new path;
+            # idempotent under re-run to the same out_path (ADVICE r12)
+            _commit_clean_manifest(spark, out_path)
     return n_hot
 
 

@@ -182,7 +182,6 @@ def purge_everywhere(
     rather than silently skipping an erasure obligation."""
     from ..sources import snapshots
     from . import dedup, pq as pqm, search, similarity
-    from .search import _read_scalars
 
     known = {"bm25", "ivf", "pq", "minhash", "snapshot"}
     unknown = set(targets) - known
@@ -197,7 +196,11 @@ def purge_everywhere(
     # one of its targets must refuse before doing any work, not after
     # compacting half the surfaces
     if "pq" in targets and vectors is None:
-        if _read_scalars(spark, targets["pq"]).get("tombstones"):
+        # _pq_read_manifest, not _read_scalars (ADVICE r12): a
+        # manifest-less pre-r11 PQ index means 'no tombstones', the same
+        # graceful posture every other PQ reader takes — not a
+        # FileNotFoundError out of a purge that has nothing to purge
+        if (pqm._pq_read_manifest(spark, targets["pq"]) or {}).get("tombstones"):
             still_pending.append("pq")
     if "minhash" in targets and minhash_out is None:
         if dedup._minhash_meta(spark, targets["minhash"]).get("tombstones"):
@@ -220,15 +223,15 @@ def purge_everywhere(
             reclaim_min_age_seconds=reclaim_min_age_seconds,
         )
     if "pq" in targets:
-        meta = _read_scalars(spark, targets["pq"])
+        meta = pqm._pq_read_manifest(spark, targets["pq"]) or {}
         if not meta.get("tombstones"):
             # nothing pending — do NOT run a recompact just because
             # vectors were provided: purge is the erasure obligation,
             # not drift repair, and a caller's system-of-record frame
             # need not match an already-purged index row-for-row
+            # (vectors-is-None with tombstones pending cannot reach
+            # here — the up-front precondition scan already refused)
             results["pq"] = {"skipped": True, "reason": "no tombstones"}
-        elif vectors is None:
-            still_pending.append("pq")
         else:
             tomb = pqm._pq_tombstones(spark, targets["pq"], meta, vec_id_col)
             live = (

@@ -1,0 +1,388 @@
+"""Incremental view maintenance (IVM) over snapshot tables — r13.
+
+The round-12 engine treats the snapshot table as the system of record
+and its manifest chain as a consumable changelog (``snapshot_diff``,
+``read_snapshot_changes``). This module closes the loop on the ANALYTICS
+side the way streaming/ann closed it on the INDEX side: a materialized
+groupBy-aggregate view that *follows the table* — refreshed from the
+changelog at a cost that scales with the CHANGED rows/groups, never with
+the table.
+
+Why this matters at 100 TB: the reference pipeline's rollups
+(reference `sql/` aggregation queries; e.g. the daily weather rollup our
+``a1_daily_rollup`` mirrors) are recomputed from scratch every run. At
+warehouse scale a dashboard rollup over a 100 TB fact that ingests 0.1%
+new rows a day must not rescan 100 TB — it applies the 0.1% delta to a
+materialized state. That is the classic IVM split (Griffin & Libkin,
+SIGMOD'95; DBSP, VLDB'23):
+
+- **Linear aggregates** (count, sum, avg) form a commutative group:
+  inserts add, deletes subtract, so the view merges a *delta aggregate*
+  computed over changed rows only — one shuffle of the delta, one join
+  against the (groups-sized) view state.
+- **Non-linear aggregates** (min/max under deletes, count_distinct)
+  have no bounded retraction state. Deleting the current min may
+  promote ANY surviving row; the exact repair recomputes — but only the
+  AFFECTED groups, via a semi-join of the source on the delta's group
+  keys (partition-prunable when the table is partitioned by a group
+  column). Insert-only deltas keep min/max mergeable
+  (``least``/``greatest``), so the append-shaped fast path stays
+  algebraic.
+
+State layout: the view is itself a snapshot table (atomic manifest
+commits, time travel over VIEW history, optimistic concurrency against
+a rival refresher — all inherited). Its manifest carries the spec and
+the last-applied source version::
+
+    {"ivm": {"source": <table path>, "source_version": N,
+             "keys": [...], "aggs": [{"name","fn","col"}, ...]}}
+
+Stored columns are STATE, not presentation: every sum/avg carries a
+non-null count (``__ivm_nn_<name>``) so SQL null semantics survive
+retraction (a group whose last non-null value is deleted must read NULL
+again, not 0), and every view row carries the group row count
+(``__ivm_n``) so a group whose rows all leave the table leaves the view
+(full-recompute equivalence, which the oracle value-hashes).
+:func:`agg_view_read` derives the presentation frame.
+
+Exactness caveat, loudly: float sums are not a group under IEEE
+arithmetic (a+b-b != a in general), so incremental refresh of a DOUBLE
+sum can drift below the 1e-6 comparison grain after many retractions.
+For hash-exact views aggregate integers or decimals (the tests and the
+``ns_ivm_view`` oracle use ``decimal``); double sums get the same
+treatment the engine's money paths use (exact integer-scaled sums) by
+casting at view definition time.
+
+Crash posture: refresh computes from the STAMPED source version, writes
+the new state data dir, then commits data+stamp in ONE manifest rename
+(the snapshot `_commit` protocol). A crash before the commit leaves an
+orphan data dir (age-gate-swept by ``snapshots.vacuum``) and an
+unchanged stamp — the re-run recomputes the same delta. Two racing
+refreshers conflict explicitly on the rename; the loser re-reads and
+finds the work done (skip) or a new source version (refresh from it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources import snapshots as _snap
+
+_LINEAR = {"count", "sum", "avg"}
+_FNS = {"count", "sum", "avg", "min", "max", "count_distinct"}
+
+
+def _norm_aggs(aggs) -> list[dict]:
+    out = []
+    for a in aggs:
+        if isinstance(a, dict):
+            name, fn, col = a["name"], a["fn"], a.get("col")
+        else:
+            name, fn, col = a
+        if fn not in _FNS:
+            raise ValueError(f"unsupported IVM aggregate {fn!r}; one of {sorted(_FNS)}")
+        if fn != "count" and col is None:
+            raise ValueError(f"aggregate {name!r} ({fn}) needs a column")
+        out.append({"name": name, "fn": fn, "col": col})
+    names = [a["name"] for a in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate aggregate output names: {names}")
+    return out
+
+
+def _state_exprs(aggs: list[dict], sign=None) -> list:
+    """Aggregate expressions producing the view's STATE columns from raw
+    rows. With ``sign`` (a Column of +1/-1) the same expressions produce
+    the DELTA state — the linearity that makes the algebraic path one
+    shuffle over changed rows."""
+    s = sign if sign is not None else F.lit(1)
+    exprs = [F.sum(s).alias("__ivm_n")]
+    for a in aggs:
+        n, fn, c = a["name"], a["fn"], a["col"]
+        if fn == "count":
+            src = s if c is None else F.when(F.col(c).isNotNull(), s)
+            exprs.append(F.sum(src).alias(n))
+        elif fn in ("sum", "avg"):
+            exprs.append(F.sum(F.col(c) * s).alias(f"__ivm_s_{n}"))
+            exprs.append(
+                F.sum(F.when(F.col(c).isNotNull(), s)).alias(f"__ivm_nn_{n}")
+            )
+        elif fn == "min":
+            exprs.append(F.min(c).alias(n))
+        elif fn == "max":
+            exprs.append(F.max(c).alias(n))
+        elif fn == "count_distinct":
+            exprs.append(F.countDistinct(c).alias(n))
+    return exprs
+
+
+def _state_cols(aggs: list[dict]) -> list[str]:
+    cols = ["__ivm_n"]
+    for a in aggs:
+        n, fn = a["name"], a["fn"]
+        if fn in ("sum", "avg"):
+            cols += [f"__ivm_s_{n}", f"__ivm_nn_{n}"]
+        else:
+            cols.append(n)
+    return cols
+
+
+def _compute_state(rows: DataFrame, keys: list[str], aggs: list[dict]) -> DataFrame:
+    return rows.groupBy(*keys).agg(*_state_exprs(aggs))
+
+
+def _read_spec(spark, view_path: str) -> dict:
+    v = _snap.current_version(spark, view_path)
+    if v is None:
+        raise FileNotFoundError(f"no IVM view at {view_path}")
+    m = _snap.read_manifest(spark, view_path, v)
+    spec = m.get("ivm")
+    if not spec:
+        raise ValueError(
+            f"snapshot table at {view_path} carries no IVM spec — not an "
+            "agg view (or a non-IVM commit clobbered it; refresh only "
+            "through agg_view_refresh)"
+        )
+    spec = dict(spec)
+    spec["_view_version"] = v
+    return spec
+
+
+def agg_view_create(
+    spark,
+    source_path: str,
+    view_path: str,
+    keys: list[str],
+    aggs,
+) -> dict:
+    """Materialize ``GROUP BY keys`` aggregate state of the source
+    snapshot table at its CURRENT version, as a new snapshot table at
+    ``view_path`` stamped with the source version it reflects. One full
+    pass — every later :func:`agg_view_refresh` is delta-sized."""
+    aggs = _norm_aggs(aggs)
+    sv = _snap.current_version(spark, source_path)
+    if sv is None:
+        raise FileNotFoundError(f"no source snapshot table at {source_path}")
+    if _snap.current_version(spark, view_path) is not None:
+        raise IOError(
+            f"something already exists at {view_path} — refusing to "
+            "clobber; drop it or refresh it"
+        )
+    state = _compute_state(
+        _snap.read_snapshot(spark, source_path, sv), keys, aggs
+    )
+    d = _snap._write_data(state, view_path)
+    spec = {"source": source_path, "source_version": sv, "keys": keys, "aggs": aggs}
+    _snap._commit(
+        spark, view_path, [d], "ivm_create", None, state.schema.json(),
+        extra={"ivm": spec},
+    )
+    return {"source_version": sv, "groups": state.count()}
+
+
+def _merge_linear(
+    old: DataFrame, delta: DataFrame, keys: list[str], aggs: list[dict],
+    deletes_present: bool,
+) -> DataFrame:
+    """Algebraic merge: old state FULL OUTER JOIN delta state on the group
+    keys (the view is groups-sized; the delta is changed-groups-sized),
+    group-count <= 0 rows dropped. min/max merge by least/greatest —
+    callers guarantee the delta is insert-only when they are present."""
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in _state_cols(aggs)]
+    )
+    merged = old.join(d, keys, "full_outer")
+
+    def add(a, b):
+        return (
+            F.when(F.col(a).isNull() & F.col(b).isNull(), F.lit(None))
+            .otherwise(F.coalesce(F.col(a), F.lit(0)) + F.coalesce(F.col(b), F.lit(0)))
+        )
+
+    cols = list(keys)
+    cols.append(add("__ivm_n", "__d___ivm_n").alias("__ivm_n"))
+    for a in aggs:
+        n, fn = a["name"], a["fn"]
+        if fn == "count":
+            cols.append(add(n, f"__d_{n}").alias(n))
+        elif fn in ("sum", "avg"):
+            nn = add(f"__ivm_nn_{n}", f"__d___ivm_nn_{n}")
+            # a sum whose non-null support hits 0 must read NULL again —
+            # retraction arithmetic alone would leave a spurious 0
+            s = F.when(
+                nn > 0,
+                F.coalesce(F.col(f"__ivm_s_{n}"), F.lit(0))
+                + F.coalesce(F.col(f"__d___ivm_s_{n}"), F.lit(0)),
+            )
+            cols.append(s.alias(f"__ivm_s_{n}"))
+            cols.append(nn.alias(f"__ivm_nn_{n}"))
+        elif fn in ("min", "max"):
+            assert not deletes_present  # routed to recompute upstream
+            f = F.least if fn == "min" else F.greatest
+            cols.append(f(F.col(n), F.col(f"__d_{n}")).alias(n))
+        else:  # count_distinct — routed to recompute upstream
+            raise AssertionError("count_distinct cannot merge linearly")
+    return merged.select(*cols).filter(F.col("__ivm_n") > 0)
+
+
+def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
+    """Advance the view to the source's current version by applying the
+    changelog since the stamped version. Path selection (``mode='auto'``):
+
+    - no change → no-op (no commit);
+    - append-shaped history + spec without count_distinct → **algebraic**:
+      delta aggregate over the NEW rows only (``read_snapshot_changes``
+      reads just the new data dirs), merged into the view;
+    - deletes present + all-linear spec → **algebraic with retraction**:
+      ``snapshot_diff`` rows carry sign ±1 into the same delta aggregate;
+    - deletes with min/max, or count_distinct at all → **affected-group
+      recompute**: source semi-joined on the delta's group keys,
+      recomputed, spliced over those groups only.
+
+    ``mode='recompute_groups'`` forces the splice path (the escape hatch
+    for float-drift repair); ``mode='full'`` re-materializes everything
+    (still one commit, stamps current). Returns
+    {"path", "from_version", "to_version", "touched_groups"}."""
+    spec = _read_spec(spark, view_path)
+    source, keys = spec["source"], list(spec["keys"])
+    aggs = _norm_aggs(spec["aggs"])
+    v0 = spec["source_version"]
+    v1 = _snap.current_version(spark, source)
+    if v1 is None or v1 < v0:
+        raise ValueError(
+            f"source {source} is at v{v1}, view reflects v{v0} — a "
+            "rollback/vacuum rewrote history under the view; rebuild with "
+            "agg_view_create"
+        )
+    if v1 == v0:
+        return {"path": "noop", "from_version": v0, "to_version": v1,
+                "touched_groups": 0}
+    old = _snap.read_snapshot(spark, view_path, spec["_view_version"])
+
+    has_cd = any(a["fn"] == "count_distinct" for a in aggs)
+    has_minmax = any(a["fn"] in ("min", "max") for a in aggs)
+
+    delta_rows = None  # signed rows; None => insert-only new-rows frame
+    inserts = None
+    if mode == "full":
+        path = "full"
+    else:
+        try:
+            inserts = _snap.read_snapshot_changes(spark, source, v0, v1)
+            deletes_present = False
+        except ValueError:
+            # non-append history in range: content-level signed diff
+            diff = _snap.snapshot_diff(spark, source, v0, v1)
+            delta_rows = diff.withColumn(
+                "__ivm_sign",
+                F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+            ).drop("_change")
+            deletes_present = True
+        if mode == "recompute_groups":
+            path = "recompute_groups"
+        elif has_cd or (deletes_present and has_minmax):
+            path = "recompute_groups"
+        elif deletes_present:
+            path = "retraction"
+        else:
+            path = "append"
+
+    if path == "full":
+        new_state = _compute_state(
+            _snap.read_snapshot(spark, source, v1), keys, aggs
+        )
+        touched = new_state.count()
+    elif path == "append":
+        delta = _compute_state(inserts, keys, aggs)
+        touched = delta.count()
+        new_state = _merge_linear(old, delta, keys, aggs, deletes_present=False)
+    elif path == "retraction":
+        delta = delta_rows.groupBy(*keys).agg(
+            *_state_exprs(aggs, sign=F.col("__ivm_sign"))
+        )
+        touched = delta.count()
+        new_state = _merge_linear(old, delta, keys, aggs, deletes_present=True)
+    else:  # recompute_groups
+        changed = delta_rows if delta_rows is not None else inserts
+        gk = changed.select(*keys).distinct()
+        touched = gk.count()
+        recomputed = _compute_state(
+            _snap.read_snapshot(spark, source, v1).join(gk, keys, "left_semi"),
+            keys, aggs,
+        )
+        # splice: untouched groups copied through, touched groups replaced
+        # (a touched group with no surviving source rows simply has no
+        # recomputed row — it leaves the view, matching full recompute)
+        new_state = old.join(gk, keys, "left_anti").unionByName(recomputed)
+
+    d = _snap._write_data(new_state, view_path)
+    new_spec = {"source": source, "source_version": v1, "keys": keys, "aggs": aggs}
+    _snap._commit(
+        spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
+        new_state.schema.json(), extra={"ivm": new_spec},
+    )
+    return {"path": path, "from_version": v0, "to_version": v1,
+            "touched_groups": int(touched)}
+
+
+def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFrame:
+    """The presentation frame: group keys + one column per requested
+    aggregate, derived from state (avg = sum/non-null-count; sums NULL
+    when their non-null support is 0 — full SQL semantics)."""
+    spec = _read_spec(spark, view_path)
+    state = _snap.read_snapshot(
+        spark, view_path, version if version is not None else spec["_view_version"]
+    )
+    cols = list(spec["keys"])
+    for a in _norm_aggs(spec["aggs"]):
+        n, fn = a["name"], a["fn"]
+        if fn == "sum":
+            cols.append(
+                F.when(F.col(f"__ivm_nn_{n}") > 0, F.col(f"__ivm_s_{n}")).alias(n)
+            )
+        elif fn == "avg":
+            cols.append(
+                F.when(
+                    F.col(f"__ivm_nn_{n}") > 0,
+                    F.col(f"__ivm_s_{n}") / F.col(f"__ivm_nn_{n}"),
+                ).alias(n)
+            )
+        else:
+            cols.append(F.col(n).alias(n))
+    return state.select(*cols)
+
+
+def agg_view_verify(spark, view_path: str) -> dict:
+    """Operational yardstick (and the tests' differential): the view's
+    presentation frame vs a full recompute over the source AT THE
+    STAMPED VERSION. Returns {"equal", "view_rows", "recompute_rows"} —
+    row-exact comparison, so run it on exact-typed views (see the float
+    caveat in the module docstring)."""
+    spec = _read_spec(spark, view_path)
+    aggs = _norm_aggs(spec["aggs"])
+    got = agg_view_read(spark, view_path)
+    want_state = _compute_state(
+        _snap.read_snapshot(spark, spec["source"], spec["source_version"]),
+        list(spec["keys"]), aggs,
+    )
+    # present the recompute through the same derivation
+    cols = list(spec["keys"])
+    for a in aggs:
+        n, fn = a["name"], a["fn"]
+        if fn == "sum":
+            cols.append(F.when(F.col(f"__ivm_nn_{n}") > 0, F.col(f"__ivm_s_{n}")).alias(n))
+        elif fn == "avg":
+            cols.append(
+                F.when(F.col(f"__ivm_nn_{n}") > 0,
+                       F.col(f"__ivm_s_{n}") / F.col(f"__ivm_nn_{n}")).alias(n)
+            )
+        else:
+            cols.append(F.col(n))
+    want = want_state.select(*cols)
+    a = got.exceptAll(want).count()
+    b = want.exceptAll(got).count()
+    return {
+        "equal": a == 0 and b == 0,
+        "view_rows": got.count(),
+        "recompute_rows": want.count(),
+    }

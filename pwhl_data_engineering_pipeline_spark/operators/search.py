@@ -820,22 +820,28 @@ def bm25_index_repair(
 
 
 def _tombstone_mass(spark, path: str, meta: dict) -> int:
-    """Total tombstoned ids across the manifest's committed tombstone
-    batches. Metadata-only when the manifest carries ``tombstone_counts``
-    (every r12+ delete stamps them); a pre-counts manifest falls back to
-    per-batch parquet counts (footer-stat counts over erasure-sized
-    tables — bounded, but a scan the counts exist to avoid)."""
+    """Total DISTINCT tombstoned ids across the manifest's committed
+    tombstone batches. A single batch is metadata-only (the manifest's
+    ``tombstone_counts`` stamp; every r12+ delete writes one) with a
+    footer-stat parquet count as the pre-counts fallback. Multiple
+    batches may share ids — repeated ``erase_everywhere`` sweeps with
+    overlapping id sets are the normal GDPR cadence — so summing
+    per-batch counts would overstate deletion debt and trip
+    ``needs_compaction`` / ``*_needs_recompact`` early (ADVICE r12):
+    the multi-batch path counts the distinct union instead (one
+    aggregate over erasure-sized tables — bounded, and only paid by
+    scheduler polls on multiply-deleted indexes, never by probes)."""
     tids = meta.get("tombstones") or []
     if not tids:
         return 0
     counts = meta.get("tombstone_counts") or {}
-    total = 0
-    for t in tids:
+    if len(tids) == 1:
+        t = tids[0]
         if t in counts:
-            total += int(counts[t])
-        else:
-            total += spark.read.parquet(f"{path}/_tombstones/{t}").count()
-    return total
+            return int(counts[t])
+        return spark.read.parquet(f"{path}/_tombstones/{t}").count()
+    df = spark.read.parquet(*[f"{path}/_tombstones/{t}" for t in tids])
+    return df.select(df.columns[0]).distinct().count()
 
 
 def needs_compaction(

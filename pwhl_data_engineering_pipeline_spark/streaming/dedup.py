@@ -404,8 +404,13 @@ def index_compact(
     deduped = idx.distinct()
     tombstoned_purged = 0
     if tomb is not None:
+        # metric vs the post-distinct count (ADVICE r12): measuring
+        # against rows_in conflated duplicate-row removal with tombstone
+        # purging and overstated the purge whenever streaming appends
+        # produced duplicate bucket rows (the normal case)
+        deduped_count = deduped.count()
         masked = deduped.join(tomb, "doc_id", "left_anti")
-        tombstoned_purged = rows_in - masked.count()
+        tombstoned_purged = deduped_count - masked.count()
         deduped = masked
     # prune accumulated hot buckets globally (write-time caps are
     # per-batch; cross-append accumulation is exactly what compaction
@@ -421,10 +426,11 @@ def index_compact(
     n_hot = refresh_hot_sidecar(spark, out_path, max_bucket)
     if tomb is not None:
         # the purge is explicit state at the new path, not inferred from
-        # a missing manifest (the minhash_index_compact convention)
-        from ..operators.search import _commit_scalars
+        # a missing manifest (the minhash_index_compact convention);
+        # idempotent under re-run to the same out_path (ADVICE r12)
+        from ..operators.dedup import _commit_clean_manifest
 
-        _commit_scalars(spark, out_path, {"tombstones": []}, parent_version=0)
+        _commit_clean_manifest(spark, out_path)
     rows_out = spark.read.parquet(out_path).count()
     return {
         "rows_in": rows_in,

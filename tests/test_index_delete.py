@@ -861,3 +861,207 @@ def test_filtered_search_composes_with_deletion(spark, tmp_path):
         per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
         assert r["vec_id"] % 40 == 0 and r["vec_id"] % 2 == 0
     assert all(len(v) <= 5 for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# r13: ADVICE r12 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_purge_rerun_to_same_path_is_idempotent(spark, tmp_path):
+    """ADVICE r12 (medium): a purge that crashes after the clean-manifest
+    commit but before the orchestrator swaps paths must be re-runnable
+    to the SAME out_path — previously the re-run's parent_version=0
+    commit hit the existing v1 and raised IOError, contradicting the
+    documented 'each compact is idempotent / re-run to resume'
+    contract. Covers both purge sites: minhash_index_compact and the
+    streaming index_compact."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _read_scalars,
+    )
+    from pwhl_data_engineering_pipeline_spark.streaming.dedup import (
+        index_compact,
+    )
+
+    corpus = _docs(spark, range(30))
+    idx = str(tmp_path / "mh_rerun")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    dedup.minhash_index_delete(
+        spark, idx,
+        corpus.filter(F.col("doc_id") < 10).select("doc_id"),
+        batch_id="d1",
+    )
+
+    purged = str(tmp_path / "mh_rerun_out")
+    dedup.minhash_index_compact(spark, idx, max_bucket=64, out_path=purged)
+    rows1 = sorted(
+        map(tuple, spark.read.parquet(purged).select(
+            "doc_id", "band", "band_hash").collect())
+    )
+    # crash-after-commit simulation: the orchestrator never swapped, so
+    # the SAME compact re-runs to the SAME out_path — must not raise
+    dedup.minhash_index_compact(spark, idx, max_bucket=64, out_path=purged)
+    meta = _read_scalars(spark, purged)
+    assert meta["tombstones"] == []
+    rows2 = sorted(
+        map(tuple, spark.read.parquet(purged).select(
+            "doc_id", "band", "band_hash").collect())
+    )
+    assert rows1 == rows2
+
+    # streaming twin (same helper, same contract)
+    spurge = str(tmp_path / "mh_rerun_sout")
+    s1 = index_compact(spark, idx, spurge)
+    s2 = index_compact(spark, idx, spurge)
+    assert _read_scalars(spark, spurge)["tombstones"] == []
+    assert s1["rows_out"] == s2["rows_out"]
+
+
+def test_streaming_compact_purge_metric_excludes_duplicates(spark, tmp_path):
+    """ADVICE r12: tombstoned_purged was measured against the
+    PRE-distinct row count, conflating duplicate-row removal (the
+    normal product of streaming at-least-once appends) with tombstone
+    purging. With doubled bucket rows and 5 of 20 docs tombstoned, the
+    metric must report the 5 docs' distinct bucket rows — not also the
+    20 docs' worth of duplicates."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.streaming.dedup import (
+        index_compact,
+    )
+
+    corpus = _docs(spark, range(20), key="dupmetric")
+    idx = str(tmp_path / "mh_dup")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    # an at-least-once replay: the same batch's bucket rows land twice
+    dedup.minhash_index_write(
+        corpus, idx, num_hashes=32, num_bands=8, mode="append"
+    )
+    tomb = corpus.filter(F.col("doc_id") < 5).select("doc_id")
+    dedup.minhash_index_delete(spark, idx, tomb, batch_id="d1")
+
+    distinct_tomb_rows = (
+        spark.read.parquet(idx)
+        .filter(F.col("doc_id") < 5)
+        .distinct()
+        .count()
+    )
+    stats = index_compact(spark, idx, str(tmp_path / "mh_dup_out"))
+    assert stats["tombstoned_purged"] == distinct_tomb_rows
+    # every distinct row landed exactly twice: rows_in is the doubled
+    # total, rows_out the distinct survivors
+    assert stats["rows_in"] == 2 * (
+        stats["rows_out"] + stats["tombstoned_purged"]
+    )
+    # rows_out holds only survivors, once
+    surv = spark.read.parquet(str(tmp_path / "mh_dup_out"))
+    assert surv.filter(F.col("doc_id") < 5).count() == 0
+    assert surv.count() == surv.distinct().count()
+
+
+def test_tombstone_mass_is_distinct_across_overlapping_batches(
+    spark, tmp_path
+):
+    """ADVICE r12: repeated erasure sweeps with overlapping id sets are
+    the normal GDPR cadence — summing per-batch tombstone_counts
+    overstated deletion debt and tripped the schedulers early. The
+    multi-batch mass is the DISTINCT union."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+    from pwhl_data_engineering_pipeline_spark.operators.search import (
+        _tombstone_mass,
+    )
+
+    corpus = _docs(spark, range(40), key="mass")
+    idx = str(tmp_path / "mh_mass")
+    dedup.minhash_index_write(corpus, idx, num_hashes=32, num_bands=8)
+    dedup.minhash_index_delete(
+        spark, idx, corpus.filter(F.col("doc_id") < 20).select("doc_id"),
+        batch_id="a",
+    )
+    dedup.minhash_index_delete(
+        spark, idx,
+        corpus.filter(
+            (F.col("doc_id") >= 10) & (F.col("doc_id") < 30)
+        ).select("doc_id"),
+        batch_id="b",
+    )
+    meta = dedup._minhash_meta(spark, idx)
+    # per-batch counts sum to 40; the distinct union is 30
+    assert sum(meta["tombstone_counts"].values()) == 40
+    assert _tombstone_mass(spark, idx, meta) == 30
+    probe = dedup.minhash_needs_compact(spark, idx, max_tombstone_frac=0.25)
+    assert probe["n_tombstoned"] == 30
+    assert probe["tombstone_frac"] == 30 / 40
+
+
+def test_purge_everywhere_manifestless_pq_means_no_tombstones(
+    spark, tmp_path
+):
+    """ADVICE r12: purge_everywhere's pq precondition read the manifest
+    with _read_scalars, which raises FileNotFoundError on a pre-r11
+    manifest-less PQ index — every other PQ reader treats that as 'no
+    tombstones' via _pq_read_manifest. A manifest-less index must purge
+    as a cheap no-op, not crash the sweep."""
+    import shutil
+
+    from pwhl_data_engineering_pipeline_spark.operators import erasure
+
+    emb = _emb(spark, n=80, seed=7, d=8)
+    cent, assigned = similarity.ivf_index(emb, n_centroids=3)
+    books = pq.pq_train_residual(emb, assigned, cent, m=4, k=16, iters=3)
+    idx = str(tmp_path / "pq_nomanifest")
+    pq.pq_write(
+        pq.pq_encode_residual(emb, assigned, cent, books), idx, books, cent,
+        vectors=emb,
+    )
+    shutil.rmtree(f"{idx}/_scalars")  # manufacture the pre-r11 layout
+
+    out = erasure.purge_everywhere(spark, {"pq": idx}, vectors=None)
+    assert out["results"]["pq"] == {
+        "skipped": True, "reason": "no tombstones",
+    }
+    assert out["still_pending"] == []
+
+
+def test_minhash_delete_refresh_uncaps_survivor_cold_buckets(
+    spark, tmp_path
+):
+    """ADVICE r12: a bucket hot only because of tombstoned members stayed
+    capped on the sidecar probe path (scan mode recomputed masked heat,
+    the cached sidecar did not), silently missing live-vs-live
+    collisions until the purging compact. refresh_hot_sidecar is now
+    survivor-relative, and minhash_index_delete(refresh_sidecar_max_
+    bucket=...) runs it post-commit — after deleting the members that
+    made the bucket hot, a probe collides with the survivors again on
+    BOTH cap paths."""
+    from pwhl_data_engineering_pipeline_spark.operators import dedup
+
+    text = " ".join(f"tok{j}" for j in range(30))
+    mk = lambda ids: spark.createDataFrame(
+        [(int(i), text) for i in ids], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "mh_hot")
+    # 40 identical docs (bucket size 40 <= cap 64: stored), then 40 more
+    # appended — accumulated 80 > 64, so the refreshed sidecar caps it
+    dedup.minhash_index_write(mk(range(40)), idx, num_hashes=32, num_bands=8)
+    dedup.minhash_index_write(
+        mk(range(100, 140)), idx, num_hashes=32, num_bands=8, mode="append"
+    )
+    probe = mk([5000])
+    pairs = lambda cap: sorted(
+        r["corpus_id"]
+        for r in dedup.minhash_incremental_pairs(
+            spark, probe, idx, num_hashes=32, num_bands=8, probe_cap=cap
+        )[0].collect()
+    )
+    assert pairs("sidecar") == []  # hot bucket: capped, no candidates
+
+    # erase the appended 40; survivors (40) fit under the cap again
+    out = dedup.minhash_index_delete(
+        spark, idx, mk(range(100, 140)).select("doc_id"),
+        batch_id="d1", refresh_sidecar_max_bucket=64,
+    )
+    assert out["skipped"] is False
+    want = sorted(range(40))
+    assert pairs("sidecar") == want  # sidecar heat is survivor-relative
+    assert pairs("scan") == want     # and agrees with inline masked heat
