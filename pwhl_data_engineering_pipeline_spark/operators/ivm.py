@@ -100,12 +100,15 @@ def _state_exprs(aggs: list[dict], sign=None) -> list:
     for a in aggs:
         n, fn, c = a["name"], a["fn"], a["col"]
         if fn == "count":
+            # COUNT is 0, never NULL, over an all-null (or empty) support
             src = s if c is None else F.when(F.col(c).isNotNull(), s)
-            exprs.append(F.sum(src).alias(n))
+            exprs.append(F.coalesce(F.sum(src), F.lit(0)).alias(n))
         elif fn in ("sum", "avg"):
             exprs.append(F.sum(F.col(c) * s).alias(f"__ivm_s_{n}"))
             exprs.append(
-                F.sum(F.when(F.col(c).isNotNull(), s)).alias(f"__ivm_nn_{n}")
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNotNull(), s)), F.lit(0)
+                ).alias(f"__ivm_nn_{n}")
             )
         elif fn == "min":
             exprs.append(F.min(c).alias(n))
@@ -254,6 +257,14 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
             "rollback/vacuum rewrote history under the view; rebuild with "
             "agg_view_create"
         )
+    try:
+        _snap.read_manifest(spark, source, v0)
+    except FileNotFoundError:
+        raise ValueError(
+            f"source {source} no longer has v{v0} (vacuumed past the "
+            "view's stamp) — the changelog since the view's state is "
+            "gone; rebuild with agg_view_create"
+        ) from None
     if v1 == v0:
         return {"path": "noop", "from_version": v0, "to_version": v1,
                 "touched_groups": 0}

@@ -333,6 +333,15 @@ def snapshot_merge(
             df = base.join(updates.select(*keys), keys, "left_anti").unionByName(
                 updates, allowMissingColumns=True
             )
+            # a USING-join moves the key columns FIRST; restore the
+            # base's physical column order (+ any newly-added columns
+            # appended) so the rewrite is content-only — a positional
+            # consumer downstream (snapshot_diff/exceptAll) must not see
+            # every row as changed because a merge shuffled the layout
+            df = df.select(
+                *base.columns,
+                *[c for c in df.columns if c not in set(base.columns)],
+            )
             op = "overwrite"
         d = _write_data(df, path)
         try:
@@ -371,6 +380,9 @@ def snapshot_delete(
             raise FileNotFoundError(f"no snapshot table at {path}")
         base = read_snapshot(spark, path, cur, merge_schema=True)
         df = base.join(ids.select(*keys).distinct(), keys, "left_anti")
+        # restore the base's column order — the USING-join moved the key
+        # columns first (see snapshot_merge; same positional-diff hazard)
+        df = df.select(*base.columns)
         d = _write_data(df, path)
         try:
             return _commit(spark, path, [d], "overwrite", cur, df.schema.json())
@@ -482,6 +494,20 @@ def snapshot_diff(
 
     older = read_snapshot(spark, path, from_version)
     newer = read_snapshot(spark, path, to_version)
+    # exceptAll is POSITIONAL: align the newer side to the older side's
+    # column order by NAME before diffing. Without this, any version pair
+    # spanning a commit that physically reordered columns (a pre-r13
+    # merge/delete rewrite put join keys first) mislabels EVERY row as
+    # insert+delete — content-identical tables must diff empty.
+    if set(older.columns) == set(newer.columns):
+        newer = newer.select(*older.columns)
+    else:
+        raise ValueError(
+            f"snapshot_diff v{from_version}..v{to_version} at {path}: "
+            f"column sets differ ({sorted(older.columns)} vs "
+            f"{sorted(newer.columns)}) — read both sides with "
+            "merge_schema and project a common schema before diffing"
+        )
     if eager:
         older, newer = older.persist(), newer.persist()
     diff = newer.exceptAll(older).withColumn(

@@ -1,0 +1,204 @@
+"""Incremental view maintenance (r13): a materialized groupBy view that
+follows its snapshot table via the changelog — algebraic merge for
+linear aggregates, signed retraction under deletes, affected-group
+recompute for the non-linear ones — always equal to a full recompute
+(the differential agg_view_verify pins, and the ns_ivm_view oracle
+value-hashes)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from pwhl_data_engineering_pipeline_spark.operators import ivm
+from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        [(g, i, Decimal(v) if v is not None else None) for g, i, v in data],
+        "grp string, id long, val decimal(18,2)",
+    )
+
+
+LINEAR = [
+    {"name": "n", "fn": "count", "col": None},
+    {"name": "nv", "fn": "count", "col": "val"},
+    {"name": "total", "fn": "sum", "col": "val"},
+    {"name": "mean", "fn": "avg", "col": "val"},
+]
+MIXED = LINEAR + [
+    {"name": "lo", "fn": "min", "col": "val"},
+    {"name": "hi", "fn": "max", "col": "val"},
+]
+NONLIN = MIXED + [{"name": "uniq", "fn": "count_distinct", "col": "val"}]
+
+
+def test_linear_lifecycle_appends_retraction_and_group_death(spark, tmp_path):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "1.50"), ("a", 2, "2.25"), ("b", 3, "10.00")]),
+        src,
+    )
+    out = ivm.agg_view_create(spark, src, view, ["grp"], LINEAR)
+    assert out["groups"] == 2
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+    # append-shaped: delta aggregate over new rows only
+    snap.snapshot_append(
+        _rows(spark, [("a", 4, "0.25"), ("c", 5, None)]), src
+    )
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append" and r["touched_groups"] == 2
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    got = {
+        row["grp"]: (row["n"], row["nv"], row["total"], row["mean"])
+        for row in ivm.agg_view_read(spark, view).collect()
+    }
+    # all-null group: count(*)=1, count(val)=0, sum/avg NULL (not 0)
+    assert got["c"] == (1, 0, None, None)
+    assert got["a"][2] == Decimal("4.00")
+
+    # keyed delete (overwrite commit) → signed retraction path
+    snap.snapshot_delete(
+        spark.createDataFrame([(3,)], "id long"), src, ["id"]
+    )
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "retraction"
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    # group b lost its only row — it leaves the view entirely
+    assert set(
+        row["grp"] for row in ivm.agg_view_read(spark, view).collect()
+    ) == {"a", "c"}
+
+    # retracting the last non-null value must restore NULL, never 0
+    snap.snapshot_delete(
+        spark.createDataFrame([(1,), (2,), (4,)], "id long"), src, ["id"]
+    )
+    ivm.agg_view_refresh(spark, view)
+    got = {
+        row["grp"]: (row["n"], row["nv"], row["total"])
+        for row in ivm.agg_view_read(spark, view).collect()
+    }
+    assert set(got) == {"c"}
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_minmax_merges_on_appends_recomputes_on_deletes(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    view = str(tmp_path / "view2")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "5.00"), ("a", 2, "9.00"), ("b", 3, "1.00")]),
+        src,
+    )
+    ivm.agg_view_create(spark, src, view, ["grp"], MIXED)
+
+    # inserts keep min/max algebraic
+    snap.snapshot_append(_rows(spark, [("a", 4, "3.00")]), src)
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append"
+    got = {row["grp"]: (row["lo"], row["hi"])
+           for row in ivm.agg_view_read(spark, view).collect()}
+    assert got["a"] == (Decimal("3.00"), Decimal("9.00"))
+
+    # deleting the current max forces the affected-group recompute —
+    # and ONLY group a is touched
+    snap.snapshot_delete(spark.createDataFrame([(2,)], "id long"), src, ["id"])
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "recompute_groups" and r["touched_groups"] == 1
+    got = {row["grp"]: (row["lo"], row["hi"])
+           for row in ivm.agg_view_read(spark, view).collect()}
+    assert got["a"] == (Decimal("3.00"), Decimal("5.00"))
+    assert got["b"] == (Decimal("1.00"), Decimal("1.00"))
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_count_distinct_always_recomputes_affected_groups(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    view = str(tmp_path / "view3")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "5.00"), ("a", 2, "5.00"), ("b", 3, "1.00")]),
+        src,
+    )
+    ivm.agg_view_create(spark, src, view, ["grp"], NONLIN)
+    # even an append-shaped delta cannot merge a distinct count (the new
+    # value may or may not already be present)
+    snap.snapshot_append(_rows(spark, [("a", 4, "5.00"), ("a", 5, "7.00")]), src)
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "recompute_groups" and r["touched_groups"] == 1
+    got = {row["grp"]: row["uniq"]
+           for row in ivm.agg_view_read(spark, view).collect()}
+    assert got == {"a": 2, "b": 1}
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_refresh_noop_full_mode_and_rollback_guard(spark, tmp_path):
+    src = str(tmp_path / "src4")
+    view = str(tmp_path / "view4")
+    snap.snapshot_append(_rows(spark, [("a", 1, "1.00")]), src)
+    ivm.agg_view_create(spark, src, view, ["grp"], LINEAR)
+    v_before = snap.current_version(spark, view)
+    assert ivm.agg_view_refresh(spark, view)["path"] == "noop"
+    assert snap.current_version(spark, view) == v_before  # no empty commit
+
+    snap.snapshot_append(_rows(spark, [("b", 2, "2.00")]), src)
+    assert ivm.agg_view_refresh(spark, view, mode="full")["path"] == "full"
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+    # history rewritten under the view → loud, not silently wrong
+    snap.snapshot_rollback(spark, src, 1)
+    snap.vacuum(spark, src, keep_last=1, min_age_seconds=0)
+    with pytest.raises(ValueError, match="rebuild"):
+        # stamped version 2 no longer exists / current went backwards
+        ivm.agg_view_refresh(spark, view)
+
+
+def test_crashed_refresh_rerun_lands_once(spark, tmp_path, monkeypatch):
+    """A refresh that dies after writing its data dir but before the
+    manifest commit leaves the stamp unchanged; the re-run recomputes
+    the same delta and commits once (the orphan dir is vacuum's job)."""
+    src = str(tmp_path / "src5")
+    view = str(tmp_path / "view5")
+    snap.snapshot_append(_rows(spark, [("a", 1, "1.00")]), src)
+    ivm.agg_view_create(spark, src, view, ["grp"], LINEAR)
+    snap.snapshot_append(_rows(spark, [("a", 2, "2.00")]), src)
+
+    real_commit = snap._commit
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(snap, "_commit", boom)
+    with pytest.raises(RuntimeError):
+        ivm.agg_view_refresh(spark, view)
+    monkeypatch.setattr(snap, "_commit", real_commit)
+
+    assert ivm.agg_view_refresh(spark, view)["path"] == "append"
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    got = ivm.agg_view_read(spark, view).collect()
+    assert len(got) == 1 and got[0]["total"] == Decimal("3.00")
+    # replay protection: nothing doubled on yet another refresh
+    assert ivm.agg_view_refresh(spark, view)["path"] == "noop"
+
+
+def test_spec_validation_and_wrong_table_guard(spark, tmp_path):
+    src = str(tmp_path / "src6")
+    snap.snapshot_append(_rows(spark, [("a", 1, "1.00")]), src)
+    with pytest.raises(ValueError, match="unsupported"):
+        ivm.agg_view_create(spark, src, str(tmp_path / "v"), ["grp"],
+                            [("x", "median", "val")])
+    with pytest.raises(ValueError, match="needs a column"):
+        ivm.agg_view_create(spark, src, str(tmp_path / "v"), ["grp"],
+                            [("x", "sum", None)])
+    with pytest.raises(ValueError, match="duplicate"):
+        ivm.agg_view_create(spark, src, str(tmp_path / "v"), ["grp"],
+                            [("x", "sum", "val"), ("x", "count", None)])
+    # a plain snapshot table is not a view
+    with pytest.raises(ValueError, match="no IVM spec"):
+        ivm.agg_view_refresh(spark, src)
+    # refusing to clobber an existing table
+    with pytest.raises(IOError, match="refusing"):
+        ivm.agg_view_create(spark, src, src, ["grp"], LINEAR)
