@@ -735,6 +735,86 @@ def q_snapshot_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (r13): two materialized groupBy views
+    follow a snapshot table through overwrite → append → keyed delete,
+    refreshed from the changelog only — the linear view merges a delta
+    aggregate (append) and a signed retraction (delete); the
+    min/max/count_distinct view recomputes only its AFFECTED groups.
+    The hashed result is the final presentation of BOTH views plus the
+    refresh-path/touched-group census, so the oracle pins (a) final
+    state ≡ one SQL aggregate over the surviving rows — the
+    full-recompute equivalence theorem — and (b) that each refresh took
+    the path IVM theory says it must, touching exactly the changed
+    groups. Money exactness via the house integer-cents pattern."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="ivm_")
+    src_path, vl, vm = f"{base}/src", f"{base}/vl", f"{base}/vm"
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderkey") % 13 != 0,
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        ).alias("vc"),
+        F.col("o_custkey").alias("ck"),
+    )
+    a_rows = src.filter(F.col("id") % 10 < 6)
+    b_rows = src.filter((F.col("id") % 10).isin(6, 7))
+    snapshots.snapshot_overwrite(a_rows, src_path)
+    ivm.agg_view_create(
+        spark, src_path, vl, ["grp"],
+        [("n", "count", None), ("nc", "count", "vc"),
+         ("total", "sum", "vc"), ("mean", "avg", "vc")],
+    )
+    ivm.agg_view_create(
+        spark, src_path, vm, ["grp"],
+        [("lo", "min", "cents"), ("hi", "max", "cents"),
+         ("uniq", "count_distinct", "ck")],
+    )
+    snapshots.snapshot_append(b_rows, src_path)
+    stats = [("vl", ivm.agg_view_refresh(spark, vl)),
+             ("vm", ivm.agg_view_refresh(spark, vm))]
+    snapshots.snapshot_delete(
+        src.filter(F.col("id") % 7 == 0).select("id"), src_path, ["id"]
+    )
+    stats += [("vl", ivm.agg_view_refresh(spark, vl)),
+              ("vm", ivm.agg_view_refresh(spark, vm))]
+
+    null_l = F.lit(None).cast("long")
+    lin = ivm.agg_view_read(spark, vl).select(
+        F.lit("lin").alias("leg"), "grp", "n", "nc", "total",
+        pr(F.col("mean"), 4).alias("mean"),
+        null_l.alias("lo"), null_l.alias("hi"), null_l.alias("uniq"),
+    )
+    mix = ivm.agg_view_read(spark, vm).select(
+        F.lit("mix").alias("leg"), "grp", null_l.alias("n"),
+        null_l.alias("nc"), null_l.alias("total"),
+        F.lit(None).cast("double").alias("mean"), "lo", "hi", "uniq",
+    )
+    census: dict[str, list[int]] = {}
+    for view, r in stats:
+        k = f"{view}:{r['path']}"
+        census.setdefault(k, [0, 0])
+        census[k][0] += 1
+        census[k][1] += r["touched_groups"]
+    paths = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(census.items())],
+        "grp string, n long, nc long",
+    ).select(
+        F.lit("paths").alias("leg"), "grp", "n", "nc",
+        null_l.alias("total"), F.lit(None).cast("double").alias("mean"),
+        null_l.alias("lo"), null_l.alias("hi"), null_l.alias("uniq"),
+    )
+    return lin.unionAll(mix).unionAll(paths)
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -4468,6 +4548,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_hybrid_rrf": q_hybrid_rrf,
         "ns_retrieval_eval": q_retrieval_eval,
         "ns_retrieval_pipeline": q_retrieval_pipeline,
+        "ns_ivm_view": q_ivm_view,
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_ivf_filtered": q_ann_ivf_filtered,
@@ -6316,6 +6397,53 @@ def _all_oracle_sql() -> dict[str, str]:
     # order (rrf_score desc, doc_id asc) with mmr_score = the 9dp
     # rrf_score; metrics = the ns_retrieval_eval arithmetic over the MMR
     # ranking. One row per (query, selected doc) × its query metrics.
+    # incremental view maintenance (r13): the final views must equal ONE
+    # SQL aggregate over the surviving rows (full-recompute equivalence),
+    # and the refresh-path census is deterministic IVM routing — append
+    # delta for insert-only linear, signed retraction for linear deletes,
+    # affected-group recompute whenever count_distinct (always) or
+    # min/max-under-deletes demand it; touched groups = distinct group
+    # keys among the changed rows, never the table.
+    sql["ns_ivm_view"] = """
+        WITH src AS (
+          SELECT o_orderpriority AS grp, o_orderkey AS id,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN o_orderkey % 13 <> 0
+                      THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                 END AS vc,
+                 o_custkey AS ck
+          FROM orders
+        ), tbl AS (
+          SELECT * FROM src WHERE id % 10 < 8
+        ), live AS (
+          SELECT * FROM tbl WHERE id % 7 <> 0
+        ), appended AS (
+          SELECT count(DISTINCT grp) AS t FROM tbl WHERE id % 10 IN (6, 7)
+        ), deleted AS (
+          SELECT count(DISTINCT grp) AS t FROM tbl WHERE id % 7 = 0
+        )
+        SELECT 'lin' AS leg, grp, count(*) AS n, count(vc) AS nc,
+               sum(vc) AS total,
+               floor((CAST(sum(vc) AS DOUBLE) / count(vc)) * 1e4 + 0.5) / 1e4
+                 AS mean,
+               CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi,
+               CAST(NULL AS BIGINT) AS uniq
+        FROM live GROUP BY grp
+        UNION ALL
+        SELECT 'mix', grp, NULL, NULL, NULL, CAST(NULL AS DOUBLE),
+               min(cents), max(cents), count(DISTINCT ck)
+        FROM live GROUP BY grp
+        UNION ALL
+        SELECT 'paths', 'vl:append', 1, (SELECT t FROM appended),
+               NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL
+        UNION ALL
+        SELECT 'paths', 'vl:retraction', 1, (SELECT t FROM deleted),
+               NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL
+        UNION ALL
+        SELECT 'paths', 'vm:recompute_groups', 2,
+               (SELECT t FROM appended) + (SELECT t FROM deleted),
+               NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL
+    """
     sql["ns_retrieval_pipeline"] = f"""
         WITH sparse AS (
           SELECT query_id, doc_id, rank FROM (
