@@ -2212,6 +2212,54 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sync from the snapshot changelog (r13, operators/sync.py):
+    the BM25 index is built at table v1, the table then lives its life —
+    append (v2), keyed text updates (v3), keyed deletes (v4) — and ONE
+    sync_bm25 call advances the index through the net change set:
+    inserts append, deletes tombstone, updates delete→purge→append. The
+    purge recomputes the survivors' statistics and the append adds the
+    additive rest, so the synced probe is byte-identical to one-shot
+    BM25 over the table's current rows — which is exactly what the
+    DuckDB mirror computes (bm25_sql over the surviving, updated text).
+    The q_mark query matches only the update marker, pinning that
+    updated CONTENT (not just ids) is probe-visible."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import sync as syncm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="isync_")
+    table, idx = f"{base}/table", f"{base}/bm25"
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    snapshots.snapshot_overwrite(docs.filter(F.col("doc_id") % 4 != 3), table)
+    search.bm25_index_write(
+        snapshots.read_snapshot(spark, table), idx, n_buckets=16
+    )
+    syncm.sync_register(spark, idx, table)
+    snapshots.snapshot_append(docs.filter(F.col("doc_id") % 4 == 3), table)
+    snapshots.snapshot_merge(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" syncmarker spark"))
+        ),
+        table, ["doc_id"],
+    )
+    snapshots.snapshot_delete(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        table, ["doc_id"],
+    )
+    syncm.sync_bm25(spark, table, idx, reclaim_min_age_seconds=0)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES + [("q_mark", "syncmarker")],
+        "query_id string, query_text string",
+    )
+    return search.bm25_search_index(spark, idx, qdf, k=10)
+
+
 def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BM25 index maintenance (search.bm25_index_append,
     VERDICT r6 #5): build the persisted index over HALF the corpus, append
@@ -4549,6 +4597,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_retrieval_eval": q_retrieval_eval,
         "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_ivm_view": q_ivm_view,
+        "ns_index_sync": q_index_sync,
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_ivf_filtered": q_ann_ivf_filtered,
@@ -6034,6 +6083,22 @@ def _all_oracle_sql() -> dict[str, str]:
     # the same differential, exercised through availableNow micro-batches)
     sql["ns_bm25_indexed"] = sql["ns_bm25_search"]
     sql["ns_bm25_incremental"] = sql["ns_bm25_search"]
+    # changelog-driven index sync (r13): after sync_bm25 applies the
+    # table's net insert/update/delete set (updates purge then re-append,
+    # so corpus stats are exact), the synced probe ≡ one-shot BM25 over
+    # the table's live rows — text updated for %10=0, %7=0 deleted
+    sql["ns_index_sync"] = search.bm25_sql(
+        docs_from=(
+            "(SELECT doc_id, CASE WHEN doc_id % 10 = 0 "
+            "THEN text || ' syncmarker spark' ELSE text END AS text "
+            "FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0)"
+        ),
+        queries_values=(
+            ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+            + ", ('q_mark', 'syncmarker')"
+        ),
+        k=10,
+    )
     sql["st_bm25_ingest"] = sql["ns_bm25_search"]
     # deletion + compaction purge (r11): build(full) + delete(odds) +
     # compact ≡ one-shot BM25 over the survivors — df and n_docs/avg_len
