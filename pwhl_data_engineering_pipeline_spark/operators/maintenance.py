@@ -1,0 +1,231 @@
+"""One maintenance loop for the whole index estate — r13.
+
+The engine now has, per persisted index, a metadata-cheap *probe* that
+says when work is due (``needs_compaction``, ``ivf_needs_recompact``,
+``pq_needs_recompact``, ``minhash_needs_compact`` — batch creep, drift,
+deletion debt) and, per table, a *sync stamp* that says how far behind
+the table each index is (operators/sync.py). What production runs is a
+single scheduler tick over all of it. This module is that tick, and it
+encodes the one ORDERING RULE the pieces demand:
+
+    **sync before compact.** An index whose sync stamp shows a PENDING
+    range must not be compacted: compaction collapses the committed
+    batch list, erasing the append-commit completion marker a crashed
+    sync needs to resume without re-purging rows it already re-appended
+    (operators/sync.py's corollary). So a pending range yields exactly
+    one action — ``resume_sync`` — and suppresses every compaction for
+    that index; behind-but-clean indexes sync first and compact after,
+    inside the same plan.
+
+``maintenance_plan`` is read-only (stamp reads + the probes' bounded
+scans; nothing mutates), so schedulers can poll it as often as they
+like. ``maintenance_run`` executes a plan in order and keeps the
+purge_everywhere posture: an action whose prerequisites are missing
+(minhash compaction needs an out_path; a PQ recompact needs the raw
+vectors) is reported in ``skipped`` — loudly, never silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _pq_tombstone_frac(spark, path: str) -> dict:
+    """Deletion-debt-only PQ check for when no raw sample is at hand:
+    the tombstone_frac term of pq_needs_recompact (metadata-only), with
+    the drift term explicitly reported as unmeasured."""
+    from .pq import _pq_read_manifest
+    from .search import _tombstone_mass
+
+    meta = _pq_read_manifest(spark, path)
+    if not meta or not (meta.get("tombstones") or []):
+        return {"recompact": False, "tombstone_frac": 0.0, "drift": "unmeasured"}
+    mass = _tombstone_mass(spark, path, meta)
+    n = sum(int(v) for v in (meta.get("batch_counts") or {}).values())
+    frac = mass / max(n, 1)
+    return {
+        "recompact": frac >= 0.25,
+        "tombstone_frac": float(frac),
+        "drift": "unmeasured",
+    }
+
+
+def maintenance_plan(
+    spark,
+    targets: dict,
+    table_path: str | None = None,
+    sample_vectors: DataFrame | None = None,
+    max_batches: int = 32,
+    max_tombstone_frac: float = 0.25,
+    drift_threshold: float = 1.25,
+) -> list[dict]:
+    """One read-only scheduler tick: actions due across ``targets``
+    (kind → index path; kinds bm25/ivf/pq/minhash), ordered
+    resume_sync → sync → compact. Each action dict carries ``kind``,
+    ``path``, ``action``, a machine-readable ``reason``, and
+    ``requires`` (argument names :func:`maintenance_run` must be given
+    to execute it). ``sample_vectors`` enables the PQ drift probe; when
+    absent the PQ check degrades to deletion-debt only (reported)."""
+    from . import dedup, pq as pqm, search, similarity, sync
+
+    unknown = set(targets) - {"bm25", "ivf", "pq", "minhash"}
+    if unknown:
+        raise ValueError(f"unknown maintenance target kinds {sorted(unknown)}")
+    resumes: list[dict] = []
+    syncs: list[dict] = []
+    compacts: list[dict] = []
+    for kind, path in targets.items():
+        pending = False
+        try:
+            st = sync.sync_status(spark, path, table_path)
+        except FileNotFoundError:
+            st = None  # not table-tracked; compaction probes still apply
+        if st is not None:
+            if st["pending"] is not None:
+                pending = True
+                resumes.append({
+                    "kind": kind, "path": path, "action": "resume_sync",
+                    "reason": {"pending_range": [st["synced"], st["pending"]]},
+                    "requires": ["table_path"],
+                })
+            elif st["behind"] > 0:
+                syncs.append({
+                    "kind": kind, "path": path, "action": "sync",
+                    "reason": {"behind": st["behind"],
+                               "synced": st["synced"],
+                               "current": st["current"]},
+                    "requires": ["table_path"],
+                })
+        if pending:
+            # the ordering rule: no compaction while a sync range pends —
+            # it would erase the resume's completion marker
+            continue
+        if kind == "bm25":
+            meta = search._read_scalars(spark, path)
+            due = search.needs_compaction(
+                spark, path, max_batches=max_batches,
+                max_tombstone_frac=max_tombstone_frac,
+            )
+            if due:
+                compacts.append({
+                    "kind": kind, "path": path, "action": "compact",
+                    "reason": {
+                        "batches": len(meta.get("batches") or []),
+                        "tombstone_batches": len(meta.get("tombstones") or []),
+                    },
+                    "requires": [],
+                })
+        elif kind == "ivf":
+            obs = similarity.ivf_needs_recompact(
+                spark, path, threshold=drift_threshold,
+                max_tombstone_frac=max_tombstone_frac,
+            )
+            if obs["recompact"]:
+                compacts.append({
+                    "kind": kind, "path": path, "action": "recompact",
+                    "reason": {k: obs[k] for k in ("ratio", "tombstone_frac")
+                               if k in obs},
+                    "requires": [],
+                })
+        elif kind == "pq":
+            if sample_vectors is not None:
+                obs = pqm.pq_needs_recompact(
+                    spark, path, sample_vectors, threshold=drift_threshold,
+                    max_tombstone_frac=max_tombstone_frac,
+                )
+            else:
+                obs = _pq_tombstone_frac(spark, path)
+            if obs["recompact"]:
+                compacts.append({
+                    "kind": kind, "path": path, "action": "recompact",
+                    "reason": {k: obs[k] for k in
+                               ("ratio", "tombstone_frac", "drift")
+                               if k in obs},
+                    "requires": ["vectors"],
+                })
+        elif kind == "minhash":
+            obs = dedup.minhash_needs_compact(
+                spark, path, max_tombstone_frac=max_tombstone_frac,
+            )
+            if obs["compact"]:
+                compacts.append({
+                    "kind": kind, "path": path, "action": "compact",
+                    "reason": {"tombstone_frac": obs["tombstone_frac"]},
+                    "requires": ["minhash_out"],
+                })
+    return resumes + syncs + compacts
+
+
+def maintenance_run(
+    spark,
+    plan: list[dict],
+    table_path: str | None = None,
+    vectors: DataFrame | None = None,
+    minhash_out: str | None = None,
+    reclaim_min_age_seconds: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> dict:
+    """Execute a :func:`maintenance_plan` in order. Actions whose
+    ``requires`` are not satisfied land in ``skipped`` with the missing
+    argument named (the purge_everywhere refusal posture, non-fatal here
+    because a scheduler tick is periodic — the next tick retries).
+    Returns {"done": [...], "skipped": [...]} with per-action
+    observables."""
+    from . import dedup, pq as pqm, search, similarity, sync
+
+    have = {"table_path": table_path, "vectors": vectors,
+            "minhash_out": minhash_out}
+    done: list[dict] = []
+    skipped: list[dict] = []
+    for act in plan:
+        missing = [r for r in act.get("requires", []) if have.get(r) is None]
+        if missing:
+            skipped.append({**act, "missing": missing})
+            continue
+        kind, path, action = act["kind"], act["path"], act["action"]
+        if action in ("sync", "resume_sync"):
+            if kind == "bm25":
+                obs = sync.sync_bm25(spark, table_path, path, id_col, text_col)
+            elif kind == "ivf":
+                obs = sync.sync_ivf(spark, table_path, path, vec_id_col, vec_col)
+            elif kind == "pq":
+                obs = sync.sync_pq(spark, table_path, path, vec_id_col, vec_col)
+            else:
+                obs = sync.sync_minhash(spark, table_path, path, id_col, text_col)
+        elif kind == "bm25":
+            obs = search.bm25_index_compact(
+                spark, path, reclaim_min_age_seconds=reclaim_min_age_seconds
+            )
+        elif kind == "ivf":
+            obs = similarity.ivf_recompact(spark, path, vec_col=vec_col,
+                                           id_col=vec_id_col)
+        elif kind == "pq":
+            meta = pqm._pq_read_manifest(spark, path) or {}
+            if meta.get("tombstones"):
+                # deletion debt: the erasure sweep's survivor math applies
+                from .erasure import purge_everywhere
+
+                obs = purge_everywhere(
+                    spark, {"pq": path}, vectors=vectors,
+                    vec_id_col=vec_id_col,
+                    reclaim_min_age_seconds=reclaim_min_age_seconds,
+                )["results"]["pq"]
+            else:
+                # drift: retrain over the caller's live corpus (the count
+                # guard inside pq_recompact refuses a mismatched frame)
+                obs = pqm.pq_recompact(
+                    spark, path, vectors, vec_col=vec_col, id_col=vec_id_col,
+                    reclaim_min_age_seconds=reclaim_min_age_seconds,
+                )
+        else:
+            obs = {
+                "hot_buckets": dedup.minhash_index_compact(
+                    spark, path, out_path=minhash_out
+                ),
+                "purged_path": minhash_out,
+            }
+        done.append({**act, "result": obs})
+    return {"done": done, "skipped": skipped}

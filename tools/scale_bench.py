@@ -1636,6 +1636,147 @@ def cc_converged_bench(spark, base: str, big: str) -> dict:
     return out
 
 
+def ivm_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """r13: what incremental view maintenance BUYS, measured — the study
+    behind SCALING.md's IVM section. A groupBy(o_custkey) money rollup
+    over orders at two corpus scales (sf0.1 and a ×factor re-keyed
+    replica; group count fixed — the realistic dashboard regime: facts
+    grow, entities don't). Three views follow the same table:
+
+    - ``lin`` (count/sum/avg, exact long cents), refreshed
+      incrementally — the ALGEBRAIC paths (append delta, signed
+      retraction);
+    - ``mix`` (adds min/max), whose deletes must take the
+      affected-group RECOMPUTE path;
+    - ``full`` (same spec as lin), refreshed with mode='full' — the
+      recompute-from-scratch yardstick every step.
+
+    Per append fraction (0.1% → 20%) and one 5% keyed delete: refresh
+    walls, paths taken, touched groups, and the full-recompute wall on
+    the same delta. Plus the SYNC classification cost (table_net_changes)
+    on an append-shaped vs a rewrite-shaped range — the finding that
+    prices keeping corpus tables append-shaped. Equivalence is asserted
+    (agg_view_verify) so every timed number is a CORRECT refresh."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm, sync
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    LIN = [("n", "count", None), ("total", "sum", "cents"),
+           ("mean", "avg", "cents")]
+    MIX = LIN + [("lo", "min", "cents"), ("hi", "max", "cents")]
+    base_rows = (
+        read_testdata(spark, base, "orders")
+        .select(
+            F.col("o_custkey").alias("grp"),
+            F.col("o_orderkey").alias("id"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def corpus_at(f: int):
+        parts = [
+            base_rows.withColumn("id", F.col("id") + F.lit(i * 10_000_000))
+            for i in range(f)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def series(label: str, f: int) -> dict:
+        corpus = corpus_at(f).localCheckpoint()
+        n = corpus.count()
+        src = f"{workdir}/ivm_src_{label}"
+        snap.snapshot_overwrite(corpus, src)
+        views = {}
+        t0 = time.monotonic()
+        views["lin"] = f"{workdir}/ivm_lin_{label}"
+        create = ivm.agg_view_create(spark, src, views["lin"], ["grp"], LIN)
+        create_sec = round(time.monotonic() - t0, 3)
+        views["full"] = f"{workdir}/ivm_full_{label}"
+        ivm.agg_view_create(spark, src, views["full"], ["grp"], LIN)
+        views["mix"] = f"{workdir}/ivm_mix_{label}"
+        ivm.agg_view_create(spark, src, views["mix"], ["grp"], MIX)
+
+        def timed_refresh(view, **kw):
+            t = time.monotonic()
+            r = ivm.agg_view_refresh(spark, view, **kw)
+            r["sec"] = round(time.monotonic() - t, 3)
+            return r
+
+        steps = []
+        for step, frac in enumerate([0.001, 0.01, 0.05, 0.20]):
+            mod = max(int(round(1 / frac)), 1)
+            batch = corpus.filter(F.col("id") % mod == 0).withColumn(
+                "id", F.col("id") + F.lit((step + 1) * 100_000_000)
+            )
+            d = batch.count()
+            snap.snapshot_append(batch, src)
+            lin = timed_refresh(views["lin"])
+            mix = timed_refresh(views["mix"])
+            full = timed_refresh(views["full"], mode="full")
+            steps.append({
+                "kind": "append", "frac": frac, "delta_rows": d,
+                "lin_sec": lin["sec"], "lin_path": lin["path"],
+                "mix_sec": mix["sec"], "mix_path": mix["path"],
+                "full_sec": full["sec"],
+                "touched_groups": lin["touched_groups"],
+            })
+        # one keyed delete: ~5% of rows leave; lin retracts, mix recomputes
+        append_range = (snap.current_version(spark, src) - 1,
+                        snap.current_version(spark, src))
+        dele = snap.read_snapshot(spark, src).filter(
+            F.col("id") % 20 == 7
+        ).select("id")
+        d = dele.count()
+        snap.snapshot_delete(dele, src, ["id"])
+        lin = timed_refresh(views["lin"])
+        mix = timed_refresh(views["mix"])
+        full = timed_refresh(views["full"], mode="full")
+        steps.append({
+            "kind": "delete", "frac": 0.05, "delta_rows": d,
+            "lin_sec": lin["sec"], "lin_path": lin["path"],
+            "mix_sec": mix["sec"], "mix_path": mix["path"],
+            "full_sec": full["sec"],
+            "touched_groups": mix["touched_groups"],
+        })
+        # sync classification: append-shaped range reads only new dirs;
+        # the delete (rewrite) range pays the content diff
+        v = snap.current_version(spark, src)
+        t = time.monotonic()
+        ch = sync.table_net_changes(spark, src, *append_range, "id")
+        _ = sum(x.count() for x in ch.values() if x is not None)
+        classify_append = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        ch = sync.table_net_changes(spark, src, v - 1, v, "id")
+        _ = sum(x.count() for x in ch.values() if x is not None)
+        classify_diff = round(time.monotonic() - t, 3)
+        return {
+            "rows": n, "groups": create["groups"], "create_sec": create_sec,
+            "steps": steps,
+            "classify_sec": {"append_shaped": classify_append,
+                             "rewrite_diff": classify_diff},
+            "verify": {
+                "lin": ivm.agg_view_verify(spark, views["lin"])["equal"],
+                "mix": ivm.agg_view_verify(spark, views["mix"])["equal"],
+            },
+        }
+
+    return {
+        "mode": "ivm", "factor": factor,
+        "scales": {
+            "base": series("base", 1),
+            f"x{factor}": series(f"x{factor}", factor),
+        },
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -1649,7 +1790,7 @@ def main() -> None:
             "relational", "docs", "bm25-probe", "bm25-append",
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
-            "ngram-hot", "delete-drift", "champions-delete",
+            "ngram-hot", "delete-drift", "champions-delete", "ivm",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1728,6 +1869,11 @@ def main() -> None:
     if args.mode == "champions-delete":
         os.makedirs(args.out, exist_ok=True)
         print(json.dumps(champions_delete_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "ivm":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(ivm_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ngram-hot":
