@@ -202,3 +202,54 @@ def test_spec_validation_and_wrong_table_guard(spark, tmp_path):
     # refusing to clobber an existing table
     with pytest.raises(IOError, match="refusing"):
         ivm.agg_view_create(spark, src, src, ["grp"], LINEAR)
+
+
+def test_view_follows_streaming_fed_table(spark, tmp_path):
+    """Composition seam (r13): the IVM view refreshes from a table fed by
+    the exactly-once streaming snapshot sink — stream-append commits are
+    append-shaped, so every refresh rides the algebraic fast path (new
+    data dirs only), and a replayed epoch (deduped by the sink) never
+    double-counts into the view."""
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+    src = str(tmp_path / "stream_src")
+    table = str(tmp_path / "stream_tbl")
+    ckpt = str(tmp_path / "stream_ck")
+    view = str(tmp_path / "stream_view")
+
+    def land(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "CAST(id % 7 AS STRING) AS grp", "id",
+            "CAST(id AS DECIMAL(18,2)) AS val",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "grp string, id long, val decimal(18,2)"
+        ).parquet(src)
+        q = S.streaming_snapshot_sink(stream, table, ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    land(0, 50)
+    run()
+    ivm.agg_view_create(spark, table, view, ["grp"], LINEAR)
+
+    land(50, 80)
+    run()
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append"  # stream-append commits are append-shaped
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+    # a replayed epoch is deduped by the sink: no new version, and the
+    # view refresh is a no-op — nothing double-counts
+    hist = S.snapshot_history(spark, table)
+    epoch = hist[-1]["epoch_id"]
+    assert S.commit_stream_batch(
+        spark.read.parquet(src), epoch, table, stream_id=ckpt
+    ) is None
+    assert ivm.agg_view_refresh(spark, view)["path"] == "noop"
+    got = {r2["grp"]: (r2["n"], r2["total"])
+           for r2 in ivm.agg_view_read(spark, view).collect()}
+    assert sum(n for n, _ in got.values()) == 80
