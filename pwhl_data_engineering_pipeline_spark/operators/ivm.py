@@ -282,8 +282,13 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
             inserts = _snap.read_snapshot_changes(spark, source, v0, v1)
             deletes_present = False
         except ValueError:
-            # non-append history in range: content-level signed diff
-            diff = _snap.snapshot_diff(spark, source, v0, v1)
+            # non-append history in range: content-level signed diff.
+            # eager=False on purpose — the diff feeds exactly ONE
+            # downstream action (the delta aggregate, or the affected-key
+            # distinct), and eager's both-versions persist was measured
+            # at 12-19x the whole refresh on a 15M-row table
+            # (tools/scale_results_r13)
+            diff = _snap.snapshot_diff(spark, source, v0, v1, eager=False)
             delta_rows = diff.withColumn(
                 "__ivm_sign",
                 F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1)),

@@ -253,3 +253,54 @@ def test_view_follows_streaming_fed_table(spark, tmp_path):
     got = {r2["grp"]: (r2["n"], r2["total"])
            for r2 in ivm.agg_view_read(spark, view).collect()}
     assert sum(n for n, _ in got.values()) == 80
+
+
+def test_randomized_lifecycle_always_equals_recompute(spark, tmp_path):
+    """Seeded random walk over the table's life — appends (with nulls and
+    brand-new groups), keyed updates, keyed deletes (including whole-group
+    wipes), in random order — refreshed incrementally after every step
+    and differentially verified against a full recompute each time. The
+    routing is whatever the spec demands (MIXED: min/max force
+    recompute_groups under deletes); equality is the invariant."""
+    import random
+
+    rng = random.Random(13)
+    src = str(tmp_path / "rsrc")
+    view = str(tmp_path / "rview")
+    next_id = [0]
+
+    def fresh_rows(n):
+        rows = []
+        for _ in range(n):
+            g = f"g{rng.randrange(6)}"
+            v = None if rng.random() < 0.2 else f"{rng.randrange(1000)}.{rng.randrange(100):02d}"
+            rows.append((g, next_id[0], v))
+            next_id[0] += 1
+        return _rows(spark, rows)
+
+    snap.snapshot_append(fresh_rows(40), src)
+    ivm.agg_view_create(spark, src, view, ["grp"], MIXED)
+
+    for step in range(8):
+        op = rng.choice(["append", "update", "delete"])
+        live_ids = [r["id"] for r in snap.read_snapshot(spark, src)
+                    .select("id").collect()]
+        if op == "append" or not live_ids:
+            snap.snapshot_append(fresh_rows(rng.randrange(1, 15)), src)
+        elif op == "update":
+            picked = rng.sample(live_ids, min(len(live_ids), rng.randrange(1, 10)))
+            upd = _rows(spark, [
+                (f"g{rng.randrange(6)}", i,
+                 None if rng.random() < 0.2 else f"{rng.randrange(1000)}.00")
+                for i in picked
+            ])
+            snap.snapshot_merge(upd, src, ["id"])
+        else:
+            picked = rng.sample(live_ids, min(len(live_ids), rng.randrange(1, 12)))
+            snap.snapshot_delete(
+                spark.createDataFrame([(i,) for i in picked], "id long"),
+                src, ["id"],
+            )
+        r = ivm.agg_view_refresh(spark, view)
+        v = ivm.agg_view_verify(spark, view)
+        assert v["equal"], (step, op, r)
