@@ -317,3 +317,17 @@ def test_sync_guards(spark, tmp_path):
     snap.vacuum(spark, table, keep_last=1, min_age_seconds=0)
     with pytest.raises((ValueError, FileNotFoundError)):
         sync.sync_bm25(spark, table, idx)
+
+
+def test_changed_rows_fetch_is_broadcast_semi_join(spark, tmp_path):
+    """Scale pin: the v1 row fetch for a changed-id set must plan a
+    BROADCAST left-semi join (the id set is delta-sized; the table scan
+    must not shuffle) — the plan shape that keeps sync O(delta) on the
+    fetch side."""
+    table = str(tmp_path / "t7")
+    snap.snapshot_overwrite(_docs(spark, range(200), key="pl"), table)
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    df = sync._current_rows(spark, table, 1, ids, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
