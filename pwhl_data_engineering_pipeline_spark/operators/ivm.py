@@ -130,8 +130,22 @@ def _state_cols(aggs: list[dict]) -> list[str]:
     return cols
 
 
-def _compute_state(rows: DataFrame, keys: list[str], aggs: list[dict]) -> DataFrame:
-    return rows.groupBy(*keys).agg(*_state_exprs(aggs))
+def _with_derived(rows: DataFrame, key_exprs: dict | None) -> DataFrame:
+    """Stamp derived key columns (deterministic SQL expressions of the
+    row, e.g. ``{"day": "date_trunc('DAY', ts)"}``) — the continuous-
+    aggregate shape: a time-bucketed rollup maintains itself from the
+    changelog because the bucket is a pure function of the row, so a
+    changed row's delta lands in exactly its bucket's group."""
+    for name, expr in (key_exprs or {}).items():
+        rows = rows.withColumn(name, F.expr(expr))
+    return rows
+
+
+def _compute_state(
+    rows: DataFrame, keys: list[str], aggs: list[dict],
+    key_exprs: dict | None = None,
+) -> DataFrame:
+    return _with_derived(rows, key_exprs).groupBy(*keys).agg(*_state_exprs(aggs))
 
 
 def _read_spec(spark, view_path: str) -> dict:
@@ -157,12 +171,26 @@ def agg_view_create(
     view_path: str,
     keys: list[str],
     aggs,
+    key_exprs: dict | None = None,
 ) -> dict:
     """Materialize ``GROUP BY keys`` aggregate state of the source
     snapshot table at its CURRENT version, as a new snapshot table at
     ``view_path`` stamped with the source version it reflects. One full
-    pass — every later :func:`agg_view_refresh` is delta-sized."""
+    pass — every later :func:`agg_view_refresh` is delta-sized.
+
+    ``key_exprs`` maps derived key names to deterministic SQL
+    expressions of the row (``{"day": "date_trunc('DAY', ts)"}``) —
+    the continuous-aggregate shape (a daily rollup that follows its
+    fact table; the reference's daily weather rollup, maintained
+    incrementally). Derived names must appear in ``keys``. The
+    expression must be a pure row function: anything non-deterministic
+    would route a retraction to a different group than its insert."""
     aggs = _norm_aggs(aggs)
+    for name in (key_exprs or {}):
+        if name not in keys:
+            raise ValueError(
+                f"derived key {name!r} is not in keys {keys} — add it"
+            )
     sv = _snap.current_version(spark, source_path)
     if sv is None:
         raise FileNotFoundError(f"no source snapshot table at {source_path}")
@@ -172,10 +200,11 @@ def agg_view_create(
             "clobber; drop it or refresh it"
         )
     state = _compute_state(
-        _snap.read_snapshot(spark, source_path, sv), keys, aggs
+        _snap.read_snapshot(spark, source_path, sv), keys, aggs, key_exprs
     )
     d = _snap._write_data(state, view_path)
-    spec = {"source": source_path, "source_version": sv, "keys": keys, "aggs": aggs}
+    spec = {"source": source_path, "source_version": sv, "keys": keys,
+            "aggs": aggs, "key_exprs": key_exprs or {}}
     _snap._commit(
         spark, view_path, [d], "ivm_create", None, state.schema.json(),
         extra={"ivm": spec},
@@ -249,6 +278,7 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
     spec = _read_spec(spark, view_path)
     source, keys = spec["source"], list(spec["keys"])
     aggs = _norm_aggs(spec["aggs"])
+    ke = spec.get("key_exprs") or None
     v0 = spec["source_version"]
     v1 = _snap.current_version(spark, source)
     if v1 is None or v1 < v0:
@@ -305,25 +335,28 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
 
     if path == "full":
         new_state = _compute_state(
-            _snap.read_snapshot(spark, source, v1), keys, aggs
+            _snap.read_snapshot(spark, source, v1), keys, aggs, ke
         )
         touched = new_state.count()
     elif path == "append":
-        delta = _compute_state(inserts, keys, aggs)
+        delta = _compute_state(inserts, keys, aggs, ke)
         touched = delta.count()
         new_state = _merge_linear(old, delta, keys, aggs, deletes_present=False)
     elif path == "retraction":
-        delta = delta_rows.groupBy(*keys).agg(
+        delta = _with_derived(delta_rows, ke).groupBy(*keys).agg(
             *_state_exprs(aggs, sign=F.col("__ivm_sign"))
         )
         touched = delta.count()
         new_state = _merge_linear(old, delta, keys, aggs, deletes_present=True)
     else:  # recompute_groups
-        changed = delta_rows if delta_rows is not None else inserts
+        changed = _with_derived(
+            delta_rows if delta_rows is not None else inserts, ke
+        )
         gk = changed.select(*keys).distinct()
         touched = gk.count()
         recomputed = _compute_state(
-            _snap.read_snapshot(spark, source, v1).join(gk, keys, "left_semi"),
+            _with_derived(_snap.read_snapshot(spark, source, v1), ke)
+            .join(gk, keys, "left_semi"),
             keys, aggs,
         )
         # splice: untouched groups copied through, touched groups replaced
@@ -332,7 +365,8 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
         new_state = old.join(gk, keys, "left_anti").unionByName(recomputed)
 
     d = _snap._write_data(new_state, view_path)
-    new_spec = {"source": source, "source_version": v1, "keys": keys, "aggs": aggs}
+    new_spec = {"source": source, "source_version": v1, "keys": keys,
+                "aggs": aggs, "key_exprs": spec.get("key_exprs") or {}}
     _snap._commit(
         spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
         new_state.schema.json(), extra={"ivm": new_spec},
@@ -379,7 +413,7 @@ def agg_view_verify(spark, view_path: str) -> dict:
     got = agg_view_read(spark, view_path)
     want_state = _compute_state(
         _snap.read_snapshot(spark, spec["source"], spec["source_version"]),
-        list(spec["keys"]), aggs,
+        list(spec["keys"]), aggs, spec.get("key_exprs") or None,
     )
     # present the recompute through the same derivation
     cols = list(spec["keys"])

@@ -304,3 +304,55 @@ def test_randomized_lifecycle_always_equals_recompute(spark, tmp_path):
         r = ivm.agg_view_refresh(spark, view)
         v = ivm.agg_view_verify(spark, view)
         assert v["equal"], (step, op, r)
+
+
+def test_derived_key_daily_rollup_follows_changes(spark, tmp_path):
+    """Continuous aggregate (r13): a daily rollup grouped by a DERIVED
+    key (date_trunc of the row's timestamp) maintains itself through
+    append / update / delete — the reference's daily weather rollup
+    shape, incremental. The derived expression is a pure row function,
+    so a retraction lands in exactly the bucket its insert landed in."""
+    import datetime
+
+    src = str(tmp_path / "dsrc")
+    view = str(tmp_path / "dview")
+
+    def rows(data):
+        return spark.createDataFrame(
+            [(i, datetime.datetime(2026, 8, d, h), Decimal(v))
+             for i, d, h, v in data],
+            "id long, ts timestamp, val decimal(18,2)",
+        )
+
+    snap.snapshot_append(rows([
+        (1, 1, 3, "1.00"), (2, 1, 17, "2.00"), (3, 2, 9, "4.00"),
+    ]), src)
+    ivm.agg_view_create(
+        spark, src, view, ["day"],
+        [("n", "count", None), ("total", "sum", "val")],
+        key_exprs={"day": "date_trunc('DAY', ts)"},
+    )
+
+    snap.snapshot_append(rows([(4, 2, 23, "8.00"), (5, 3, 1, "16.00")]), src)
+    assert ivm.agg_view_refresh(spark, view)["path"] == "append"
+    # move row 3 to another day AND change its value (keyed update)
+    snap.snapshot_merge(rows([(3, 1, 9, "32.00")]), src, ["id"])
+    assert ivm.agg_view_refresh(spark, view)["path"] == "retraction"
+    snap.snapshot_delete(
+        spark.createDataFrame([(2,)], "id long"), src, ["id"]
+    )
+    assert ivm.agg_view_refresh(spark, view)["path"] == "retraction"
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    got = {
+        r["day"].day: (r["n"], r["total"])
+        for r in ivm.agg_view_read(spark, view).collect()
+    }
+    # day1: rows 1 + moved 3; day2: row 4 only (3 moved out, 2 deleted)
+    assert got == {1: (2, Decimal("33.00")), 2: (1, Decimal("8.00")),
+                   3: (1, Decimal("16.00"))}
+
+    with pytest.raises(ValueError, match="not in keys"):
+        ivm.agg_view_create(
+            spark, src, str(tmp_path / "bad"), ["grp"],
+            [("n", "count", None)], key_exprs={"day": "date_trunc('DAY', ts)"},
+        )
