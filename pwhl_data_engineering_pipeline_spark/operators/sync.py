@@ -28,8 +28,8 @@ cancels, so a row updated five times costs one update):
   fed by the append-only streaming ingest never pay this.
 
 Exactly-once, with crash resume: each index carries a sync stamp
-(``<index>/_sync_state.json``, atomic publish via the champion-stamp
-machinery) recording the last applied table version, plus a PENDING
+(``<index>/_sync_state/v%08d.json``, an append-only version chain
+published by no-overwrite rename — never a delete window) recording the last applied table version, plus a PENDING
 intent written before any mutation. All data mutations use
 deterministic per-range batch ids (``sa<v0>_<v1>`` append,
 ``sd<v0>_<v1>`` delete), so re-runs skip committed work via the
@@ -71,13 +71,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import snapshots as _snap
-from .search import _read_stamp, _write_stamp
 
 _KINDS = ("bm25", "ivf", "pq", "minhash")
 
 
-def _stamp_path(index_path: str) -> str:
-    return f"{index_path.rstrip('/')}/_sync_state.json"
+def _state_dir(index_path: str) -> str:
+    return f"{index_path.rstrip('/')}/_sync_state"
+
+
+def _read_state(spark, index_path: str) -> dict | None:
+    """Highest committed sync-state version, or None when the index was
+    never registered. Versioned files (``v%08d.json``) published by
+    no-overwrite rename — the ``_commit_scalars`` layout, chosen over a
+    single delete-then-rename stamp because the stamp here is the ONLY
+    record of the registration: a crash inside a delete+rename window
+    would lose v0 entirely, while an append-only version chain always
+    keeps the previous state readable."""
+    import json as _json
+    import re as _re
+
+    from ..fsutil import list_names, read_text
+
+    best_v, best = -1, None
+    for name in list_names(spark, _state_dir(index_path)):
+        m = _re.match(r"^v(\d{8})\.json$", name)
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), name
+    if best is None:
+        return None
+    st = _json.loads(read_text(spark, f"{_state_dir(index_path)}/{best}"))
+    st["_state_version"] = best_v
+    return st
+
+
+def _write_state(spark, index_path: str, state: dict) -> None:
+    """Append-only atomic publish of the next sync-state version. A lost
+    rename race (two syncers on one index — outside the single-writer
+    contract) raises loudly rather than silently interleaving ranges."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..fsutil import delete, rename_no_overwrite, write_text
+
+    cur = _read_state(spark, index_path)
+    version = (cur["_state_version"] if cur else 0) + 1
+    body = {k: v for k, v in state.items() if k != "_state_version"}
+    tmp = f"{_state_dir(index_path)}/.v{version:08d}.{_uuid.uuid4().hex}.tmp"
+    write_text(spark, tmp, _json.dumps(body))
+    if not rename_no_overwrite(
+        spark, tmp, f"{_state_dir(index_path)}/v{version:08d}.json"
+    ):
+        delete(spark, tmp)
+        raise IOError(
+            f"sync state v{version} commit conflict at {index_path} "
+            "(concurrent syncer?) — single-writer contract violated"
+        )
 
 
 def sync_register(
@@ -91,7 +139,7 @@ def sync_register(
     v = version if version is not None else _snap.current_version(spark, table_path)
     if v is None:
         raise FileNotFoundError(f"no snapshot table at {table_path}")
-    cur = _read_stamp(spark, _stamp_path(index_path))
+    cur = _read_state(spark, index_path)
     if cur is not None:
         if cur.get("table") == table_path and cur.get("synced") == v and not cur.get("pending"):
             return {"registered": False, "synced": v}
@@ -100,14 +148,14 @@ def sync_register(
             f"{cur.get('table')}@v{cur.get('synced')} — refusing to "
             "re-register; sync it forward instead"
         )
-    _write_stamp(spark, _stamp_path(index_path), {"table": table_path, "synced": v})
+    _write_state(spark, index_path, {"table": table_path, "synced": v})
     return {"registered": True, "synced": v}
 
 
 def sync_status(spark, index_path: str, table_path: str | None = None) -> dict:
     """{"synced", "pending", "current", "behind"} for a registered index
     — the scheduler poll (metadata-only)."""
-    st = _read_stamp(spark, _stamp_path(index_path))
+    st = _read_state(spark, index_path)
     if st is None:
         raise FileNotFoundError(
             f"index at {index_path} is not sync-registered "
@@ -185,7 +233,7 @@ def _sync_one(
     kinds that never purge on update), ``append_fn(ids, batch_id)``
     (appends the v1 rows for ids), ``committed_append_ids()`` (the
     index's committed batch list, the completion markers)."""
-    st = _read_stamp(spark, _stamp_path(index_path))
+    st = _read_state(spark, index_path)
     if st is None:
         raise FileNotFoundError(
             f"{kind} index at {index_path} is not sync-registered "
@@ -213,8 +261,8 @@ def _sync_one(
                     "to_version": v0, "inserted": 0, "deleted": 0,
                     "updated": 0}
         v1 = cur
-        _write_stamp(
-            spark, _stamp_path(index_path),
+        _write_state(
+            spark, index_path,
             {"table": table_path, "synced": v0, "pending": v1},
         )
     sa, sd = _range_ids(v0, v1)
@@ -257,8 +305,8 @@ def _sync_one(
             to_add = upd
         if to_add is not None:
             append_fn(to_add, sa)
-    _write_stamp(
-        spark, _stamp_path(index_path), {"table": table_path, "synced": v1}
+    _write_state(
+        spark, index_path, {"table": table_path, "synced": v1}
     )
     return {"kind": kind, "path": path, "from_version": v0, "to_version": v1,
             "inserted": n_ins, "deleted": n_del, "updated": n_upd,
@@ -287,7 +335,7 @@ def sync_bm25(
 
     def append_fn(ids, bid):
         rows = _current_rows(
-            spark, table_path, _read_stamp(spark, _stamp_path(index_path)).get("pending"),
+            spark, table_path, _read_state(spark, index_path).get("pending"),
             ids, id_col,
         ).select(id_col, text_col)
         search.bm25_index_append(
@@ -321,7 +369,7 @@ def sync_ivf(
 
     def append_fn(ids, bid):
         rows = _current_rows(
-            spark, table_path, _read_stamp(spark, _stamp_path(index_path)).get("pending"),
+            spark, table_path, _read_state(spark, index_path).get("pending"),
             ids, id_col,
         ).select(id_col, vec_col)
         similarity.ivf_append(
@@ -352,7 +400,7 @@ def sync_pq(
         # pq_recompact re-encodes from RAW vectors (codes are lossy) and
         # its undelete guard refuses a corpus containing tombstoned ids —
         # survivors = v1 rows minus everything not yet (re-)appended
-        st = _read_stamp(spark, _stamp_path(index_path))
+        st = _read_state(spark, index_path)
         v1 = st.get("pending")
         live = _snap.read_snapshot(spark, table_path, v1)
         meta = _read_scalars(spark, index_path)
@@ -372,7 +420,7 @@ def sync_pq(
 
     def append_fn(ids, bid):
         rows = _current_rows(
-            spark, table_path, _read_stamp(spark, _stamp_path(index_path)).get("pending"),
+            spark, table_path, _read_state(spark, index_path).get("pending"),
             ids, id_col,
         ).select(id_col, vec_col)
         pqm.pq_append(rows, index_path, vec_col=vec_col, id_col=id_col, batch_id=bid)
@@ -407,7 +455,7 @@ def sync_minhash(
 
     def append_fn(ids, bid):
         rows = _current_rows(
-            spark, table_path, _read_stamp(spark, _stamp_path(index_path)).get("pending"),
+            spark, table_path, _read_state(spark, index_path).get("pending"),
             ids, id_col,
         ).select(id_col, text_col)
         dedup.minhash_index_write(

@@ -104,17 +104,17 @@ def test_pending_sync_suppresses_compaction(spark, tmp_path, monkeypatch):
     )
     snap.snapshot_append(_docs(spark, range(100, 103), key="p"), table)
 
-    real = sync._write_stamp
+    real = sync._write_state
 
     def crash_on_finalize(spark_, path_, stamp_):
         if "pending" not in stamp_:
             raise RuntimeError("crash before finalize")
         return real(spark_, path_, stamp_)
 
-    monkeypatch.setattr(sync, "_write_stamp", crash_on_finalize)
+    monkeypatch.setattr(sync, "_write_state", crash_on_finalize)
     with pytest.raises(RuntimeError):
         sync.sync_bm25(spark, table, bidx)
-    monkeypatch.setattr(sync, "_write_stamp", real)
+    monkeypatch.setattr(sync, "_write_state", real)
 
     plan = maintenance.maintenance_plan(spark, {"bm25": bidx}, table_path=table)
     assert [a["action"] for a in plan] == ["resume_sync"]

@@ -216,17 +216,17 @@ def test_sync_crash_before_finalize_resumes_exactly_once(
         spark.createDataFrame([(3,)], "doc_id long"), table, ["doc_id"]
     )
 
-    real = sync._write_stamp
+    real = sync._write_state
 
     def crash_on_finalize(spark_, path_, stamp_):
         if "pending" not in stamp_:
             raise RuntimeError("crash before stamp finalize")
         return real(spark_, path_, stamp_)
 
-    monkeypatch.setattr(sync, "_write_stamp", crash_on_finalize)
+    monkeypatch.setattr(sync, "_write_state", crash_on_finalize)
     with pytest.raises(RuntimeError, match="finalize"):
         sync.sync_bm25(spark, table, idx)
-    monkeypatch.setattr(sync, "_write_stamp", real)
+    monkeypatch.setattr(sync, "_write_state", real)
 
     # the table advances while the sync is down — the resume must apply
     # the PENDING range with its original batch ids first, then chase
