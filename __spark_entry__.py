@@ -2260,6 +2260,58 @@ def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
+def q_index_sync_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector twin of ns_index_sync: the IVF index follows its
+    snapshot table through append (new vectors), keyed embedding UPDATES
+    (each element negated — a deterministic, SQL-mirrorable re-embed),
+    and keyed deletes, via one sync_ivf call (updates route
+    delete→recompact→append; the recompact retrains and physically
+    purges, so the re-appended new embeddings are live, not masked).
+    IVF stores raw embeddings, so the exhaustive probe over the synced
+    index ≡ brute-force cosine top-10 over the table's current rows —
+    the DuckDB mirror. Queries use the post-update vectors (query id 0
+    is deleted, so queries come from the LIVE rows)."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import sync as syncm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="isyncv_")
+    table, idx = f"{base}/table", f"{base}/ivf"
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    snapshots.snapshot_overwrite(emb.filter(F.col("vec_id") % 4 != 3), table)
+    cent, assigned = similarity.ivf_index(
+        snapshots.read_snapshot(spark, table), n_centroids=16
+    )
+    similarity.ivf_write(assigned, idx, cent)
+    syncm.sync_register(spark, idx, table)
+    snapshots.snapshot_append(emb.filter(F.col("vec_id") % 4 == 3), table)
+    snapshots.snapshot_merge(
+        emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        ),
+        table, ["vec_id"],
+    )
+    snapshots.snapshot_delete(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+        table, ["vec_id"],
+    )
+    out = syncm.sync_ivf(spark, table, idx)
+    assert out["path"] == "applied" and out["purged"], out
+    queries = (
+        snapshots.read_snapshot(spark, table)
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.ivf_topk_pruned(
+        spark, idx, None, queries, k=10, n_probe=64
+    ).withColumnRenamed("rank", "knn_rank")
+
+
 def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental BM25 index maintenance (search.bm25_index_append,
     VERDICT r6 #5): build the persisted index over HALF the corpus, append
@@ -4598,6 +4650,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_ivm_view": q_ivm_view,
         "ns_index_sync": q_index_sync,
+        "ns_index_sync_ivf": q_index_sync_ivf,
         "ns_mmr_diversify": q_mmr_diversify,
         "ns_ann_ivf_deleted": q_ann_ivf_deleted,
         "ns_ann_ivf_filtered": q_ann_ivf_filtered,
@@ -6710,6 +6763,35 @@ def _all_oracle_sql() -> dict[str, str]:
           SELECT vec_id, v FROM ed WHERE vec_id % 2 = 0
         ), q AS (
           SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 8
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 floor((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))
+                       * 1e6 + 0.5) / 1e6 AS cos_sim
+          FROM live CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, knn_rank FROM ranked WHERE knn_rank <= 10
+    """
+    # changelog-driven IVF sync (r13): after sync_ivf applies the net
+    # insert/update/delete set (updates recompact-then-re-append, so the
+    # negated embeddings are live), the exhaustive probe ≡ brute-force
+    # cosine over the table's current rows: %7=0 deleted, %10=0 negated
+    sql["ns_index_sync_ivf"] = """
+        WITH ed AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 500
+        ), live AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 10 = 0
+                      THEN list_transform(v, x -> -x) ELSE v END AS v
+          FROM ed WHERE vec_id % 7 <> 0
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv FROM live WHERE vec_id < 8
         ), scored AS (
           SELECT query_id, vec_id,
                  floor((list_dot_product(v, qv)
