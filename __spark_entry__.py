@@ -815,6 +815,41 @@ def q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lin.unionAll(mix).unionAll(paths)
 
 
+def q_ivm_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate via DERIVED group keys (r13): a monthly money
+    rollup whose group key is date_trunc of the row's date — maintained
+    incrementally through an append and a keyed delete. The derived
+    expression is a pure row function, so a retraction lands in exactly
+    the bucket its insert landed in; the oracle is one SQL aggregate
+    over the surviving rows bucketed the same way."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="ivmm_")
+    src_path, view = f"{base}/src", f"{base}/view"
+    rows = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("odate"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    snapshots.snapshot_overwrite(rows.filter(F.col("id") % 3 != 2), src_path)
+    ivm.agg_view_create(
+        spark, src_path, view, ["month"],
+        [("n", "count", None), ("total", "sum", "cents")],
+        key_exprs={"month": "CAST(date_trunc('MONTH', odate) AS DATE)"},
+    )
+    snapshots.snapshot_append(rows.filter(F.col("id") % 3 == 2), src_path)
+    r1 = ivm.agg_view_refresh(spark, view)
+    snapshots.snapshot_delete(
+        rows.filter(F.col("id") % 5 == 0).select("id"), src_path, ["id"]
+    )
+    r2 = ivm.agg_view_refresh(spark, view)
+    assert (r1["path"], r2["path"]) == ("append", "retraction"), (r1, r2)
+    return ivm.agg_view_read(spark, view)
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -4649,6 +4684,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_retrieval_eval": q_retrieval_eval,
         "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_ivm_view": q_ivm_view,
+        "ns_ivm_month": q_ivm_month,
         "ns_index_sync": q_index_sync,
         "ns_index_sync_ivf": q_index_sync_ivf,
         "ns_mmr_diversify": q_mmr_diversify,
@@ -6561,6 +6597,17 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT 'paths', 'vm:recompute_groups', 2,
                (SELECT t FROM appended) + (SELECT t FROM deleted),
                NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL
+    """
+    # continuous aggregate via derived keys (r13): month bucket is a
+    # pure row function; final view ≡ one aggregate over surviving rows
+    sql["ns_ivm_month"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total
+        FROM orders
+        WHERE o_orderkey % 5 <> 0
+        GROUP BY 1
     """
     sql["ns_retrieval_pipeline"] = f"""
         WITH sparse AS (
