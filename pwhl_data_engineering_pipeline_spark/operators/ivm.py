@@ -148,7 +148,21 @@ def _compute_state(
     return _with_derived(rows, key_exprs).groupBy(*keys).agg(*_state_exprs(aggs))
 
 
+def _ivm_state_dir(view_path: str) -> str:
+    return f"{view_path.rstrip('/')}/_ivm_state"
+
+
 def _read_spec(spark, view_path: str) -> dict:
+    # partitioned views keep their spec + stamp in a store-level state
+    # chain (there is no single manifest to carry it); single-table views
+    # keep it in the view manifest as before
+    from .sync import read_state_chain
+
+    chain = read_state_chain(spark, _ivm_state_dir(view_path))
+    if chain is not None:
+        spec = dict(chain)
+        spec["_view_version"] = None
+        return spec
     v = _snap.current_version(spark, view_path)
     if v is None:
         raise FileNotFoundError(f"no IVM view at {view_path}")
@@ -172,6 +186,7 @@ def agg_view_create(
     keys: list[str],
     aggs,
     key_exprs: dict | None = None,
+    partition_by: str | None = None,
 ) -> dict:
     """Materialize ``GROUP BY keys`` aggregate state of the source
     snapshot table at its CURRENT version, as a new snapshot table at
@@ -184,7 +199,18 @@ def agg_view_create(
     fact table; the reference's daily weather rollup, maintained
     incrementally). Derived names must appear in ``keys``. The
     expression must be a pure row function: anything non-deterministic
-    would route a retraction to a different group than its insert."""
+    would route a retraction to a different group than its insert.
+
+    ``partition_by`` (one of ``keys``) stores the view as a PARTITIONED
+    snapshot store (one sub-table per key value, the merge_partitioned
+    layout): a refresh then reads AND rewrites only the partitions the
+    delta touches — the continuous-aggregate deployment shape, where a
+    100 TB fact's daily ingest touches a handful of recent time buckets
+    and the refresh cost is O(delta + touched buckets), never
+    O(all groups). Partition values must be path-safe scalars with
+    MODEST cardinality (time buckets, tenants — each touched value is
+    one commit); every group belongs to exactly one partition because
+    the partition column is a group key."""
     aggs = _norm_aggs(aggs)
     for name in (key_exprs or {}):
         if name not in keys:
@@ -199,17 +225,65 @@ def agg_view_create(
             f"something already exists at {view_path} — refusing to "
             "clobber; drop it or refresh it"
         )
+    if partition_by is not None and partition_by not in keys:
+        raise ValueError(
+            f"partition_by {partition_by!r} must be one of keys {keys}"
+        )
     state = _compute_state(
         _snap.read_snapshot(spark, source_path, sv), keys, aggs, key_exprs
     )
-    d = _snap._write_data(state, view_path)
     spec = {"source": source_path, "source_version": sv, "keys": keys,
-            "aggs": aggs, "key_exprs": key_exprs or {}}
+            "aggs": aggs, "key_exprs": key_exprs or {},
+            "partition_by": partition_by}
+    if partition_by is None:
+        d = _snap._write_data(state, view_path)
+        _snap._commit(
+            spark, view_path, [d], "ivm_create", None, state.schema.json(),
+            extra={"ivm": spec},
+        )
+        return {"source_version": sv, "groups": state.count()}
+    from .sync import write_state_chain
+
+    state = state.persist()
+    try:
+        n_groups = state.count()
+        parts = [r[0] for r in state.select(partition_by).distinct().collect()]
+        for pv in sorted(parts, key=str):
+            _commit_partition_state(
+                spark, view_path, partition_by, pv,
+                state.filter(F.col(partition_by) == F.lit(pv)), sv,
+            )
+    finally:
+        state.unpersist()
+    write_state_chain(spark, _ivm_state_dir(view_path), spec)
+    return {"source_version": sv, "groups": n_groups,
+            "partitions": len(parts)}
+
+
+def _commit_partition_state(
+    spark, view_path: str, part_col: str, value, rows: DataFrame,
+    source_version: int,
+) -> None:
+    """Overwrite one partition sub-table with its new state, stamping the
+    source version it reflects — the per-partition completion marker a
+    crashed refresh resumes on (a partition already stamped with the
+    target version is skipped, so re-merging the same delta can never
+    double-count)."""
+    part_path = _snap._part_dir(view_path, part_col, value)
+    parent = _snap.current_version(spark, part_path)
+    d = _snap._write_data(rows, part_path)
     _snap._commit(
-        spark, view_path, [d], "ivm_create", None, state.schema.json(),
-        extra={"ivm": spec},
+        spark, part_path, [d], "ivm_refresh", parent, rows.schema.json(),
+        extra={"ivm_source_version": source_version},
     )
-    return {"source_version": sv, "groups": state.count()}
+
+
+def _partition_source_version(spark, view_path: str, part_col: str, value):
+    part_path = _snap._part_dir(view_path, part_col, value)
+    v = _snap.current_version(spark, part_path)
+    if v is None:
+        return None
+    return _snap.read_manifest(spark, part_path, v).get("ivm_source_version")
 
 
 def _merge_linear(
@@ -298,7 +372,11 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
     if v1 == v0:
         return {"path": "noop", "from_version": v0, "to_version": v1,
                 "touched_groups": 0}
-    old = _snap.read_snapshot(spark, view_path, spec["_view_version"])
+    part_col = spec.get("partition_by")
+    old = (
+        None if part_col is not None
+        else _snap.read_snapshot(spark, view_path, spec["_view_version"])
+    )
 
     has_cd = any(a["fn"] == "count_distinct" for a in aggs)
     has_minmax = any(a["fn"] in ("min", "max") for a in aggs)
@@ -333,46 +411,122 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
         else:
             path = "append"
 
+    _pins: list = []
+
+    def _old_for_partitions(parts: list, like: DataFrame) -> DataFrame:
+        """Current state of the EXISTING touched partitions (a brand-new
+        partition has no old state); schema borrowed from ``like``."""
+        from ..fsutil import exists as _fs_exists
+
+        existing = [
+            pv for pv in parts
+            if _fs_exists(spark, _snap._part_dir(view_path, part_col, pv))
+        ]
+        if not existing:
+            return like.select(*keys, *_state_cols(aggs)).limit(0)
+        return _snap.read_partitioned(
+            spark, view_path, part_col, values=existing
+        )
+
+    touched_parts: list = []
     if path == "full":
         new_state = _compute_state(
             _snap.read_snapshot(spark, source, v1), keys, aggs, ke
         )
         touched = new_state.count()
-    elif path == "append":
-        delta = _compute_state(inserts, keys, aggs, ke)
+        if part_col is not None:
+            from ..fsutil import list_names
+
+            new_state = new_state.persist()
+            _pins.append(new_state)
+            prefix = f"{part_col}="
+            existing = {
+                n[len(prefix):]
+                for n in list_names(spark, view_path.rstrip("/"))
+                if n.startswith(prefix)
+            }
+            fresh = {
+                str(r[0]) for r in
+                new_state.select(part_col).distinct().collect()
+            }
+            # dead partitions (no surviving groups) are rewritten EMPTY
+            touched_parts = sorted(existing | fresh)
+    elif path in ("append", "retraction"):
+        if path == "append":
+            delta = _compute_state(inserts, keys, aggs, ke)
+        else:
+            delta = _with_derived(delta_rows, ke).groupBy(*keys).agg(
+                *_state_exprs(aggs, sign=F.col("__ivm_sign"))
+            )
+        if part_col is not None:
+            delta = delta.persist()
+            _pins.append(delta)
         touched = delta.count()
-        new_state = _merge_linear(old, delta, keys, aggs, deletes_present=False)
-    elif path == "retraction":
-        delta = _with_derived(delta_rows, ke).groupBy(*keys).agg(
-            *_state_exprs(aggs, sign=F.col("__ivm_sign"))
+        if part_col is not None:
+            touched_parts = sorted(
+                r[0] for r in delta.select(part_col).distinct().collect()
+            )
+            old = _old_for_partitions(touched_parts, delta)
+        new_state = _merge_linear(
+            old, delta, keys, aggs, deletes_present=(path == "retraction")
         )
-        touched = delta.count()
-        new_state = _merge_linear(old, delta, keys, aggs, deletes_present=True)
     else:  # recompute_groups
         changed = _with_derived(
             delta_rows if delta_rows is not None else inserts, ke
         )
         gk = changed.select(*keys).distinct()
+        if part_col is not None:
+            gk = gk.persist()
+            _pins.append(gk)
         touched = gk.count()
         recomputed = _compute_state(
             _with_derived(_snap.read_snapshot(spark, source, v1), ke)
             .join(gk, keys, "left_semi"),
             keys, aggs,
         )
+        if part_col is not None:
+            touched_parts = sorted(
+                r[0] for r in gk.select(part_col).distinct().collect()
+            )
+            old = _old_for_partitions(touched_parts, recomputed)
         # splice: untouched groups copied through, touched groups replaced
         # (a touched group with no surviving source rows simply has no
         # recomputed row — it leaves the view, matching full recompute)
         new_state = old.join(gk, keys, "left_anti").unionByName(recomputed)
 
-    d = _snap._write_data(new_state, view_path)
     new_spec = {"source": source, "source_version": v1, "keys": keys,
-                "aggs": aggs, "key_exprs": spec.get("key_exprs") or {}}
-    _snap._commit(
-        spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
-        new_state.schema.json(), extra={"ivm": new_spec},
-    )
+                "aggs": aggs, "key_exprs": spec.get("key_exprs") or {},
+                "partition_by": part_col}
+    if part_col is None:
+        d = _snap._write_data(new_state, view_path)
+        _snap._commit(
+            spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
+            new_state.schema.json(), extra={"ivm": new_spec},
+        )
+        return {"path": path, "from_version": v0, "to_version": v1,
+                "touched_groups": int(touched)}
+    from .sync import write_state_chain
+
+    new_state = new_state.persist()
+    _pins.append(new_state)
+    try:
+        for pv in touched_parts:
+            # per-partition completion marker: a crashed refresh re-runs
+            # with the SAME (v0, v1) — already-stamped partitions skip, so
+            # the algebraic merge can never double-apply a delta
+            if _partition_source_version(spark, view_path, part_col, pv) == v1:
+                continue
+            _commit_partition_state(
+                spark, view_path, part_col, pv,
+                new_state.filter(F.col(part_col) == F.lit(pv)), v1,
+            )
+    finally:
+        for df in _pins:
+            df.unpersist()
+    write_state_chain(spark, _ivm_state_dir(view_path), new_spec)
     return {"path": path, "from_version": v0, "to_version": v1,
-            "touched_groups": int(touched)}
+            "touched_groups": int(touched),
+            "touched_partitions": len(touched_parts)}
 
 
 def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFrame:
@@ -380,9 +534,20 @@ def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFram
     aggregate, derived from state (avg = sum/non-null-count; sums NULL
     when their non-null support is 0 — full SQL semantics)."""
     spec = _read_spec(spark, view_path)
-    state = _snap.read_snapshot(
-        spark, view_path, version if version is not None else spec["_view_version"]
-    )
+    if spec.get("partition_by"):
+        if version is not None:
+            raise ValueError(
+                "partitioned views have per-partition histories — time "
+                "travel the sub-tables directly if needed"
+            )
+        state = _snap.read_partitioned(
+            spark, view_path, spec["partition_by"]
+        )
+    else:
+        state = _snap.read_snapshot(
+            spark, view_path,
+            version if version is not None else spec["_view_version"],
+        )
     cols = list(spec["keys"])
     for a in _norm_aggs(spec["aggs"]):
         n, fn = a["name"], a["fn"]

@@ -79,53 +79,60 @@ def _state_dir(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/_sync_state"
 
 
-def _read_state(spark, index_path: str) -> dict | None:
-    """Highest committed sync-state version, or None when the index was
-    never registered. Versioned files (``v%08d.json``) published by
-    no-overwrite rename — the ``_commit_scalars`` layout, chosen over a
-    single delete-then-rename stamp because the stamp here is the ONLY
-    record of the registration: a crash inside a delete+rename window
-    would lose v0 entirely, while an append-only version chain always
-    keeps the previous state readable."""
+def read_state_chain(spark, state_dir: str) -> dict | None:
+    """Highest committed version of an append-only state chain
+    (``v%08d.json`` files published by no-overwrite rename — the
+    ``_commit_scalars`` layout), or None when the chain is empty. Chosen
+    over a single delete-then-rename stamp because such a stamp is often
+    the ONLY record of its state: a crash inside a delete+rename window
+    would lose it entirely, while a version chain always keeps the
+    previous state readable. Shared by the sync stamps and the
+    partitioned-IVM view state."""
     import json as _json
     import re as _re
 
     from ..fsutil import list_names, read_text
 
     best_v, best = -1, None
-    for name in list_names(spark, _state_dir(index_path)):
+    for name in list_names(spark, state_dir):
         m = _re.match(r"^v(\d{8})\.json$", name)
         if m and int(m.group(1)) > best_v:
             best_v, best = int(m.group(1)), name
     if best is None:
         return None
-    st = _json.loads(read_text(spark, f"{_state_dir(index_path)}/{best}"))
+    st = _json.loads(read_text(spark, f"{state_dir}/{best}"))
     st["_state_version"] = best_v
     return st
 
 
-def _write_state(spark, index_path: str, state: dict) -> None:
-    """Append-only atomic publish of the next sync-state version. A lost
-    rename race (two syncers on one index — outside the single-writer
-    contract) raises loudly rather than silently interleaving ranges."""
+def write_state_chain(spark, state_dir: str, state: dict) -> None:
+    """Append-only atomic publish of the next state-chain version. A lost
+    rename race (two writers on one chain — outside the single-writer
+    contract) raises loudly rather than silently interleaving."""
     import json as _json
     import uuid as _uuid
 
     from ..fsutil import delete, rename_no_overwrite, write_text
 
-    cur = _read_state(spark, index_path)
+    cur = read_state_chain(spark, state_dir)
     version = (cur["_state_version"] if cur else 0) + 1
     body = {k: v for k, v in state.items() if k != "_state_version"}
-    tmp = f"{_state_dir(index_path)}/.v{version:08d}.{_uuid.uuid4().hex}.tmp"
+    tmp = f"{state_dir}/.v{version:08d}.{_uuid.uuid4().hex}.tmp"
     write_text(spark, tmp, _json.dumps(body))
-    if not rename_no_overwrite(
-        spark, tmp, f"{_state_dir(index_path)}/v{version:08d}.json"
-    ):
+    if not rename_no_overwrite(spark, tmp, f"{state_dir}/v{version:08d}.json"):
         delete(spark, tmp)
         raise IOError(
-            f"sync state v{version} commit conflict at {index_path} "
-            "(concurrent syncer?) — single-writer contract violated"
+            f"state chain v{version} commit conflict at {state_dir} "
+            "(concurrent writer?) — single-writer contract violated"
         )
+
+
+def _read_state(spark, index_path: str) -> dict | None:
+    return read_state_chain(spark, _state_dir(index_path))
+
+
+def _write_state(spark, index_path: str, state: dict) -> None:
+    write_state_chain(spark, _state_dir(index_path), state)
 
 
 def sync_register(

@@ -356,3 +356,82 @@ def test_derived_key_daily_rollup_follows_changes(spark, tmp_path):
             spark, src, str(tmp_path / "bad"), ["grp"],
             [("n", "count", None)], key_exprs={"day": "date_trunc('DAY', ts)"},
         )
+
+
+def test_partitioned_view_touches_only_delta_partitions(spark, tmp_path):
+    """Partitioned views (r13): refresh reads AND rewrites only the
+    partitions the delta touches — untouched sub-tables keep their
+    version byte-for-byte — and a crash mid-partition-loop resumes via
+    the per-partition source-version marker without double-applying the
+    algebraic delta."""
+    src = str(tmp_path / "psrc")
+    view = str(tmp_path / "pview")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "1.00"), ("a", 2, "2.00"),
+                      ("b", 3, "4.00"), ("c", 4, "8.00")]),
+        src,
+    )
+    out = ivm.agg_view_create(
+        spark, src, view, ["grp"], LINEAR, partition_by="grp"
+    )
+    assert out["partitions"] == 3
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    v_b0 = snap.current_version(spark, f"{view}/grp=b")
+
+    # delta touches only groups a and c
+    snap.snapshot_append(
+        _rows(spark, [("a", 5, "16.00"), ("c", 6, "32.00")]), src
+    )
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append" and r["touched_partitions"] == 2
+    assert snap.current_version(spark, f"{view}/grp=b") == v_b0  # untouched
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+    # retraction also partition-bounded; a brand-new group makes a NEW
+    # partition in the same refresh
+    snap.snapshot_delete(spark.createDataFrame([(3,)], "id long"), src, ["id"])
+    snap.snapshot_append(_rows(spark, [("d", 7, "64.00")]), src)
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "retraction"
+    assert set(
+        row["grp"] for row in ivm.agg_view_read(spark, view).collect()
+    ) == {"a", "c", "d"}  # b died (sub-table emptied), d was born
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_partitioned_view_crash_mid_loop_resumes_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    src = str(tmp_path / "pcsrc")
+    view = str(tmp_path / "pcview")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "1.00"), ("b", 2, "2.00")]), src
+    )
+    ivm.agg_view_create(spark, src, view, ["grp"], LINEAR, partition_by="grp")
+    snap.snapshot_append(
+        _rows(spark, [("a", 3, "4.00"), ("b", 4, "8.00")]), src
+    )
+
+    real = ivm._commit_partition_state
+    calls = {"n": 0}
+
+    def crash_on_second(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash mid partition loop")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ivm, "_commit_partition_state", crash_on_second)
+    with pytest.raises(RuntimeError, match="mid partition"):
+        ivm.agg_view_refresh(spark, view)
+    monkeypatch.setattr(ivm, "_commit_partition_state", real)
+
+    # stamp chain not advanced → re-run re-applies the same range; the
+    # already-committed partition skips via its source-version marker
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append" and r["touched_partitions"] == 2
+    got = {row["grp"]: (row["n"], row["total"])
+           for row in ivm.agg_view_read(spark, view).collect()}
+    assert got == {"a": (2, Decimal("5.00")), "b": (2, Decimal("10.00"))}
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    assert ivm.agg_view_refresh(spark, view)["path"] == "noop"
