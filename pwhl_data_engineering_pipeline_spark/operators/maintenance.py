@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _snap_current(spark, table_path: str):
+    from ..sources import snapshots
+
+    return snapshots.current_version(spark, table_path)
+
+
 def _pq_tombstone_frac(spark, path: str) -> dict:
     """Deletion-debt-only PQ check for when no raw sample is at hand:
     the tombstone_frac term of pq_needs_recompact (metadata-only), with
@@ -66,15 +72,29 @@ def maintenance_plan(
     ``requires`` (argument names :func:`maintenance_run` must be given
     to execute it). ``sample_vectors`` enables the PQ drift probe; when
     absent the PQ check degrades to deletion-debt only (reported)."""
-    from . import dedup, pq as pqm, search, similarity, sync
+    from . import dedup, ivm, pq as pqm, search, similarity, sync
 
-    unknown = set(targets) - {"bm25", "ivf", "pq", "minhash"}
+    unknown = set(targets) - {"bm25", "ivf", "pq", "minhash", "view"}
     if unknown:
         raise ValueError(f"unknown maintenance target kinds {sorted(unknown)}")
     resumes: list[dict] = []
     syncs: list[dict] = []
     compacts: list[dict] = []
     for kind, path in targets.items():
+        if kind == "view":
+            # IVM views carry their own source stamp — behind means a
+            # refresh is due (agg_view_refresh is idempotent/crash-safe,
+            # so no pending state to resume)
+            spec = ivm._read_spec(spark, path)
+            cur = _snap_current(spark, spec["source"])
+            if cur is not None and cur > spec["source_version"]:
+                syncs.append({
+                    "kind": "view", "path": path, "action": "refresh",
+                    "reason": {"behind": cur - spec["source_version"],
+                               "source": spec["source"]},
+                    "requires": [],
+                })
+            continue
         pending = False
         try:
             st = sync.sync_status(spark, path, table_path)
@@ -174,7 +194,7 @@ def maintenance_run(
     because a scheduler tick is periodic — the next tick retries).
     Returns {"done": [...], "skipped": [...]} with per-action
     observables."""
-    from . import dedup, pq as pqm, search, similarity, sync
+    from . import dedup, ivm, pq as pqm, search, similarity, sync
 
     have = {"table_path": table_path, "vectors": vectors,
             "minhash_out": minhash_out}
@@ -186,7 +206,9 @@ def maintenance_run(
             skipped.append({**act, "missing": missing})
             continue
         kind, path, action = act["kind"], act["path"], act["action"]
-        if action in ("sync", "resume_sync"):
+        if kind == "view":
+            obs = ivm.agg_view_refresh(spark, path)
+        elif action in ("sync", "resume_sync"):
             if kind == "bm25":
                 obs = sync.sync_bm25(spark, table_path, path, id_col, text_col)
             elif kind == "ivf":

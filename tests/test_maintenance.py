@@ -143,3 +143,27 @@ def test_untracked_index_still_gets_compaction_probes(spark, tmp_path):
     assert [(a["kind"], a["action"]) for a in plan] == [("bm25", "compact")]
     with pytest.raises(ValueError, match="unknown maintenance"):
         maintenance.maintenance_plan(spark, {"hnsw": bidx})
+
+
+def test_views_join_the_tick(spark, tmp_path):
+    """IVM views are estate members too: a view behind its source plans
+    a refresh (idempotent, no pending state), ordered with the syncs."""
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+
+    table = str(tmp_path / "t3")
+    view = str(tmp_path / "v3")
+    snap.snapshot_overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2)], "grp string, x long"),
+        table,
+    )
+    ivm.agg_view_create(spark, table, view, ["grp"], [("n", "count", None)])
+    assert maintenance.maintenance_plan(spark, {"view": view}) == []
+    snap.snapshot_append(
+        spark.createDataFrame([("a", 3)], "grp string, x long"), table
+    )
+    plan = maintenance.maintenance_plan(spark, {"view": view})
+    assert [(a["kind"], a["action"]) for a in plan] == [("view", "refresh")]
+    out = maintenance.maintenance_run(spark, plan)
+    assert out["done"][0]["result"]["path"] == "append"
+    assert maintenance.maintenance_plan(spark, {"view": view}) == []
+    assert ivm.agg_view_verify(spark, view)["equal"]
