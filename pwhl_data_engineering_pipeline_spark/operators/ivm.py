@@ -393,9 +393,9 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
             # non-append history in range: content-level signed diff.
             # eager=False on purpose — the diff feeds exactly ONE
             # downstream action (the delta aggregate, or the affected-key
-            # distinct), and eager's both-versions persist was measured
-            # at 12-19x the whole refresh on a 15M-row table
-            # (tools/scale_results_r13)
+            # distinct), and the eager form pins BOTH full table versions
+            # in executor memory for nothing (snapshot_diff's documented
+            # single-action contract; see SCALING.md "Measured r13")
             diff = _snap.snapshot_diff(spark, source, v0, v1, eager=False)
             delta_rows = diff.withColumn(
                 "__ivm_sign",

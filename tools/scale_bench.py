@@ -1777,6 +1777,85 @@ def ivm_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
     }
 
 
+def ivm_partitioned_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """r13: what partition-bounded refresh buys — a month-bucketed money
+    rollup (derived key, ~84 month buckets over TPC-H dates) maintained
+    two ways over the same corpus: an UNPARTITIONED view (every refresh
+    rewrites all groups) vs a month-PARTITIONED view (refresh rewrites
+    only touched buckets). The delta is the realistic shape: new rows
+    landing in ONE month. Create cost is reported too — the partitioned
+    store pays one sequential commit per bucket up front, the refresh
+    savings amortize it."""
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    AGGS = [("n", "count", None), ("total", "sum", "cents")]
+    KE = {"month": "CAST(date_trunc('MONTH', odate) AS DATE)"}
+    base_rows = (
+        read_testdata(spark, base, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderdate").alias("odate"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def series(label: str, f: int) -> dict:
+        parts = [
+            base_rows.withColumn("id", F.col("id") + F.lit(i * 10_000_000))
+            for i in range(f)
+        ]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus = corpus.localCheckpoint()
+        n = corpus.count()
+        src = f"{workdir}/ivmp_src_{label}"
+        snap.snapshot_overwrite(corpus, src)
+        out = {"rows": n}
+        views = {}
+        for kind, part_by in [("flat", None), ("bucketed", "month")]:
+            v = f"{workdir}/ivmp_{kind}_{label}"
+            views[kind] = v
+            t0 = time.monotonic()
+            c = ivm.agg_view_create(
+                spark, src, v, ["month"], AGGS, key_exprs=KE,
+                partition_by=part_by,
+            )
+            out[f"{kind}_create_sec"] = round(time.monotonic() - t0, 3)
+            out["groups"] = c["groups"]
+        # one-month delta: the continuous-aggregate ingest shape
+        one_month = corpus.filter(
+            F.expr("date_trunc('MONTH', odate) = DATE '1995-06-01'")
+        ).withColumn("id", F.col("id") + F.lit(900_000_000))
+        out["delta_rows"] = one_month.count()
+        snap.snapshot_append(one_month, src)
+        for kind in ("flat", "bucketed"):
+            t0 = time.monotonic()
+            r = ivm.agg_view_refresh(spark, views[kind])
+            out[f"{kind}_refresh_sec"] = round(time.monotonic() - t0, 3)
+            out[f"{kind}_refresh"] = {
+                k: r[k] for k in ("path", "touched_groups") if k in r
+            }
+            if "touched_partitions" in r:
+                out[f"{kind}_refresh"]["touched_partitions"] = r["touched_partitions"]
+            assert ivm.agg_view_verify(spark, views[kind])["equal"]
+        return out
+
+    return {
+        "mode": "ivm-partitioned", "factor": factor,
+        "scales": {
+            "base": series("base", 1),
+            f"x{factor}": series(f"x{factor}", factor),
+        },
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -1791,6 +1870,7 @@ def main() -> None:
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
             "ngram-hot", "delete-drift", "champions-delete", "ivm",
+            "ivm-partitioned",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1874,6 +1954,11 @@ def main() -> None:
     if args.mode == "ivm":
         os.makedirs(args.out, exist_ok=True)
         print(json.dumps(ivm_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "ivm-partitioned":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(ivm_partitioned_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ngram-hot":
