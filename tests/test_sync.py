@@ -331,3 +331,59 @@ def test_changed_rows_fetch_is_broadcast_semi_join(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sync_follows_streaming_fed_table(spark, tmp_path):
+    """Composition seam: the BM25 index follows a table fed by the
+    exactly-once streaming snapshot sink. Stream-append commits are
+    append-shaped and the sink's ids are fresh, so the sync classifies
+    on the fast path (new data dirs only — assume_new_ids skips the
+    collision guard); a replayed epoch (deduped by the sink) advances
+    nothing and the follow-up sync is a noop."""
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+    src = str(tmp_path / "ssrc")
+    table = str(tmp_path / "stbl")
+    ck = str(tmp_path / "sck")
+    idx = str(tmp_path / "sbm25")
+
+    def land(ids, key):
+        _docs(spark, ids, key=key).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = S.streaming_snapshot_sink(stream, table, ck).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    land(range(20), "s1")
+    run()
+    search.bm25_index_write(S.read_snapshot(spark, table), idx, n_buckets=8)
+    sync.sync_register(spark, idx, table)
+
+    land(range(100, 108), "s1")
+    run()
+    out = sync.sync_bm25(spark, table, idx, assume_new_ids=True)
+    assert out["path"] == "applied" and out["inserted"] == 8
+    assert out["deleted"] == 0 and out["updated"] == 0
+
+    live = S.read_snapshot(spark, table)
+    qdf = spark.createDataFrame(
+        [("q1", live.filter("doc_id = 103").collect()[0]["text"][:40])],
+        "query_id string, query_text string",
+    )
+    cols = ("query_id", "doc_id", "score", "rank")
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10)
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, search.bm25_topk(live, qdf, k=10)
+                      .select(*cols).collect()))
+    assert got == want
+
+    # replayed epoch: the sink dedups, nothing advances, sync noops
+    hist = S.snapshot_history(spark, table)
+    epoch = hist[-1]["epoch_id"]
+    assert S.commit_stream_batch(
+        spark.read.parquet(src), epoch, table, stream_id=ck
+    ) is None
+    assert sync.sync_bm25(spark, table, idx)["path"] == "noop"
