@@ -5,6 +5,8 @@ from . import (  # noqa: F401
     aggregates,
     asof,
     dedup,
+    ivm,
+    maintenance,
     multimodal,
     rangejoin,
     relational,
@@ -13,6 +15,7 @@ from . import (  # noqa: F401
     sketches,
     similarity,
     skew,
+    sync,
     vector_agg,
     windows,
 )
