@@ -60,6 +60,13 @@ orphan data dir (age-gate-swept by ``snapshots.vacuum``) and an
 unchanged stamp — the re-run recomputes the same delta. Two racing
 refreshers conflict explicitly on the rename; the loser re-reads and
 finds the work done (skip) or a new source version (refresh from it).
+
+Housekeeping: every refresh is a new snapshot VERSION of the view
+(time travel over view history is free), so a frequently-refreshed
+view accumulates superseded state dirs — schedule ``snapshots.vacuum``
+on the view (per sub-table for partitioned views) with whatever
+retention the view's time-travel consumers need, exactly as for any
+snapshot table.
 """
 
 from __future__ import annotations
