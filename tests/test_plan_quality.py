@@ -204,6 +204,12 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # ns_ann_pq_deleted (r11): the persisted-ADC probe's centroid
         # broadcast (ns_ann_pq_indexed shape) under the rerank chain
         "ns_ann_pq_deleted",
+        # ns_index_sync_ivf (r13): the returned frame is the same
+        # exhaustive ivf_topk_pruned probe as ns_ann_ivf_indexed — the
+        # bounded 16-row centroid broadcast + ≤8-row query frame; the
+        # sync itself (classification, delete, recompact, append) is
+        # equi-joins and executes on build, not in the returned plan
+        "ns_index_sync_ivf",
     }
     streaming = {"st_streaming_daily", "st_stateful_counters"}  # execute on build
     offenders = []
