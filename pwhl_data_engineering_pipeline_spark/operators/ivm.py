@@ -608,3 +608,66 @@ def agg_view_verify(spark, view_path: str) -> dict:
         "view_rows": got.count(),
         "recompute_rows": want.count(),
     }
+
+
+def _view_partitions(spark, view_path: str, part_col: str) -> list[str]:
+    from ..fsutil import list_names
+
+    prefix = f"{part_col}="
+    return sorted(
+        n[len(prefix):]
+        for n in list_names(spark, view_path.rstrip("/"))
+        if n.startswith(prefix)
+    )
+
+
+def agg_view_retained_versions(spark, view_path: str) -> int:
+    """How many superseded-or-current manifest versions the view retains —
+    the metadata-only vacuum trigger (version NUMBERS are monotonic and
+    survive vacuum, so the trigger must count retained manifests, not
+    read the current version). Partitioned views report the MAX across
+    sub-tables (the worst hoarder drives the housekeeping)."""
+    import re as _re
+
+    from ..fsutil import list_names
+
+    spec = _read_spec(spark, view_path)
+
+    def count(path: str) -> int:
+        return sum(
+            1 for n in list_names(spark, _snap._meta_dir(path))
+            if _re.fullmatch(r"v\d{8}\.json", n)
+        )
+
+    part_col = spec.get("partition_by")
+    if not part_col:
+        return count(view_path)
+    parts = _view_partitions(spark, view_path, part_col)
+    return max((count(_snap._part_dir(view_path, part_col, p)) for p in parts),
+               default=0)
+
+
+def agg_view_vacuum(
+    spark, view_path: str, keep_last: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> dict:
+    """Housekeeping for a frequently-refreshed view: every refresh is a
+    new snapshot version, so state dirs accumulate until vacuumed.
+    Single-table views vacuum directly; partitioned views vacuum each
+    sub-table (their histories are independent). ``keep_last`` trades
+    view time travel for storage, exactly as for any snapshot table;
+    the age gate protects an in-flight refresher's uncommitted dir."""
+    spec = _read_spec(spark, view_path)
+    part_col = spec.get("partition_by")
+    if not part_col:
+        return _snap.vacuum(spark, view_path, keep_last, min_age_seconds)
+    out = {"manifests_deleted": 0, "dirs_deleted": 0, "partitions": 0}
+    for p in _view_partitions(spark, view_path, part_col):
+        r = _snap.vacuum(
+            spark, _snap._part_dir(view_path, part_col, p),
+            keep_last, min_age_seconds,
+        )
+        out["manifests_deleted"] += r.get("manifests_deleted", 0)
+        out["dirs_deleted"] += r.get("dirs_deleted", 0)
+        out["partitions"] += 1
+    return out

@@ -64,6 +64,7 @@ def maintenance_plan(
     max_batches: int = 32,
     max_tombstone_frac: float = 0.25,
     drift_threshold: float = 1.25,
+    view_vacuum_after: int | None = 64,
 ) -> list[dict]:
     """One read-only scheduler tick: actions due across ``targets``
     (kind → index path; kinds bm25/ivf/pq/minhash), ordered
@@ -94,6 +95,14 @@ def maintenance_plan(
                                "source": spec["source"]},
                     "requires": [],
                 })
+            if view_vacuum_after is not None:
+                retained = ivm.agg_view_retained_versions(spark, path)
+                if retained >= view_vacuum_after:
+                    compacts.append({
+                        "kind": "view", "path": path, "action": "vacuum",
+                        "reason": {"retained_versions": retained},
+                        "requires": [],
+                    })
             continue
         pending = False
         try:
@@ -207,7 +216,12 @@ def maintenance_run(
             continue
         kind, path, action = act["kind"], act["path"], act["action"]
         if kind == "view":
-            obs = ivm.agg_view_refresh(spark, path)
+            if action == "vacuum":
+                obs = ivm.agg_view_vacuum(
+                    spark, path, min_age_seconds=reclaim_min_age_seconds
+                )
+            else:
+                obs = ivm.agg_view_refresh(spark, path)
         elif action in ("sync", "resume_sync"):
             if kind == "bm25":
                 obs = sync.sync_bm25(spark, table_path, path, id_col, text_col)

@@ -167,3 +167,34 @@ def test_views_join_the_tick(spark, tmp_path):
     assert out["done"][0]["result"]["path"] == "append"
     assert maintenance.maintenance_plan(spark, {"view": view}) == []
     assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_view_vacuum_joins_the_tick(spark, tmp_path):
+    """Refreshed views hoard superseded versions; the tick plans a vacuum
+    past the retention threshold (counting RETAINED manifests — version
+    numbers survive vacuum) and the runner reclaims them."""
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+
+    table = str(tmp_path / "t4")
+    view = str(tmp_path / "v4")
+    snap.snapshot_overwrite(
+        spark.createDataFrame([("a", 1)], "grp string, x long"), table
+    )
+    ivm.agg_view_create(spark, table, view, ["grp"], [("n", "count", None)])
+    for i in range(3):
+        snap.snapshot_append(
+            spark.createDataFrame([("a", 10 + i)], "grp string, x long"), table
+        )
+        ivm.agg_view_refresh(spark, view)
+    assert ivm.agg_view_retained_versions(spark, view) == 4
+    plan = maintenance.maintenance_plan(
+        spark, {"view": view}, view_vacuum_after=3
+    )
+    assert [(a["kind"], a["action"]) for a in plan] == [("view", "vacuum")]
+    out = maintenance.maintenance_run(spark, plan, reclaim_min_age_seconds=0)
+    assert out["done"][0]["result"]["manifests_deleted"] > 0
+    assert ivm.agg_view_retained_versions(spark, view) < 4
+    assert ivm.agg_view_verify(spark, view)["equal"]  # current state intact
+    assert maintenance.maintenance_plan(
+        spark, {"view": view}, view_vacuum_after=3
+    ) == []
