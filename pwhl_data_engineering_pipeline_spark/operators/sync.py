@@ -188,22 +188,36 @@ def table_net_changes(
 
     Append-shaped ranges read only the NEW data directories; anything
     else (merge/delete/overwrite commits) goes through the content-level
-    ``snapshot_diff``. On the append path, ids already present at v0 are
-    reclassified as UPDATES (at-least-once producers re-land rows; the
-    indexes' df/n_docs additivity assumes disjoint ids) via one
-    column-pruned semi-join against v0 — skip it with
-    ``assume_new_ids=True`` when the producer guarantees fresh ids (the
-    exactly-once streaming sink does)."""
+    ``snapshot_diff``. On the append path, a new id that already exists
+    at v0 is REFUSED loudly (one column-pruned semi-join against v0 —
+    skip it with ``assume_new_ids=True`` when the producer guarantees
+    fresh ids, as the exactly-once streaming sink does): an append
+    cannot remove the old row, so the table itself now holds TWO rows
+    per key — a keyed-contract violation by the producer, not an update.
+    Treating it as an update would index both rows (duplicate doc_ids,
+    broken df/n_docs additivity); the fix belongs upstream (route
+    updates through snapshot_merge, or dedup the table), after which the
+    content diff classifies the range correctly."""
     empty = None
     try:
         new_rows = _snap.read_snapshot_changes(spark, table_path, v0, v1)
         new_ids = new_rows.select(F.col(id_col)).distinct()
-        if assume_new_ids or v0 == 0:
-            return {"inserted": new_ids, "deleted": empty, "updated": empty}
-        old_ids = _snap.read_snapshot(spark, table_path, v0).select(F.col(id_col))
-        upd = new_ids.join(old_ids, id_col, "left_semi")
-        ins = new_ids.join(old_ids, id_col, "left_anti")
-        return {"inserted": ins, "deleted": empty, "updated": upd}
+        if not assume_new_ids and v0 > 0:
+            old_ids = _snap.read_snapshot(spark, table_path, v0).select(
+                F.col(id_col)
+            )
+            n_dup = new_ids.join(old_ids, id_col, "left_semi").count()
+            if n_dup:
+                raise IOError(
+                    f"append-shaped range v{v0}..v{v1} of {table_path} "
+                    f"re-landed {n_dup} EXISTING {id_col} value(s): the "
+                    "old rows are still in the table, so it now holds "
+                    "multiple rows per key — a keyed-contract violation "
+                    "the index sync refuses to propagate. Route updates "
+                    "through snapshot_merge (or repair the table), then "
+                    "re-run the sync."
+                )
+        return {"inserted": new_ids, "deleted": empty, "updated": empty}
     except ValueError:
         pass
     d = _snap.snapshot_diff(spark, table_path, v0, v1, eager=False)
@@ -234,12 +248,21 @@ def _sync_one(
     spark, table_path: str, index_path: str, kind: str,
     id_col: str, assume_new_ids: bool,
     delete_fn, purge_fn, append_fn, committed_append_ids,
+    mutation_committed=None,
 ) -> dict:
     """The shared range protocol. ``delete_fn(ids, batch_id)``,
     ``purge_fn(upd_ids)`` (physical purge before re-append; None for
     kinds that never purge on update), ``append_fn(ids, batch_id)``
     (appends the v1 rows for ids), ``committed_append_ids()`` (the
-    index's committed batch list, the completion markers)."""
+    index's committed batch list, the completion markers).
+    ``mutation_committed(sa, sd) -> bool`` says whether ANY mutation of
+    a range's batch ids has committed — when a pending range has none
+    (e.g. its classification REFUSED on a producer contract violation,
+    which happens before all mutation), the resume may safely re-pin to
+    the table's current version so a repaired table can sync through;
+    once something committed, the pinned range is immutable (orphaned
+    tombstones/appends from a half-applied range must be completed with
+    THEIR batch ids, never abandoned)."""
     st = _read_state(spark, index_path)
     if st is None:
         raise FileNotFoundError(
@@ -256,6 +279,19 @@ def _sync_one(
     # intent pins (v0, v1) so a crashed sync re-applies ITS range with
     # ITS batch ids even if the table advanced meanwhile
     v1 = st.get("pending")
+    if v1 is not None and mutation_committed is not None:
+        cur = _snap.current_version(spark, table_path)
+        if cur is not None and cur > v1:
+            sa_old, sd_old = _range_ids(v0, v1)
+            if not mutation_committed(sa_old, sd_old):
+                # nothing of the pinned range ever landed — re-pin to the
+                # head so a table repaired AFTER a refused classification
+                # (keyed-contract violation) can sync through cleanly
+                v1 = cur
+                _write_state(
+                    spark, index_path,
+                    {"table": table_path, "synced": v0, "pending": v1},
+                )
     if v1 is None:
         cur = _snap.current_version(spark, table_path)
         if cur is None or cur < v0:
@@ -331,6 +367,10 @@ def sync_bm25(
     def committed():
         return search._read_scalars(spark, index_path).get("batches") or []
 
+    def mutated(sa, sd):
+        meta = search._read_scalars(spark, index_path)
+        return sa in (meta.get("batches") or []) or sd in (meta.get("tombstones") or [])
+
     def delete_fn(ids, bid):
         search.bm25_delete(spark, index_path, ids, batch_id=bid)
 
@@ -352,6 +392,7 @@ def sync_bm25(
     return _sync_one(
         spark, table_path, index_path, "bm25", id_col, assume_new_ids,
         delete_fn, purge_fn, append_fn, committed,
+        mutation_committed=mutated,
     )
 
 
@@ -365,6 +406,10 @@ def sync_ivf(
 
     def committed():
         return _read_scalars(spark, index_path).get("batches") or []
+
+    def mutated(sa, sd):
+        meta = _read_scalars(spark, index_path)
+        return sa in (meta.get("batches") or []) or sd in (meta.get("tombstones") or [])
 
     def delete_fn(ids, bid):
         similarity.ivf_delete(spark, index_path, ids, id_col=id_col, batch_id=bid)
@@ -386,6 +431,7 @@ def sync_ivf(
     return _sync_one(
         spark, table_path, index_path, "ivf", id_col, assume_new_ids,
         delete_fn, purge_fn, append_fn, committed,
+        mutation_committed=mutated,
     )
 
 
@@ -399,6 +445,10 @@ def sync_pq(
 
     def committed():
         return _read_scalars(spark, index_path).get("batches") or []
+
+    def mutated(sa, sd):
+        meta = _read_scalars(spark, index_path)
+        return sa in (meta.get("batches") or []) or sd in (meta.get("tombstones") or [])
 
     def delete_fn(ids, bid):
         pqm.pq_delete(spark, index_path, ids, id_col=id_col, batch_id=bid)
@@ -435,6 +485,7 @@ def sync_pq(
     return _sync_one(
         spark, table_path, index_path, "pq", id_col, assume_new_ids,
         delete_fn, purge_fn, append_fn, committed,
+        mutation_committed=mutated,
     )
 
 
@@ -457,6 +508,13 @@ def sync_minhash(
     def committed():
         return []  # at-least-once appends; no marker, re-append is safe
 
+    def mutated(sa, sd):
+        # appends are unverifiable here (no batch stamping) but duplicate
+        # bucket rows are the index's documented-safe posture, so only a
+        # committed tombstone pins the range
+        meta = dedup._minhash_meta(spark, index_path)
+        return sd in (meta.get("tombstones") or [])
+
     def delete_fn(ids, bid):
         dedup.minhash_index_delete(spark, index_path, ids, id_col=id_col, batch_id=bid)
 
@@ -474,6 +532,7 @@ def sync_minhash(
     return _sync_one(
         spark, table_path, index_path, "minhash", id_col, assume_new_ids,
         delete_fn, None, append_fn, committed,
+        mutation_committed=mutated,
     )
 
 

@@ -387,3 +387,37 @@ def test_sync_follows_streaming_fed_table(spark, tmp_path):
         spark.read.parquet(src), epoch, table, stream_id=ck
     ) is None
     assert sync.sync_bm25(spark, table, idx)["path"] == "noop"
+
+
+def test_append_shaped_id_collision_refuses(spark, tmp_path):
+    """An append that re-lands an existing id leaves TWO rows per key in
+    the table (an append cannot remove the old one) — a producer
+    contract violation the sync must refuse to propagate into the
+    indexes, not 'handle' by indexing both rows."""
+    table = str(tmp_path / "t8")
+    idx = str(tmp_path / "bm25d")
+    snap.snapshot_overwrite(_docs(spark, range(10), key="dup"), table)
+    search.bm25_index_write(snap.read_snapshot(spark, table), idx, n_buckets=4)
+    sync.sync_register(spark, idx, table)
+    # the producer misroutes an update as an APPEND: id 3 re-lands
+    snap.snapshot_append(_docs(spark, [3], key="dup-v2"), table)
+    with pytest.raises(IOError, match="keyed-contract violation"):
+        sync.sync_bm25(spark, table, idx)
+    # the pending range stays resumable: after the table is repaired
+    # (keyed delete collapses to one row per key via the rewrite), the
+    # re-run classifies through the content diff and applies cleanly
+    snap.snapshot_merge(_docs(spark, [3], key="dup-v2"), table, ["doc_id"])
+    out = sync.sync_bm25(spark, table, idx, reclaim_min_age_seconds=0)
+    assert out["path"] == "applied" and out["updated"] == 1
+    live = snap.read_snapshot(spark, table)
+    assert live.count() == 10
+    qdf = spark.createDataFrame(
+        [("q1", live.filter("doc_id = 3").collect()[0]["text"][:40])],
+        "query_id string, query_text string",
+    )
+    cols = ("query_id", "doc_id", "score", "rank")
+    got = sorted(map(tuple, search.bm25_search_index(spark, idx, qdf, k=10)
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, search.bm25_topk(live, qdf, k=10)
+                      .select(*cols).collect()))
+    assert got == want
