@@ -227,7 +227,14 @@ def agg_view_create(
     sv = _snap.current_version(spark, source_path)
     if sv is None:
         raise FileNotFoundError(f"no source snapshot table at {source_path}")
-    if _snap.current_version(spark, view_path) is not None:
+    from .sync import read_state_chain
+
+    if (
+        _snap.current_version(spark, view_path) is not None
+        or read_state_chain(spark, _ivm_state_dir(view_path)) is not None
+    ):
+        # both layouts checked: a single-table view carries a manifest at
+        # view_path; a partitioned view carries only the state chain
         raise IOError(
             f"something already exists at {view_path} — refusing to "
             "clobber; drop it or refresh it"

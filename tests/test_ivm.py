@@ -435,3 +435,17 @@ def test_partitioned_view_crash_mid_loop_resumes_exactly_once(
     assert got == {"a": (2, Decimal("5.00")), "b": (2, Decimal("10.00"))}
     assert ivm.agg_view_verify(spark, view)["equal"]
     assert ivm.agg_view_refresh(spark, view)["path"] == "noop"
+
+
+def test_partitioned_view_create_refuses_clobber(spark, tmp_path):
+    """A partitioned view has no view-level manifest — the clobber guard
+    must check its state chain too."""
+    src = str(tmp_path / "gsrc")
+    view = str(tmp_path / "gview")
+    snap.snapshot_append(_rows(spark, [("a", 1, "1.00")]), src)
+    ivm.agg_view_create(spark, src, view, ["grp"], LINEAR, partition_by="grp")
+    with pytest.raises(IOError, match="refusing"):
+        ivm.agg_view_create(spark, src, view, ["grp"], LINEAR,
+                            partition_by="grp")
+    with pytest.raises(IOError, match="refusing"):
+        ivm.agg_view_create(spark, src, view, ["grp"], LINEAR)
