@@ -850,6 +850,94 @@ def q_ivm_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.agg_view_read(spark, view)
 
 
+def q_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (r13): keyed snapshot commits persist their exact
+    delete+insert rows at write time, and the NETTED per-commit feed
+    across overwrite → append → merge (updates + inserts) → keyed delete
+    → optimize is multiset-identical to the endpoint content diff at
+    O(delta) cost (version deltas compose by signed multiset addition).
+    The oracle recomputes initial and final states relationally and takes
+    EXCEPT ALL both ways — hashing the feed's assembly, netting, and
+    optimize's explicitly-empty contribution in one result."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="cdff_")
+    p = f"{base}/t"
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    v1 = snapshots.snapshot_overwrite(src.filter(F.col("id") % 10 < 7), p)
+    snapshots.snapshot_append(src.filter((F.col("id") % 10).isin(7, 8)), p)
+    snapshots.snapshot_merge(
+        src.filter((F.col("id") % 4 == 0) | (F.col("id") % 10 == 9))
+        .withColumn("cents", F.col("cents") + 11),
+        p, ["id"],
+    )
+    snapshots.snapshot_delete(
+        src.filter(F.col("id") % 6 == 0).select("id"), p, ["id"]
+    )
+    head = snapshots.snapshot_optimize(spark, p, n_files=2)
+    return snapshots.snapshot_changes_net(spark, p, v1, head).select(
+        "id", "grp", "cents", "_change"
+    )
+
+
+def q_ivm_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance no longer breaks IVM's algebraic path (r13 CDF):
+    optimize commits an explicitly EMPTY change feed, so a min/max view
+    refreshing across optimize + append sees an insert-only netted delta
+    and stays algebraic ('append' — asserted in-job; pre-CDF this range
+    forced affected-group recompute), and the keyed-delete leg rides the
+    feed's O(delta) retraction instead of an O(corpus) exceptAll. Hashed
+    result = final view ≡ one SQL aggregate over surviving rows, plus the
+    routing census."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="ivmc_")
+    src_path, view = f"{base}/src", f"{base}/view"
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    snapshots.snapshot_overwrite(src.filter(F.col("id") % 3 == 0), src_path)
+    ivm.agg_view_create(
+        spark, src_path, view, ["grp"],
+        [("lo", "min", "cents"), ("hi", "max", "cents"),
+         ("total", "sum", "cents")],
+    )
+    snapshots.snapshot_optimize(spark, src_path, n_files=2)
+    snapshots.snapshot_append(src.filter(F.col("id") % 3 == 1), src_path)
+    r1 = ivm.agg_view_refresh(spark, view)
+    assert r1["path"] == "append", r1  # optimize didn't break the fast path
+    snapshots.snapshot_delete(
+        src.filter(F.col("id") % 5 == 0).select("id"), src_path, ["id"]
+    )
+    r2 = ivm.agg_view_refresh(spark, view)
+    assert r2["path"] == "recompute_groups", r2  # min/max under deletes
+    null_l = F.lit(None).cast("long")
+    state = ivm.agg_view_read(spark, view).select(
+        F.lit("view").alias("leg"), "grp", "lo", "hi", "total",
+        null_l.alias("touched"),
+    )
+    paths = spark.createDataFrame(
+        [("append", r1["touched_groups"]),
+         ("recompute_groups", r2["touched_groups"])],
+        "grp string, touched long",
+    ).select(
+        F.lit("paths").alias("leg"), "grp", null_l.alias("lo"),
+        null_l.alias("hi"), null_l.alias("total"), "touched",
+    )
+    return state.unionAll(paths)
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -4685,6 +4773,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_retrieval_pipeline": q_retrieval_pipeline,
         "ns_ivm_view": q_ivm_view,
         "ns_ivm_month": q_ivm_month,
+        "ns_cdf_feed": q_cdf_feed,
+        "ns_ivm_cdf": q_ivm_cdf,
         "ns_index_sync": q_index_sync,
         "ns_index_sync_ivf": q_index_sync_ivf,
         "ns_mmr_diversify": q_mmr_diversify,
@@ -6608,6 +6698,63 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderkey % 5 <> 0
         GROUP BY 1
+    """
+    # change data feed (r13): the netted per-commit feed across
+    # overwrite → append → merge → delete → optimize must equal the
+    # endpoint content diff — recompute initial and final states
+    # relationally and EXCEPT ALL both ways (optimize contributes its
+    # explicitly-empty feed, i.e. nothing)
+    sql["ns_cdf_feed"] = """
+        WITH src AS (
+          SELECT o_orderkey AS id, o_orderpriority AS grp,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ), v1 AS (
+          SELECT * FROM src WHERE id % 10 < 7
+        ), v2 AS (
+          SELECT * FROM v1
+          UNION ALL SELECT * FROM src WHERE id % 10 IN (7, 8)
+        ), m AS (
+          SELECT id, grp, cents + 11 AS cents FROM src
+          WHERE id % 4 = 0 OR id % 10 = 9
+        ), v3 AS (
+          SELECT * FROM v2 WHERE id NOT IN (SELECT id FROM m)
+          UNION ALL SELECT * FROM m
+        ), v4 AS (
+          SELECT * FROM v3 WHERE id % 6 <> 0
+        )
+        SELECT id, grp, cents, 'insert' AS _change
+        FROM (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v1)
+        UNION ALL
+        SELECT id, grp, cents, 'delete' AS _change
+        FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v4)
+    """
+    # IVM × CDF (r13): final min/max/sum view over the surviving rows +
+    # the routing census the in-job asserts pin (optimize+append nets
+    # insert-only → algebraic 'append'; keyed delete → recompute of the
+    # deleted rows' groups only)
+    sql["ns_ivm_cdf"] = """
+        WITH src AS (
+          SELECT o_orderkey AS id, o_orderpriority AS grp,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ), tbl AS (
+          SELECT * FROM src WHERE id % 3 IN (0, 1)
+        ), live AS (
+          SELECT * FROM tbl WHERE id % 5 <> 0
+        ), appended AS (
+          SELECT count(DISTINCT grp) AS t FROM tbl WHERE id % 3 = 1
+        ), deleted AS (
+          SELECT count(DISTINCT grp) AS t FROM tbl WHERE id % 5 = 0
+        )
+        SELECT 'view' AS leg, grp, min(cents) AS lo, max(cents) AS hi,
+               sum(cents) AS total, CAST(NULL AS BIGINT) AS touched
+        FROM live GROUP BY grp
+        UNION ALL
+        SELECT 'paths', 'append', NULL, NULL, NULL, (SELECT t FROM appended)
+        UNION ALL
+        SELECT 'paths', 'recompute_groups', NULL, NULL, NULL,
+               (SELECT t FROM deleted)
     """
     sql["ns_retrieval_pipeline"] = f"""
         WITH sparse AS (

@@ -29,6 +29,14 @@ SIGMOD'95; DBSP, VLDB'23):
   (``least``/``greatest``), so the append-shaped fast path stays
   algebraic.
 
+Where the delta comes from (r13 CDF): append-shaped ranges read only
+the new data dirs; non-append ranges prefer the table's write-time
+CHANGE DATA FEED (``snapshots.snapshot_changes_net`` — O(delta),
+multiset-identical to the content diff) and pay ``snapshot_diff``'s
+O(corpus) exceptAll only for feed-less history. A netted delta that
+turns out insert-only (optimize + appends) keeps even min/max views on
+the algebraic path — table maintenance no longer demotes the refresh.
+
 State layout: the view is itself a snapshot table (atomic manifest
 commits, time travel over VIEW history, optimistic concurrency against
 a rival refresher — all inherited). Its manifest carries the spec and
@@ -404,18 +412,35 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
             inserts = _snap.read_snapshot_changes(spark, source, v0, v1)
             deletes_present = False
         except ValueError:
-            # non-append history in range: content-level signed diff.
-            # eager=False on purpose — the diff feeds exactly ONE
-            # downstream action (the delta aggregate, or the affected-key
-            # distinct), and the eager form pins BOTH full table versions
-            # in executor memory for nothing (snapshot_diff's documented
-            # single-action contract; see SCALING.md "Measured r13")
-            diff = _snap.snapshot_diff(spark, source, v0, v1, eager=False)
-            delta_rows = diff.withColumn(
-                "__ivm_sign",
-                F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1)),
-            ).drop("_change")
-            deletes_present = True
+            # non-append history in range: signed change rows. Prefer the
+            # O(delta) CHANGE DATA FEED (netted — multiset-identical to
+            # the content diff, so routing and touched-group censuses
+            # are unchanged); fall back to snapshot_diff's O(corpus)
+            # exceptAll only when a commit in the range carries no feed
+            # (pre-CDF history, rollback, plain overwrite). eager=False
+            # on the diff on purpose — it feeds exactly ONE downstream
+            # action, and the eager form pins BOTH full table versions
+            # in executor memory for nothing (SCALING.md "Measured r13")
+            try:
+                diff = _snap.snapshot_changes_net(spark, source, v0, v1)
+            except ValueError:
+                diff = _snap.snapshot_diff(spark, source, v0, v1, eager=False)
+            # routing probe, only when it matters: a min/max view pays
+            # affected-group recompute under deletes, so when the netted
+            # delta turns out INSERT-ONLY (appends + optimize is the
+            # common shape) check it with one delta-sized job and keep
+            # the algebraic path
+            if has_minmax and not has_cd and mode != "recompute_groups" and (
+                diff.filter(F.col("_change") == "delete").limit(1).count() == 0
+            ):
+                inserts = diff.drop("_change")
+                deletes_present = False
+            else:
+                delta_rows = diff.withColumn(
+                    "__ivm_sign",
+                    F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+                ).drop("_change")
+                deletes_present = True
         if mode == "recompute_groups":
             path = "recompute_groups"
         elif has_cd or (deletes_present and has_minmax):

@@ -54,11 +54,13 @@ are appended beside it; erasure-grade removal of the old signature is
 an explicit GDPR flow (erase_everywhere), not a side effect of an
 update. Deletes DO tombstone (erasure semantics).
 
-Scale posture: change classification is one changelog read (new data
-dirs only when the range is append-shaped; a content diff otherwise)
-plus one column-pruned id-join against the changed-id set (broadcast —
-erasure/delta-sized). Nothing scans the corpus except the update
-path's purge, which is the price of mutating an immutable index.
+Scale posture: change classification is one changelog read — new data
+dirs only when the range is append-shaped, the netted CHANGE DATA FEED
+(O(delta), r13 CDF) when the commits carry one, and a full content
+diff only for feed-less history — plus one column-pruned id-join
+against the changed-id set (broadcast — erasure/delta-sized). Nothing
+scans the corpus except the update path's purge, which is the price of
+mutating an immutable index.
 
 Reference anchor: the reference pipeline reloads its warehouse tables
 wholesale each run (scripts/load_to_warehouse.py's truncate-reload);
@@ -220,7 +222,14 @@ def table_net_changes(
         return {"inserted": new_ids, "deleted": empty, "updated": empty}
     except ValueError:
         pass
-    d = _snap.snapshot_diff(spark, table_path, v0, v1, eager=False)
+    # non-append range: prefer the O(delta) netted change feed (r13 CDF —
+    # multiset-identical to the content diff, so classification is
+    # unchanged); snapshot_diff's O(corpus) exceptAll only for feed-less
+    # history (pre-CDF commits, rollback, plain overwrite)
+    try:
+        d = _snap.snapshot_changes_net(spark, table_path, v0, v1)
+    except ValueError:
+        d = _snap.snapshot_diff(spark, table_path, v0, v1, eager=False)
     flags = d.groupBy(id_col).agg(
         F.max(F.when(F.col("_change") == "insert", 1).otherwise(0)).alias("i"),
         F.max(F.when(F.col("_change") == "delete", 1).otherwise(0)).alias("dl"),

@@ -22,6 +22,17 @@ never swept mid-write). Readers never see a partial commit. Object stores
 without atomic rename (raw S3) need a real table format's commit service;
 documented, not hidden.
 
+Change data feed (r13): keyed commits (``snapshot_merge`` /
+``snapshot_delete``) additionally persist their exact delete+insert rows
+under ``changes/<dir>`` (manifest key ``cdf``; written before the commit
+rename, so crash-consistent like data dirs, swept by vacuum when
+unreferenced). ``snapshot_changes_feed`` / ``snapshot_changes_net``
+assemble the per-commit deltas into a range feed whose netted form is
+multiset-identical to ``snapshot_diff`` at O(delta) cost — this is what
+keeps IVM refresh and index sync delta-sized on non-append histories.
+``snapshot_optimize`` stamps an explicitly EMPTY feed, so table
+maintenance no longer knocks incremental consumers off the fast path.
+
 All metadata IO goes through fsutil (the Hadoop FileSystem API on classic
 sessions), so the store works on any filesystem Spark can reach — local,
 HDFS, S3A — not just the driver's local disk. On Spark CONNECT sessions
@@ -142,6 +153,27 @@ def _write_data(df: DataFrame, path: str) -> str:
     d = uuid.uuid4().hex
     df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/data/{d}")
     return d
+
+
+def _write_changes(df: DataFrame, path: str) -> str:
+    """Persist one commit's change rows (the CDF leg) under ``changes/``.
+    Written BEFORE the manifest rename, so a crashed commit leaves an
+    orphan change dir exactly like an orphan data dir — invisible to
+    readers, age-gate-swept by :func:`vacuum`."""
+    d = uuid.uuid4().hex
+    df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/changes/{d}")
+    return d
+
+
+def _conform(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Align ``df`` to exactly ``columns`` (NULL-fill what it lacks) —
+    the CDF legs of one commit must share the rewrite's output schema."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[F.col(c) if c in have else F.lit(None).alias(c) for c in columns]
+    )
 
 
 def snapshot_append(df: DataFrame, path: str) -> int:
@@ -266,11 +298,15 @@ def vacuum(
         return {"manifests_deleted": 0, "dirs_deleted": 0}
     keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
     referenced: set[str] = set()
+    referenced_changes: set[str] = set()
     for v in keep_versions:
         try:
-            referenced.update(read_manifest(spark, path, v)["dirs"])
+            m = read_manifest(spark, path, v)
         except FileNotFoundError:
             continue
+        referenced.update(m["dirs"])
+        if m.get("cdf"):
+            referenced_changes.add(m["cdf"])
     base = path.rstrip("/")
     cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     manifests_deleted = 0
@@ -292,11 +328,18 @@ def vacuum(
         if st["name"] not in referenced and st["mtime_ms"] < cutoff_ms:
             if _fs_delete(spark, f"{base}/data/{st['name']}", recursive=True):
                 dirs_deleted += 1
+    # change-feed dirs of vacuumed versions (and crash orphans) go the
+    # same way — a kept manifest's cdf dir stays readable for the feed
+    for st in list_status(spark, f"{base}/changes"):
+        if st["name"] not in referenced_changes and st["mtime_ms"] < cutoff_ms:
+            if _fs_delete(spark, f"{base}/changes/{st['name']}", recursive=True):
+                dirs_deleted += 1
     return {"manifests_deleted": manifests_deleted, "dirs_deleted": dirs_deleted}
 
 
 def snapshot_merge(
-    updates: DataFrame, path: str, keys: list[str], retries: int = 0
+    updates: DataFrame, path: str, keys: list[str], retries: int = 0,
+    emit_changes: bool = True,
 ) -> int:
     """Keyed upsert (MERGE): rows in ``updates`` replace same-key rows in
     the current version; new keys append. Commits one new overwrite
@@ -316,13 +359,31 @@ def snapshot_merge(
     100 TB restrict the rewrite by partitioning the table into several
     snapshot stores (e.g. per day) and merging only touched partitions;
     file-grain copy-on-write is a real table format's job.
+
+    ``emit_changes`` (default on) additionally persists the commit's
+    CHANGE DATA FEED — the exact delete (old matched rows) + insert
+    (the updates frame) rows, delta-sized — referenced by the manifest's
+    ``cdf`` key, so downstream incremental consumers (IVM refresh, index
+    sync via :func:`snapshot_changes_feed`) read O(delta) change rows
+    instead of content-diffing two full table versions (``exceptAll``
+    over the corpus — the measured retraction pole; SCALING.md r13).
+    The price at write time is one extra column-complete semi-join scan
+    of the base version to capture the old matched rows; disable it for
+    tables with no incremental consumers.
     """
+    from pyspark.sql import functions as F
+
     spark = updates.sparkSession
     attempt = 0
     while True:
         cur = current_version(spark, path)
+        extra = None
         if cur is None:
             df, op = updates, "overwrite"
+            if emit_changes:
+                extra = {"cdf": _write_changes(
+                    updates.withColumn("_change", F.lit("insert")), path
+                )}
         else:
             # merge_schema + allowMissingColumns: a table whose appends
             # added columns (supported state — see read_snapshot) must
@@ -343,18 +404,38 @@ def snapshot_merge(
                 *[c for c in df.columns if c not in set(base.columns)],
             )
             op = "overwrite"
+            if emit_changes:
+                # the feed's delete leg = the OLD versions of matched
+                # rows; the insert leg = the updates frame as it lands
+                # (an unchanged row emits a cancelling delete+insert pair
+                # — netted out at read by snapshot_changes_net, exactly
+                # like the content diff). Both legs conform to the
+                # rewrite's output schema so per-commit legs union
+                # cleanly across additive evolution.
+                deleted = base.join(updates.select(*keys), keys, "left_semi")
+                feed = (
+                    _conform(deleted, df.columns)
+                    .withColumn("_change", F.lit("delete"))
+                    .unionByName(
+                        _conform(updates, df.columns)
+                        .withColumn("_change", F.lit("insert"))
+                    )
+                )
+                extra = {"cdf": _write_changes(feed, path)}
         d = _write_data(df, path)
         try:
-            return _commit(spark, path, [d], op, cur, df.schema.json())
+            return _commit(spark, path, [d], op, cur, df.schema.json(), extra)
         except IOError:
-            # the orphaned data dir is age-gate-swept by vacuum()
+            # the orphaned data dir (and change dir) is age-gate-swept
+            # by vacuum()
             if attempt >= retries:
                 raise
             attempt += 1
 
 
 def snapshot_delete(
-    ids: DataFrame, path: str, keys: list[str], retries: int = 0
+    ids: DataFrame, path: str, keys: list[str], retries: int = 0,
+    emit_changes: bool = True,
 ) -> int:
     """Keyed DELETE on the snapshot table — the system-of-record half of
     the erasure path (r12): rows whose key appears in ``ids`` are
@@ -371,7 +452,13 @@ def snapshot_delete(
     window allows dropping the pre-delete versions (the same
     bytes-leave-at-compaction posture as the index tombstones).
 
+    ``emit_changes`` persists the deleted rows as the commit's change
+    feed (see :func:`snapshot_merge`) — one extra semi-join scan of the
+    base version at write time buys O(delta) downstream refreshes.
+
     Returns the committed version."""
+    from pyspark.sql import functions as F
+
     spark = ids.sparkSession
     attempt = 0
     while True:
@@ -379,13 +466,24 @@ def snapshot_delete(
         if cur is None:
             raise FileNotFoundError(f"no snapshot table at {path}")
         base = read_snapshot(spark, path, cur, merge_schema=True)
-        df = base.join(ids.select(*keys).distinct(), keys, "left_anti")
+        key_ids = ids.select(*keys).distinct()
+        df = base.join(key_ids, keys, "left_anti")
         # restore the base's column order — the USING-join moved the key
         # columns first (see snapshot_merge; same positional-diff hazard)
         df = df.select(*base.columns)
+        extra = None
+        if emit_changes:
+            feed = (
+                base.join(key_ids, keys, "left_semi")
+                .select(*base.columns)
+                .withColumn("_change", F.lit("delete"))
+            )
+            extra = {"cdf": _write_changes(feed, path)}
         d = _write_data(df, path)
         try:
-            return _commit(spark, path, [d], "overwrite", cur, df.schema.json())
+            return _commit(
+                spark, path, [d], "overwrite", cur, df.schema.json(), extra
+            )
         except IOError:
             if attempt >= retries:
                 raise
@@ -638,8 +736,13 @@ def snapshot_optimize(
         write_zordered(df, target, zorder_cols, n_files=n_files)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(target)
+    # content-identical rewrite ⇒ an explicitly EMPTY change feed
+    # ("cdf": None): incremental consumers (IVM refresh, index sync)
+    # skip right over an optimize instead of falling back to a full
+    # content diff — table maintenance no longer breaks the fast path
     return _commit(
-        spark, path, [d], f"optimize:{cur}", cur, df.schema.json()
+        spark, path, [d], f"optimize:{cur}", cur, df.schema.json(),
+        extra={"cdf": None},
     )
 
 
@@ -689,6 +792,122 @@ def read_snapshot_changes(
     )
 
 
+def snapshot_changes_feed(
+    spark: SparkSession, path: str, since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed across ``(since_version, to_version]``,
+    assembled from per-commit deltas — the O(delta) alternative to
+    :func:`snapshot_diff`'s O(corpus) content diff. Each commit in the
+    range contributes:
+
+    - **append-shaped** (dirs ⊇ parent's) → its NEW data directories,
+      read directly as inserts (no stored feed needed);
+    - **CDF-carrying** (``cdf`` manifest key, written by
+      ``snapshot_merge``/``snapshot_delete``/``snapshot_optimize``) →
+      its persisted change rows (``cdf: None`` = explicitly empty, e.g.
+      an optimize rewrite — contributes nothing);
+    - anything else (rollback, plain overwrite, pre-CDF history) →
+      raises ValueError; the caller decides between
+      :func:`snapshot_diff` (content-level, full scan) or a re-read.
+
+    Rows carry ``_change`` ∈ {'insert','delete'}. Per-commit deltas are
+    CONCATENATED — intra-range churn (a row inserted then deleted, an
+    unchanged row's cancelling merge pair) is NOT netted here; use
+    :func:`snapshot_changes_net` for the netted multiset that is
+    provably identical to ``snapshot_diff`` output. Legs union by name
+    with NULL-fill, so additive schema evolution inside the range reads
+    with the superset schema."""
+    from pyspark.sql import functions as F
+
+    cur = to_version if to_version is not None else current_version(spark, path)
+    if cur is None or cur < since_version:
+        raise FileNotFoundError(
+            f"no snapshot range v{since_version}..{cur if cur is not None else 'current'} at {path}"
+        )
+    base = path.rstrip("/")
+    prev = (
+        set(read_manifest(spark, path, since_version)["dirs"])
+        if since_version else set()
+    )
+    legs: list[DataFrame] = []
+    for v in range(since_version + 1, cur + 1):
+        m = read_manifest(spark, path, v)
+        dirs = m["dirs"]
+        if set(dirs) >= prev:
+            new = [d for d in dirs if d not in prev]
+            if new:
+                legs.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[f"{base}/data/{d}" for d in new])
+                    .withColumn("_change", F.lit("insert"))
+                )
+        elif "cdf" in m:
+            if m["cdf"] is not None:
+                legs.append(
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(f"{base}/changes/{m['cdf']}")
+                )
+        else:
+            raise ValueError(
+                f"v{v} ({m['op']}) is neither append-shaped nor "
+                "CDF-carrying; per-commit changes are unavailable — use "
+                "snapshot_diff for a content-level diff of the range"
+            )
+        prev = set(dirs)
+    if not legs:
+        return (
+            read_snapshot(spark, path, cur, merge_schema=True)
+            .withColumn("_change", F.lit("insert"))
+            .limit(0)
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    return out
+
+
+def snapshot_changes_net(
+    spark: SparkSession, path: str, since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The NETTED change feed: multiset-identical to
+    ``snapshot_diff(since_version, to_version)`` (same rows, same
+    ``_change`` labels, same multiplicities) but computed from the
+    per-commit feed — one shuffle over O(delta) rows instead of two
+    ``exceptAll`` passes over both full versions. Identity: version
+    deltas compose by signed multiset addition, so the telescoped net of
+    the per-commit deltas IS the endpoint difference. Raises ValueError
+    when any commit in the range lacks a feed (see
+    :func:`snapshot_changes_feed`)."""
+    from pyspark.sql import functions as F
+
+    feed = snapshot_changes_feed(spark, path, since_version, to_version)
+    cols = [c for c in feed.columns if c != "_change"]
+    net = (
+        feed.withColumn(
+            "__sign",
+            F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy(*cols)
+        .agg(F.sum("__sign").alias("__net"))
+        .filter(F.col("__net") != 0)
+    )
+    # restore multiset multiplicity (|net| copies) so consumers see the
+    # exact snapshot_diff shape
+    return (
+        net.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__net"))))
+        )
+        .select(
+            *cols,
+            F.when(F.col("__net") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change"),
+        )
+    )
+
+
 def snapshot_stats(spark: SparkSession, path: str) -> dict:
     """Storage observability for vacuum/optimize planning: current version,
     live vs total data directories, file count and bytes (live = referenced
@@ -703,7 +922,7 @@ def snapshot_stats(spark: SparkSession, path: str) -> dict:
     out = {
         "version": cur, "live_dirs": 0, "other_dirs": 0,
         "live_files": 0, "other_files": 0, "live_bytes": 0,
-        "reclaimable_bytes": 0,
+        "reclaimable_bytes": 0, "change_dirs": 0, "change_bytes": 0,
     }
     data_root = f"{path.rstrip('/')}/data"
     for name in list_names(spark, data_root):
@@ -716,4 +935,11 @@ def snapshot_stats(spark: SparkSession, path: str) -> dict:
             out["other_dirs"] += 1
             out["other_files"] += nfiles
             out["reclaimable_bytes"] += nbytes
+    # change-feed storage (delta-sized per CDF commit; reclaimed by
+    # vacuum alongside the versions that reference it)
+    changes_root = f"{path.rstrip('/')}/changes"
+    for name in list_names(spark, changes_root):
+        _nf, nbytes = walk_files(spark, f"{changes_root}/{name}")
+        out["change_dirs"] += 1
+        out["change_bytes"] += nbytes
     return out

@@ -1777,6 +1777,107 @@ def ivm_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
     }
 
 
+def cdf_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """r13 follow-up: what the write-time CHANGE DATA FEED buys and
+    costs, A/B-measured. The r13 IVM study found the retraction pole:
+    a keyed delete on a feed-less table pays snapshot_diff's exceptAll
+    over BOTH full versions (30.8 s at 15M rows vs 1.8 s full
+    recompute). The CDF moves that work to write time, where the delta
+    is already known. Same corpus (orders money rollup, ×factor
+    replica), two tables through an identical merge(2%) + delete(5%)
+    history — one emitting the feed (default), one with
+    emit_changes=False — measuring:
+
+    - commit walls (merge/delete): the emission's write-time price
+      (one extra column-complete semi-join scan of the base);
+    - IVM linear-view refresh walls after each commit: O(delta) feed
+      vs O(corpus) exceptAll;
+    - sync classification wall (table_net_changes) on the rewrite
+      ranges.
+
+    Equivalence asserted throughout (agg_view_verify; classification
+    counts equal across arms), so every timed number is a CORRECT
+    refresh."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm, sync
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    LIN = [("n", "count", None), ("total", "sum", "cents"),
+           ("mean", "avg", "cents")]
+    base_rows = (
+        read_testdata(spark, base, "orders")
+        .select(
+            F.col("o_custkey").alias("grp"),
+            F.col("o_orderkey").alias("id"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def corpus_at(f: int):
+        parts = [
+            base_rows.withColumn("id", F.col("id") + F.lit(i * 10_000_000))
+            for i in range(f)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def series(label: str, f: int) -> dict:
+        corpus = corpus_at(f).localCheckpoint()
+        n = corpus.count()
+        upd = corpus.filter(F.col("id") % 50 == 3).withColumn(
+            "cents", F.col("cents") + 7
+        ).localCheckpoint()
+        dele = corpus.filter(F.col("id") % 20 == 7).select("id").localCheckpoint()
+        arms = {}
+        for arm, emit in (("feed", True), ("diff", False)):
+            src = f"{workdir}/cdf_{arm}_{label}"
+            view = f"{workdir}/cdf_{arm}_view_{label}"
+            snap.snapshot_overwrite(corpus, src)
+            ivm.agg_view_create(spark, src, view, ["grp"], LIN)
+            out = {"rows": n, "upd_rows": upd.count(), "del_rows": dele.count()}
+            t = time.monotonic()
+            snap.snapshot_merge(upd, src, ["id"], emit_changes=emit)
+            out["merge_commit_sec"] = round(time.monotonic() - t, 3)
+            t = time.monotonic()
+            r = ivm.agg_view_refresh(spark, view)
+            out["merge_refresh_sec"] = round(time.monotonic() - t, 3)
+            out["merge_refresh_path"] = r["path"]
+            t = time.monotonic()
+            snap.snapshot_delete(dele, src, ["id"], emit_changes=emit)
+            out["delete_commit_sec"] = round(time.monotonic() - t, 3)
+            t = time.monotonic()
+            r = ivm.agg_view_refresh(spark, view)
+            out["delete_refresh_sec"] = round(time.monotonic() - t, 3)
+            out["delete_refresh_path"] = r["path"]
+            v = snap.current_version(spark, src)
+            t = time.monotonic()
+            ch = sync.table_net_changes(spark, src, v - 2, v, "id")
+            counts = {k: (x.count() if x is not None else 0)
+                      for k, x in ch.items()}
+            out["classify_sec"] = round(time.monotonic() - t, 3)
+            out["classify_counts"] = counts
+            assert ivm.agg_view_verify(spark, view)["equal"], (arm, label)
+            arms[arm] = out
+        assert arms["feed"]["classify_counts"] == arms["diff"]["classify_counts"]
+        return arms
+
+    return {
+        "mode": "cdf", "factor": factor,
+        "scales": {
+            "base": series("base", 1),
+            f"x{factor}": series(f"x{factor}", factor),
+        },
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
 def ivm_partitioned_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
     """r13: what partition-bounded refresh buys — a (month, customer)
     rollup (~80 month buckets x per-month customers; the view itself is
@@ -1876,7 +1977,7 @@ def main() -> None:
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
             "ngram-hot", "delete-drift", "champions-delete", "ivm",
-            "ivm-partitioned",
+            "ivm-partitioned", "cdf",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -1960,6 +2061,11 @@ def main() -> None:
     if args.mode == "ivm":
         os.makedirs(args.out, exist_ok=True)
         print(json.dumps(ivm_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "cdf":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(cdf_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ivm-partitioned":
