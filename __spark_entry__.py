@@ -938,6 +938,109 @@ def q_ivm_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.unionAll(paths)
 
 
+def q_ivm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM view CHAIN (r13): a monthly rollup view sourced from the
+    DAILY view's changelog — each single-table refresh commit emits its
+    own change feed (old+new rows of exactly the touched groups), so a
+    view is a changelog-bearing source and hops compose (DBSP-style).
+    The downstream aggregates the upstream's STATE columns via
+    expression aggs (sum of __ivm_s_*, count of groups). Lifecycle:
+    append (existing + new days) then keyed delete, daily refreshed
+    first, monthly riding the daily's emitted feed (retraction path
+    both times — asserted). Hashed result = final monthly presentation
+    ≡ one SQL aggregate over the surviving base rows, plus the monthly
+    touched-months census (months containing any touched day)."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="ivmch_")
+    src_path, daily, monthly = f"{base}/src", f"{base}/daily", f"{base}/monthly"
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    snapshots.snapshot_overwrite(src.filter(F.col("id") % 3 != 2), src_path)
+    ivm.agg_view_create(
+        spark, src_path, daily, ["day"],
+        [("n", "count", None), ("total", "sum", "cents")],
+    )
+    ivm.agg_view_create(
+        spark, daily, monthly, ["month"],
+        [("days", "count", None), ("rows_", "sum", "__ivm_n"),
+         ("total", "sum", "__ivm_s_total")],
+        key_exprs={"month": "CAST(date_trunc('MONTH', day) AS DATE)"},
+    )
+    snapshots.snapshot_append(src.filter(F.col("id") % 3 == 2), src_path)
+    r_up1 = ivm.agg_view_refresh(spark, daily)
+    r_dn1 = ivm.agg_view_refresh(spark, monthly)
+    snapshots.snapshot_delete(
+        src.filter(F.col("id") % 7 == 0).select("id"), src_path, ["id"]
+    )
+    r_up2 = ivm.agg_view_refresh(spark, daily)
+    r_dn2 = ivm.agg_view_refresh(spark, monthly)
+    assert (r_up1["path"], r_up2["path"]) == ("append", "retraction"), (r_up1, r_up2)
+    # the upstream feed carries delete+insert pairs for changed days, so
+    # the downstream retracts algebraically both times
+    assert (r_dn1["path"], r_dn2["path"]) == ("retraction", "retraction"), (r_dn1, r_dn2)
+    null_l = F.lit(None).cast("long")
+    state = ivm.agg_view_read(spark, monthly).select(
+        F.lit("view").alias("leg"), F.col("month").cast("string").alias("grp"),
+        "days", "rows_", "total",
+    )
+    census = spark.createDataFrame(
+        [("append_months", r_dn1["touched_groups"]),
+         ("delete_months", r_dn2["touched_groups"])],
+        "grp string, days long",
+    ).select(
+        F.lit("census").alias("leg"), "grp", "days",
+        null_l.alias("rows_"), null_l.alias("total"),
+    )
+    return state.unionAll(census)
+
+
+def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone maps (r13): per-data-dir min/max stamped at commit
+    time (sticky stats_cols declaration), pruning whole directories at
+    the MANIFEST level before any listing/footers — the Iceberg-style
+    file-skipping layer over the snapshot store, complementing parquet
+    row-group pruning inside surviving dirs. Orders land in three
+    date-ranged appends (the time-partitioned ingest shape); a
+    recent-window read must open only the last directory (asserted
+    in-job via snapshot_prune_report: 2 of 3 pruned) and return exactly
+    scan-plus-filter — the oracle is one SQL WHERE over the full table."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="zmp_")
+    p = f"{base}/t"
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    y = F.year(F.col("day"))
+    snapshots.snapshot_append(src.filter(y < 1995), p, stats_cols=["day"])
+    snapshots.snapshot_append(src.filter((y >= 1995) & (y < 1997)), p)
+    snapshots.snapshot_append(src.filter(y >= 1997), p)
+    import datetime
+
+    lo = datetime.date(1997, 1, 1)
+    rep = snapshots.snapshot_prune_report(spark, p, {"day": (lo, None)})
+    assert (rep["total_dirs"], rep["kept_dirs"]) == (3, 1), rep
+    return (
+        snapshots.read_snapshot(spark, p, bounds={"day": (lo, None)})
+        .groupBy(F.trunc("day", "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window analytics: running revenue total + previous-order gap +
     4-order trailing moving average per customer (unbounded frame, lag, and
@@ -4775,6 +4878,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ivm_month": q_ivm_month,
         "ns_cdf_feed": q_cdf_feed,
         "ns_ivm_cdf": q_ivm_cdf,
+        "ns_ivm_chain": q_ivm_chain,
+        "ns_snapshot_prune": q_snapshot_prune,
         "ns_index_sync": q_index_sync,
         "ns_index_sync_ivf": q_index_sync_ivf,
         "ns_mmr_diversify": q_mmr_diversify,
@@ -6755,6 +6860,45 @@ def _all_oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'paths', 'recompute_groups', NULL, NULL, NULL,
                (SELECT t FROM deleted)
+    """
+    # IVM view chain (r13): monthly-over-daily composition — final
+    # monthly view ≡ one aggregate over surviving base rows; census =
+    # months containing any touched day (append: days that received
+    # rows; delete: days that lost rows)
+    sql["ns_ivm_chain"] = """
+        WITH src AS (
+          SELECT o_orderkey AS id, CAST(o_orderdate AS DATE) AS day,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ), live AS (
+          SELECT * FROM src WHERE id % 7 <> 0
+        )
+        SELECT 'view' AS leg,
+               CAST(CAST(date_trunc('month', day) AS DATE) AS VARCHAR) AS grp,
+               count(DISTINCT day) AS days, count(*) AS rows_,
+               sum(cents) AS total
+        FROM live GROUP BY 2
+        UNION ALL
+        SELECT 'census', 'append_months',
+               (SELECT count(DISTINCT date_trunc('month', day)) FROM src
+                WHERE id % 3 = 2),
+               NULL, NULL
+        UNION ALL
+        SELECT 'census', 'delete_months',
+               (SELECT count(DISTINCT date_trunc('month', day)) FROM src
+                WHERE id % 7 = 0),
+               NULL, NULL
+    """
+    # manifest zone maps (r13): the bounded read is exactly
+    # scan-plus-filter (the pruning itself is asserted in-job)
+    sql["ns_snapshot_prune"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        GROUP BY 1
     """
     sql["ns_retrieval_pipeline"] = f"""
         WITH sparse AS (

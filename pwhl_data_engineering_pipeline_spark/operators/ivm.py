@@ -37,6 +37,20 @@ O(corpus) exceptAll only for feed-less history. A netted delta that
 turns out insert-only (optimize + appends) keeps even min/max views on
 the algebraic path — table maintenance no longer demotes the refresh.
 
+View CHAINS (r13, second half): every single-table view refresh emits
+its own feed (refresh knows exactly which groups changed — old and new
+rows of the touched groups, group-sized), so a view is itself a
+changelog-bearing source. A DOWNSTREAM view declares the upstream
+view's path as its source and aggregates the upstream's STATE columns
+via expression-valued agg cols (``("total", "sum", "__ivm_s_total")``;
+sum-of-sums / count-of-groups compose exactly) — the daily→monthly
+rollup chain, each hop refreshed at O(its delta). Chain hops refresh
+upstream-first (a downstream refresh before its upstream is a no-op,
+not an error; the maintenance tick orders this). Partitioned views do
+not emit feeds (their per-partition histories have no single
+changelog) and cannot be chain sources — creating a view over one
+raises loudly (no manifest at the store root).
+
 State layout: the view is itself a snapshot table (atomic manifest
 commits, time travel over VIEW history, optimistic concurrency against
 a rival refresher — all inherited). Its manifest carries the spec and
@@ -109,28 +123,34 @@ def _state_exprs(aggs: list[dict], sign=None) -> list:
     """Aggregate expressions producing the view's STATE columns from raw
     rows. With ``sign`` (a Column of +1/-1) the same expressions produce
     the DELTA state — the linearity that makes the algebraic path one
-    shuffle over changed rows."""
+    shuffle over changed rows. Aggregate ``col`` entries are SQL
+    expressions of the row (``F.expr``; plain column names included) —
+    like ``key_exprs`` they must be pure row functions, or a retraction
+    would not cancel its insert. Expressions are what let a view
+    aggregate ANOTHER view's state columns (``__ivm_s_<name>``) — the
+    view-chain composition."""
     s = sign if sign is not None else F.lit(1)
     exprs = [F.sum(s).alias("__ivm_n")]
     for a in aggs:
         n, fn, c = a["name"], a["fn"], a["col"]
+        e = F.expr(c) if c is not None else None
         if fn == "count":
             # COUNT is 0, never NULL, over an all-null (or empty) support
-            src = s if c is None else F.when(F.col(c).isNotNull(), s)
+            src = s if e is None else F.when(e.isNotNull(), s)
             exprs.append(F.coalesce(F.sum(src), F.lit(0)).alias(n))
         elif fn in ("sum", "avg"):
-            exprs.append(F.sum(F.col(c) * s).alias(f"__ivm_s_{n}"))
+            exprs.append(F.sum(e * s).alias(f"__ivm_s_{n}"))
             exprs.append(
                 F.coalesce(
-                    F.sum(F.when(F.col(c).isNotNull(), s)), F.lit(0)
+                    F.sum(F.when(e.isNotNull(), s)), F.lit(0)
                 ).alias(f"__ivm_nn_{n}")
             )
         elif fn == "min":
-            exprs.append(F.min(c).alias(n))
+            exprs.append(F.min(e).alias(n))
         elif fn == "max":
-            exprs.append(F.max(c).alias(n))
+            exprs.append(F.max(e).alias(n))
         elif fn == "count_distinct":
-            exprs.append(F.countDistinct(c).alias(n))
+            exprs.append(F.countDistinct(e).alias(n))
     return exprs
 
 
@@ -468,6 +488,8 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
         )
 
     touched_parts: list = []
+    touched_keys = None  # full path: feed = whole old + whole new
+    prune_report = None  # recompute path: zone-map scan bounding
     if path == "full":
         new_state = _compute_state(
             _snap.read_snapshot(spark, source, v1), keys, aggs, ke
@@ -506,6 +528,7 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
                 r[0] for r in delta.select(part_col).distinct().collect()
             )
             old = _old_for_partitions(touched_parts, delta)
+        touched_keys = delta.select(*keys).distinct()
         new_state = _merge_linear(
             old, delta, keys, aggs, deletes_present=(path == "retraction")
         )
@@ -514,13 +537,39 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
             delta_rows if delta_rows is not None else inserts, ke
         )
         gk = changed.select(*keys).distinct()
-        if part_col is not None:
-            gk = gk.persist()
-            _pins.append(gk)
+        gk = gk.persist()
+        _pins.append(gk)
         touched = gk.count()
+        # zone-map composition: when a PHYSICAL group key is a declared
+        # stats column of the source, bound the affected-group rescan to
+        # the touched keys' range — the manifest then skips whole data
+        # directories that cannot hold an affected group (time-bucketed
+        # tables: only the affected buckets' dirs reopen). Correct
+        # because every affected group's rows share its key value, so a
+        # [min, max] bound on the key loses nothing — UNLESS a touched
+        # key is NULL (bounds drop NULL rows); such a col is skipped.
+        bounds = {}
+        stats_cols = set(
+            _snap.read_manifest(spark, source, v1).get("stats_cols") or []
+        )
+        for k in keys:
+            if k in (ke or {}) or k not in stats_cols:
+                continue
+            row = gk.agg(
+                F.min(k).alias("lo"), F.max(k).alias("hi"),
+                F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias("nn"),
+            ).collect()[0]
+            if row["nn"] == 0 and row["lo"] is not None:
+                bounds[k] = (row["lo"], row["hi"])
+        src_rows = _snap.read_snapshot(
+            spark, source, v1, bounds=bounds or None
+        )
+        prune_report = (
+            _snap.snapshot_prune_report(spark, source, bounds, v1)
+            if bounds else None
+        )
         recomputed = _compute_state(
-            _with_derived(_snap.read_snapshot(spark, source, v1), ke)
-            .join(gk, keys, "left_semi"),
+            _with_derived(src_rows, ke).join(gk, keys, "left_semi"),
             keys, aggs,
         )
         if part_col is not None:
@@ -531,19 +580,53 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
         # splice: untouched groups copied through, touched groups replaced
         # (a touched group with no surviving source rows simply has no
         # recomputed row — it leaves the view, matching full recompute)
+        touched_keys = gk
         new_state = old.join(gk, keys, "left_anti").unionByName(recomputed)
 
     new_spec = {"source": source, "source_version": v1, "keys": keys,
                 "aggs": aggs, "key_exprs": spec.get("key_exprs") or {},
                 "partition_by": part_col}
     if part_col is None:
-        d = _snap._write_data(new_state, view_path)
-        _snap._commit(
-            spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
-            new_state.schema.json(), extra={"ivm": new_spec},
-        )
-        return {"path": path, "from_version": v0, "to_version": v1,
-                "touched_groups": int(touched)}
+        # The view's own commit emits a CHANGE DATA FEED: refresh knows
+        # exactly which groups changed, so persist old/new rows of the
+        # touched groups (delete+insert; full mode = whole old + whole
+        # new — unchanged pairs net out at read). This is what makes a
+        # VIEW a changelog-bearing source for a DOWNSTREAM view (the
+        # view-chain composition): agg_view_refresh of the downstream
+        # consumes it through the same snapshot_changes_net everything
+        # else uses. Feed legs are group-sized; new_state is pinned so
+        # the data write and the feed write share one computation.
+        new_state = new_state.persist()
+        try:
+            if touched_keys is None:
+                dels, ins = old, new_state
+            else:
+                dels = old.join(touched_keys, keys, "left_semi")
+                ins = new_state.join(touched_keys, keys, "left_semi")
+            feed = (
+                dels.select(*new_state.columns)
+                .withColumn("_change", F.lit("delete"))
+                .unionByName(
+                    ins.select(*new_state.columns)
+                    .withColumn("_change", F.lit("insert"))
+                )
+            )
+            d = _snap._write_data(new_state, view_path)
+            cdf = _snap._write_changes(feed, view_path)
+            _snap._commit(
+                spark, view_path, [d], f"ivm_{path}", spec["_view_version"],
+                new_state.schema.json(), extra={"ivm": new_spec, "cdf": cdf},
+            )
+        finally:
+            new_state.unpersist()
+            for df in _pins:
+                df.unpersist()
+        out = {"path": path, "from_version": v0, "to_version": v1,
+               "touched_groups": int(touched)}
+        if path == "recompute_groups" and prune_report is not None:
+            out["source_dirs_pruned"] = prune_report["pruned_dirs"]
+            out["source_dirs_total"] = prune_report["total_dirs"]
+        return out
     from .sync import write_state_chain
 
     new_state = new_state.persist()
@@ -563,9 +646,13 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
         for df in _pins:
             df.unpersist()
     write_state_chain(spark, _ivm_state_dir(view_path), new_spec)
-    return {"path": path, "from_version": v0, "to_version": v1,
-            "touched_groups": int(touched),
-            "touched_partitions": len(touched_parts)}
+    out = {"path": path, "from_version": v0, "to_version": v1,
+           "touched_groups": int(touched),
+           "touched_partitions": len(touched_parts)}
+    if path == "recompute_groups" and prune_report is not None:
+        out["source_dirs_pruned"] = prune_report["pruned_dirs"]
+        out["source_dirs_total"] = prune_report["total_dirs"]
+    return out
 
 
 def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFrame:

@@ -85,24 +85,58 @@ def maintenance_plan(
         if kind == "view":
             # IVM views carry their own source stamp — behind means a
             # refresh is due (agg_view_refresh is idempotent/crash-safe,
-            # so no pending state to resume)
-            spec = ivm._read_spec(spark, path)
-            cur = _snap_current(spark, spec["source"])
-            if cur is not None and cur > spec["source_version"]:
-                syncs.append({
-                    "kind": "view", "path": path, "action": "refresh",
-                    "reason": {"behind": cur - spec["source_version"],
-                               "source": spec["source"]},
-                    "requires": [],
-                })
-            if view_vacuum_after is not None:
-                retained = ivm.agg_view_retained_versions(spark, path)
-                if retained >= view_vacuum_after:
-                    compacts.append({
-                        "kind": "view", "path": path, "action": "vacuum",
-                        "reason": {"retained_versions": retained},
-                        "requires": [],
+            # so no pending state to resume). A LIST of views is
+            # topo-ordered upstream-first (view chains: a view sourcing
+            # another view in the set refreshes after it), and a
+            # downstream whose upstream gets refreshed this tick is
+            # scheduled too — the upstream's refresh advances the
+            # version the downstream follows (refreshing a caught-up
+            # view is a no-op, so over-scheduling is safe).
+            views = list(path) if isinstance(path, (list, tuple)) else [path]
+            specs = {v: ivm._read_spec(spark, v) for v in views}
+            in_set = {v.rstrip("/") for v in views}
+            ordered: list[str] = []
+            pending_v = list(views)
+            while pending_v:  # Kahn over the (shallow) source edges
+                ready = [
+                    v for v in pending_v
+                    if specs[v]["source"].rstrip("/") not in
+                    (in_set - {x.rstrip("/") for x in ordered})
+                ]
+                if not ready:
+                    raise ValueError(
+                        f"view chain cycle among {sorted(pending_v)}"
+                    )
+                for v in sorted(ready):
+                    ordered.append(v)
+                    pending_v.remove(v)
+            will_refresh: set[str] = set()
+            for v in ordered:
+                spec = specs[v]
+                cur = _snap_current(spark, spec["source"])
+                behind = (
+                    cur is not None and cur > spec["source_version"]
+                )
+                upstream_due = spec["source"].rstrip("/") in will_refresh
+                if behind or upstream_due:
+                    will_refresh.add(v.rstrip("/"))
+                    reason = {"source": spec["source"]}
+                    if behind:
+                        reason["behind"] = cur - spec["source_version"]
+                    if upstream_due:
+                        reason["upstream_refresh_scheduled"] = True
+                    syncs.append({
+                        "kind": "view", "path": v, "action": "refresh",
+                        "reason": reason, "requires": [],
                     })
+                if view_vacuum_after is not None:
+                    retained = ivm.agg_view_retained_versions(spark, v)
+                    if retained >= view_vacuum_after:
+                        compacts.append({
+                            "kind": "view", "path": v, "action": "vacuum",
+                            "reason": {"retained_versions": retained},
+                            "requires": [],
+                        })
             continue
         pending = False
         try:

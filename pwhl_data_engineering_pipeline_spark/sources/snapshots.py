@@ -176,23 +176,110 @@ def _conform(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
-def snapshot_append(df: DataFrame, path: str) -> int:
+def _stats_value(v):
+    """JSON-encode a min/max bound. Dates/timestamps go to ISO strings —
+    lexicographic order matches temporal order, so pruning compares
+    correctly after a round trip."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    try:  # Decimal and friends
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def _dir_stats(spark, path: str, d: str, cols: list[str]) -> dict:
+    """Zone map for one data directory: {col: [min, max]} computed by a
+    column-pruned aggregate over the WRITTEN files (reads only the stat
+    columns; min/max ignore NULLs — an all-null column stores
+    [None, None]). One small Spark job per commit, delta-sized for
+    appends."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{path.rstrip('/')}/data/{d}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"stats_cols {missing} absent from written data ({df.columns})"
+        )
+    row = df.agg(
+        *[e for c in cols for e in (
+            F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
+        )]
+    ).collect()[0]
+    return {
+        c: [_stats_value(row[f"__lo_{c}"]), _stats_value(row[f"__hi_{c}"])]
+        for c in cols
+    }
+
+
+def _inherit_stats(parent_manifest: dict | None, dirs: list[str]) -> dict:
+    """Stats for already-committed dirs carry forward from the parent
+    manifest (they are immutable); only new dirs need computing."""
+    if not parent_manifest:
+        return {}
+    prev = parent_manifest.get("dir_stats") or {}
+    return {d: prev[d] for d in dirs if d in prev}
+
+
+def _stats_extra(
+    spark, path: str, parent: int | None, dirs: list[str],
+    stats_cols: list[str] | None,
+) -> dict:
+    """Zone-map manifest keys for a commit: ``stats_cols`` (the sticky
+    declaration — pass it once at table creation, every later commit
+    reads it from the parent and maintains the maps automatically) and
+    ``dir_stats`` ({dir: {col: [min, max]}}; inherited for carried
+    dirs, computed for new ones). Returns {} when the table has no
+    declaration."""
+    pm = read_manifest(spark, path, parent) if parent is not None else None
+    cols = stats_cols if stats_cols is not None else (
+        (pm or {}).get("stats_cols")
+    )
+    if not cols:
+        return {}
+    stats = _inherit_stats(pm, dirs)
+    for d in dirs:
+        if d not in stats:
+            stats[d] = _dir_stats(spark, path, d, list(cols))
+    return {"stats_cols": list(cols), "dir_stats": stats}
+
+
+def snapshot_append(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Append ``df`` as a new snapshot (previous data stays visible).
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``stats_cols`` declares (or re-declares) the table's ZONE-MAP
+    columns: per-data-dir min/max persisted in the manifest, maintained
+    automatically by every later commit (the declaration is sticky —
+    carried forward from the parent manifest), and used by
+    ``read_snapshot(bounds=...)`` to skip whole directories before the
+    scan. One column-pruned aggregate job over the new directory per
+    commit — delta-sized for appends."""
     spark = df.sparkSession
     parent = current_version(spark, path)
     dirs = list(read_manifest(spark, path, parent)["dirs"]) if parent else []
     dirs.append(_write_data(df, path))
-    return _commit(spark, path, dirs, "append", parent, df.schema.json())
+    extra = _stats_extra(spark, path, parent, dirs, stats_cols)
+    return _commit(
+        spark, path, dirs, "append", parent, df.schema.json(), extra or None
+    )
 
 
-def snapshot_overwrite(df: DataFrame, path: str) -> int:
+def snapshot_overwrite(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Replace the table contents in a new snapshot (history retained —
-    the reference's truncate-reload, but reversible)."""
+    the reference's truncate-reload, but reversible). ``stats_cols``:
+    see :func:`snapshot_append`."""
     spark = df.sparkSession
     parent = current_version(spark, path)
+    dirs = [_write_data(df, path)]
+    extra = _stats_extra(spark, path, parent, dirs, stats_cols)
     return _commit(
-        spark, path, [_write_data(df, path)], "overwrite", parent, df.schema.json()
+        spark, path, dirs, "overwrite", parent, df.schema.json(), extra or None
     )
 
 
@@ -223,9 +310,38 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
     )
 
 
+def _bounds_overlap(stats: dict, bounds: dict) -> bool:
+    """Can a directory with zone map ``stats`` contain a row passing
+    ``bounds`` ({col: (lo, hi)}, None = open side)? Conservative: a
+    column missing from the stats, or a bound whose type cannot be
+    compared to the stored bound, keeps the directory. An all-NULL
+    column ([None, None]) cannot pass any bound on that column (SQL
+    comparisons drop NULL rows), so the directory is skipped."""
+    for col, (lo, hi) in bounds.items():
+        if col not in stats:
+            continue
+        dlo, dhi = stats[col]
+        if dlo is None and dhi is None:
+            return False  # only NULLs here; the filter drops them all
+        try:
+            if lo is not None and dhi is not None and dhi < _stats_value(lo):
+                return False
+            if hi is not None and dlo is not None and dlo > _stats_value(hi):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep (safe)
+    return True
+
+
+def _prune_dirs(m: dict, bounds: dict) -> list[str]:
+    stats = m.get("dir_stats") or {}
+    return [d for d in m["dirs"] if _bounds_overlap(stats.get(d, {}), bounds)]
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None,
     merge_schema: bool = False, as_of_timestamp: float | None = None,
+    bounds: dict | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: current) — time travel is
     just picking an older manifest. Plain parquet scan of the manifest's
@@ -236,7 +352,18 @@ def read_snapshot(
     ``merge_schema=True`` unions the schemas of all referenced data dirs
     (parquet mergeSchema) so a table whose appends ADDED columns reads with
     the superset schema, old rows NULL-filled — additive schema evolution.
-    Off by default: merging reads every file footer up front."""
+    Off by default: merging reads every file footer up front.
+
+    ``bounds`` ({col: (lo, hi)}, either side None for open) filters to
+    rows inside the ranges AND prunes at the MANIFEST level first: data
+    directories whose zone maps (see ``stats_cols`` on the write path)
+    cannot contain a passing row are never opened — no listing, no
+    footers, no splits. On a date-appended 100 TB table a recent-window
+    query touches only the recent directories; parquet row-group
+    pruning then applies within them (the same filter is pushed down).
+    Directories without stats are read (conservative); semantics are
+    always exactly scan-plus-filter (rows with NULL in a bounded column
+    are dropped, as in SQL)."""
     if as_of_timestamp is not None:
         if version is not None:
             raise ValueError("pass either version or as_of_timestamp, not both")
@@ -250,16 +377,54 @@ def read_snapshot(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{base}/data/{d}" for d in m["dirs"]])
+    dirs = m["dirs"] if bounds is None else _prune_dirs(m, bounds)
+    if not dirs:
+        # every directory pruned: preserve the schema via an empty read
+        # of the full version
+        out = reader.parquet(*[f"{base}/data/{d}" for d in m["dirs"]]).limit(0)
+    else:
+        out = reader.parquet(*[f"{base}/data/{d}" for d in dirs])
+    if bounds:
+        from pyspark.sql import functions as F
+
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                out = out.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(col) <= F.lit(hi))
+    return out
+
+
+def snapshot_prune_report(
+    spark: SparkSession, path: str, bounds: dict, version: int | None = None,
+) -> dict:
+    """Metadata-only observability for ``read_snapshot(bounds=...)``:
+    how many directories the zone maps keep vs prune at this version."""
+    if version is None:
+        version = current_version(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    m = read_manifest(spark, path, version)
+    kept = _prune_dirs(m, bounds)
+    return {
+        "version": version, "total_dirs": len(m["dirs"]),
+        "kept_dirs": len(kept), "pruned_dirs": len(m["dirs"]) - len(kept),
+    }
 
 
 def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
     """Restore an old version AS A NEW SNAPSHOT (non-destructive: the bad
-    versions stay in history for forensics until vacuumed)."""
+    versions stay in history for forensics until vacuumed). Zone maps
+    ride along from the restored manifest (the dirs are the same)."""
     m = read_manifest(spark, path, version)
     parent = current_version(spark, path)
+    extra = None
+    if m.get("stats_cols"):
+        extra = {"stats_cols": m["stats_cols"],
+                 "dir_stats": m.get("dir_stats") or {}}
     return _commit(
-        spark, path, list(m["dirs"]), f"rollback:{version}", parent, m["schema"]
+        spark, path, list(m["dirs"]), f"rollback:{version}", parent,
+        m["schema"], extra,
     )
 
 
@@ -423,6 +588,9 @@ def snapshot_merge(
                 )
                 extra = {"cdf": _write_changes(feed, path)}
         d = _write_data(df, path)
+        stats = _stats_extra(spark, path, cur, [d], None)
+        if stats:
+            extra = {**(extra or {}), **stats}
         try:
             return _commit(spark, path, [d], op, cur, df.schema.json(), extra)
         except IOError:
@@ -480,6 +648,9 @@ def snapshot_delete(
             )
             extra = {"cdf": _write_changes(feed, path)}
         d = _write_data(df, path)
+        stats = _stats_extra(spark, path, cur, [d], None)
+        if stats:
+            extra = {**(extra or {}), **stats}
         try:
             return _commit(
                 spark, path, [d], "overwrite", cur, df.schema.json(), extra
@@ -558,7 +729,10 @@ def commit_stream_batch(
         spark, path, dirs, "stream-append", parent,
         batch_df.schema.json(),
         extra={"epoch_id": epoch_id, "stream_id": stream_id,
-               "stream_epochs": epochs},
+               "stream_epochs": epochs,
+               # sticky zone maps follow the stream: one delta-sized
+               # stats job per micro-batch on declared tables
+               **_stats_extra(spark, path, parent, dirs, None)},
     )
 
 
@@ -742,7 +916,7 @@ def snapshot_optimize(
     # content diff — table maintenance no longer breaks the fast path
     return _commit(
         spark, path, [d], f"optimize:{cur}", cur, df.schema.json(),
-        extra={"cdf": None},
+        extra={"cdf": None, **_stats_extra(spark, path, cur, [d], None)},
     )
 
 

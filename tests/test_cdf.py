@@ -276,3 +276,106 @@ def test_sync_classification_identical_feed_vs_diff(spark, tmp_path):
     assert a["inserted"].collect()[0][0] == 50
     assert a["deleted"].collect()[0][0] == 7
     assert a["updated"].collect()[0][0] == 3
+
+
+# ---------------------------------------------------------------- zone maps
+
+
+def test_zone_maps_prune_dirs_and_results_match_filter(spark):
+    """Per-dir min/max in the manifest skip directories at the manifest
+    level; results are always exactly scan-plus-filter."""
+    base = tempfile.mkdtemp(prefix="zm_")
+    p = f"{base}/t"
+    # three appends with disjoint id ranges; declaration on the first
+    S.snapshot_append(_rows(spark, [(i, "a", i) for i in range(0, 10)]), p,
+                      stats_cols=["id", "x"])
+    S.snapshot_append(_rows(spark, [(i, "b", i) for i in range(100, 110)]), p)
+    S.snapshot_append(_rows(spark, [(i, "c", i) for i in range(200, 210)]), p)
+    rep = S.snapshot_prune_report(spark, p, {"id": (100, 150)})
+    assert (rep["total_dirs"], rep["kept_dirs"]) == (3, 1)
+    got = sorted(r.id for r in S.read_snapshot(
+        spark, p, bounds={"id": (100, 150)}
+    ).collect())
+    want = sorted(
+        r.id for r in S.read_snapshot(spark, p).filter("id >= 100 AND id <= 150").collect()
+    )
+    assert got == want == list(range(100, 110))
+    # open-sided bound
+    rep = S.snapshot_prune_report(spark, p, {"id": (None, 50)})
+    assert rep["kept_dirs"] == 1
+    assert S.read_snapshot(spark, p, bounds={"id": (None, 50)}).count() == 10
+    # everything pruned: empty frame, schema preserved
+    out = S.read_snapshot(spark, p, bounds={"id": (500, 600)})
+    assert out.count() == 0 and out.columns == ["id", "s", "x"]
+
+
+def test_zone_maps_sticky_through_merge_delete_optimize(spark):
+    """The declaration is sticky: rewrite commits recompute the single
+    new dir's stats; pruning stays correct through the whole lifecycle."""
+    base = tempfile.mkdtemp(prefix="zms_")
+    p = f"{base}/t"
+    S.snapshot_append(_rows(spark, [(i, "a", i) for i in range(20)]), p,
+                      stats_cols=["id"])
+    S.snapshot_merge(_rows(spark, [(5, "u", 999), (30, "n", 30)]), p, ["id"])
+    S.snapshot_delete(spark.createDataFrame([(7,)], "id int"), p, ["id"])
+    S.snapshot_optimize(spark, p, n_files=1)
+    S.snapshot_append(_rows(spark, [(i, "z", i) for i in range(1000, 1010)]), p)
+    m = S.read_manifest(spark, p, S.current_version(spark, p))
+    assert m["stats_cols"] == ["id"]
+    assert set(m["dir_stats"]) == set(m["dirs"])
+    rep = S.snapshot_prune_report(spark, p, {"id": (1000, None)})
+    assert (rep["total_dirs"], rep["kept_dirs"]) == (2, 1)
+    got = sorted(r.id for r in S.read_snapshot(
+        spark, p, bounds={"id": (0, 40)}
+    ).collect())
+    assert got == sorted(set(range(20)) - {7} | {30})
+    # rollback carries the maps
+    S.snapshot_rollback(spark, p, S.current_version(spark, p) - 1)
+    m2 = S.read_manifest(spark, p, S.current_version(spark, p))
+    assert m2.get("stats_cols") == ["id"] and m2.get("dir_stats")
+
+
+def test_zone_maps_date_and_null_semantics(spark):
+    import datetime
+
+    base = tempfile.mkdtemp(prefix="zmd_")
+    p = f"{base}/t"
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i))
+         for i in range(lo, hi)],
+        "id int, day date",
+    )
+    S.snapshot_append(mk(0, 30), p, stats_cols=["day"])
+    S.snapshot_append(mk(60, 90), p)
+    # all-NULL dir is prunable for bounds on that column
+    S.snapshot_append(
+        spark.createDataFrame([(999, None)], "id int, day date"), p
+    )
+    rep = S.snapshot_prune_report(
+        spark, p, {"day": (datetime.date(2024, 3, 1), None)}
+    )
+    assert (rep["total_dirs"], rep["kept_dirs"]) == (3, 1)
+    got = S.read_snapshot(
+        spark, p, bounds={"day": (datetime.date(2024, 3, 1), None)}
+    )
+    want = S.read_snapshot(spark, p).filter("day >= DATE'2024-03-01'")
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    # undeclared tables read unpruned but bounds still filter
+    p2 = f"{base}/nodecl"
+    S.snapshot_append(mk(0, 10), p2)
+    assert S.read_snapshot(
+        spark, p2, bounds={"day": (datetime.date(2024, 1, 5), None)}
+    ).count() == 6  # days 01-05 .. 01-10
+    assert S.snapshot_prune_report(
+        spark, p2, {"day": (datetime.date(2030, 1, 1), None)}
+    )["pruned_dirs"] == 0
+
+
+def test_zone_maps_declaring_missing_column_raises(spark):
+    base = tempfile.mkdtemp(prefix="zmm_")
+    with pytest.raises(ValueError, match="absent from written data"):
+        S.snapshot_append(
+            _rows(spark, [(1, "a", 1)]), f"{base}/t", stats_cols=["nope"]
+        )

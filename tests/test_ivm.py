@@ -449,3 +449,194 @@ def test_partitioned_view_create_refuses_clobber(spark, tmp_path):
                             partition_by="grp")
     with pytest.raises(IOError, match="refusing"):
         ivm.agg_view_create(spark, src, view, ["grp"], LINEAR)
+
+
+def test_refresh_emits_feed_netting_to_view_diff(spark, tmp_path):
+    """Every single-table refresh commit carries a CDF whose net equals
+    the view's own version diff — the property that makes a view a
+    changelog-bearing source for a downstream view."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "1.00"), ("b", 2, "2.00"), ("c", 3, "3.00")]),
+        src,
+    )
+    ivm.agg_view_create(spark, src, view, ["grp"], MIXED)
+    snap.snapshot_append(_rows(spark, [("a", 4, "0.50"), ("d", 5, "4.00")]), src)
+    ivm.agg_view_refresh(spark, view)  # append path
+    snap.snapshot_delete(
+        spark.createDataFrame([(2,), (3,)], "id long"), src, ["id"]
+    )
+    ivm.agg_view_refresh(spark, view)  # recompute path (min/max + deletes)
+    ivm.agg_view_refresh(spark, view, mode="full")  # full path
+    head = snap.current_version(spark, view)
+    for v in range(2, head + 1):
+        net = snap.snapshot_changes_net(spark, view, v - 1, v)
+        diff = snap.snapshot_diff(spark, view, v - 1, v)
+        cols = sorted(net.columns)
+        assert (
+            net.select(*cols).exceptAll(diff.select(*cols)).count() == 0
+            and diff.select(*cols).exceptAll(net.select(*cols)).count() == 0
+        ), v
+
+
+def test_view_chain_daily_to_monthly(spark, tmp_path):
+    """The composition: a monthly rollup view sourced from the DAILY
+    view's changelog (expression aggs over upstream state columns),
+    correct through append + keyed delete, each hop O(its delta)."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    monthly = str(tmp_path / "monthly")
+    rows = spark.createDataFrame(
+        [
+            (i, datetime.date(2024, 1 + (i % 3), 1 + (i % 25)), (i % 7) * 100)
+            for i in range(60)
+        ],
+        "id long, day date, cents long",
+    )
+    snap.snapshot_overwrite(rows, src)
+    ivm.agg_view_create(
+        spark, src, daily, ["day"],
+        [("n", "count", None), ("total", "sum", "cents")],
+    )
+    ivm.agg_view_create(
+        spark, daily, monthly, ["month"],
+        [("days", "count", None), ("rows_", "sum", "__ivm_n"),
+         ("total", "sum", "__ivm_s_total")],
+        key_exprs={"month": "CAST(date_trunc('MONTH', day) AS DATE)"},
+    )
+    assert ivm.agg_view_verify(spark, monthly)["equal"]
+
+    def truth():
+        return {
+            r["month"]: (r["days"], r["rows_"], r["total"])
+            for r in snap.read_snapshot(spark, src)
+            .groupBy(F.expr("CAST(date_trunc('MONTH', day) AS DATE)").alias("month"))
+            .agg(
+                F.countDistinct("day").alias("days"),
+                F.count(F.lit(1)).alias("rows_"),
+                F.sum("cents").alias("total"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["month"]: (r["days"], r["rows_"], r["total"])
+            for r in ivm.agg_view_read(spark, monthly).collect()
+        }
+
+    # append: new rows on existing + new days
+    snap.snapshot_append(
+        spark.createDataFrame(
+            [(100, datetime.date(2024, 1, 2), 1000),
+             (101, datetime.date(2024, 4, 9), 500)],
+            "id long, day date, cents long",
+        ),
+        src,
+    )
+    # downstream before upstream: noop (upstream hasn't moved)
+    assert ivm.agg_view_refresh(spark, monthly)["path"] == "noop"
+    r_up = ivm.agg_view_refresh(spark, daily)
+    assert r_up["path"] == "append"
+    r_dn = ivm.agg_view_refresh(spark, monthly)
+    # an existing day's state changed → upstream feed carries its
+    # delete+insert pair → the downstream retracts algebraically
+    assert r_dn["path"] == "retraction"
+    assert got() == truth()
+    assert ivm.agg_view_verify(spark, monthly)["equal"]
+
+    # keyed delete upstream of the chain
+    snap.snapshot_delete(
+        spark.createDataFrame([(i,) for i in range(0, 60, 5)], "id long"),
+        src, ["id"],
+    )
+    assert ivm.agg_view_refresh(spark, daily)["path"] == "retraction"
+    assert ivm.agg_view_refresh(spark, monthly)["path"] == "retraction"
+    assert got() == truth()
+    assert ivm.agg_view_verify(spark, monthly)["equal"]
+
+
+def test_maintenance_tick_orders_view_chain(spark, tmp_path):
+    """A list of views in the maintenance targets refreshes
+    upstream-first, and a downstream whose upstream is scheduled this
+    tick is scheduled too (its 'behind' only materializes after the
+    upstream refresh runs)."""
+    from pwhl_data_engineering_pipeline_spark.operators import maintenance
+
+    src = str(tmp_path / "src")
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    snap.snapshot_append(
+        _rows(spark, [("a", 1, "1.00"), ("b", 2, "2.00")]), src
+    )
+    ivm.agg_view_create(spark, src, up, ["grp"],
+                        [("total", "sum", "val")])
+    ivm.agg_view_create(
+        spark, up, down, ["all_"],
+        [("grand", "sum", "__ivm_s_total")],
+        key_exprs={"all_": "'all'"},
+    )
+    snap.snapshot_append(_rows(spark, [("a", 3, "5.00")]), src)
+    # down is NOT behind yet (up hasn't refreshed) — the plan must still
+    # schedule it, after up
+    plan = maintenance.maintenance_plan(
+        spark, {"view": [down, up]}  # deliberately listed downstream-first
+    )
+    refreshes = [a for a in plan if a["action"] == "refresh"]
+    assert [a["path"] for a in refreshes] == [up, down]
+    assert refreshes[1]["reason"].get("upstream_refresh_scheduled") is True
+    out = maintenance.maintenance_run(spark, plan)
+    assert len(out["done"]) == 2 and not out["skipped"]
+    assert ivm.agg_view_verify(spark, down)["equal"]
+    got = ivm.agg_view_read(spark, down).collect()
+    assert len(got) == 1 and got[0]["grand"] == Decimal("8.00")
+    # caught up: next tick is empty
+    assert not maintenance.maintenance_plan(spark, {"view": [down, up]})
+
+
+def test_recompute_scan_bounded_by_zone_maps(spark, tmp_path):
+    """Zone-map × IVM composition: when the group key is a declared
+    stats column, the affected-group recompute opens only directories
+    that can hold affected groups (reported in the refresh result).
+    The case that matters is count_distinct over an APPEND-ONLY
+    time-bucketed table — recompute fires on every append, and the
+    rescan must skip the untouched buckets' directories (a keyed
+    delete rewrites the table to one dir, where pruning is moot)."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    mk = lambda m, lo, n: spark.createDataFrame(
+        [(m * 1000 + lo + i, datetime.date(2024, m, 1 + ((lo + i) % 25)),
+          (lo + i) % 7) for i in range(n)],
+        "id long, day date, bucket long",
+    )
+    snap.snapshot_append(mk(1, 0, 40), src, stats_cols=["day"])
+    snap.snapshot_append(mk(2, 0, 40), src)
+    snap.snapshot_append(mk(3, 0, 40), src)
+    ivm.agg_view_create(
+        spark, src, view, ["day"],
+        [("n", "count", None), ("uniq", "count_distinct", "bucket")],
+    )
+    # append MARCH rows only → count_distinct recomputes affected days;
+    # the rescan must skip the january and february directories
+    snap.snapshot_append(mk(3, 100, 10), src)
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "recompute_groups"
+    assert r["source_dirs_total"] == 4 and r["source_dirs_pruned"] == 2
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    want = {
+        row["day"]: (row["n"], row["uniq"])
+        for row in snap.read_snapshot(spark, src)
+        .groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bucket").alias("uniq"),
+        ).collect()
+    }
+    got = {
+        row["day"]: (row["n"], row["uniq"])
+        for row in ivm.agg_view_read(spark, view).collect()
+    }
+    assert got == want

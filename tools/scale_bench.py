@@ -1866,7 +1866,40 @@ def cdf_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
             assert ivm.agg_view_verify(spark, view)["equal"], (arm, label)
             arms[arm] = out
         assert arms["feed"]["classify_counts"] == arms["diff"]["classify_counts"]
-        return arms
+        # PAIRED same-table emission cost: the cross-arm commit walls
+        # above compare two different tables in different cache states
+        # (first run showed a 1.9 s 15M-row rewrite vs a 27.8 s one —
+        # state noise, not emission). Alternate no-emit/emit merges on
+        # ONE table, plus the feed construction timed alone.
+        src = f"{workdir}/cdf_feed_{label}"
+        paired = {}
+        for tag, emit, mod in (("merge_noemit", False, 61),
+                               ("merge_emit", True, 63),
+                               ("merge_noemit2", False, 67),
+                               ("merge_emit2", True, 69)):
+            u = (snap.read_snapshot(spark, src)
+                 .filter(F.col("id") % mod == 3)
+                 .withColumn("cents", F.col("cents") + 1).localCheckpoint())
+            u.count()
+            t = time.monotonic()
+            snap.snapshot_merge(u, src, ["id"], emit_changes=emit)
+            paired[tag] = round(time.monotonic() - t, 3)
+        b = snap.read_snapshot(spark, src)
+        u = (b.filter(F.col("id") % 71 == 3)
+             .withColumn("cents", F.col("cents") + 1).localCheckpoint())
+        u.count()
+        t = time.monotonic()
+        feed = (
+            snap._conform(
+                b.join(u.select("id"), ["id"], "left_semi"), b.columns
+            ).withColumn("_change", F.lit("delete"))
+            .unionByName(
+                snap._conform(u, b.columns).withColumn("_change", F.lit("insert"))
+            )
+        )
+        snap._write_changes(feed, src)
+        paired["feed_write_alone"] = round(time.monotonic() - t, 3)
+        return {**arms, "emission_paired": paired}
 
     return {
         "mode": "cdf", "factor": factor,
@@ -1874,6 +1907,95 @@ def cdf_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
             "base": series("base", 1),
             f"x{factor}": series(f"x{factor}", factor),
         },
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
+    }
+
+
+def zonemap_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
+    """r13: what manifest zone maps buy on a time-appended table — the
+    deployment shape where a 100 TB fact accretes one directory per
+    ingest window and dashboard queries hit a recent slice. Orders
+    (×factor) land as 12 month-bucketed appends with stats on the date
+    column; we time the same one-month aggregate three ways:
+
+    - ``bounds``: read_snapshot(bounds=...) — manifest prunes 11/12
+      dirs before any listing/footers;
+    - ``filter``: plain read + the same filter — parquet row-group
+      pruning only (every footer still opened, every dir listed);
+    - ``full``: unfiltered aggregate (the yardstick).
+
+    Result identity bounds-vs-filter is asserted, so the timed numbers
+    are the same correct query."""
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots as snap
+    from pwhl_data_engineering_pipeline_spark.sources.readers import read_testdata
+
+    from pyspark.sql import functions as F
+
+    base_rows = (
+        read_testdata(spark, base, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def series(label: str, f: int) -> dict:
+        parts = [
+            base_rows.withColumn("id", F.col("id") + F.lit(i * 10_000_000))
+            for i in range(f)
+        ]
+        corpus = parts[0]
+        for pp in parts[1:]:
+            corpus = corpus.unionByName(pp)
+        corpus = corpus.withColumn(
+            "month", F.month("day")
+        ).localCheckpoint()
+        p = f"{workdir}/zm_{label}"
+        for m in range(1, 13):
+            snap.snapshot_append(
+                corpus.filter(F.col("month") == m).drop("month"), p,
+                stats_cols=["day"] if m == 1 else None,
+            )
+        n = corpus.count()
+        import datetime
+
+        lo, hi = datetime.date(1997, 3, 1), datetime.date(1997, 3, 31)
+        rep = snap.snapshot_prune_report(spark, p, {"day": (lo, hi)})
+
+        def agg(df):
+            return df.groupBy(F.trunc("day", "mm").alias("m")).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+            )
+
+        def run(df):
+            t = time.monotonic()
+            rows = agg(df).collect()
+            return round(time.monotonic() - t, 3), sorted(map(tuple, rows))
+
+        out = {}
+        for name, df in (
+            ("bounds", snap.read_snapshot(spark, p, bounds={"day": (lo, hi)})),
+            ("filter", snap.read_snapshot(spark, p).filter(
+                (F.col("day") >= lo) & (F.col("day") <= hi))),
+            ("full", snap.read_snapshot(spark, p)),
+        ):
+            walls = []
+            for _ in range(3):
+                w, rows = run(df)
+                walls.append(w)
+            out[name] = {"sec_min": min(walls), "sec_all": walls}
+            if name in ("bounds", "filter"):
+                out[name]["rows"] = rows
+        assert out["bounds"].pop("rows") == out["filter"].pop("rows")
+        return {"rows": n, "dirs": rep["total_dirs"],
+                "kept_dirs": rep["kept_dirs"], **out}
+
+    return {
+        "mode": "zonemap", "factor": factor,
+        "scales": {"base": series("base", 1),
+                   f"x{factor}": series(f"x{factor}", factor)},
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default-8g"),
     }
 
@@ -1977,7 +2099,7 @@ def main() -> None:
             "cc-converged", "champions-refresh", "cc-decade", "ivf-append",
             "ivf-drift", "pq-decade", "pq-drift", "streaming-ingest",
             "ngram-hot", "delete-drift", "champions-delete", "ivm",
-            "ivm-partitioned", "cdf",
+            "ivm-partitioned", "cdf", "zonemap",
         ],
         default="relational",
         help="relational: re-keyed fact tables; docs: perturbed documents/"
@@ -2066,6 +2188,11 @@ def main() -> None:
     if args.mode == "cdf":
         os.makedirs(args.out, exist_ok=True)
         print(json.dumps(cdf_bench(spark, args.base, args.out, args.factor)))
+        return
+
+    if args.mode == "zonemap":
+        os.makedirs(args.out, exist_ok=True)
+        print(json.dumps(zonemap_bench(spark, args.base, args.out, args.factor)))
         return
 
     if args.mode == "ivm-partitioned":
