@@ -65,23 +65,100 @@ def maintenance_plan(
     max_tombstone_frac: float = 0.25,
     drift_threshold: float = 1.25,
     view_vacuum_after: int | None = 64,
+    table_optimize_after_dirs: int = 16,
+    table_vacuum_after: int | None = 64,
+    table_keep_last: int = 2,
 ) -> list[dict]:
     """One read-only scheduler tick: actions due across ``targets``
-    (kind → index path; kinds bm25/ivf/pq/minhash), ordered
-    resume_sync → sync → compact. Each action dict carries ``kind``,
-    ``path``, ``action``, a machine-readable ``reason``, and
-    ``requires`` (argument names :func:`maintenance_run` must be given
-    to execute it). ``sample_vectors`` enables the PQ drift probe; when
-    absent the PQ check degrades to deletion-debt only (reported)."""
+    (kind → path; kinds bm25/ivf/pq/minhash, plus ``view`` and
+    ``table`` which accept a path OR a list of paths), ordered
+    resume_sync → sync/refresh → compact/optimize/vacuum. Each action
+    dict carries ``kind``, ``path``, ``action``, a machine-readable
+    ``reason``, and ``requires`` (argument names :func:`maintenance_run`
+    must be given to execute it). ``sample_vectors`` enables the PQ
+    drift probe; when absent the PQ check degrades to deletion-debt
+    only (reported). Views topo-order upstream-first (chains); tables
+    get dir-count optimize triggers and consumer-aware vacuum floors
+    (see the inline notes)."""
     from . import dedup, ivm, pq as pqm, search, similarity, sync
 
-    unknown = set(targets) - {"bm25", "ivf", "pq", "minhash", "view"}
+    unknown = set(targets) - {"bm25", "ivf", "pq", "minhash", "view", "table"}
     if unknown:
         raise ValueError(f"unknown maintenance target kinds {sorted(unknown)}")
     resumes: list[dict] = []
     syncs: list[dict] = []
     compacts: list[dict] = []
     for kind, path in targets.items():
+        if kind == "table":
+            # Snapshot TABLES join the tick (r13): streaming/append
+            # ingest fragments a table into one dir per batch —
+            # optimize when the dir count creeps (the optimize commit
+            # carries an explicitly EMPTY change feed, so incremental
+            # consumers stay on the fast path) — and retained manifests
+            # hoard storage — vacuum, with a CONSUMER-AWARE floor: the
+            # tick knows every view stamped on this table and every
+            # index sync-tracking it, and vacuum must keep at least
+            # back to the laggiest consumer's version (a pending sync
+            # range reads manifests from its synced version; an IVM
+            # refresh reads the manifest at its stamp). keep_last is
+            # max(table_keep_last, current - consumer floor + 1).
+            from ..sources import snapshots as _snaps
+
+            import re as _re
+
+            from ..fsutil import list_names as _ls
+
+            tables = list(path) if isinstance(path, (list, tuple)) else [path]
+            for t in tables:
+                cur = _snap_current(spark, t)
+                if cur is None:
+                    raise FileNotFoundError(f"no snapshot table at {t}")
+                m = _snaps.read_manifest(spark, t, cur)
+                optimizing = len(m["dirs"]) >= table_optimize_after_dirs
+                if optimizing:
+                    compacts.append({
+                        "kind": "table", "path": t, "action": "optimize",
+                        "reason": {"dirs": len(m["dirs"])},
+                        "requires": [],
+                    })
+                if table_vacuum_after is None:
+                    continue
+                retained = sum(
+                    1 for n in _ls(spark, _snaps._meta_dir(t))
+                    if _re.fullmatch(r"v\d{8}\.json", n)
+                )
+                if retained < table_vacuum_after:
+                    continue
+                floor = cur
+                tnorm = t.rstrip("/")
+                for k2, p2 in targets.items():
+                    if k2 == "view":
+                        vs = list(p2) if isinstance(p2, (list, tuple)) else [p2]
+                        for v in vs:
+                            spec2 = ivm._read_spec(spark, v)
+                            if spec2["source"].rstrip("/") == tnorm:
+                                floor = min(floor, spec2["source_version"])
+                    elif k2 in ("bm25", "ivf", "pq", "minhash"):
+                        try:
+                            st2 = sync.sync_status(spark, p2)
+                        except FileNotFoundError:
+                            continue
+                        if st2["table"].rstrip("/") == tnorm:
+                            floor = min(floor, st2["synced"])
+                # an optimize scheduled in this same tick adds one more
+                # version before the vacuum runs — keep one extra so
+                # the consumer floor's manifest survives
+                keep = max(table_keep_last, cur - floor + 1) + (
+                    1 if optimizing else 0
+                )
+                compacts.append({
+                    "kind": "table", "path": t, "action": "vacuum",
+                    "reason": {"retained_versions": retained,
+                               "keep_last": keep,
+                               "consumer_floor": floor},
+                    "requires": [],
+                })
+            continue
         if kind == "view":
             # IVM views carry their own source stamp — behind means a
             # refresh is due (agg_view_refresh is idempotent/crash-safe,
@@ -249,7 +326,19 @@ def maintenance_run(
             skipped.append({**act, "missing": missing})
             continue
         kind, path, action = act["kind"], act["path"], act["action"]
-        if kind == "view":
+        if kind == "table":
+            from ..sources import snapshots as _snaps
+
+            if action == "optimize":
+                v = _snaps.snapshot_optimize(spark, path)
+                obs = {"optimized_to_version": v}
+            else:  # vacuum with the plan's consumer-aware floor
+                obs = _snaps.vacuum(
+                    spark, path,
+                    keep_last=act["reason"]["keep_last"],
+                    min_age_seconds=reclaim_min_age_seconds,
+                )
+        elif kind == "view":
             if action == "vacuum":
                 obs = ivm.agg_view_vacuum(
                     spark, path, min_age_seconds=reclaim_min_age_seconds

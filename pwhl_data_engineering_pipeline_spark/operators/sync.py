@@ -243,8 +243,25 @@ def table_net_changes(
 
 def _current_rows(spark, table_path: str, v1: int, ids: DataFrame, id_col: str):
     """The v1 truth for a changed-id set — broadcast-semi-joined so the
-    scan prunes to the id column's statistics and the changed rows."""
-    return _snap.read_snapshot(spark, table_path, v1).join(
+    scan prunes to the id column's statistics and the changed rows.
+
+    Zone-map composition (r13): when ``id_col`` is a declared stats
+    column of the table, the scan is additionally bounded by the
+    changed ids' [min, max] — the manifest then skips whole data
+    directories before listing/footers. With monotone ids (the
+    streaming-append shape) an append-range fetch opens only the new
+    directories. Correct because a semi-join keeps exactly rows whose
+    id is in the set, all of which lie inside the bound; NULL ids (not
+    expected from keyed tables) disable the bound."""
+    bounds = None
+    if id_col in (_snap.read_manifest(spark, table_path, v1).get("stats_cols") or []):
+        row = ids.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        if row["nn"] == 0 and row["lo"] is not None:
+            bounds = {id_col: (row["lo"], row["hi"])}
+    return _snap.read_snapshot(spark, table_path, v1, bounds=bounds).join(
         F.broadcast(ids), id_col, "left_semi"
     )
 

@@ -198,3 +198,61 @@ def test_view_vacuum_joins_the_tick(spark, tmp_path):
     assert maintenance.maintenance_plan(
         spark, {"view": view}, view_vacuum_after=3
     ) == []
+
+
+def test_tables_join_the_tick_with_consumer_aware_vacuum(spark, tmp_path):
+    """Snapshot tables are estate citizens too (r13): dir-count creep
+    triggers optimize (whose empty CDF keeps consumers incremental),
+    manifest hoarding triggers vacuum — with a keep_last floor that
+    protects the laggiest consumer's stamped version (here a view still
+    stamped on v1)."""
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    snap.snapshot_overwrite(
+        spark.createDataFrame(
+            [(i, "g", i) for i in range(20)], "id long, grp string, x long"
+        ),
+        table,
+    )
+    ivm.agg_view_create(spark, table, view, ["grp"],
+                        [("total", "sum", "x")])  # stamped at v1
+    for k in range(3):
+        snap.snapshot_append(
+            spark.createDataFrame(
+                [(100 + 10 * k + j, "g", j) for j in range(5)],
+                "id long, grp string, x long",
+            ),
+            table,
+        )
+    # cur = 4; view floor = 1 → vacuum must keep v1..v4 (+1 for the
+    # optimize landing first)
+    plan = maintenance.maintenance_plan(
+        spark, {"table": table, "view": view},
+        table_optimize_after_dirs=3, table_vacuum_after=4,
+    )
+    acts = [(a["kind"], a["action"]) for a in plan]
+    # the view is behind too (3 appends since its stamp)
+    assert ("view", "refresh") in acts
+    ti = [a for a in plan if a["kind"] == "table"]
+    assert [a["action"] for a in ti] == ["optimize", "vacuum"]
+    assert ti[1]["reason"]["consumer_floor"] == 1
+    assert ti[1]["reason"]["keep_last"] == 5  # (4 - 1 + 1) + 1 optimize
+    out = maintenance.maintenance_run(
+        spark, plan, reclaim_min_age_seconds=0.0
+    )
+    assert not out["skipped"]
+    cur = snap.current_version(spark, table)
+    assert cur == 5  # optimize landed
+    assert len(snap.read_manifest(spark, table, cur)["dirs"]) == 1
+    # the view's stamped manifest survived the vacuum…
+    snap.read_manifest(spark, table, 1)
+    # …and the view (refreshed by the tick before the rewrite) verifies
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    # clean estate: next tick proposes nothing for the table
+    plan2 = maintenance.maintenance_plan(
+        spark, {"table": table, "view": view},
+        table_optimize_after_dirs=3, table_vacuum_after=99,
+    )
+    assert not [a for a in plan2 if a["kind"] == "table"]

@@ -421,3 +421,33 @@ def test_append_shaped_id_collision_refuses(spark, tmp_path):
     want = sorted(map(tuple, search.bm25_topk(live, qdf, k=10)
                       .select(*cols).collect()))
     assert got == want
+
+
+def test_changed_rows_fetch_bounded_by_zone_maps(spark, tmp_path):
+    """Zone-map × sync composition: with stats declared on the id
+    column and monotone append ids, the changed-row fetch for an
+    append range opens only directories that can hold the new ids."""
+    table = str(tmp_path / "t")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, f"text {lo + i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    snap.snapshot_overwrite(mk(0, 30), table)
+    # re-declare stats via an append (overwrite accepted it too, but
+    # exercise stickiness)
+    snap.snapshot_append(mk(100, 30), table, stats_cols=["doc_id"])
+    snap.snapshot_append(mk(200, 30), table)
+    v1 = snap.current_version(spark, table)
+    new_ids = spark.createDataFrame(
+        [(200 + i,) for i in range(30)], "doc_id long"
+    )
+    # the bound [200, 229] must prune the first two directories
+    rep = snap.snapshot_prune_report(
+        spark, table, {"doc_id": (200, 229)}, v1
+    )
+    assert rep["total_dirs"] == 3 and rep["kept_dirs"] == 1
+    got = sorted(
+        r.doc_id
+        for r in sync._current_rows(spark, table, v1, new_ids, "doc_id").collect()
+    )
+    assert got == list(range(200, 230))

@@ -1949,14 +1949,20 @@ def zonemap_bench(spark, base: str, workdir: str, factor: int = 10) -> dict:
         corpus = parts[0]
         for pp in parts[1:]:
             corpus = corpus.unionByName(pp)
+        # bucket by YEAR — contiguous, disjoint date ranges per dir (a
+        # month(day) bucketing mixes every year into every dir and
+        # prunes nothing; the first run proved it, kept for the record)
         corpus = corpus.withColumn(
-            "month", F.month("day")
+            "yr", F.year("day")
         ).localCheckpoint()
         p = f"{workdir}/zm_{label}"
-        for m in range(1, 13):
+        years = sorted(
+            r[0] for r in corpus.select("yr").distinct().collect()
+        )
+        for i, yv in enumerate(years):
             snap.snapshot_append(
-                corpus.filter(F.col("month") == m).drop("month"), p,
-                stats_cols=["day"] if m == 1 else None,
+                corpus.filter(F.col("yr") == yv).drop("yr"), p,
+                stats_cols=["day"] if i == 0 else None,
             )
         n = corpus.count()
         import datetime
