@@ -102,6 +102,10 @@ def maintenance_plan(
             # range reads manifests from its synced version; an IVM
             # refresh reads the manifest at its stamp). keep_last is
             # max(table_keep_last, current - consumer floor + 1).
+            # SCOPE, loudly: the floor covers consumers listed in THIS
+            # targets dict — a view or index maintained outside the
+            # tick is invisible to it; register every consumer in the
+            # same tick, or keep table_keep_last generous.
             from ..sources import snapshots as _snaps
 
             import re as _re

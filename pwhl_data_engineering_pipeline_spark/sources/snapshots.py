@@ -192,29 +192,37 @@ def _stats_value(v):
         return str(v)
 
 
-def _dir_stats(spark, path: str, d: str, cols: list[str]) -> dict:
+def _dir_stats(spark, path: str, d: str, cols: list[str], strict: bool) -> dict:
     """Zone map for one data directory: {col: [min, max]} computed by a
     column-pruned aggregate over the WRITTEN files (reads only the stat
     columns; min/max ignore NULLs — an all-null column stores
     [None, None]). One small Spark job per commit, delta-sized for
-    appends."""
+    appends. ``strict`` (the explicit-declaration path) refuses a
+    missing column — a typo guard; the sticky-maintenance path treats
+    a commit that legally omits a declared column (additive schema
+    evolution: those rows read NULL) as all-NULL, i.e. [None, None],
+    which is exactly the prunable truth."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{path.rstrip('/')}/data/{d}")
     missing = [c for c in cols if c not in df.columns]
-    if missing:
+    if missing and strict:
         raise ValueError(
             f"stats_cols {missing} absent from written data ({df.columns})"
         )
+    present = [c for c in cols if c not in missing]
     row = df.agg(
-        *[e for c in cols for e in (
+        *[e for c in present for e in (
             F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")
         )]
-    ).collect()[0]
-    return {
+    ).collect()[0] if present else {}
+    out = {
         c: [_stats_value(row[f"__lo_{c}"]), _stats_value(row[f"__hi_{c}"])]
-        for c in cols
+        for c in present
     }
+    for c in missing:
+        out[c] = [None, None]
+    return out
 
 
 def _inherit_stats(parent_manifest: dict | None, dirs: list[str]) -> dict:
@@ -245,7 +253,9 @@ def _stats_extra(
     stats = _inherit_stats(pm, dirs)
     for d in dirs:
         if d not in stats:
-            stats[d] = _dir_stats(spark, path, d, list(cols))
+            stats[d] = _dir_stats(
+                spark, path, d, list(cols), strict=stats_cols is not None
+            )
     return {"stats_cols": list(cols), "dir_stats": stats}
 
 

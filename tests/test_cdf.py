@@ -379,3 +379,25 @@ def test_zone_maps_declaring_missing_column_raises(spark):
         S.snapshot_append(
             _rows(spark, [(1, "a", 1)]), f"{base}/t", stats_cols=["nope"]
         )
+
+
+def test_zone_maps_sticky_survives_column_omitting_append(spark):
+    """Additive schema evolution: an append legally omitting a declared
+    stats column records [None, None] for its dir (the rows read NULL
+    there — prunable truth), instead of failing the commit; an EXPLICIT
+    declaration naming a missing column still refuses (typo guard,
+    pinned by test_zone_maps_declaring_missing_column_raises)."""
+    base = tempfile.mkdtemp(prefix="zme_")
+    p = f"{base}/t"
+    S.snapshot_append(_rows(spark, [(1, "a", 10)]), p, stats_cols=["x"])
+    S.snapshot_append(
+        spark.createDataFrame([(2, "b")], "id int, s string"), p
+    )  # no x column — sticky maintenance must not raise
+    m = S.read_manifest(spark, p, S.current_version(spark, p))
+    vals = [v["x"] for v in m["dir_stats"].values()]
+    assert [None, None] in vals and [10, 10] in vals
+    # a bound on x prunes the x-less dir and keeps results = filter
+    got = S.read_snapshot(
+        spark, p, merge_schema=True, bounds={"x": (5, 15)}
+    ).collect()
+    assert [(r.id, r.x) for r in got] == [(1, 10)]
