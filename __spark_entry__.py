@@ -1001,6 +1001,58 @@ def q_ivm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.unionAll(census)
 
 
+def q_ivm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed approximate distincts in IVM (r13):
+    approx_count_distinct keeps HLL sketch state per group (Spark 4
+    DataSketches hll_sketch_agg), so an append-shaped refresh UNIONS
+    sketches instead of rescanning the source — the path stays 'append'
+    where exact count_distinct forces affected-group recompute (both
+    asserted in-job); deletes recompute (sketches cannot retract). The
+    hashed result carries each group's exact row count plus a
+    tolerance THEOREM FLAG (|estimate − exact| ≤ 10% of exact, exact
+    recomputed in-job over the surviving rows) — the house pattern for
+    approximate operators, since DuckDB's approx sketch differs."""
+    import tempfile
+
+    from pwhl_data_engineering_pipeline_spark.operators import ivm
+    from pwhl_data_engineering_pipeline_spark.sources import snapshots
+
+    base = tempfile.mkdtemp(prefix="ivma_")
+    src_path, view = f"{base}/src", f"{base}/view"
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("ck"),
+    )
+    snapshots.snapshot_overwrite(src.filter(F.col("id") % 3 != 2), src_path)
+    ivm.agg_view_create(
+        spark, src_path, view, ["grp"],
+        [("n", "count", None), ("uniq", "approx_count_distinct", "ck")],
+    )
+    snapshots.snapshot_append(src.filter(F.col("id") % 3 == 2), src_path)
+    r1 = ivm.agg_view_refresh(spark, view)
+    assert r1["path"] == "append", r1  # sketch union, no source rescan
+    snapshots.snapshot_delete(
+        src.filter(F.col("id") % 7 == 0).select("id"), src_path, ["id"]
+    )
+    r2 = ivm.agg_view_refresh(spark, view)
+    assert r2["path"] == "recompute_groups", r2
+    exact = (
+        snapshots.read_snapshot(spark, src_path)
+        .groupBy("grp")
+        .agg(F.countDistinct("ck").alias("__exact"))
+    )
+    return (
+        ivm.agg_view_read(spark, view)
+        .join(exact, "grp")
+        .select(
+            "grp", "n",
+            (F.abs(F.col("uniq") - F.col("__exact"))
+             <= 0.10 * F.col("__exact")).alias("approx_ok"),
+        )
+    )
+
+
 def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest zone maps (r13): per-data-dir min/max stamped at commit
     time (sticky stats_cols declaration), pruning whole directories at
@@ -4880,6 +4932,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ns_ivm_cdf": q_ivm_cdf,
         "ns_ivm_chain": q_ivm_chain,
         "ns_snapshot_prune": q_snapshot_prune,
+        "ns_ivm_approx": q_ivm_approx,
         "ns_index_sync": q_index_sync,
         "ns_index_sync_ivf": q_index_sync_ivf,
         "ns_mmr_diversify": q_mmr_diversify,
@@ -6888,6 +6941,16 @@ def _all_oracle_sql() -> dict[str, str]:
                (SELECT count(DISTINCT date_trunc('month', day)) FROM src
                 WHERE id % 7 = 0),
                NULL, NULL
+    """
+    # sketch-backed approximate distincts in IVM (r13): exact group
+    # counts hash directly; the estimate hashes as a tolerance theorem
+    # flag (oracle says TRUE for every group)
+    sql["ns_ivm_approx"] = """
+        SELECT o_orderpriority AS grp, count(*) AS n,
+               TRUE AS approx_ok
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        GROUP BY 1
     """
     # manifest zone maps (r13): the bounded read is exactly
     # scan-plus-filter (the pruning itself is asserted in-job)

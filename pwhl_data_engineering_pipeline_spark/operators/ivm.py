@@ -98,7 +98,16 @@ from pyspark.sql import DataFrame, functions as F
 from ..sources import snapshots as _snap
 
 _LINEAR = {"count", "sum", "avg"}
-_FNS = {"count", "sum", "avg", "min", "max", "count_distinct"}
+_FNS = {"count", "sum", "avg", "min", "max", "count_distinct",
+        "approx_count_distinct", "approx_count_distinct_merge"}
+# mergeable on INSERT-only deltas, recompute under deletes: min/max by
+# least/greatest, approx_count_distinct by DataSketches HLL union
+# (Spark 4 hll_sketch_agg/hll_union — register-wise max IS the sketch
+# of the union, so append-shaped refreshes never rescan the source;
+# sketches cannot retract, so deletes recompute affected groups exactly
+# like min/max). The Druid/Pinot continuous-aggregate pattern.
+_MERGE_ON_INSERT = {"min", "max", "approx_count_distinct",
+                    "approx_count_distinct_merge"}
 
 
 def _norm_aggs(aggs) -> list[dict]:
@@ -151,6 +160,15 @@ def _state_exprs(aggs: list[dict], sign=None) -> list:
             exprs.append(F.max(e).alias(n))
         elif fn == "count_distinct":
             exprs.append(F.countDistinct(e).alias(n))
+        elif fn == "approx_count_distinct":
+            # binary HLL sketch state (lgConfigK default 12, ~1.6% σ);
+            # NULL when the group's support is empty/all-NULL
+            exprs.append(F.hll_sketch_agg(e).alias(f"__ivm_h_{n}"))
+        elif fn == "approx_count_distinct_merge":
+            # the CHAIN twin: the column IS already an HLL sketch (an
+            # upstream view's __ivm_h_* state) — union, don't re-sketch.
+            # Monthly uniques from daily sketches, the Druid rollup.
+            exprs.append(F.hll_union_agg(e).alias(f"__ivm_h_{n}"))
     return exprs
 
 
@@ -160,6 +178,8 @@ def _state_cols(aggs: list[dict]) -> list[str]:
         n, fn = a["name"], a["fn"]
         if fn in ("sum", "avg"):
             cols += [f"__ivm_s_{n}", f"__ivm_nn_{n}"]
+        elif fn in ("approx_count_distinct", "approx_count_distinct_merge"):
+            cols.append(f"__ivm_h_{n}")
         else:
             cols.append(n)
     return cols
@@ -368,6 +388,17 @@ def _merge_linear(
             assert not deletes_present  # routed to recompute upstream
             f = F.least if fn == "min" else F.greatest
             cols.append(f(F.col(n), F.col(f"__d_{n}")).alias(n))
+        elif fn in ("approx_count_distinct", "approx_count_distinct_merge"):
+            assert not deletes_present  # sketches cannot retract
+            a_, b_ = F.col(f"__ivm_h_{n}"), F.col(f"__d___ivm_h_{n}")
+            # hll_union(NULL, x) is NULL — a group present on one side
+            # only must keep that side's sketch
+            cols.append(
+                F.when(a_.isNull(), b_)
+                .when(b_.isNull(), a_)
+                .otherwise(F.hll_union(a_, b_))
+                .alias(f"__ivm_h_{n}")
+            )
         else:  # count_distinct — routed to recompute upstream
             raise AssertionError("count_distinct cannot merge linearly")
     return merged.select(*cols).filter(F.col("__ivm_n") > 0)
@@ -421,7 +452,7 @@ def agg_view_refresh(spark, view_path: str, mode: str = "auto") -> dict:
     )
 
     has_cd = any(a["fn"] == "count_distinct" for a in aggs)
-    has_minmax = any(a["fn"] in ("min", "max") for a in aggs)
+    has_minmax = any(a["fn"] in _MERGE_ON_INSERT for a in aggs)
 
     delta_rows = None  # signed rows; None => insert-only new-rows frame
     inserts = None
@@ -688,26 +719,40 @@ def agg_view_read(spark, view_path: str, version: int | None = None) -> DataFram
                     F.col(f"__ivm_s_{n}") / F.col(f"__ivm_nn_{n}"),
                 ).alias(n)
             )
+        elif fn in ("approx_count_distinct", "approx_count_distinct_merge"):
+            # 0 over an empty/all-NULL support, matching count_distinct
+            cols.append(
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"__ivm_h_{n}")), F.lit(0)
+                ).alias(n)
+            )
         else:
             cols.append(F.col(n).alias(n))
     return state.select(*cols)
 
 
-def agg_view_verify(spark, view_path: str) -> dict:
+def agg_view_verify(spark, view_path: str, approx_rtol: float = 0.10) -> dict:
     """Operational yardstick (and the tests' differential): the view's
     presentation frame vs a full recompute over the source AT THE
     STAMPED VERSION. Returns {"equal", "view_rows", "recompute_rows"} —
-    row-exact comparison, so run it on exact-typed views (see the float
-    caveat in the module docstring)."""
+    row-exact comparison for exact aggregates (see the float caveat in
+    the module docstring). ``approx_count_distinct`` columns compare
+    within ``approx_rtol`` relative tolerance instead: a union-built
+    HLL sketch and a directly-aggregated one cover the same set but may
+    estimate slightly apart (the HIP estimator is update-order
+    sensitive), so bit-equality is the wrong contract there."""
     spec = _read_spec(spark, view_path)
     aggs = _norm_aggs(spec["aggs"])
+    keys = list(spec["keys"])
+    approx = [a["name"] for a in aggs
+              if a["fn"].startswith("approx_count_distinct")]
     got = agg_view_read(spark, view_path)
     want_state = _compute_state(
         _snap.read_snapshot(spark, spec["source"], spec["source_version"]),
-        list(spec["keys"]), aggs, spec.get("key_exprs") or None,
+        keys, aggs, spec.get("key_exprs") or None,
     )
     # present the recompute through the same derivation
-    cols = list(spec["keys"])
+    cols = list(keys)
     for a in aggs:
         n, fn = a["name"], a["fn"]
         if fn == "sum":
@@ -717,13 +762,37 @@ def agg_view_verify(spark, view_path: str) -> dict:
                 F.when(F.col(f"__ivm_nn_{n}") > 0,
                        F.col(f"__ivm_s_{n}") / F.col(f"__ivm_nn_{n}")).alias(n)
             )
+        elif fn in ("approx_count_distinct", "approx_count_distinct_merge"):
+            cols.append(
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"__ivm_h_{n}")), F.lit(0)
+                ).alias(n)
+            )
         else:
             cols.append(F.col(n))
     want = want_state.select(*cols)
-    a = got.exceptAll(want).count()
-    b = want.exceptAll(got).count()
+    exact_cols = [c for c in got.columns if c not in approx]
+    ge, we = got.select(*exact_cols), want.select(*exact_cols)
+    a = ge.exceptAll(we).count()
+    b = we.exceptAll(ge).count()
+    equal = a == 0 and b == 0
+    if equal and approx:
+        j = got.select(
+            *keys, *[F.col(c).alias(f"__g_{c}") for c in approx]
+        ).join(
+            want.select(*keys, *[F.col(c).alias(f"__w_{c}") for c in approx]),
+            keys, "full_outer",
+        )
+        off = j.filter(
+            " OR ".join(
+                f"(abs(coalesce(__g_{c}, -1) - coalesce(__w_{c}, -1)) > "
+                f"{approx_rtol} * greatest(coalesce(__w_{c}, 0), 1))"
+                for c in approx
+            )
+        ).count()
+        equal = off == 0
     return {
-        "equal": a == 0 and b == 0,
+        "equal": equal,
         "view_rows": got.count(),
         "recompute_rows": want.count(),
     }

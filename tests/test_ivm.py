@@ -640,3 +640,94 @@ def test_recompute_scan_bounded_by_zone_maps(spark, tmp_path):
         for row in ivm.agg_view_read(spark, view).collect()
     }
     assert got == want
+
+
+def test_approx_distinct_rides_algebraic_append_and_recomputes_on_delete(
+    spark, tmp_path
+):
+    """approx_count_distinct: HLL sketch state merges on append-shaped
+    refreshes (NO source rescan — the path stays 'append' even though
+    exact count_distinct would force recompute), recomputes under
+    deletes, and estimates within tolerance of the exact answer."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(["a", "b"][i % 2], lo + i, (lo + i) % 40) for i in range(n)],
+        "grp string, id long, val long",
+    )
+    snap.snapshot_overwrite(mk(0, 60), src)
+    ivm.agg_view_create(
+        spark, src, view, ["grp"],
+        [("n", "count", None), ("uniq", "approx_count_distinct", "val")],
+    )
+    snap.snapshot_append(mk(1000, 60), src)
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "append"  # sketch union, no rescan
+    assert ivm.agg_view_verify(spark, view)["equal"]
+    exact = {
+        row["grp"]: row["x"]
+        for row in snap.read_snapshot(spark, src)
+        .groupBy("grp").agg(F.countDistinct("val").alias("x")).collect()
+    }
+    got = {
+        row["grp"]: row["uniq"]
+        for row in ivm.agg_view_read(spark, view).collect()
+    }
+    for g, e in exact.items():
+        assert abs(got[g] - e) <= max(1, 0.05 * e), (g, got[g], e)
+    # deletes cannot retract a sketch → affected-group recompute
+    snap.snapshot_delete(
+        spark.createDataFrame([(i,) for i in range(0, 60, 2)], "id long"),
+        src, ["id"],
+    )
+    r = ivm.agg_view_refresh(spark, view)
+    assert r["path"] == "recompute_groups"
+    assert ivm.agg_view_verify(spark, view)["equal"]
+
+
+def test_sketch_chain_monthly_uniques_from_daily_sketches(spark, tmp_path):
+    """The Druid rollup chain: a daily view sketches visitor ids;
+    a monthly view UNIONS the daily sketches (approx_count_distinct_merge
+    over the upstream's __ivm_h_* state) — monthly uniques without ever
+    rescanning raw events."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    daily = str(tmp_path / "daily")
+    monthly = str(tmp_path / "monthly")
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i, datetime.date(2024, 1 + ((lo + i) % 2), 1 + (i % 20)),
+          (lo + i) % 33) for i in range(n)],
+        "id long, day date, visitor long",
+    )
+    snap.snapshot_overwrite(mk(0, 80), src)
+    ivm.agg_view_create(
+        spark, src, daily, ["day"],
+        [("uniq", "approx_count_distinct", "visitor")],
+    )
+    ivm.agg_view_create(
+        spark, daily, monthly, ["month"],
+        [("days", "count", None),
+         ("uniq", "approx_count_distinct_merge", "__ivm_h_uniq")],
+        key_exprs={"month": "CAST(date_trunc('MONTH', day) AS DATE)"},
+    )
+    snap.snapshot_append(mk(500, 40), src)
+    assert ivm.agg_view_refresh(spark, daily)["path"] == "append"
+    r = ivm.agg_view_refresh(spark, monthly)
+    # upstream feed carries delete+insert pairs for changed days →
+    # sketches can't retract → affected-month recompute (over the
+    # DAILY STATE, never the raw events)
+    assert r["path"] == "recompute_groups"
+    assert ivm.agg_view_verify(spark, monthly)["equal"]
+    exact = {
+        row["m"]: row["x"]
+        for row in snap.read_snapshot(spark, src)
+        .groupBy(F.expr("CAST(date_trunc('MONTH', day) AS DATE)").alias("m"))
+        .agg(F.countDistinct("visitor").alias("x")).collect()
+    }
+    got = {
+        row["month"]: (row["days"], row["uniq"])
+        for row in ivm.agg_view_read(spark, monthly).collect()
+    }
+    for m, e in exact.items():
+        assert abs(got[m][1] - e) <= max(1, 0.05 * e), (m, got[m], e)
