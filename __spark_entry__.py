@@ -3805,7 +3805,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     books = pqm.pq_train(emb, m=8, k=64, iters=5)
-    codes = pqm.pq_encode(emb, books)
+    # One encode pass total: the code frame feeds BOTH the ADC scoring
+    # pass and the 8-row code_map collect below — localCheckpoint pins it
+    # without registering a CacheManager entry a later identical plan
+    # (e.g. the bench's next timed run) could silently reuse.
+    codes = pqm.pq_encode(emb, books).localCheckpoint(eager=False)
     q_rows = sorted(
         emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r["vec_id"]
     )
@@ -3827,11 +3831,24 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 10)
         .select("query_id", "vec_id")
     )
-    hits = (
+    # n_results and hits@10 from ONE pass over the ADC top-k: a left join
+    # against the (unique-keyed) exact top-10 with an indicator column
+    # replaces the previous left_semi + separate count — the expensive
+    # encode→ADC subtree executes once, not once per aggregate.
+    # count(__hit) ≡ the left_semi count because `exact` is row_number-
+    # deduped on (query_id, vec_id).
+    hits_and_n = (
         top.select("query_id", "vec_id")
-        .join(exact, ["query_id", "vec_id"], "left_semi")
+        .join(
+            F.broadcast(exact.withColumn("__hit", F.lit(1))),
+            ["query_id", "vec_id"],
+            "left",
+        )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.count("__hit").alias("h"),
+        )
     )
     # theorem leg: reconstructed query vectors re-encode to identical codes
     m, k_eff, dsub = books.shape
@@ -3852,10 +3869,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, bool(reenc_ok[qid])) for qid, _ in queries],
         "query_id long, reencode_identical boolean",
     )
-    n_res = top.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
     return (
-        n_res.join(hits, "query_id")
-        .join(flags, "query_id")
+        hits_and_n.join(F.broadcast(flags), "query_id")
         .select(
             "query_id",
             "n_results",

@@ -53,6 +53,42 @@ def distinct_dim(df: DataFrame, cols: Sequence[str], not_null: str | None = None
     return out.distinct()
 
 
+#: Target bytes per range partition for the percentile sort — the guide's
+#: 100 MB-1 GB post-shuffle sizing band (spark_optimization_guide §2.2),
+#: aligned with AQE's advisory default rather than the core count.
+_RANGE_PARTITION_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _range_partition_count(df: DataFrame) -> int:
+    """Scale-adaptive partition count for an explicit range shuffle:
+    ``max(defaultParallelism, ceil(estimated bytes / 64 MB))``. The
+    estimate is Catalyst's optimized-plan sizeInBytes of the
+    (column-pruned) input. Two regimes, one formula:
+
+    - small inputs: the parallelism floor keeps the sort spread over the
+      cluster's cores (measured at sf0.1: 1 partition = 2.9 s single-task
+      sort, 32 partitions = 2.0 s — parallelism beats per-slice overhead
+      here);
+    - 100 TB inputs: the size term takes over and yields ~64 MB sorted
+      slices regardless of how the session's ``spark.sql.shuffle
+      .partitions`` constant was tuned — an explicit repartitionByRange
+      is NOT rewritten by AQE coalescing, so a flat conf value would
+      either starve (too few huge slices: spill) or shatter (M×R tiny
+      shuffle blocks) the range sort at scale.
+
+    Falls back to the shuffle-partition conf when the plan has no usable
+    estimate."""
+    sess = df.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimate unavailable (e.g. foreign plan nodes)
+        est = -1
+    if est <= 0:
+        return max(par, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
+    return max(1, par, -(-est // _RANGE_PARTITION_TARGET_BYTES))
+
+
 def exact_percentiles_distributed(
     df: DataFrame,
     group_col: str,
@@ -87,10 +123,10 @@ def exact_percentiles_distributed(
     (equivalence-tested)."""
     sess = df.sparkSession
     gtype = df.schema[group_col].dataType.simpleString()
-    n_parts = n_partitions or int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     base = df.select(F.col(group_col), F.col(value_col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    n_parts = n_partitions or _range_partition_count(base)
     # Range-partitioned but NOT pre-sorted: the global order the rank math
     # needs comes from the range boundaries alone (partition i's (group,
     # value) range precedes partition i+1's); within-partition order is

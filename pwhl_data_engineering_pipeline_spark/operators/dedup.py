@@ -1979,6 +1979,13 @@ def duplicate_spans(
     """
     wins = _window_grams(df, text_col, id_col, n)
     indexed = winnow(wins, winnow_w) if winnow_w is not None else wins
+    # The winnowed index feeds two consumers (the n_docs aggregate and the
+    # reporting join): pin it so the winnow's doc-ordered sort + two frame
+    # passes run ONCE, not once per consumer. Lazy localCheckpoint (not
+    # persist): materializes on the first consumer's job, and — unlike a
+    # CacheManager entry — cannot be silently reused by a later identical
+    # plan outside this call.
+    indexed = indexed.localCheckpoint(eager=False)
     docs_per_gram = (
         indexed.groupBy("gram_key")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

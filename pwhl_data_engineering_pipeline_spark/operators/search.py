@@ -78,8 +78,21 @@ def build_index(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
+    # ONE exchange instead of two (spark_optimization_guide §2.4): hash-
+    # distributing the token stream by doc_id up front satisfies BOTH the
+    # (doc_id, term) grouping's clustered distribution (equal pairs share a
+    # doc_id, so they share a partition) and the doc_len window's
+    # partitionBy(doc_id) — the tf aggregation and the window reuse the
+    # same shuffle, where grouping first would shuffle the postings a
+    # second time just to attach doc_len. The repartition has no explicit
+    # partition count, so AQE is free to coalesce it to data size. Cost:
+    # the shuffle carries raw token rows (Σtf) instead of map-side-reduced
+    # (doc_id, term, tf) partials — a ~tf-bar inflation of shuffle ONE in
+    # exchange for deleting shuffle TWO (≈ |postings| rows + its sort)
+    # outright.
     postings = (
-        toks.groupBy("doc_id", "term")
+        toks.repartition("doc_id")
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
@@ -112,10 +125,17 @@ def bm25_topk(
     postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
 
     # 1-row corpus scalars; crossJoin of a 1-row frame broadcasts.
-    corpus = postings.select("doc_id", "doc_len").distinct()
-    scalars = corpus.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avg_len"),
+    # Single pass over postings: n_docs = distinct doc count, avg_len =
+    # Σtf / n_docs (doc_len sums each doc's tf, so the per-doc average IS
+    # the global token count over the doc count — exact in float64 up to
+    # 2^53 tokens). The previous distinct-then-aggregate two-step shuffled
+    # every (doc_id, doc_len) posting pair before reducing; this shuffles
+    # one partial-aggregated row per partition.
+    scalars = postings.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("__total_tf"),
+    ).select(
+        "n_docs", (F.col("__total_tf") / F.col("n_docs")).alias("avg_len")
     )
 
     qterms = (

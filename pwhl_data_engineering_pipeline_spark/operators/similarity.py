@@ -1090,7 +1090,14 @@ def ivf_topk_pruned(
         routed, [query_id_col], [F.desc("__cs"), F.asc("centroid_id")], n_probe
     ).select(query_id_col, "__qvec", "centroid_id")
 
-    probe_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    # ONE execution of the routing subtree: the probe table is broadcast-
+    # small by contract (|Q| × n_probe — it feeds F.broadcast below), so
+    # collect it once and rebuild it as a local frame. Previously the
+    # distinct-ids collect AND the broadcast build each re-ran the
+    # route+rank plan; now the collect feeds both.
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, schema=probes.schema)
+    probe_ids = sorted({r["centroid_id"] for r in probe_rows})
     index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
     meta = _ivf_read_manifest(spark, index_path)
     if meta is not None:
