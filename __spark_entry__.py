@@ -33,6 +33,7 @@ if _REPO_ROOT not in sys.path:
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pwhl_data_engineering_pipeline_spark.sources.readers import local_frame as _local_frame
 from pwhl_data_engineering_pipeline_spark.functions import scalars, text, vectors
 from pwhl_data_engineering_pipeline_spark.functions.scalars import portable_round as pr
 from pwhl_data_engineering_pipeline_spark.operators import (
@@ -716,7 +717,7 @@ def q_snapshot_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         ).select(F.lit(leg).alias("leg"), "grp", "n_rows", "total_cents")
 
-    hist = spark.createDataFrame(
+    hist = _local_frame(spark, 
         [
             (m["op"], m["version"])
             for m in snapshots.snapshot_history(spark, path)
@@ -804,7 +805,7 @@ def q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         census.setdefault(k, [0, 0])
         census[k][0] += 1
         census[k][1] += r["touched_groups"]
-    paths = spark.createDataFrame(
+    paths = _local_frame(spark, 
         [(k, v[0], v[1]) for k, v in sorted(census.items())],
         "grp string, n long, nc long",
     ).select(
@@ -927,7 +928,7 @@ def q_ivm_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("view").alias("leg"), "grp", "lo", "hi", "total",
         null_l.alias("touched"),
     )
-    paths = spark.createDataFrame(
+    paths = _local_frame(spark, 
         [("append", r1["touched_groups"]),
          ("recompute_groups", r2["touched_groups"])],
         "grp string, touched long",
@@ -990,7 +991,7 @@ def q_ivm_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("view").alias("leg"), F.col("month").cast("string").alias("grp"),
         "days", "rows_", "total",
     )
-    census = spark.createDataFrame(
+    census = _local_frame(spark, 
         [("append_months", r_dn1["touched_groups"]),
          ("delete_months", r_dn2["touched_groups"])],
         "grp string, days long",
@@ -1123,8 +1124,15 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning: quality-filter → exact-dedup → per-lang
     stats. The canonical small training-data pipeline, fully expressible in
-    SQL (hence oracle-checked)."""
-    docs = _t(spark, sf_dir, "documents")
+    SQL (hence oracle-checked).
+
+    The repartition fans the single-split scan out before the heavy
+    regexp-chain quality expression (evaluated twice per row: once in the
+    pushed-down filter, once in the projection) — the same
+    single-task-scan pitfall as the n-gram queries (verify SKILL.md);
+    measured 1.2 s single-task → ~0.1 s spread over the cores."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
     scored = docs.withColumn("q", text.quality_score("text"))
     kept = dedup.dedup_exact(scored.filter(F.col("q") >= 0.5))
     return kept.groupBy("lang").agg(
@@ -2469,7 +2477,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries. Scores floor-rounded to 6 dp before ranking; (score desc,
     doc_id) tiebreak makes the top-k deterministic across engines."""
     docs = _t(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_topk(docs, qdf, k=10)
 
 
@@ -2486,7 +2494,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     idx = tempfile.mkdtemp(prefix="bm25_idx_") + "/index"
     search.bm25_index_write(docs, idx, n_buckets=32)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
@@ -2531,7 +2539,7 @@ def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, ["doc_id"],
     )
     syncm.sync_bm25(spark, table, idx, reclaim_min_age_seconds=0)
-    qdf = spark.createDataFrame(
+    qdf = _local_frame(spark, 
         _BM25_QUERIES + [("q_mark", "syncmarker")],
         "query_id string, query_text string",
     )
@@ -2605,7 +2613,7 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="bm25_inc_") + "/index"
     search.bm25_index_write(docs.filter(F.col("doc_id") % 2 == 0), idx, n_buckets=32)
     search.bm25_index_append(docs.filter(F.col("doc_id") % 2 != 0), idx)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
@@ -2626,7 +2634,7 @@ def q_bm25_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="bm25_champ_") + "/index"
     search.bm25_index_write(docs, idx, n_buckets=32)
     search.bm25_champions_write(spark, idx, m=10)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
@@ -2650,7 +2658,7 @@ def q_bm25_champions_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     search.bm25_index_append(docs.filter(F.col("doc_id") % 2 != 0), idx)
     obs = search.bm25_champions_refresh(spark, idx, m=10)
     assert obs["mode"] == "incremental", obs  # the O(new batch) path, not a rebuild
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
@@ -2756,7 +2764,7 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_stream(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, f"{tmp}/index", qdf, k=10)
 
 
@@ -2869,7 +2877,7 @@ def q_streaming_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {qq: sorted(v) for qq, v in out.items()}
 
     got, want = _rows(f"{tmp}/index"), _rows(mirror)
-    flags = spark.createDataFrame(
+    flags = _local_frame(spark, 
         [
             (qid, len(got.get(qid) or []), got.get(qid) == want.get(qid))
             for qid, _ in queries
@@ -3160,7 +3168,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = bpe.bpe_train(
         bpe.word_counts(docs), num_merges=16, checkpoint_every=8, return_counts=True
     )
-    merge_df = spark.createDataFrame(
+    merge_df = _local_frame(spark, 
         [("merge", i, a, b, n) for i, (a, b, n) in enumerate(triples)],
         "leg string, rank long, a string, b string, val long",
     )
@@ -3768,7 +3776,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    base = spark.createDataFrame([(int(q),) for q, _ in qvecs], "query_id long")
+    base = _local_frame(spark, [(int(q),) for q, _ in qvecs], "query_id long")
     joined = (
         base.join(hits(4, "__h4"), "query_id", "left")
         .join(hits(8, "__h8"), "query_id", "left")
@@ -3815,7 +3823,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
     top = pqm.pq_topk(codes, books, queries, k=10)
-    qdf = spark.createDataFrame(
+    qdf = _local_frame(spark, 
         [(qid, vec) for qid, vec in queries], "query_id long, qvec array<double>"
     )
     l2 = F.aggregate(
@@ -3865,7 +3873,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(m)
         ]
         reenc_ok[qid] = again == cs
-    flags = spark.createDataFrame(
+    flags = _local_frame(spark, 
         [(qid, bool(reenc_ok[qid])) for qid, _ in queries],
         "query_id long, reencode_identical boolean",
     )
@@ -3951,14 +3959,14 @@ def q_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {q: sorted(v) for q, v in out.items()}
 
     inc_rows, full_rows = _rows(top_inc), _rows(top_full)
-    eq_flags = spark.createDataFrame(
+    eq_flags = _local_frame(spark, 
         [
             (qid, inc_rows.get(qid) == full_rows.get(qid))
             for qid, _ in queries
         ],
         "query_id long, append_equals_full_build boolean",
     )
-    qdf = spark.createDataFrame(
+    qdf = _local_frame(spark, 
         [(qid, vec) for qid, vec in queries], "query_id long, qvec array<double>"
     )
     l2 = F.aggregate(
@@ -4048,13 +4056,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion arithmetic)."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     sparse = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
     qvec = (
         emb.filter(F.col("vec_id") < len(_BM25_QUERIES))
         .select(F.col("vec_id").alias("__qi"), "embedding")
         .join(
-            spark.createDataFrame(
+            _local_frame(spark, 
                 [(i, qid) for i, (qid, _) in enumerate(_BM25_QUERIES)],
                 "__qi long, query_id string",
             ),
@@ -4084,7 +4092,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pwhl_data_engineering_pipeline_spark.operators import evaluation
 
     docs = _t(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     results = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
     doc_terms = docs.select(
         "doc_id",
@@ -4133,7 +4141,7 @@ def q_bm25_champions_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ref["mode"] == "delete_merge", ref
     obs = search.bm25_index_compact(spark, idx, reclaim_min_age_seconds=0)
     assert obs.get("champions_restamped") == 1, obs
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10, champions_m=10)
 
 
@@ -4202,7 +4210,7 @@ def q_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, out
 
     leg = lambda name: F.lit(name).alias("leg")
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     bm25_leg = search.bm25_search_index(spark, bidx, qdf, k=10).select(
         leg("bm25"),
         F.col("query_id").alias("k1"),
@@ -4305,7 +4313,7 @@ def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     sparse = search.bm25_topk(docs, qdf, k=10).select("query_id", "doc_id", "rank")
 
     cent, assigned = similarity.ivf_index(emb, n_centroids=16)
@@ -4322,7 +4330,7 @@ def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_raw = pqm.ivf_adc_topk_rerank(
         spark, idx, emb, queries, k=10, n_probe=16, shortlist=emb.count()
     )
-    qmap = spark.createDataFrame(
+    qmap = _local_frame(spark, 
         [(i, qid) for i, (qid, _) in enumerate(_BM25_QUERIES)],
         "__qi long, __qid string",
     )
@@ -4399,7 +4407,7 @@ def q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pwhl_data_engineering_pipeline_spark.operators.search import _read_scalars
 
     assert not (_read_scalars(spark, idx).get("tombstones") or [])
-    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    qdf = _local_frame(spark, _BM25_QUERIES, "query_id string, query_text string")
     return search.bm25_search_index(spark, idx, qdf, k=10)
 
 
@@ -4689,7 +4697,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     bad_queries = {q for q, _, _ in got1 ^ want1}
-    lam1_flags = spark.createDataFrame(
+    lam1_flags = _local_frame(spark, 
         [(qid, qid not in bad_queries) for qid in range(8)],
         "query_id long, lambda1_matches_relevance boolean",
     )

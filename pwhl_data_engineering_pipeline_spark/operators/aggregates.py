@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.readers import local_frame
 
 
 def daily_rollup(
@@ -187,7 +188,7 @@ def exact_percentiles_distributed(
             local_to_global[(pid, g, rank - off)] = (g, rank)
         # eqNullSafe joins keep a NULL group key matching (a plain equi-join
         # drops it and KeyErrors at picked[(None, lo)])
-        tgt_df = sess.createDataFrame(
+        tgt_df = local_frame(sess, 
             sorted(
                 local_to_global,
                 key=lambda t: (t[0], t[1] is not None, t[1], t[2]),
@@ -223,7 +224,7 @@ def exact_percentiles_distributed(
     for g, p, lo, hi, frac in specs:
         vlo, vhi = picked[(g, lo)], picked[(g, hi)]
         rows.append((g, p, vlo + frac * (vhi - vlo)))
-    return sess.createDataFrame(rows, f"{group_col} {gtype}, percentile double, value double")
+    return local_frame(sess, rows, f"{group_col} {gtype}, percentile double, value double")
 
 
 def count_if(cond: Column) -> Column:

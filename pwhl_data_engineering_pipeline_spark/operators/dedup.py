@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..sources.readers import local_frame
 
 from ..functions.text import char_shingles, fingerprint, word_ngrams
 from ..functions.vectors import cosine
@@ -742,7 +743,7 @@ def minhash_incremental_pairs(
         from pyspark.sql import types as T
 
         idt = new_docs.schema[id_col].dataType
-        empty = spark.createDataFrame(
+        empty = local_frame(spark, 
             [],
             T.StructType(
                 [T.StructField("new_id", idt), T.StructField("corpus_id", idt)]
@@ -1322,14 +1323,21 @@ def _ngram_shared_counts(
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("g")
     ).persist()
-    sizes = grams.select(id_col, F.size("g").alias("sz"))
-    inv = grams.select(id_col, F.explode("g").alias("gram"))
+    # Carry each doc's gram-set size ON the posting row (+4 bytes) instead
+    # of joining the aggregated pair table back against a per-doc sizes
+    # frame twice: at scale those two joins re-shuffle the PAIR table (and
+    # the |docs|-sized sizes frame) once per side, which dwarfs the extra
+    # posting bytes (spark_optimization_guide §2.3 — shuffle a few bytes
+    # of metadata instead of re-shuffling the heavy stream).
+    inv = grams.select(
+        id_col, F.size("g").alias("__sz"), F.explode("g").alias("gram")
+    )
     if gram_key == "hash":
         # 8-byte SMJ/shuffle key instead of the gram string (see
         # ngram_jaccard_pairs docstring for the collision-probability
         # reading); computed map-side inside the explode stage, so the
         # gram text never leaves the scan stage
-        inv = inv.select(id_col, F.xxhash64("gram").alias("gram"))
+        inv = inv.select(id_col, "__sz", F.xxhash64("gram").alias("gram"))
     elif gram_key != "text":
         raise ValueError(f"gram_key must be 'text' or 'hash': {gram_key!r}")
     if max_gram_df == "auto":
@@ -1415,13 +1423,17 @@ def _ngram_shared_counts(
         shared = (
             a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                # constant within the group (one size per doc) — min is a
+                # deterministic pick that partial-aggregates map-side
+                F.min(F.col("a.__sz")).alias("sz_a"),
+                F.min(F.col("b.__sz")).alias("sz_b"),
+            )
         )
     else:
         shared = _ngram_pairs_chunked(inv, id_col, chunk_size)
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
-    return pin_handles(shared.join(sa, "id_a").join(sb, "id_b"), grams)
+    return pin_handles(shared.select("id_a", "id_b", "inter", "sz_a", "sz_b"), grams)
 
 
 def _ngram_pairs_chunked(inv: DataFrame, id_col: str, chunk_size: int) -> DataFrame:
@@ -1479,16 +1491,19 @@ def _ngram_pairs_chunked(inv: DataFrame, id_col: str, chunk_size: int) -> DataFr
     )
     left = posts.select(
         F.col(id_col).alias("__ida"),
+        F.col("__sz").alias("__sza"),
         "gram",
         F.col("__c").alias("__ti"),
         F.explode(F.sequence(F.col("__c"), F.col("__nch") - 1)).alias("__tj"),
     )
     right = posts.select(
         F.col(id_col).alias("__idb"),
+        F.col("__sz").alias("__szb"),
         "gram",
         F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("__ti"),
         F.col("__c").alias("__tj"),
     )
+    a_first = F.col("__ida") < F.col("__idb")
     return (
         left.join(
             right,
@@ -1501,7 +1516,12 @@ def _ngram_pairs_chunked(inv: DataFrame, id_col: str, chunk_size: int) -> DataFr
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            # size of the canonical lesser/greater id — constant per group
+            F.min(F.when(a_first, F.col("__sza")).otherwise(F.col("__szb"))).alias("sz_a"),
+            F.min(F.when(a_first, F.col("__szb")).otherwise(F.col("__sza"))).alias("sz_b"),
+        )
     )
 
 

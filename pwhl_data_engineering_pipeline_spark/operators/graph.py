@@ -32,6 +32,7 @@ re-read instead of the job (round-3 verdict finding #3).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..sources.readers import local_frame
 
 __all__ = [
     "connected_components",
@@ -139,7 +140,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
         [T.StructField("node", node_t), T.StructField("cluster_id", node_t)]
     )
     data = [(n, comp_min[find(n)]) for n in parent]
-    return spark.createDataFrame(data, schema)
+    return local_frame(spark, data, schema)
 
 
 def _complete_rounds(spark, base: str) -> list[int]:

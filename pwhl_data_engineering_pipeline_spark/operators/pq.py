@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..sources.readers import local_frame
 
 from .windows import top_k_per_group
 
@@ -320,7 +321,7 @@ def ivf_pq_topk(
         for cid in _route_cells(C, cids, vec, n_probe)
     ]
     spark = codes_df.sparkSession
-    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
+    probe_df = local_frame(spark, probes, "query_id long, centroid_id int")
     scoped = (
         assigned.select(id_col, "centroid_id")
         .join(F.broadcast(probe_df), "centroid_id")
@@ -446,7 +447,7 @@ def ivf_adc_topk(
                 yield pd.concat(frames, ignore_index=True)
 
     spark = res_codes.sparkSession
-    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
+    probe_df = local_frame(spark, probes, "query_id long, centroid_id int")
     scoped = res_codes.join(F.broadcast(probe_df), "centroid_id").select(
         "query_id", "centroid_id", F.col(id_col).alias("__id"), "codes"
     )
@@ -647,7 +648,7 @@ def _pq_meta_write(spark, path: str, set_id: str, codebooks, centroids) -> None:
         for c in range(k_eff)
     ]
     root = path.rstrip("/") + f"/_pq_meta/{set_id}"
-    spark.createDataFrame(
+    local_frame(spark, 
         flat, "subspace int, code int, entry array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{root}/books")
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
@@ -1317,7 +1318,7 @@ def ivf_adc_topk_rerank(
         spark, path, queries, k=shortlist, n_probe=n_probe, id_col=id_col,
         allowed_ids=allowed_ids,
     ).select("query_id", F.col("vec_id").alias(id_col))
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "query_id long, __qv array<double>",
     )

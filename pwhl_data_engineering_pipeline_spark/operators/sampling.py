@@ -31,6 +31,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.readers import local_frame
 
 # Denominator for hash bucketing: rates are resolved to integer
 # per-ten-thousand thresholds so the boundary comparison is exact integer
@@ -288,7 +289,7 @@ def temperature_sample(
     }
     spark = df.sparkSession
     slice_type = df.schema[slice_col].dataType.simpleString()
-    kdf = spark.createDataFrame(
+    kdf = local_frame(spark, 
         [(s, k) for s, k in targets.items()], f"{slice_col} {slice_type}, __k long"
     )
     order = _hash_bucket(F.col(key_col), seed)

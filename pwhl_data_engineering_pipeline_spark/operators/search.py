@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.readers import local_frame
 
 from ..functions.text import tokens as _text_tokens
 
@@ -74,25 +75,28 @@ def build_index(
     scored join), so the corpus tokenize+aggregate runs once, not once per
     branch. Off by default: persisted-index pipelines already materialize.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col))).alias("term"),
-    ).filter(F.col("term") != "")
     # ONE exchange instead of two (spark_optimization_guide §2.4): hash-
-    # distributing the token stream by doc_id up front satisfies BOTH the
-    # (doc_id, term) grouping's clustered distribution (equal pairs share a
-    # doc_id, so they share a partition) and the doc_len window's
-    # partitionBy(doc_id) — the tf aggregation and the window reuse the
-    # same shuffle, where grouping first would shuffle the postings a
-    # second time just to attach doc_len. The repartition has no explicit
-    # partition count, so AQE is free to coalesce it to data size. Cost:
-    # the shuffle carries raw token rows (Σtf) instead of map-side-reduced
-    # (doc_id, term, tf) partials — a ~tf-bar inflation of shuffle ONE in
-    # exchange for deleting shuffle TWO (≈ |postings| rows + its sort)
-    # outright.
+    # distribute the DOCUMENTS by doc_id before tokenizing. The resulting
+    # hashpartitioning(doc_id) survives the project/explode/filter chain
+    # and satisfies BOTH the (doc_id, term) grouping's clustered
+    # distribution (equal pairs share a doc_id, so they share a partition)
+    # and the doc_len window's partitionBy(doc_id) — so the tf aggregation
+    # and the window run with NO further shuffle, where grouping first
+    # would shuffle the postings a second time just to attach doc_len.
+    # Shuffling doc text ≈ shuffling the token stream byte-wise, but the
+    # tokenize now runs at shuffle parallelism even when the input is a
+    # single-split file (a one-task regexp stage was the measured wall
+    # here). No explicit partition count, so AQE is free to coalesce.
+    toks = (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
     postings = (
-        toks.repartition("doc_id")
-        .groupBy("doc_id", "term")
+        toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
             "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
@@ -2042,7 +2046,7 @@ def bm25_search_index(
                 T.StructField("rank", T.IntegerType(), nullable=False),
             ]
         )
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
 
     # Sum df across append SEGMENTS per term (bm25_index_append writes
     # new stats rows instead of rewriting; df is additive over disjoint

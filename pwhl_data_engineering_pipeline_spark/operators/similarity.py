@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..sources.readers import local_frame
 
 from ..functions.scalars import portable_round
 from ..functions.vectors import cosine, random_hyperplane_signs
@@ -215,7 +216,7 @@ def _train_centroids(
         # degeneracy handling; cell count can shrink, never grow)
         rows = means.select("centroid_id", "centroid").collect()
         sess = corpus.sparkSession
-        cent = sess.createDataFrame(
+        cent = local_frame(sess, 
             [(int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in rows],
             "centroid_id int, centroid_vec array<double>",
         )
@@ -1096,7 +1097,7 @@ def ivf_topk_pruned(
     # distinct-ids collect AND the broadcast build each re-ran the
     # route+rank plan; now the collect feeds both.
     probe_rows = probes.collect()
-    probes = spark.createDataFrame(probe_rows, schema=probes.schema)
+    probes = local_frame(spark, probe_rows, probes.schema)
     probe_ids = sorted({r["centroid_id"] for r in probe_rows})
     index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
     meta = _ivf_read_manifest(spark, index_path)

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .sources.readers import local_frame
 
 log = logging.getLogger("pwhl_spark.quality")
 
@@ -239,7 +240,7 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
         )
         for i, c in enumerate(cols)
     ]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         out,
         "column string, dtype string, n_rows long, n_nulls long, "
         "null_rate double, approx_distinct long, min string, max string",

