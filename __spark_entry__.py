@@ -3075,7 +3075,8 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text JVM-side, and summarized. The DuckDB oracle wraps identically and
     strips through html_strip_sql — generated from the SAME step table,
     so the regexp chain cannot drift between engines."""
-    docs = _t(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part)
     html = F.concat(
         F.lit("<html><head><style>p{color:red}</style>"
               "<script>var x = 1 < 2;</script></head><body><!-- c --><h1>Doc "),
