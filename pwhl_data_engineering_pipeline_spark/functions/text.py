@@ -151,13 +151,24 @@ def char_shingles(c: ColumnOrName, k: int = 5) -> Column:
 
 
 def word_ngrams(c: ColumnOrName, n: int = 3) -> Column:
-    """Word n-gram set → array<string> (distinct), for Jaccard similarity."""
+    """Word n-gram set → array<string> (distinct), for Jaccard similarity.
+
+    The tokens array is LET-BOUND via ``transform(array(toks), t -> ...)[0]``
+    (the binding trick minhash_bands already uses): referencing ``toks``
+    directly inside the per-gram lambda would re-evaluate the whole
+    trim/lower/split tokenization once per SLICE REFERENCE per gram —
+    interpreted HOF lambdas get no common-subexpression lifting, so the
+    inlined form retokenizes the document O(grams) times (measured: the
+    gram build was the dominant CPU of every n-gram query)."""
     toks = tokens(F.lower(_col(c)))
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        )
+
+    return F.transform(F.array(toks), build)[0]
 
 
 REDACTION_PATTERNS = {

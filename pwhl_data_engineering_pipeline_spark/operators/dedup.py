@@ -1908,22 +1908,28 @@ def _window_grams(
     n-token strings. pos is the 0-based token offset of the window start."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), cnt - F.lit(n))
     # Build the window-struct ARRAY in its own pinned stage, then explode:
     # an interpreted HOF collapsed into a Generate input pays per-OUTPUT-row
     # evaluation (see _ngram_shared_counts — measured 24× on the same
-    # shape, and this transform also re-runs md5 per window).
-    arrays = df.filter(cnt >= n).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
+    # shape, and this transform also re-runs md5 per window). The tokens
+    # array is additionally bind_once-bound: an inlined `toks` inside the
+    # per-window lambda re-splits the document text once per window
+    # reference — interpreted lambdas get no common-subexpression lifting.
+    def _wins(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - F.lit(n))
+        return F.transform(
             idx,
             lambda i: F.struct(
                 i.alias("pos"),
                 F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16
+                    F.md5(F.concat_ws(" ", F.slice(t, i + 1, n))), 1, 16
                 ).alias("gram_key"),
             ),
-        ).alias("ws"),
+        )
+
+    arrays = df.filter(cnt >= n).select(
+        F.col(id_col).alias("doc_id"),
+        bind_once(toks, _wins).alias("ws"),
     ).persist()
     return pin_handles(
         arrays.select("doc_id", F.explode("ws").alias("w")).select(

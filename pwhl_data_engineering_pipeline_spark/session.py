@@ -29,11 +29,14 @@ ENGINE_CONF: dict[str, str] = {
     # AQE's coalescing floor: the 1 MB default serializes any post-shuffle
     # stage under ~32 MB onto a single task slot (parallelismFirst only
     # protects parallelism down to minPartitionSize), which single-threads
-    # window/sort stages over small-but-CPU-heavy data. 64 KB keeps those
-    # stages spread across the cores; stages past the advisory size are
-    # untouched, so this is size-adaptive, not a core-count tune (measured
-    # at sf0.1: sessionization/SCD2 windows 0.81/0.85 s → 0.50/0.46 s).
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # window/sort stages over small-but-CPU-heavy data. 256 KB keeps those
+    # stages spread across the cores without shattering small shuffles
+    # into per-task-overhead-dominated fragments (A/B over an 11-query
+    # slice at sf0.1: 1m → 10.3-12.8 s, 64k → 10.3-10.5 s, 256k →
+    # 9.3-10.1 s; sessionization/SCD2 windows alone 0.81/0.85 s →
+    # 0.43/0.43 s). Stages past the advisory size are untouched, so this
+    # is size-adaptive, not a core-count tune.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
