@@ -76,15 +76,22 @@ def pq_train(
     codebooks on any cluster layout."""
     import numpy as np
 
-    rows = (
+    sample_df = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .withColumn("__r", F.pmod(F.xxhash64(F.col("__id").cast("string"), F.lit(seed)), 1_000_000_000))
         .orderBy("__r", "__id")
         .limit(sample)
         .select("__v")
-        .collect()
     )
-    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    try:
+        # Arrow collect: the sample is up to 50k × D float64 — the pickled
+        # row path spends ~0.3 s serializing what Arrow moves in one
+        # columnar batch (guide §6: Arrow for driver transfers). Same rows,
+        # same float64 bits.
+        vecs = sample_df.toArrow().column("__v").to_pylist()
+        X = np.array(vecs, dtype=np.float64)
+    except Exception:  # Arrow unavailable: classic collect
+        X = np.array([r["__v"] for r in sample_df.collect()], dtype=np.float64)
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")

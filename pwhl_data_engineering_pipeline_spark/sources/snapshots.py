@@ -549,6 +549,13 @@ def snapshot_merge(
     from pyspark.sql import functions as F
 
     spark = updates.sparkSession
+    # The updates frame is consumed up to three times per attempt (the
+    # rewrite's anti-join keys, the rewrite's union leg, and the CDF
+    # insert leg) and may be an arbitrarily expensive upstream plan; pin
+    # it once — it is delta-sized by definition, and a lazy
+    # localCheckpoint materializes on the first consumer without
+    # registering a CacheManager entry.
+    updates = updates.localCheckpoint(eager=False)
     attempt = 0
     while True:
         cur = current_version(spark, path)
@@ -638,6 +645,10 @@ def snapshot_delete(
     from pyspark.sql import functions as F
 
     spark = ids.sparkSession
+    # same rationale as snapshot_merge: the ids frame feeds both the
+    # anti-join rewrite and the CDF semi-join — pin the (delta-sized)
+    # frame so its plan runs once per attempt
+    ids = ids.localCheckpoint(eager=False)
     attempt = 0
     while True:
         cur = current_version(spark, path)
