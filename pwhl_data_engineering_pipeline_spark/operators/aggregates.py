@@ -59,6 +59,12 @@ def distinct_dim(df: DataFrame, cols: Sequence[str], not_null: str | None = None
 #: aligned with AQE's advisory default rather than the core count.
 _RANGE_PARTITION_TARGET_BYTES = 64 * 1024 * 1024
 
+#: Ceiling on the derived range-partition count: 2^20 × 64 MB slices
+#: ≈ 64 TB of sort input per job — far past any single range sort here,
+#: and comfortably under Java Int.MaxValue so the py4j call can't
+#: overflow on a garbage size estimate.
+_RANGE_PARTITION_MAX = 1 << 20
+
 
 def _range_partition_count(df: DataFrame) -> int:
     """Scale-adaptive partition count for an explicit range shuffle:
@@ -78,16 +84,21 @@ def _range_partition_count(df: DataFrame) -> int:
       shuffle blocks) the range sort at scale.
 
     Falls back to the shuffle-partition conf when the plan has no usable
-    estimate."""
+    estimate — including the Long.MaxValue "unknown" sentinel that
+    RDD-backed plans (plain createDataFrame, localCheckpointed frames)
+    report (ADVICE r13 high: the sentinel divided to ~1.4e11 partitions
+    and repartitionByRange overflowed Java int). Implausible estimates
+    (<= 0 or >= 2^60) are treated as unavailable, and the result is
+    clamped to a ceiling well under Int.MaxValue."""
     sess = df.sparkSession
     par = sess.sparkContext.defaultParallelism
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # estimate unavailable (e.g. foreign plan nodes)
+    except Exception:  # estimate unavailable (e.g. Connect, foreign plan nodes)
         est = -1
-    if est <= 0:
+    if est <= 0 or est >= 1 << 60:
         return max(par, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
-    return max(1, par, -(-est // _RANGE_PARTITION_TARGET_BYTES))
+    return min(_RANGE_PARTITION_MAX, max(1, par, -(-est // _RANGE_PARTITION_TARGET_BYTES)))
 
 
 def exact_percentiles_distributed(

@@ -102,6 +102,12 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
         else:
             struct = schema
         names = [f.name for f in struct.fields]
+        # dict(zip(...)) would silently NULL-pad short rows and drop extra
+        # trailing values where classic createDataFrame raises (ADVICE r13
+        # low) — reject length mismatches up front so malformed caller
+        # input fails loudly on the classic path below.
+        if any(len(r) != len(names) for r in rows):
+            raise ValueError("row length != schema length")
         tbl = pa.Table.from_pylist(
             [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(struct)
         )

@@ -1,0 +1,74 @@
+"""Round-14 optimization pins: each test freezes a fix's contract so a
+refactor can't silently reintroduce the bug or undo the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestRangePartitionSentinel:
+    """ADVICE r13 high: RDD-backed plans report the Long.MaxValue
+    sizeInBytes sentinel; the derived range-partition count must fall
+    back to the conf instead of overflowing Java int."""
+
+    def test_createdataframe_input_falls_back(self, spark):
+        from pwhl_data_engineering_pipeline_spark.operators.aggregates import (
+            _range_partition_count,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(50)], "g string, v double"
+        )
+        n = _range_partition_count(df)
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        par = spark.sparkContext.defaultParallelism
+        assert n == max(par, conf)
+
+    def test_percentiles_work_on_createdataframe_input(self, spark):
+        from pwhl_data_engineering_pipeline_spark.operators.aggregates import (
+            exact_percentiles_distributed,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(100)], "g string, v double"
+        )
+        rows = exact_percentiles_distributed(df, "g", "v", [0.5]).collect()
+        assert len(rows) == 1 and rows[0]["value"] == pytest.approx(49.5)
+
+    def test_localcheckpoint_input_falls_back(self, spark, sf_dir):
+        from pwhl_data_engineering_pipeline_spark.operators.aggregates import (
+            _RANGE_PARTITION_MAX,
+            _range_partition_count,
+        )
+        from pwhl_data_engineering_pipeline_spark.sources.readers import (
+            read_testdata,
+        )
+
+        df = read_testdata(spark, sf_dir, "orders").localCheckpoint(eager=False)
+        assert _range_partition_count(df) <= _RANGE_PARTITION_MAX
+
+
+class TestLocalFrameRowLength:
+    """ADVICE r13 low: a row shorter/longer than the schema must raise
+    (the classic createDataFrame contract), never silently NULL-pad or
+    drop trailing values."""
+
+    def test_short_row_raises(self, spark):
+        from pwhl_data_engineering_pipeline_spark.sources.readers import local_frame
+
+        with pytest.raises(Exception):
+            local_frame(spark, [(1,), (2, "y")], "a long, b string").collect()
+
+    def test_long_row_raises(self, spark):
+        from pwhl_data_engineering_pipeline_spark.sources.readers import local_frame
+
+        with pytest.raises(Exception):
+            local_frame(spark, [(1, "x", 99)], "a long, b string").collect()
+
+    def test_good_rows_still_localrelation(self, spark):
+        from pwhl_data_engineering_pipeline_spark.sources.readers import local_frame
+
+        df = local_frame(spark, [(1, "x"), (2, "y")], "a long, b string")
+        assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+        assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
