@@ -84,6 +84,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flagship (entry): revenue per order priority — A2/A3/A5/A6 + J6 + O2
 # ---------------------------------------------------------------------------
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a NARROW scan out before CPU-heavy per-row work (tokenize,
+    regexp chains, signatures).
+
+    Gated on the scan's actual split count (r14, VERDICT r13 #1): when
+    the input already carries enough native splits — every real table at
+    100 TB — this is a no-op, so the full-corpus round-robin exchange
+    exists only where it buys parallelism (the single-file local
+    testdata tables, whose scans arrive as ONE split). Width when it
+    fires: half the cores as the parallelism floor (interleaved A/B at
+    sf0.1: 16 beats 32 on corpus_clean/decontaminate and ties
+    html_extract — per-task fixed cost dominates these small stages;
+    r14 notes) with a 64 MB-slice size term so a genuinely large narrow
+    input (one huge unsplittable file) still spreads data-proportionally.
+    """
+    par = spark.sparkContext.defaultParallelism
+    floor = max(2, par // 2)
+    try:
+        scan = df.rdd.getNumPartitions()
+    except Exception:  # Connect sessions: no RDD handle — keep the old shape
+        scan = 1
+    if scan >= floor:
+        return df
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = -1
+    if est <= 0 or est >= 1 << 60:  # unusable / Long.MaxValue sentinel
+        width = floor
+    else:
+        width = min(1 << 20, max(floor, -(-est // (64 * 1024 * 1024))))
+    return df.repartition(width)
+
+
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level aggregation: lineitem pre-aggregates to orderkey grain
     (map-side partial + one keyed shuffle that AQE co-plans with the join),
@@ -1131,8 +1165,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed-down filter, once in the projection) — the same
     single-task-scan pitfall as the n-gram queries (verify SKILL.md);
     measured 1.2 s single-task → ~0.1 s spread over the cores."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     scored = docs.withColumn("q", text.quality_score("text"))
     kept = dedup.dedup_exact(scored.filter(F.col("q") >= 0.5))
     return kept.groupBy("lang").agg(
@@ -2197,11 +2230,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: word-3-gram Jaccard pairs via inverted-index join.
     Repartition fans the single-file scan out before the interpreted-HOF
     gram stage (the expensive part — see q_decontaminate)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 500)
-        .repartition(n_part)
+    docs = _fan_out(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     )
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_gram_df=1000)
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
@@ -2214,11 +2244,8 @@ def q_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes generate candidates, array_intersect verifies). The oracle is
     the plain UNCAPPED relational mirror, so a hash match proves the
     prefix-filter theorem held end to end on this corpus."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 500)
-        .repartition(n_part)
+    docs = _fan_out(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     )
     pairs = dedup.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2)
     return pairs.select("id_a", "id_b", pr("jaccard", 6).alias("jaccard"))
@@ -2237,11 +2264,8 @@ def q_dedup_cluster_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle mirrors the components with a DuckDB recursive CTE (min-label
     propagation), so the iterative distributed algorithm is hash-checked
     end-to-end, not just property-tested."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 500)
-        .repartition(n_part)
+    docs = _fan_out(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     )
     # Both legs consume the pair table (pair rows + components input) and
     # components additionally iterates over it: materialize the expensive
@@ -2269,8 +2293,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 word-4-gram with the
     "benchmark" slice (doc_id % 17 == 0). Eval gram index broadcasts; the
     corpus side never shuffles pre-aggregation."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     evalset = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return dedup.ngram_contamination(corpus, evalset, n=4, min_shared=1)
@@ -2308,8 +2331,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition first: the testdata table is a single parquet file → one
     # scan task; signature hashing should use every core. At cluster scale
     # the input is many files and this is a no-op choice.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corpus = _planted_corpus(spark, sf_dir).repartition(n_part)
+    corpus = _fan_out(spark, _planted_corpus(spark, sf_dir))
     # 8 rows/band → collision prob ≈ J⁸: only genuinely similar docs collide,
     # keeping the bucket expansion bounded on highly-overlapping corpora.
     verified = dedup.minhash_verified_pairs(
@@ -2372,8 +2394,7 @@ def q_minhash_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeding it, DuckDB-recomputed, so on a data shape where the cap CAN
     bite, a nonzero guard diagnoses any multi-survivor count as data
     shape, not a pipeline bug. 0 at every tested SF."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     surv = (
         dedup.dedup_minhash(docs, jaccard_threshold=0.8, num_hashes=64, num_bands=8)
         .select("doc_id", "text")
@@ -2450,11 +2471,8 @@ def q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 over word-3-grams):
     the quote-inclusion detector resemblance misses."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 500)
-        .repartition(n_part)
+    docs = _fan_out(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     )
     pairs = dedup.ngram_containment_pairs(docs, n=3, threshold=0.8, max_gram_df=1000)
     return pairs.select(
@@ -3025,8 +3043,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (Lee et al. 2022) with a Schleimer-winnowing index thinning.
     Every reported (doc, pos) is an exact 10-token window shared verbatim
     with ≥1 other document."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     return dedup.duplicate_spans(docs, n=10, winnow_w=4)
 
 
@@ -3075,8 +3092,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text JVM-side, and summarized. The DuckDB oracle wraps identically and
     strips through html_strip_sql — generated from the SAME step table,
     so the regexp chain cannot drift between engines."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit("<html><head><style>p{color:red}</style>"
               "<script>var x = 1 < 2;</script></head><body><!-- c --><h1>Doc "),
@@ -3173,8 +3189,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("merge", i, a, b, n) for i, (a, b, n) in enumerate(triples)],
         "leg string, rank long, a string, b string, val long",
     )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    enc = bpe.bpe_encode(docs.repartition(n_part), [(a, b) for a, b, _ in triples])
+    enc = bpe.bpe_encode(_fan_out(spark, docs), [(a, b) for a, b, _ in triples])
     census = enc.agg(
         F.sum(F.size("bpe_tokens")).cast("long").alias("val")
     ).select(
@@ -3474,8 +3489,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns_dedup_incremental_full."""
     import tempfile
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     mid = 250
     corpus = docs.filter(F.col("doc_id") < mid)
     planted = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -3529,8 +3543,7 @@ def q_dedup_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading as a pipeline bug. 0 at every tested SF."""
     import tempfile
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     mid = 250
     corpus = docs.filter(F.col("doc_id") < mid)
     planted = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -3592,8 +3605,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrate — measured 625-doc buckets at sf0.1, where the default
     64-cap silently drops two text-identical pairs), and this query's job
     is exactness at test scale; the production shape keeps the cap."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corpus = _planted_corpus(spark, sf_dir).repartition(n_part)
+    corpus = _fan_out(spark, _planted_corpus(spark, sf_dir))
     pairs = dedup.simhash_near_pairs(
         corpus, max_hamming=12, n_bands=4, max_bucket=None, method="arrow"
     )
@@ -3631,8 +3643,7 @@ def q_simhash_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     all at hamming 0, which is the leg with bite. The deterministic
     uncapped slice is hash-checked pairwise by ns_simhash_pairs; bench
     times the raw pair stage via its own callable (bench.py)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     pairs = dedup.simhash_near_pairs(
         docs, max_hamming=12, n_bands=4, method="arrow"
     ).localCheckpoint(eager=False)
@@ -4433,8 +4444,7 @@ def q_minhash_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the delete observables and the purged path's clean manifest."""
     import tempfile
 
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _t(spark, sf_dir, "documents").repartition(n_part)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     mid = 250
     corpus = docs.filter(F.col("doc_id") < mid)
     batch = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(

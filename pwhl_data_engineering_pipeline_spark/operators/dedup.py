@@ -1297,6 +1297,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def _posting_partitions(df: DataFrame) -> int:
+    """Width for the gram-clustered posting cache: a parallelism floor of
+    ``defaultParallelism / 4`` and a size term that takes over at scale.
+
+    The floor, not the full core count: the family's cached stages are
+    small and per-task fixed cost dominates them (width sweep at sf0.1,
+    fresh build per run: 32 partitions → 1.34-1.58 s, 16/8/4 → 0.74-0.88 s,
+    flat across 4-16 — r14 notes), while the downstream pair expansion
+    still wants several slots of parallelism. The size term (postings ≈
+    3-4× the input text bytes, ~64 MB posting slices) grows the width on
+    real corpora, so this is data-proportional, not a core-count tune;
+    the estimate guards against the Long.MaxValue sentinel like
+    aggregates._range_partition_count."""
+    sess = df.sparkSession
+    par = max(1, sess.sparkContext.defaultParallelism // 4)
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimate unavailable (e.g. Connect, foreign plans)
+        est = -1
+    if est <= 0 or est >= 1 << 60:
+        return max(par, -(-int(sess.conf.get("spark.sql.shuffle.partitions", "32")) // 4))
+    return min(1 << 20, max(par, -(-est * 4 // (64 * 1024 * 1024))))
+
+
 def _ngram_shared_counts(
     df: DataFrame,
     text_col: str,
@@ -1318,8 +1342,8 @@ def _ngram_shared_counts(
     # the projection collapses straight through it). persist(), not
     # localCheckpoint: the cache is corpus-sized, and persist keeps lineage
     # so an executor loss recomputes partitions instead of failing the job.
-    # The pin also serves the sizes leg and both sides of the self-join, so
-    # the n-gram build runs exactly once.
+    # The array pin is consumed exactly once (the posting-frame
+    # materialization below); it exists purely as the Generate barrier.
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("g")
     ).persist()
@@ -1333,13 +1357,25 @@ def _ngram_shared_counts(
         id_col, F.size("g").alias("__sz"), F.explode("g").alias("gram")
     )
     if gram_key == "hash":
-        # 8-byte SMJ/shuffle key instead of the gram string (see
+        # 8-byte shuffle key instead of the gram string (see
         # ngram_jaccard_pairs docstring for the collision-probability
         # reading); computed map-side inside the explode stage, so the
         # gram text never leaves the scan stage
         inv = inv.select(id_col, "__sz", F.xxhash64("gram").alias("gram"))
     elif gram_key != "text":
         raise ValueError(f"gram_key must be 'text' or 'hash': {gram_key!r}")
+    # Persist the POSTINGS gram-clustered (r14): the df histogram
+    # ("auto"), the stop-gram count, the Σ df² budget check, and the
+    # pair grouping below all consume the exploded stream, and each
+    # previously re-ran the explode (and, on the self-join sides, the
+    # whole inverted-index subtree). One explode, N cached scans — and
+    # because every consumer aggregates BY GRAM, clustering the cache on
+    # gram makes each partial aggregation a perfect map-side reduction
+    # (one row per gram leaves the map stage). A/B measured (r14 notes):
+    # clustered 0.83 s vs unclustered 1.11 s on ns_ngram_jaccard.
+    # persist, not localCheckpoint — corpus-sized, lineage kept
+    # (executor loss recomputes instead of failing the job).
+    inv = inv.repartition(_posting_partitions(df), F.col("gram")).persist()
     if max_gram_df == "auto":
         # Corpus-stat-derived cutoff. The join's intermediate row count is
         # EXACTLY Σ df² over surviving grams, so "auto" picks the largest
@@ -1419,21 +1455,59 @@ def _ngram_shared_counts(
                 "as the verification pass."
             )
     if chunk_size is None:
-        a, b = inv.alias("a"), inv.alias("b")
+        # Posting-list-grouped pair expansion (r14, guide §2.4): ONE
+        # exchange of the postings instead of the classic inv ⋈ inv
+        # self-join, whose two sides each re-evaluated the whole
+        # inverted-index subtree (cache scan + explode + hot-gram
+        # anti-join, with the hot-gram aggregate duplicated per side —
+        # exchange/broadcast reuse does not fire across the alias
+        # boundary; counted in plans/r14/ns_ngram_jaccard_before.txt).
+        # Postings are grouped per gram, singleton grams (no pairs)
+        # dropped, and the upper triangle enumerated with two chained
+        # explodes — plain expressions over the aggregate's materialized
+        # arrays, so the interpreted-HOF-in-Generate penalty does not
+        # apply. Per-group list size is bounded by the stop-gram cutoff
+        # (the anti-join above runs BEFORE grouping, so a hot gram's
+        # posting list is never buffered); output pairs are canonicalized
+        # with least/greatest, making the result independent of
+        # collect_list's arrival order. Skewed-but-under-cutoff grams
+        # still burst d²/2 pairs in one task — chunk_size remains the
+        # robustness lever for that (below).
+        plists = (
+            inv.groupBy("gram")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("__sz").alias("sz"))
+                ).alias("ps")
+            )
+            .filter(F.size("ps") >= 2)
+        )
+        one = plists.select("ps", F.posexplode("ps").alias("__i", "a"))
+        pairs = one.select(
+            "a",
+            F.explode(
+                F.slice("ps", F.col("__i") + F.lit(2), F.size("ps"))
+            ).alias("b"),
+        )
+        a_first = F.col("a.id") < F.col("b.id")
         shared = (
-            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            pairs.groupBy(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
             .agg(
                 F.count(F.lit(1)).alias("inter"),
                 # constant within the group (one size per doc) — min is a
                 # deterministic pick that partial-aggregates map-side
-                F.min(F.col("a.__sz")).alias("sz_a"),
-                F.min(F.col("b.__sz")).alias("sz_b"),
+                F.min(F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz"))).alias("sz_a"),
+                F.min(F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz"))).alias("sz_b"),
             )
         )
     else:
         shared = _ngram_pairs_chunked(inv, id_col, chunk_size)
-    return pin_handles(shared.select("id_a", "id_b", "inter", "sz_a", "sz_b"), grams)
+    return pin_handles(
+        shared.select("id_a", "id_b", "inter", "sz_a", "sz_b"), grams, inv
+    )
 
 
 def _ngram_pairs_chunked(inv: DataFrame, id_col: str, chunk_size: int) -> DataFrame:

@@ -72,3 +72,36 @@ class TestLocalFrameRowLength:
         df = local_frame(spark, [(1, "x"), (2, "y")], "a long, b string")
         assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
         assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestFanOutGate:
+    """VERDICT r13 #1/#2: the map-stage fan-out must be a no-op when the
+    scan already has enough native splits (at 100 TB it always does), and
+    still fire on the single-file local tables."""
+
+    def test_multi_split_input_no_exchange(self, spark, tmp_path):
+        import __spark_entry__ as em
+
+        src = spark.range(0, 10000).selectExpr(
+            "id as doc_id", "repeat('word ', 20) as text"
+        )
+        # 8 files >= defaultParallelism//2 (tests run local[8] -> floor 4)
+        src.repartition(8).write.mode("overwrite").parquet(str(tmp_path / "t"))
+        df = spark.read.parquet(str(tmp_path / "t"))
+        out = em._fan_out(spark, df)
+        assert out is df  # untouched frame: no exchange injected
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_single_split_input_fans_out(self, spark, tmp_path):
+        import __spark_entry__ as em
+
+        src = spark.range(0, 1000).selectExpr(
+            "id as doc_id", "repeat('word ', 20) as text"
+        )
+        src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+        df = spark.read.parquet(str(tmp_path / "one"))
+        out = em._fan_out(spark, df)
+        assert out is not df
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan and "RoundRobinPartitioning" in plan

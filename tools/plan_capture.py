@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline bench queries into plans/r13/.
+"""Capture .explain("formatted") for headline bench queries into plans/$PLAN_ROUND/ (default r14).
 
 Usage:
   python tools/plan_capture.py before [name ...]   # default: all headline
   python tools/plan_capture.py after  [name ...]
 
-Writes plans/r13/<query>_<tag>.txt. Uses the same session shape as bench.py
+Writes plans/<round>/<query>_<tag>.txt. Uses the same session shape as bench.py
 (get_spark, shuffle_partitions = SPARK_GRAFT_CPUS) so the captured plans are
 the plans the bench actually runs. Untimed — safe to run on a busy box.
 """
@@ -39,7 +39,7 @@ def main() -> None:
     queries.update(bench.BENCH_ONLY_CALLABLES)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(here, "plans", os.environ.get("PLAN_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     names = [n for n in bench.HEADLINE if not only or n in only]

@@ -14,7 +14,13 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = int(os.environ.get("QTIME_RUNS", "3"))
     from pwhl_data_engineering_pipeline_spark.session import get_spark
-    spark = get_spark("qtime", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    extra = dict(
+        kv.split("=", 1) for kv in os.environ.get("QTIME_EXTRA_CONF", "").split(";") if kv
+    )
+    spark = get_spark(
+        "qtime", master=f"local[{cpus}]", shuffle_partitions=int(cpus),
+        extra_conf=extra or None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     import bench
     import __spark_entry__ as em
