@@ -165,6 +165,95 @@ def _write_changes(df: DataFrame, path: str) -> str:
     return d
 
 
+def _write_rewrite_with_changes(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    key_rows: DataFrame,
+    keys: list[str],
+    inserts: DataFrame | None,
+    rewrite: DataFrame,
+) -> tuple[str, str]:
+    """ONE base scan for a keyed commit's rewrite AND its change feed
+    (r14, guide §6). The rewrite (``base ⟕anti keys ∪ inserts``) and
+    the CDF delete leg (``base ⟕semi keys``) are complements of the
+    same left join, but written as two jobs they scan the base twice —
+    the dominant cost of every keyed commit at scale. Here each base row
+    is tagged once by a single marker join and the whole commit is ONE
+    partitioned write:
+
+        tmp/_pleg=data/_change=keep/…       → data/<d>   (the rewrite)
+        tmp/_pleg=changes/_change=delete/…  ┐
+        tmp/_pleg=changes/_change=insert/…  ┘→ changes/<c>
+
+    Both partition columns stay out of the file contents, so the data
+    dir's footers carry exactly the rewrite schema; the changes dir
+    keeps ``_change`` as a discovered partition column (string — same
+    name, type and values as the previous written-column layout, and
+    ``snapshot_changes_feed`` reads it identically). A crash at any
+    point leaves orphan dirs under data/ and changes/ — the states
+    vacuum() already age-gate-sweeps. Empty legs (nothing matched and
+    an empty updates frame, or an empty rewrite) fall back to the
+    classic writers on a ``limit(0)`` plan, which the optimizer folds
+    to an empty LocalRelation — no extra base scan.
+
+    ``inserts=None`` is the DELETE shape (no insert leg); ``key_rows``
+    is the keyed frame driving the match (updates or ids).
+    Returns ``(data_dir, changes_dir)``."""
+    from pyspark.sql import functions as F
+
+    from ..fsutil import delete as _fs_delete
+    from ..fsutil import exists as _fs_exists
+    from ..fsutil import rename as _fs_rename
+
+    bp = path.rstrip("/")
+    fields = rewrite.schema.fields
+
+    def conform_cols(df: DataFrame) -> list:
+        have = set(df.columns)
+        return [
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in fields
+        ]
+
+    marker = key_rows.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    joined = base.join(marker, keys, "left")
+    hit = F.col("__hit").isNotNull()
+    base_part = joined.select(
+        *conform_cols(joined),
+        F.when(hit, F.lit("delete")).otherwise(F.lit("keep")).alias("_change"),
+        F.when(hit, F.lit("changes")).otherwise(F.lit("data")).alias("_pleg"),
+    )
+    legs = base_part
+    if inserts is not None:
+        ins = inserts.select(*conform_cols(inserts))
+        legs = legs.unionByName(
+            ins.select(
+                "*", F.lit("keep").alias("_change"), F.lit("data").alias("_pleg")
+            )
+        ).unionByName(
+            ins.select(
+                "*", F.lit("insert").alias("_change"), F.lit("changes").alias("_pleg")
+            )
+        )
+    tmp = f"{bp}/changes/.fused-{uuid.uuid4().hex}.tmp"
+    legs.write.mode("overwrite").partitionBy("_pleg", "_change").parquet(tmp)
+    d = uuid.uuid4().hex
+    c = uuid.uuid4().hex
+    if not _fs_rename(spark, f"{tmp}/_pleg=data/_change=keep", f"{bp}/data/{d}"):
+        # empty rewrite: write the schema-carrying empty dir classically
+        d = _write_data(rewrite.limit(0), path)
+    if not _fs_rename(spark, f"{tmp}/_pleg=changes", f"{bp}/changes/{c}"):
+        # no deletes and no inserts: an explicitly empty feed
+        c = _write_changes(
+            rewrite.limit(0).withColumn("_change", F.lit("insert")), path
+        )
+    _fs_delete(spark, tmp, recursive=True)
+    return d, c
+
+
 def _conform(df: DataFrame, columns: list[str]) -> DataFrame:
     """Align ``df`` to exactly ``columns`` (NULL-fill what it lacks) —
     the CDF legs of one commit must share the rewrite's output schema."""
@@ -586,25 +675,23 @@ def snapshot_merge(
                 *[c for c in df.columns if c not in set(base.columns)],
             )
             op = "overwrite"
-            if emit_changes:
-                # the feed's delete leg = the OLD versions of matched
-                # rows; the insert leg = the updates frame as it lands
-                # (an unchanged row emits a cancelling delete+insert pair
-                # — netted out at read by snapshot_changes_net, exactly
-                # like the content diff). Both legs conform to the
-                # rewrite's output schema so per-commit legs union
-                # cleanly across additive evolution.
-                deleted = base.join(updates.select(*keys), keys, "left_semi")
-                feed = (
-                    _conform(deleted, df.columns)
-                    .withColumn("_change", F.lit("delete"))
-                    .unionByName(
-                        _conform(updates, df.columns)
-                        .withColumn("_change", F.lit("insert"))
-                    )
-                )
-                extra = {"cdf": _write_changes(feed, path)}
-        d = _write_data(df, path)
+        if cur is not None and emit_changes:
+            # the feed's delete leg = the OLD versions of matched rows;
+            # the insert leg = the updates frame as it lands (an
+            # unchanged row emits a cancelling delete+insert pair —
+            # netted out at read by snapshot_changes_net, exactly like
+            # the content diff). Both legs conform to the rewrite's
+            # output schema so per-commit legs union cleanly across
+            # additive evolution. r14: rewrite + feed are ONE
+            # partitioned write with a single base scan (the delete leg
+            # is the complement of the rewrite's anti-join) — see
+            # _write_rewrite_with_changes.
+            d, cdf = _write_rewrite_with_changes(
+                spark, path, base, updates, keys, updates, df
+            )
+            extra = {"cdf": cdf}
+        else:
+            d = _write_data(df, path)
         stats = _stats_extra(spark, path, cur, [d], None)
         if stats:
             extra = {**(extra or {}), **stats}
@@ -662,13 +749,15 @@ def snapshot_delete(
         df = df.select(*base.columns)
         extra = None
         if emit_changes:
-            feed = (
-                base.join(key_ids, keys, "left_semi")
-                .select(*base.columns)
-                .withColumn("_change", F.lit("delete"))
+            # r14: rewrite + delete feed in ONE partitioned write with a
+            # single base scan (see _write_rewrite_with_changes); no
+            # insert leg on the DELETE shape.
+            d, cdf = _write_rewrite_with_changes(
+                spark, path, base, key_ids, keys, None, df
             )
-            extra = {"cdf": _write_changes(feed, path)}
-        d = _write_data(df, path)
+            extra = {"cdf": cdf}
+        else:
+            d = _write_data(df, path)
         stats = _stats_extra(spark, path, cur, [d], None)
         if stats:
             extra = {**(extra or {}), **stats}

@@ -105,3 +105,99 @@ class TestFanOutGate:
         assert out is not df
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" in plan and "RoundRobinPartitioning" in plan
+
+
+class TestFusedMergeWrite:
+    """VERDICT r13 #4: a keyed merge/delete commit writes its rewrite AND
+    change feed in ONE partitioned job (single base scan). Pin the layout
+    contract: data-dir footers carry exactly the rewrite schema (no CDF
+    columns), the changes dir exposes _change as a partition column, and
+    the classic two-job writers are not used on the default path."""
+
+    def test_merge_single_fused_write(self, spark, tmp_path, monkeypatch):
+        from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+        path = str(tmp_path / "fused")
+        S.snapshot_overwrite(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+        )
+        calls = {"data": 0, "changes": 0}
+        orig_wd, orig_wc = S._write_data, S._write_changes
+        monkeypatch.setattr(
+            S, "_write_data",
+            lambda df, p: calls.__setitem__("data", calls["data"] + 1) or orig_wd(df, p),
+        )
+        monkeypatch.setattr(
+            S, "_write_changes",
+            lambda df, p: calls.__setitem__("changes", calls["changes"] + 1)
+            or orig_wc(df, p),
+        )
+        v = S.snapshot_merge(
+            spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+            path, ["k"],
+        )
+        # default path: one fused write, classic writers untouched
+        assert calls == {"data": 0, "changes": 0}
+        got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        # data files carry exactly the table schema (no _change/_pleg)
+        m = S.read_manifest(spark, path, v)
+        import os
+        ddir = os.path.join(path, "data", m["dirs"][-1])
+        raw = spark.read.parquet(ddir)
+        assert sorted(raw.columns) == ["k", "v"]
+        # changes dir: _change rides as a discovered partition column
+        feed = S.snapshot_changes_feed(spark, path, v - 1, v)
+        rows = sorted((r["_change"], r["k"]) for r in feed.collect())
+        assert rows == [("delete", 2), ("insert", 2), ("insert", 3)]
+
+    def test_delete_single_fused_write(self, spark, tmp_path, monkeypatch):
+        from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+        path = str(tmp_path / "fusedd")
+        S.snapshot_overwrite(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+        )
+        calls = {"n": 0}
+        orig_wd = S._write_data
+        monkeypatch.setattr(
+            S, "_write_data",
+            lambda df, p: calls.__setitem__("n", calls["n"] + 1) or orig_wd(df, p),
+        )
+        v = S.snapshot_delete(
+            spark.createDataFrame([(2,)], "k long"), path, ["k"]
+        )
+        assert calls["n"] == 0
+        got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+        assert got == {1: "a"}
+        feed = S.snapshot_changes_feed(spark, path, v - 1, v)
+        assert [(r["_change"], r["k"]) for r in feed.collect()] == [("delete", 2)]
+
+    def test_merge_nothing_matched_empty_feed_leg(self, spark, tmp_path):
+        from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+        path = str(tmp_path / "fusede")
+        S.snapshot_overwrite(
+            spark.createDataFrame([(1, "a")], "k long, v string"), path
+        )
+        # inserts only — the delete partition is simply absent
+        v = S.snapshot_merge(
+            spark.createDataFrame([(9, "z")], "k long, v string"), path, ["k"]
+        )
+        feed = S.snapshot_changes_feed(spark, path, v - 1, v)
+        assert [(r["_change"], r["k"]) for r in feed.collect()] == [("insert", 9)]
+
+    def test_delete_nothing_matched_explicit_empty_feed(self, spark, tmp_path):
+        from pwhl_data_engineering_pipeline_spark.sources import snapshots as S
+
+        path = str(tmp_path / "fusedn")
+        S.snapshot_overwrite(
+            spark.createDataFrame([(1, "a")], "k long, v string"), path
+        )
+        v = S.snapshot_delete(
+            spark.createDataFrame([(7,)], "k long"), path, ["k"]
+        )
+        feed = S.snapshot_changes_feed(spark, path, v - 1, v)
+        assert feed.count() == 0
+        got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
+        assert got == {1: "a"}

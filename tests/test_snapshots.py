@@ -341,18 +341,21 @@ def test_concurrent_merges_both_land(spark, tmp_path, monkeypatch):
     upd_a = spark.createDataFrame([(2, "A2"), (5, "a5")], "k long, v string")
     upd_b = spark.createDataFrame([(3, "B3"), (6, "b6")], "k long, v string")
 
-    orig_write_data = S._write_data
+    # r14: the default merge path writes rewrite+feed through the fused
+    # single-scan writer, so the race is injected there (same window:
+    # after A computed its merge from v1, before A commits).
+    orig_fused = S._write_rewrite_with_changes
     state = {"interleaved": False}
 
-    def racing_write_data(df, p):
+    def racing_fused(sp, p, base, key_rows, keys, inserts, rewrite):
         # Writer B sneaks a full merge in during A's data write — the
         # classic read-compute-commit race window.
         if not state["interleaved"]:
             state["interleaved"] = True
             S.snapshot_merge(upd_b, p, ["k"])
-        return orig_write_data(df, p)
+        return orig_fused(sp, p, base, key_rows, keys, inserts, rewrite)
 
-    monkeypatch.setattr(S, "_write_data", racing_write_data)
+    monkeypatch.setattr(S, "_write_rewrite_with_changes", racing_fused)
     v = S.snapshot_merge(upd_a, path, ["k"], retries=2)
     assert v == 3  # v1 base, v2 = B, v3 = A's retried commit
     got = {r["k"]: r["v"] for r in S.read_snapshot(spark, path).collect()}
@@ -368,18 +371,18 @@ def test_concurrent_merge_without_retries_raises(spark, tmp_path, monkeypatch):
     S.snapshot_overwrite(
         spark.createDataFrame([(1, "a")], "k long, v string"), path
     )
-    orig_write_data = S._write_data
+    orig_fused = S._write_rewrite_with_changes
     state = {"interleaved": False}
 
-    def racing_write_data(df, p):
+    def racing_fused(sp, p, base, key_rows, keys, inserts, rewrite):
         if not state["interleaved"]:
             state["interleaved"] = True
             S.snapshot_merge(
                 spark.createDataFrame([(9, "z")], "k long, v string"), p, ["k"]
             )
-        return orig_write_data(df, p)
+        return orig_fused(sp, p, base, key_rows, keys, inserts, rewrite)
 
-    monkeypatch.setattr(S, "_write_data", racing_write_data)
+    monkeypatch.setattr(S, "_write_rewrite_with_changes", racing_fused)
     with _pytest.raises(IOError, match="conflict"):
         S.snapshot_merge(
             spark.createDataFrame([(1, "A1")], "k long, v string"), path, ["k"]
