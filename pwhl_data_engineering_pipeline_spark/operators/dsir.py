@@ -103,28 +103,48 @@ def dsir_scores(
     (SCALING.md, 24× pitfall). Cache lifetime rides the returned frame
     via dedup.pin_handles — release with ``dedup.unpersist_pins(result)``
     when looping corpora."""
+    from ..sources.readers import local_frame
+
     raw_arr = _bucket_arrays(raw, text_col, id_col, n_buckets).persist()
     tgt_arr = _bucket_arrays(target, text_col, id_col, n_buckets).persist()
     raw_buckets = raw_arr.select("doc_id", F.explode("bs").alias("bucket"))
     tgt_buckets = tgt_arr.select("doc_id", F.explode("bs").alias("bucket"))
-    tgt_counts = tgt_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    raw_counts = raw_buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    t_total = tgt_counts.agg(F.sum("cnt").alias("t_total"))
-    r_total = raw_counts.agg(F.sum("cnt").alias("r_total"))
-    # every scored bucket occurs in raw by construction → LEFT join from
-    # raw counts; target-unseen buckets take the α floor
-    lam = (
-        raw_counts.withColumnRenamed("cnt", "c_r")
-        .join(tgt_counts.withColumnRenamed("cnt", "c_t"), "bucket", "left")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("c_t", F.lit(0)) + alpha) / (F.col("t_total") + alpha * n_buckets))
-                - F.log((F.col("c_r") + alpha) / (F.col("r_total") + alpha * n_buckets))
-            ).alias("lam"),
+    # r14 (guide §5 / VERDICT r13 #5): the λ table is ≤ n_buckets rows by
+    # construction and was always driver-collected (that is what the
+    # broadcast build does) — but as one broadcast job nesting two more
+    # (the two total aggregates), re-run per action. Collect the two
+    # bounded count tables once, derive the totals driver-side (exact:
+    # integer sums of the same longs), and rebuild λ as a LocalRelation —
+    # the log arithmetic stays a JVM expression, so scores are
+    # bit-identical to the previous plan and the SQL mirror.
+    combo = (
+        raw_buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("r").alias("leg"), "bucket", "cnt")
+        .unionByName(
+            tgt_buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("t").alias("leg"), "bucket", "cnt")
         )
+        .collect()
+    )
+    r_rows = [r for r in combo if r["leg"] == "r"]
+    t_rows = [r for r in combo if r["leg"] == "t"]
+    t_total = sum(r["cnt"] for r in t_rows)
+    r_total = sum(r["cnt"] for r in r_rows)
+    t_by_bucket = {r["bucket"]: r["cnt"] for r in t_rows}
+    # every scored bucket occurs in raw by construction → drive from the
+    # raw counts; target-unseen buckets take the α floor
+    lam = local_frame(
+        raw.sparkSession,
+        [(r["bucket"], r["cnt"], t_by_bucket.get(r["bucket"])) for r in r_rows],
+        "bucket bigint, c_r long, c_t long",
+    ).select(
+        "bucket",
+        (
+            F.log((F.coalesce("c_t", F.lit(0)) + alpha) / (F.lit(t_total) + alpha * n_buckets))
+            - F.log((F.col("c_r") + alpha) / (F.lit(r_total) + alpha * n_buckets))
+        ).alias("lam"),
     )
     out = (
         raw_buckets.join(F.broadcast(lam), "bucket")

@@ -59,6 +59,8 @@ def unigram_logprob_scores(
     tokens outside it score at the OOV floor ln(1/total) and are counted in
     ``oov_tokens`` (a useful signal by itself — a high OOV fraction is
     garbage even when the in-vocabulary tokens are common)."""
+    from ..sources.readers import local_frame
+
     toks = _doc_tokens(docs, text_col, id_col)
     # freq is consumed twice (total + top): a lazy checkpoint pins the
     # word-TYPE table (tiny — Heaps' law) so the corpus-sized explode runs
@@ -71,15 +73,35 @@ def unigram_logprob_scores(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    total = freq.agg(F.sum("cnt").alias("total"))
-    top = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_v)
-    model = top.crossJoin(F.broadcast(total)).select(
-        "token", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    # r14 (guide §5 / VERDICT r13 #5): the model is ≤ top_v rows and was
+    # ALWAYS driver-collected — that is what a broadcast build does — but
+    # as three nested broadcast jobs (total agg, TakeOrdered, crossJoin)
+    # re-run per action. Collect the same bounded rows once, rebuild them
+    # as LocalRelations, and the scoring plan carries zero broadcast-build
+    # jobs. All arithmetic (log, long/long division) stays in JVM
+    # expressions, so scores are bit-identical to the previous plan and
+    # the SQL mirror.
+    null_s = F.lit(None).cast("string")
+    combo = (
+        freq.agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("t").alias("leg"), null_s.alias("token"), "cnt")
+        .unionByName(
+            freq.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(top_v)
+            .select(F.lit("u").alias("leg"), "token", "cnt")
+        )
+        .collect()
     )
+    total_v = next((r["cnt"] for r in combo if r["leg"] == "t"), None) or 0
+    model = local_frame(
+        docs.sparkSession,
+        [(r["token"], r["cnt"]) for r in combo if r["leg"] == "u"],
+        "token string, cnt long",
+    ).select("token", F.log(F.col("cnt") / F.lit(total_v)).alias("logp"))
+    oov_lp = -F.log(F.lit(total_v))
     return (
         toks.join(F.broadcast(model), "token", "left")
-        .crossJoin(F.broadcast(total))
-        .withColumn("lp", F.coalesce("logp", -F.log(F.col("total"))))
+        .withColumn("lp", F.coalesce("logp", oov_lp))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -184,19 +206,22 @@ def bigram_backoff_scores(
         .filter(F.size("a") > 0)
         .persist()
     )
+    from ..sources.readers import local_frame
+
     toks = arr.select("doc_id", F.explode("a").alias("token"))
     freq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    total = freq.agg(F.sum("cnt").alias("total"))
-    uni = (
-        freq.orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(top_v)
-        .crossJoin(F.broadcast(total))
-        .select("token", F.log(F.col("cnt") / F.col("total")).alias("logp_uni"))
-    )
+    # r14 (guide §5 / VERDICT r13 #5): both models are bounded TakeOrdered
+    # slices that were always driver-collected — that is what a broadcast
+    # build does — but as a chain of nested broadcast jobs (total agg,
+    # two TakeOrdereds, a model join, crossJoins) re-run per action.
+    # Collect the same bounded rows once, rebuild them as LocalRelations,
+    # and the scoring plan carries zero broadcast-build jobs. All
+    # arithmetic (log, long/long division) stays in JVM expressions, so
+    # scores are bit-identical to the previous plan and the SQL mirror.
     pairs = arr.filter(F.size("a") >= 2).select(
         "doc_id",
         F.explode(
@@ -208,12 +233,37 @@ def bigram_backoff_scores(
         ).alias("pc"),
     ).select("doc_id", "pc.prev", "pc.cur")
     bfreq = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    bmodel = (
-        bfreq.orderBy(F.col("cb").desc(), F.col("prev").asc(), F.col("cur").asc())
-        .limit(top_b)
-        .join(freq.select(F.col("token").alias("prev"), F.col("cnt").alias("cprev")), "prev")
-        .select("prev", "cur", F.log(F.col("cb") / F.col("cprev")).alias("lb"))
+    # all three model legs ride ONE collect (one action): the corpus total,
+    # the top-V unigram slice, and the top-B bigram slice with its cprev
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    combo = (
+        freq.agg(F.sum("cnt").alias("cb"))
+        .select(F.lit("t").alias("leg"), null_s.alias("prev"), null_s.alias("cur"), "cb", null_l.alias("cprev"))
+        .unionByName(
+            freq.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(top_v)
+            .select(F.lit("u").alias("leg"), F.col("token").alias("prev"), null_s.alias("cur"), F.col("cnt").alias("cb"), null_l.alias("cprev"))
+        )
+        .unionByName(
+            bfreq.orderBy(F.col("cb").desc(), F.col("prev").asc(), F.col("cur").asc())
+            .limit(top_b)
+            .join(freq.select(F.col("token").alias("prev"), F.col("cnt").alias("cprev")), "prev")
+            .select(F.lit("b").alias("leg"), "prev", "cur", "cb", "cprev")
+        )
+        .collect()
     )
+    total_v = next((r["cb"] for r in combo if r["leg"] == "t"), None) or 0
+    uni = local_frame(
+        docs.sparkSession,
+        [(r["prev"], r["cb"]) for r in combo if r["leg"] == "u"],
+        "token string, cnt long",
+    ).select("token", F.log(F.col("cnt") / F.lit(total_v)).alias("logp_uni"))
+    bmodel = local_frame(
+        docs.sparkSession,
+        [(r["prev"], r["cur"], r["cb"], r["cprev"]) for r in combo if r["leg"] == "b"],
+        "prev string, cur string, cb long, cprev long",
+    ).select("prev", "cur", F.log(F.col("cb") / F.col("cprev")).alias("lb"))
     first = arr.select(
         "doc_id", F.lit(None).cast("string").alias("prev"),
         F.element_at("a", 1).alias("cur"), F.lit(True).alias("is_first"),
@@ -222,8 +272,7 @@ def bigram_backoff_scores(
     scored = (
         stream.join(F.broadcast(bmodel), ["prev", "cur"], "left")
         .join(F.broadcast(uni.withColumnRenamed("token", "cur")), "cur", "left")
-        .crossJoin(F.broadcast(total))
-        .withColumn("__uni", F.coalesce("logp_uni", -F.log(F.col("total"))))
+        .withColumn("__uni", F.coalesce("logp_uni", -F.log(F.lit(total_v))))
         .withColumn(
             "lp",
             F.when(F.col("is_first"), F.col("__uni"))

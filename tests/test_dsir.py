@@ -110,4 +110,7 @@ def test_plan_stays_broadcast_and_bounded(raw_df, target_df):
     plan = dsir.dsir_scores(raw_df, target_df, n_buckets=B)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the two 1-row scalar totals
+    # r14: the scalar totals fold into the driver-built λ LocalRelation —
+    # no nested-loop crossJoins remain in the scoring plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LocalTableScan" in plan  # the λ model rides as a LocalRelation
