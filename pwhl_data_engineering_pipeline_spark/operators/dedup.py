@@ -1220,14 +1220,16 @@ def ngram_jaccard_pairs(
     gram_key: str = "text",
     chunk_size: int | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via inverted index: explode n-grams, self-join
-    on the n-gram (candidates = pairs sharing ≥1 n-gram), count shared grams,
-    compute |A∩B| / (|A| + |B| - |A∩B|). Never materializes row-pairs that
-    share nothing — the classic sparse-similarity join.
+    """All-pairs n-gram Jaccard via inverted index: explode n-grams, group
+    postings per gram (candidates = pairs sharing ≥1 n-gram, enumerated as
+    each posting list's upper triangle — r14, one posting exchange instead
+    of the classic self-join's two), count shared grams, compute
+    |A∩B| / (|A| + |B| - |A∩B|). Never materializes row-pairs that share
+    nothing — the classic sparse-similarity join, posting-list-grouped.
 
     Stop-gram guard (prefix-filter move): grams whose document frequency
     exceeds ``max_gram_df`` are dropped from the inverted index BEFORE the
-    self-join — the join is quadratic in the hottest posting list (output =
+    pair build — it is quadratic in the hottest posting list (output =
     Σ df² over grams), and a stock phrase appearing in 1% of a 100 TB corpus
     would otherwise dominate the whole job. Gram-set *sizes* (the Jaccard
     denominator) stay uncapped, so the effect is only that pairs sharing
@@ -1253,12 +1255,12 @@ def ngram_jaccard_pairs(
     the right shape for an unattended 100 TB job where a mis-tuned cap
     should fail fast, not run for hours.
 
-    ``gram_key``: what the inverted index (and therefore the self-join's
-    shuffle) carries per posting. ``"text"`` (default) keeps the gram
+    ``gram_key``: what the inverted index (and therefore the posting
+    exchange) carries per posting. ``"text"`` (default) keeps the gram
     string — exact, and what the DuckDB oracle mirrors. ``"hash"`` maps
-    each gram to its xxhash64 BEFORE the shuffle, shrinking the SMJ key
-    from a ~25-40-byte 3-word string to 8 bytes — the spill lever for
-    deep decades (VERDICT r9 #3: the 1000× run's gram SMJ spilled ~70 GB
+    each gram to its xxhash64 BEFORE the shuffle, shrinking the grouping
+    key from a ~25-40-byte 3-word string to 8 bytes — the spill lever for
+    deep decades (VERDICT r9 #3: the 1000× run's gram join spilled ~70 GB
     of mostly gram text; measured savings in SCALING.md). Semantics are
     identical up to 64-bit hash collisions between DISTINCT grams, which
     can only (a) merge two grams' df toward the stop-gram cutoff or
@@ -1269,16 +1271,16 @@ def ngram_jaccard_pairs(
     runs keep ``"text"``; at 100 TB the collision risk is the documented
     trade for not shuffling the corpus's strings.
 
-    ``chunk_size``: opt-in posting-list chunking for the self-join
-    (``None`` = off, the classic gram-keyed join). When set, any gram
-    whose posting list exceeds ``chunk_size`` is enumerated as the upper
-    triangle of hash-assigned chunks so no single SMJ key group ever
-    buffers more than ``chunk_size`` postings or bursts more than
-    ``chunk_size²`` pairs. Output is identical (differentially tested);
-    see :func:`_ngram_pairs_chunked` for the cost model. Measured r11
-    (SCALING.md, "a three-front negative"): this is a ROBUSTNESS lever
-    (bounded per-task SMJ buffers, no single-task straggler on a skewed
-    gram), NOT a throughput lever — end-to-end walls are bound by the
+    ``chunk_size``: opt-in posting-list chunking for the pair build
+    (``None`` = off, the grouped upper-triangle expansion). When set, any
+    gram whose posting list exceeds ``chunk_size`` is enumerated as the
+    upper triangle of hash-assigned chunks so no single task ever
+    buffers more than ``chunk_size`` postings of one gram or bursts more
+    than ``chunk_size²`` pairs. Output is identical (differentially
+    tested); see :func:`_ngram_pairs_chunked` for the cost model.
+    Measured r11 (SCALING.md, "a three-front negative"): this is a
+    ROBUSTNESS lever (bounded per-task buffers, no single-task straggler
+    on a skewed gram), NOT a throughput lever — end-to-end walls are bound by the
     invariant Σ df² pair volume, the pure-scale deep decade has no hot
     grams to chunk (max df 357 at 1000×), and grams hot enough to
     matter are stop-grams under the auto budget first. Leave it off
@@ -1736,18 +1738,28 @@ def ngram_containment_pairs(
     shared = _ngram_shared_counts(
         df, text_col, id_col, n, max_gram_df, sum_df2_budget, chunk_size=chunk_size
     )
-    a_in_b = shared.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        F.try_divide(F.col("inter"), F.col("sz_a")).alias("containment"),
-    )
-    b_in_a = shared.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        F.try_divide(F.col("inter"), F.col("sz_b")).alias("containment"),
-    )
+    # Both directions ride ONE evaluation of the pair build (r14): the
+    # previous a_in_b ∪ b_in_a union re-ran the whole inverted-index
+    # subtree once per leg (union legs share no exchange); a 2-element
+    # explode emits the two directional rows from each pair instead.
+    both = shared.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.try_divide(F.col("inter"), F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.try_divide(F.col("inter"), F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("__d")
+    ).select("__d.*")
     return pin_handles(
-        a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold),
+        both.filter(F.col("containment") >= threshold),
         *getattr(shared, "_spark_graft_pins", []),
     )
 

@@ -126,21 +126,23 @@ def bm25_topk(
     6 dp before selection. Queries are distinct-termed (a term repeated in
     the query counts once — standard BM25 query semantics).
     """
-    postings, stats = build_index(docs, text_col, id_col, checkpoint=True)
+    postings, _stats = build_index(docs, text_col, id_col, checkpoint=True)
 
-    # 1-row corpus scalars; crossJoin of a 1-row frame broadcasts.
-    # Single pass over postings: n_docs = distinct doc count, avg_len =
-    # Σtf / n_docs (doc_len sums each doc's tf, so the per-doc average IS
-    # the global token count over the doc count — exact in float64 up to
-    # 2^53 tokens). The previous distinct-then-aggregate two-step shuffled
-    # every (doc_id, doc_len) posting pair before reducing; this shuffles
-    # one partial-aggregated row per partition.
-    scalars = postings.agg(
+    # 1-row corpus scalars, driver-collected ONCE and folded into literals
+    # (r14, guide §5 — same move as the LM models): the crossJoin broadcast
+    # of the 1-row frame re-ran its aggregate job per action. Single pass
+    # over postings: n_docs = distinct doc count, avg_len = Σtf / n_docs
+    # (doc_len sums each doc's tf, so the per-doc average IS the global
+    # token count over the doc count). Both collected values are exact
+    # longs; the division stays a JVM expression, so avg_len is the same
+    # float64 the previous plan computed and the SQL mirror computes.
+    srow = postings.agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("__total_tf"),
-    ).select(
-        "n_docs", (F.col("__total_tf") / F.col("n_docs")).alias("avg_len")
-    )
+    ).first()
+    n_docs_v = srow["n_docs"] or 0
+    total_tf_v = srow["__total_tf"] or 0
+    avg_len = F.lit(total_tf_v) / F.lit(n_docs_v)
 
     qterms = (
         queries.select(
@@ -150,20 +152,28 @@ def bm25_topk(
         .filter(F.col("term") != "")
     )
 
-    # Reduce stats to the query vocabulary FIRST (broadcast qterms onto the
-    # term-partitioned stats agg), then broadcast that tiny (query, term,
-    # df) frame onto postings: the corpus-sized posting stream joins only
-    # against broadcasts — the full |vocabulary| stats table never shuffles
-    # with it, keeping the documented "only matched partials move" bound.
-    qstats = stats.join(F.broadcast(qterms), "term")
+    # Reduce the df aggregation to the query vocabulary BEFORE its exchange
+    # (r14, guide §2.3/§3.2): a broadcast semi-join on the distinct query
+    # terms drops non-query postings map-side, so the stats exchange
+    # carries partial counts for the query's terms only instead of the
+    # full vocabulary. Per-term df values are unchanged (filtering by term
+    # never changes that term's count). The tiny (query, term, df) frame
+    # then broadcasts onto postings: the corpus-sized posting stream joins
+    # only against broadcasts.
+    qset = qterms.select("term").distinct()
+    qdf = (
+        postings.join(F.broadcast(qset), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qstats = qdf.join(F.broadcast(qterms), "term")
     scored = (
         postings.join(F.broadcast(qstats), "term")
-        .crossJoin(F.broadcast(scalars))
         .withColumn(
             "idf",
             F.log(
                 F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                + (F.lit(n_docs_v) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             ),
         )
@@ -174,7 +184,7 @@ def bm25_topk(
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / avg_len)
             ),
         )
         .groupBy("query_id", "doc_id")

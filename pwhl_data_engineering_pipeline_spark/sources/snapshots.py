@@ -643,7 +643,11 @@ def snapshot_merge(
     # insert leg) and may be an arbitrarily expensive upstream plan; pin
     # it once — it is delta-sized by definition, and a lazy
     # localCheckpoint materializes on the first consumer without
-    # registering a CacheManager entry.
+    # registering a CacheManager entry. Cluster caveat (ADVICE r13 low):
+    # localCheckpoint truncates lineage, so an executor loss mid-write
+    # makes the pinned blocks unrecoverable and fails the attempt (the
+    # retry loop re-runs it); deployments with preemptible executors
+    # should persist() the updates themselves before calling merge.
     updates = updates.localCheckpoint(eager=False)
     attempt = 0
     while True:

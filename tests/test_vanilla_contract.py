@@ -9,6 +9,14 @@ graph._signature's sum(xxhash64) → bit_xor).
 ANSI is a runtime-settable SQL conf, so this flips it on the shared session
 for the sweep and restores it after; value correctness is already covered by
 the ANSI-off oracle sweep in test_entry_oracle.py — this checks execution.
+
+r14: the per-query sweep also carries the blanket no-cartesian scale gate
+(previously test_plan_quality.test_no_accidental_cartesian_anywhere, which
+re-built the whole extended set a second time for ~2 min of duplicate
+index/snapshot build work). The allowlist and its rationale live in
+test_plan_quality (CARTESIAN_ALLOW / CARTESIAN_STREAMING /
+CARTESIAN_GATE_DOC); the assertion here inspects the FULL frame's plan
+before the count so column pruning cannot hide an offending join.
 """
 
 from __future__ import annotations
@@ -16,6 +24,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+
+from .test_plan_quality import CARTESIAN_ALLOW, CARTESIAN_STREAMING
 
 
 @pytest.fixture(scope="module")
@@ -29,4 +39,11 @@ def ansi_spark(spark):
 @pytest.mark.parametrize("name", sorted(entrymod.extended_queries()))
 def test_driver_window_query_runs_under_ansi(ansi_spark, sf_dir, name):
     df = entrymod.extended_queries()[name](ansi_spark, sf_dir)
+    if name not in CARTESIAN_ALLOW and name not in CARTESIAN_STREAMING:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop/cartesian join — the classic 100 TB "
+            "killer; see test_plan_quality.CARTESIAN_GATE_DOC for the "
+            "explicit allowlist and its rationale"
+        )
     assert df.count() >= 0
