@@ -128,21 +128,22 @@ def bm25_topk(
     """
     postings, _stats = build_index(docs, text_col, id_col, checkpoint=True)
 
-    # 1-row corpus scalars, driver-collected ONCE and folded into literals
-    # (r14, guide §5 — same move as the LM models): the crossJoin broadcast
-    # of the 1-row frame re-ran its aggregate job per action. Single pass
-    # over postings: n_docs = distinct doc count, avg_len = Σtf / n_docs
+    # 1-row corpus scalars; crossJoin of a 1-row frame broadcasts. Kept
+    # LAZY deliberately (r14): an eager driver collect into literals (the
+    # lm/dsir move) was tried and REVERTED — it serialized a broadcast
+    # build that previously ran concurrently with the others, measured
+    # +0.15 s (and a constant-key equi-join folds back to a nested-loop
+    # plan, so there is no lazy hash-join spelling). Single pass over
+    # postings: n_docs = distinct doc count, avg_len = Σtf / n_docs
     # (doc_len sums each doc's tf, so the per-doc average IS the global
-    # token count over the doc count). Both collected values are exact
-    # longs; the division stays a JVM expression, so avg_len is the same
-    # float64 the previous plan computed and the SQL mirror computes.
-    srow = postings.agg(
+    # token count over the doc count — exact in float64 up to 2^53
+    # tokens).
+    scalars = postings.agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("__total_tf"),
-    ).first()
-    n_docs_v = srow["n_docs"] or 0
-    total_tf_v = srow["__total_tf"] or 0
-    avg_len = F.lit(total_tf_v) / F.lit(n_docs_v)
+    ).select(
+        "n_docs", (F.col("__total_tf") / F.col("n_docs")).alias("avg_len")
+    )
 
     qterms = (
         queries.select(
@@ -169,11 +170,12 @@ def bm25_topk(
     qstats = qdf.join(F.broadcast(qterms), "term")
     scored = (
         postings.join(F.broadcast(qstats), "term")
+        .crossJoin(F.broadcast(scalars))
         .withColumn(
             "idf",
             F.log(
                 F.lit(1.0)
-                + (F.lit(n_docs_v) - F.col("df") + F.lit(0.5))
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
             ),
         )
@@ -184,7 +186,7 @@ def bm25_topk(
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / avg_len)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_len"))
             ),
         )
         .groupBy("query_id", "doc_id")

@@ -140,12 +140,16 @@ CARTESIAN_GATE_DOC = """Allowlist rationale (the classic 100 TB killers;
     ns_lm_bigram (the same 1-row total-token scalar crossJoins as
     ns_lm_quality; the unigram/bigram model joins are broadcast hash)."""
 
-# r14: ns_bm25_search / ns_lm_quality / ns_lm_bigram / ns_corpus_export /
-# ns_dsir_select came OFF the allowlist — their 1-row scalar crossJoins were
-# replaced by driver-collected literals/LocalRelations, so the gate covers
-# them again.
+# r14: ns_lm_quality / ns_lm_bigram / ns_corpus_export / ns_dsir_select came
+# OFF the allowlist — their 1-row scalar crossJoins were replaced by
+# driver-collected literals/LocalRelations, so the gate covers them again.
+# ns_bm25_search keeps its single 1-row corpus-scalars crossJoin: the eager
+# collect serialized a previously-concurrent broadcast build (+0.15 s) and a
+# constant-key equi-join folds back to a nested-loop plan, so the lazy
+# scalar-subquery shape stays (bounded: one broadcast row).
 CARTESIAN_ALLOW = {
         "j3_cross_join",
+        "ns_bm25_search",
         "ns_embedding_neardup",
         "ns_ann_ivf",
         # ns_ann_ivf_indexed (r10): the same corpus × broadcast-centroids
