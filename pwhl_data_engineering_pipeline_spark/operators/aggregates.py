@@ -68,14 +68,14 @@ _RANGE_PARTITION_MAX = 1 << 20
 
 def _range_partition_count(df: DataFrame) -> int:
     """Scale-adaptive partition count for an explicit range shuffle:
-    ``max(defaultParallelism, ceil(estimated bytes / 64 MB))``. The
+    ``max(defaultParallelism / 4, ceil(estimated bytes / 64 MB))``. The
     estimate is Catalyst's optimized-plan sizeInBytes of the
     (column-pruned) input. Two regimes, one formula:
 
-    - small inputs: the parallelism floor keeps the sort spread over the
-      cluster's cores (measured at sf0.1: 1 partition = 2.9 s single-task
-      sort, 32 partitions = 2.0 s — parallelism beats per-slice overhead
-      here);
+    - small inputs: the parallelism floor keeps the sort spread over
+      SOME of the cluster's cores without paying 1-task-per-core fixed
+      overhead (measured at sf0.1: 1 partition = 2.9 s single-task sort;
+      r14 sweep 32 → 1.60-2.00 s, 8 → 1.28-1.43 s);
     - 100 TB inputs: the size term takes over and yields ~64 MB sorted
       slices regardless of how the session's ``spark.sql.shuffle
       .partitions`` constant was tuned — an explicit repartitionByRange
@@ -98,7 +98,15 @@ def _range_partition_count(df: DataFrame) -> int:
         est = -1
     if est <= 0 or est >= 1 << 60:
         return max(par, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
-    return min(_RANGE_PARTITION_MAX, max(1, par, -(-est // _RANGE_PARTITION_TARGET_BYTES)))
+    # Parallelism floor cores/4, not the full core count (r14): the sort's
+    # small-input stages are per-task-overhead bound — interleaved width
+    # sweep on the sf0.1 lineitem percentile pass: 32 → 1.60-2.00 s,
+    # 16 → 1.30-1.60 s, 8 → 1.28-1.43 s, 4 → 1.47-1.70 s. The size term
+    # takes over on real inputs, so slices stay ~64 MB at scale.
+    return min(
+        _RANGE_PARTITION_MAX,
+        max(2, par // 4, -(-est // _RANGE_PARTITION_TARGET_BYTES)),
+    )
 
 
 def exact_percentiles_distributed(
