@@ -161,7 +161,9 @@ def bm25_topk(
     # never changes that term's count). The tiny (query, term, df) frame
     # then broadcasts onto postings: the corpus-sized posting stream joins
     # only against broadcasts.
-    qset = qterms.select("term").distinct()
+    # no .distinct() on the semi side: a LeftSemi build-side hash table
+    # dedupes keys itself, and the distinct would add an exchange
+    qset = qterms.select("term")
     qdf = (
         postings.join(F.broadcast(qset), "term", "left_semi")
         .groupBy("term")
